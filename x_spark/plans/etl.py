@@ -1,0 +1,182 @@
+"""ETL job lifecycle + write-mode job classes.
+
+Reference parity: etl/parent.py (factory + 8-step lifecycle),
+etl/append.py, etl/overwrite.py, etl/update_and_upsert.py — re-expressed
+over the datasource abstraction, with the reference's crash bugs fixed
+(SURVEY §8.1-8.4) and the driver-side partition collect avoided on the
+hot path (SURVEY §4).
+
+Lifecycle (etl/parent.py:206-223; step numbering kept for parity —
+step 02 was removed upstream):
+
+    01 source pre_sql -> 03 create __source_view -> 04 source post_sql
+    -> 05 target pre_sql -> 06 operate -> 07 target post_sql -> 08 clean
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from x_spark.errors import JobConfigException
+from x_spark.plans.config import JobConfig, load_yaml_config
+from x_spark.session import get_session
+from x_spark.sources import init_datasource
+from x_spark.sources.base import MergeSpec, TableRef
+
+SOURCE_VIEW = "__source_view"
+
+
+def init_etl_job(
+    config: str | dict,
+    params: dict[str, Any] | None = None,
+    spark: SparkSession | None = None,
+) -> "BaseETLJob":
+    """Factory (etl/parent.py:10-65): YAML path or dict -> job object."""
+    if isinstance(config, str):
+        raw = load_yaml_config(config, params)
+    else:
+        raw = {str(k).lower(): v for k, v in config.items()}
+    job_config = JobConfig.from_dict(raw)
+    operation = job_config.target.operation.lower()  # type: ignore[union-attr]
+    job_cls = {
+        "append": AppendETLJob,
+        "insert": AppendETLJob,
+        "overwrite": OverwriteETLJob,
+        "update": UpdateETLJob,
+        "upsert": UpsertETLJob,
+    }[operation]
+    return job_cls(job_config, spark or get_session())
+
+
+class BaseETLJob:
+    def __init__(self, config: JobConfig, spark: SparkSession) -> None:
+        self.config = config
+        self.spark = spark
+        self.from_datasource = init_datasource(config.source.datasource, spark)
+        self.to_datasource = init_datasource(config.target.datasource, spark)
+
+    # -- lifecycle -----------------------------------------------------
+    def run(self) -> None:
+        self.step_01_source_pre_sql()
+        self.step_03_create_source_view()
+        self.step_04_source_post_sql()
+        self.step_05_target_pre_sql()
+        self.step_06_operate()
+        self.step_07_target_post_sql()
+        self.step_08_clean()
+
+    def step_01_source_pre_sql(self) -> None:
+        if self.config.source.pre_sql:
+            self.from_datasource.sql(self.config.source.pre_sql)
+
+    def step_03_create_source_view(self) -> None:
+        src = self.config.source
+        if src.path is not None and src.query is None:
+            df = self.from_datasource.read(TableRef(path=src.path, options=src.options))
+        else:
+            df = self.from_datasource.sql(self.config.source_query)
+        df.createOrReplaceTempView(SOURCE_VIEW)
+
+    def step_04_source_post_sql(self) -> None:
+        if self.config.source.post_sql:
+            self.from_datasource.sql(self.config.source.post_sql)
+
+    def step_05_target_pre_sql(self) -> None:
+        # Routed to the TARGET datasource (fixes etl/parent.py:181 which
+        # ran it on the source side, SURVEY §8.4).
+        if self.config.target.pre_sql:
+            self.to_datasource.sql(self.config.target.pre_sql)
+
+    def step_06_operate(self) -> None:
+        raise NotImplementedError
+
+    def step_07_target_post_sql(self) -> None:
+        if self.config.target.post_sql:
+            self.to_datasource.sql(self.config.target.post_sql)
+
+    def step_08_clean(self) -> None:
+        self.spark.catalog.dropTempView(SOURCE_VIEW)
+
+    # -- shared helpers ------------------------------------------------
+    def source_df(self) -> DataFrame:
+        return self.spark.table(SOURCE_VIEW)
+
+    def target_ref(self) -> TableRef:
+        tgt = self.config.target
+        return TableRef(table=tgt.table, path=tgt.path, options=tgt.options)
+
+
+class AppendETLJob(BaseETLJob):
+    """W1 (etl/append.py:11-33): append __source_view to the target."""
+
+    def step_06_operate(self) -> None:
+        self.to_datasource.append(self.source_df(), self.target_ref())
+
+
+class OverwriteETLJob(BaseETLJob):
+    """W2 (etl/overwrite.py): partition-scoped overwrite.
+
+    Semantics (golden-confirmed, FIXTURES.md §2): only the partitions
+    present in the source are replaced; other partitions survive; an
+    unpartitioned target is fully overwritten.
+
+    Scale note: the reference collects distinct partition tuples to the
+    driver to build a replaceWhere string (etl/overwrite.py:26). The
+    parquet connector's dynamic partition overwrite needs no driver
+    collect at all; ``replace_where_predicate()`` still renders the
+    reference-style predicate for dry-run/debug (bounded by partition
+    count, metadata-scale only).
+    """
+
+    def step_06_operate(self) -> None:
+        ds = self.to_datasource
+        overwrite_dynamic = getattr(ds, "overwrite_dynamic", None)
+        if overwrite_dynamic is not None:
+            overwrite_dynamic(self.source_df(), self.target_ref())
+        else:  # pragma: no cover - generic connector fallback
+            ds.overwrite(self.source_df(), self.target_ref(), self.replace_where_predicate())
+
+    def replace_where_predicate(self) -> str:
+        """Reference-style replaceWhere string from the source's distinct
+        partition tuples (etl/overwrite.py:20-36); '1=1' when the target
+        is unpartitioned."""
+        part_cols = self.to_datasource.partition_columns(self.target_ref())
+        if not part_cols:
+            return "1=1"
+        tuples = self.source_df().select(*part_cols).distinct().collect()
+        clauses = [
+            "(" + " AND ".join(f"{c} = '{row[c]}'" for c in part_cols) + ")" for row in tuples
+        ]
+        return " OR ".join(clauses) if clauses else "1=0"
+
+
+class _MergeETLJob(BaseETLJob):
+    insert_when_not_matched = False
+
+    def merge_spec(self) -> MergeSpec:
+        tgt = self.config.target
+        return MergeSpec(
+            primary_key_columns=list(tgt.primary_key_column),
+            update_columns=list(tgt.update_column),
+            extra_target_predicate=tgt.where_statement_on_table or "1=1",
+            insert_when_not_matched=self.insert_when_not_matched,
+        )
+
+    def step_06_operate(self) -> None:
+        self.to_datasource.merge(self.source_df(), self.target_ref(), self.merge_spec())
+
+
+class UpdateETLJob(_MergeETLJob):
+    """W3 (etl/update_and_upsert.py:10-46): matched rows updated, no inserts."""
+
+    insert_when_not_matched = False
+
+
+class UpsertETLJob(_MergeETLJob):
+    """W4 (etl/update_and_upsert.py:49-57): update + insert-when-not-matched;
+    inserted rows carry pk+update columns, other columns NULL
+    (golden-confirmed quirk, SURVEY §8.7)."""
+
+    insert_when_not_matched = True

@@ -1,0 +1,69 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults follow the public Spark performance guidance: AQE on (runtime
+re-planning, skew-join handling, partition coalescing), shuffle
+partitions sized to the machine rather than the 200 default, Arrow
+enabled for any pandas interchange, UTC session timezone so timestamp
+semantics match the DuckDB oracle.
+
+On a real cluster these same configs apply; only ``master`` and the
+memory knobs change. Nothing in the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet dynamic partition overwrite — the Spark-native equivalent of
+    # Delta's replaceWhere for partition-scoped overwrite (SURVEY §2.2 W2).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "x_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Return the active session or build one with engine defaults.
+
+    Mirrors the reference's reliance on ``SparkSession.getActiveSession()``
+    (etl/parent.py:92) but can bootstrap its own local session when none
+    exists (the reference assumes Databricks provides one).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local"):
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

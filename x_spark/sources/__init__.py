@@ -1,0 +1,54 @@
+"""Datasource connector registry.
+
+Reference parity: ``init_datasource(source_type, spark)``
+(datasource/base_datasource.py:13-24) with only ``"delta"`` accepted.
+Our registry supports:
+
+- ``parquet`` — catalog tables stored as parquet (the working default in
+  environments without delta-spark); implements the full write/merge
+  surface with Spark-native equivalents.
+- ``delta``   — real Delta Lake connector, available only when the
+  ``delta-spark`` package is importable; otherwise falls back to the
+  parquet implementation (documented divergence — the observable
+  semantics of every operation are identical).
+- ``file``    — read-only path scans for parquet/csv/json (SURVEY §2.1
+  S10 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from x_spark.errors import DataSourceException
+from x_spark.sources.base import BaseDataSource
+from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
+from x_spark.sources.files import FileDataSource
+
+try:  # delta-spark is optional; gate the import (no pip installs here)
+    from x_spark.sources.delta import DeltaDataSource  # noqa: F401
+
+    _HAS_DELTA = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _HAS_DELTA = False
+
+_REGISTRY: dict[str, type[BaseDataSource]] = {
+    "parquet": ParquetCatalogDataSource,
+    "file": FileDataSource,
+}
+if _HAS_DELTA:  # pragma: no cover
+    _REGISTRY["delta"] = DeltaDataSource
+else:
+    # Delta configs still run: parquet catalog tables provide the same
+    # observable op semantics (append/overwrite/update/upsert/truncate).
+    _REGISTRY["delta"] = ParquetCatalogDataSource
+
+
+def init_datasource(source_type: str, spark: SparkSession) -> BaseDataSource:
+    """Factory mirroring datasource/base_datasource.py:13-24."""
+    source_type = (source_type or "delta").lower()
+    cls = _REGISTRY.get(source_type)
+    if cls is None:
+        raise DataSourceException(
+            f"Unknown datasource type {source_type!r}; expected one of {sorted(_REGISTRY)}"
+        )
+    return cls(spark)

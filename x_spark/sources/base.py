@@ -1,0 +1,116 @@
+"""Abstract datasource connector.
+
+Reference parity: datasource/base_datasource.py:27-61 defines the op
+surface ``sql / table / write / merge``. We add ``truncate`` and
+``partition_columns`` (the reference reaches those through raw SQL and
+SHOW PARTITIONS error-sniffing, etl/overwrite.py:10-18 — catalog-API
+introspection is the robust Spark-native replacement).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    """Declarative description of an update/upsert merge.
+
+    Reference parity: etl/update_and_upsert.py:3-8 builds the condition
+    ``<where_statement_on_table> AND TGT.pk = SRC.pk AND ...``; the update
+    set is ``{col: SRC.col}`` over ``update_column`` and (per the
+    reference's golden-confirmed quirk, SURVEY §8.7) insert values cover
+    primary-key + update columns, everything else NULL.
+    """
+
+    primary_key_columns: list[str]
+    update_columns: list[str]
+    extra_target_predicate: str = "1=1"
+    insert_when_not_matched: bool = False  # False = update, True = upsert
+    validate_unique_source_keys: bool = True
+
+    @property
+    def all_set_columns(self) -> list[str]:
+        seen: dict[str, None] = dict.fromkeys(self.update_columns)
+        for c in self.primary_key_columns:
+            seen.setdefault(c, None)
+        return list(seen)
+
+
+@dataclass
+class TableRef:
+    """Target/source addressing: catalog table name or filesystem path.
+
+    Reference parity: every op accepts ``table:`` or ``path:``
+    (etl/append.py:12-28, datasource/delta.py:96-100).
+    """
+
+    table: str | None = None
+    path: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if (self.table is None) == (self.path is None):
+            raise ValueError("exactly one of table/path must be set")
+
+    @property
+    def is_path(self) -> bool:
+        return self.path is not None
+
+    @property
+    def location(self) -> str:
+        return self.path if self.is_path else self.table  # type: ignore[return-value]
+
+
+class BaseDataSource(ABC):
+    """Strategy class over Spark's built-in format connectors."""
+
+    format_name: str = "parquet"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    # -- reads ---------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run one atomic Spark SQL statement (datasource/delta.py:30-41)."""
+        if ";" in query.rstrip().rstrip(";"):
+            raise ValueError("sql() accepts a single atomic statement (no ';')")
+        return self.spark.sql(query)
+
+    @abstractmethod
+    def read(self, ref: TableRef) -> DataFrame:
+        """Scan a table or path (datasource/delta.py:43-60)."""
+
+    # -- writes --------------------------------------------------------
+    @abstractmethod
+    def append(self, df: DataFrame, ref: TableRef) -> None:
+        ...
+
+    @abstractmethod
+    def overwrite(self, df: DataFrame, ref: TableRef, replace_where: str | None = None) -> None:
+        """Full overwrite, or partition-scoped when ``replace_where`` given."""
+
+    @abstractmethod
+    def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec) -> None:
+        ...
+
+    @abstractmethod
+    def truncate(self, ref: TableRef) -> None:
+        ...
+
+    # -- metadata ------------------------------------------------------
+    @abstractmethod
+    def partition_columns(self, ref: TableRef) -> list[str]:
+        """Partition column names, [] when unpartitioned."""
+
+    def table_exists(self, ref: TableRef) -> bool:
+        if ref.is_path:
+            try:
+                self.read(ref)
+                return True
+            except Exception:
+                return False
+        return self.spark.catalog.tableExists(ref.table)  # type: ignore[arg-type]
