@@ -1,0 +1,23 @@
+"""Master registry of oracle-checked queries.
+
+``QUERIES`` maps name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLES`` maps name -> equivalent DuckDB SQL (omitted for
+non-SQL-expressible ops; the driver then records a rows-only check).
+
+Consumed by ``__spark_entry__.py`` (the driver contract) and by
+``tests/test_oracle_parity.py`` (local replica of the driver's
+correctness gate).
+"""
+
+from __future__ import annotations
+
+from x_spark.plans.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
+
+QUERIES = {**RELATIONAL_QUERIES}
+ORACLES = {**RELATIONAL_ORACLES}
+
+
+def register(name, query_fn, oracle: str | None = None) -> None:
+    QUERIES[name] = query_fn
+    if oracle is not None:
+        ORACLES[name] = oracle

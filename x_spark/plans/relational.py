@@ -1,0 +1,765 @@
+"""Relational query battery over the driver testdata (TESTDATA.md).
+
+Covers the SURVEY §2 operator inventory as concrete oracle-checked
+queries: scans, projections/filters (P1-P8), joins incl. semi/anti/full
+(J1-J3), aggregations (A1-A6), windows/sorts/limits/set ops
+(WF1/O1/U1), scalar functions (F1-F6), merge algebra (W3/W4 as a
+readable query), and the recon pipeline (X6/X7).
+
+Determinism rules (the oracle hash-compares values):
+- money/continuous SUMs go through DECIMAL(30,6) (exact and
+  order-independent; see ``dsum``) and come back as double — never
+  ``round()`` a double sum: Spark rounds half-up, DuckDB half-even,
+  and real data hits exact-half boundaries ~0.5% of the time per group;
+- averages are one deterministic division of the exact sum (``davg``);
+- single IEEE multiplies/subtracts of raw values are bit-deterministic
+  and stay unrounded;
+- exact-threshold comparisons (x > group average) are done in decimal
+  (bal * n > sum), never against a float average;
+- every LIMIT query has a total order with a unique tie-breaker;
+- aggregate aliases match the oracle SQL exactly;
+- computed integer columns are BIGINT on both sides (DuckDB's
+  SUM/COUNT/length promote differently than Spark).
+
+Scale notes are attached per query: what shuffles, what broadcasts,
+what would change at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from x_spark.operators.merge import merge_frames
+from x_spark.operators.recon import ReconJob
+from x_spark.session import load_table
+from x_spark.sources.base import MergeSpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col) -> F.Column:
+    """Exact cross-engine SUM of money-like doubles.
+
+    Summing doubles is order-dependent, and rounding the result sits on
+    cross-engine tie-break boundaries ~0.5% of the time per group when
+    the true decimal value has more precision than the rounding unit
+    (Spark rounds half-up, DuckDB half-even — observed divergence).
+    Casting each value to DECIMAL(30,6) first makes the sum exact and
+    order-independent; the final cast back to double is deterministic.
+    DuckDB oracle equivalent: CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+def davg(col) -> F.Column:
+    """Exact-sum average: decimal sum cast to double, divided by count —
+    one deterministic double division instead of an order-dependent
+    running mean. DuckDB: CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    / count(x)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return dsum(col) / F.count(col)
+
+
+# ---------------------------------------------------------------------------
+# A1-A6: aggregation battery (TPC-H Q1 shape: partial agg map-side, one
+# shuffle on the 6-group key; scales linearly with input).
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)           AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)      AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)           AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount)           AS avg_disc,
+       CAST(count(*) AS BIGINT)                                         AS count_order,
+       min(l_extendedprice)                                             AS min_price,
+       max(l_extendedprice)                                             AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 + O1: 3-way join, filter pushdown, top-k with deterministic order.
+# Scale: customer filter prunes before the join; orders⋈lineitem is the
+# big shuffle; customer side is broadcast-able (AQE does this when the
+# filtered side fits).
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 semi-join (EXISTS): orders with any late-shipped line.
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    late_cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.expr("o.o_orderdate + INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, late_cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 anti-join (NOT EXISTS): customers that never ordered, per segment.
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J3: 6-way star join with small-dim broadcast (TPC-H Q5 shape).
+# region/nation are tiny -> broadcast explicitly; the lineitem⋈orders
+# shuffle dominates; local-supplier condition applied post-join.
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5/A2: tight filter + single aggregate (TPC-H Q6 shape) — the whole
+# query folds into one scan with pushed predicates, no shuffle at all
+# beyond the final single-row combine.
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_REVENUE_FORECAST = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 + O1: revenue per customer with nation dim, global top-20
+# (TPC-H Q10 shape). Nation broadcast; deterministic tie-break.
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# WF1: window functions — row_number + lag over a per-segment ordering.
+# Scale: single shuffle on the partition key; no global sort.
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rn").cast("bigint").alias("rn"),
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("o_totalprice") - F.coalesce("prev_price", "o_totalprice"), 2).alias(
+                "gap_to_prev"
+            ),
+        )
+    )
+
+
+ORACLE_TOP_ORDERS_PER_SEGMENT = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         lag(o_totalprice) OVER w AS prev_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice,
+       round(o_totalprice - coalesce(prev_price, o_totalprice), 2) AS gap_to_prev
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: exact distinct counts (two distinct aggregates in one pass ->
+# Spark expands to a multi-phase plan; DuckDB likewise).
+def q_distinct_suppliers_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_DISTINCT_SUPPLIERS_PARTS = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 ROLLUP: hierarchical totals; NULL group markers coalesced to 'ALL'
+# so both engines emit identical label rows.
+def q_rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ORACLE_ROLLUP_QUANTITY = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1 set ops: INTERSECT / EXCEPT between customer-nations and
+# supplier-nations, tagged and unioned.
+def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust_nations = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("presence", F.lit("both"))
+    cust_only = cust_nations.subtract(supp_nations).withColumn("presence", F.lit("customers_only"))
+    return both.unionByName(cust_only)
+
+
+ORACLE_NATION_PRESENCE = """
+WITH cust_nations AS (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+), supp_nations AS (
+  SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, 'both' AS presence FROM (SELECT n_name FROM cust_nations INTERSECT SELECT n_name FROM supp_nations)
+UNION ALL
+SELECT n_name, 'customers_only' AS presence FROM (SELECT n_name FROM cust_nations EXCEPT SELECT n_name FROM supp_nations)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 pivot: conditional aggregation via Spark's pivot operator; the
+# oracle spells it as CASE aggregates (same relational algebra).
+def q_quantity_by_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+ORACLE_QUANTITY_BY_STATUS_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1-F6 scalar battery: string/case/arithmetic functions, row-level.
+def q_part_catalog_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.substring("p_type", 1, 6)).alias("type_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        # unrounded: per-row round() diverges across engines on exact
+        # halves (Spark half-up vs DuckDB half-even); one IEEE multiply
+        # is bit-deterministic
+        (F.col("p_retailprice") * 1.1).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#00")), F.lit("unknown")).alias(
+            "brand_or_unknown"
+        ),
+    )
+
+
+ORACLE_PART_CATALOG_REPORT = """
+SELECT p_partkey,
+       upper(p_brand)                    AS brand_upper,
+       lower(substr(p_type, 1, 6))       AS type_prefix,
+       length(p_name)                    AS name_len,
+       concat_ws('|', p_brand, p_type)   AS brand_type,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END             AS size_bucket,
+       p_retailprice * 1.1               AS marked_up,
+       abs(p_size - 25)                  AS size_dev,
+       p_partkey % 7                     AS bucket7,
+       coalesce(nullif(p_brand, 'Brand#00'), 'unknown') AS brand_or_unknown
+FROM part
+WHERE p_partkey <= 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5/date-time battery over events: truncation + extraction + grouped agg.
+def q_event_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            dsum("value").alias("total_value"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("day").alias("n_days"),
+        )
+    )
+
+
+ORACLE_EVENT_HOURLY_PROFILE = """
+SELECT event_type,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events
+GROUP BY event_type, hour(ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3/W4 as a query: the merge algebra (update+insert) applied to orders
+# with a synthetic changeset, summarized. Oracle spells the same
+# semantics as LEFT JOIN update + anti-join insert.
+def q_merge_upsert_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Changeset arithmetic is ADDITIVE with 2-decimal constants so the
+    # true decimal values keep exactly 2 decimals: a rounded SUM of such
+    # values can never sit on a cross-engine rounding boundary (Spark
+    # rounds half-up, DuckDB half-even — multiplying by 1.1 or 0.5 here
+    # produced exact half-cent sums that flipped differently).
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 0.75).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changeset = updates.unionByName(inserts)
+    spec = MergeSpec(
+        primary_key_columns=["o_orderkey"],
+        update_columns=["o_totalprice", "o_orderstatus"],
+        insert_when_not_matched=True,
+        validate_unique_source_keys=False,  # keys are disjoint by construction
+    )
+    merged = merge_frames(orders, changeset, spec)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_MERGE_UPSERT_EFFECT = """
+WITH changeset AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice + 0.75, 'N'
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT t.o_orderkey,
+         coalesce(s.o_totalprice, t.o_totalprice)   AS o_totalprice,
+         coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         t.o_custkey
+  FROM orders t LEFT JOIN changeset s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus, NULL
+  FROM changeset s WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# X6/X7 recon as a query: lineitem vs a perturbed copy, 2-source compare
+# with delta/match columns (native tolerance expression).
+def q_recon_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    config = {
+        "version": 0,
+        "group_by": ["l_returnflag"],
+        "data": [
+            {
+                "name": "base",
+                "datasource": "parquet",
+                "query": "SELECT * FROM lineitem",
+                "metrics": [
+                    {"sum_price": "cast(sum(cast(l_extendedprice as decimal(30,6))) as double)"},
+                    {"avg_disc": "cast(sum(cast(l_discount as decimal(30,6))) as double) / count(l_discount)"},
+                    {"n": "count(*)"},
+                ],
+            },
+            {
+                "name": "derived",
+                "datasource": "parquet",
+                "query": "SELECT * FROM lineitem WHERE l_linestatus = 'F'",
+                "metrics": [
+                    {"sum_price": "cast(sum(cast(l_extendedprice as decimal(30,6))) as double)"},
+                    {"avg_disc": "cast(sum(cast(l_discount as decimal(30,6))) as double) / count(l_discount)"},
+                    {"n": "count(*)"},
+                ],
+            },
+        ],
+    }
+    out = ReconJob(config, spark).run()
+    # Cast the bigint count delta for a stable cross-engine schema.
+    return out.select(
+        "l_returnflag",
+        "base_sum_price",
+        "base_avg_disc",
+        "base_n",
+        "derived_sum_price",
+        "derived_avg_disc",
+        "derived_n",
+        "delta_sum_price",
+        "delta_avg_disc",
+        F.col("delta_n").cast("bigint").alias("delta_n"),
+        "match_sum_price",
+        "match_avg_disc",
+        "match_n",
+    )
+
+
+ORACLE_RECON_LINEITEM = """
+WITH base AS (
+  SELECT l_returnflag, cast(sum(cast(l_extendedprice as decimal(30,6))) as double) AS sum_price,
+         cast(sum(cast(l_discount as decimal(30,6))) as double) / count(l_discount) AS avg_disc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag
+), derived AS (
+  SELECT l_returnflag, cast(sum(cast(l_extendedprice as decimal(30,6))) as double) AS sum_price,
+         cast(sum(cast(l_discount as decimal(30,6))) as double) / count(l_discount) AS avg_disc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
+)
+SELECT b.l_returnflag,
+       b.sum_price AS base_sum_price, b.avg_disc AS base_avg_disc, b.n AS base_n,
+       d.sum_price AS derived_sum_price, d.avg_disc AS derived_avg_disc, d.n AS derived_n,
+       abs(b.sum_price - d.sum_price) AS delta_sum_price,
+       abs(b.avg_disc - d.avg_disc) AS delta_avg_disc,
+       CAST(abs(b.n - d.n) AS BIGINT) AS delta_n,
+       CASE WHEN b.sum_price IS NULL AND d.sum_price IS NULL THEN true
+            WHEN b.sum_price IS NULL OR d.sum_price IS NULL THEN false
+            WHEN greatest(abs(b.sum_price), abs(d.sum_price)) = 0 THEN true
+            ELSE abs(b.sum_price - d.sum_price) <= 0.001 * greatest(abs(b.sum_price), abs(d.sum_price))
+       END AS match_sum_price,
+       CASE WHEN b.avg_disc IS NULL AND d.avg_disc IS NULL THEN true
+            WHEN b.avg_disc IS NULL OR d.avg_disc IS NULL THEN false
+            WHEN greatest(abs(b.avg_disc), abs(d.avg_disc)) = 0 THEN true
+            ELSE abs(b.avg_disc - d.avg_disc) <= 0.001 * greatest(abs(b.avg_disc), abs(d.avg_disc))
+       END AS match_avg_disc,
+       CASE WHEN b.n IS NULL AND d.n IS NULL THEN true
+            WHEN b.n IS NULL OR d.n IS NULL THEN false
+            ELSE b.n = d.n END AS match_n
+FROM base b FULL OUTER JOIN derived d ON b.l_returnflag = d.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 global top-k on raw columns (no fp arithmetic at all).
+def q_priciest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+ORACLE_PRICIEST_PARTS = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate pattern: customers above their nation's average
+# balance (expressed as join-with-aggregate; same algebra both engines).
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    # "balance above nation average" decided in EXACT decimal arithmetic
+    # (bal * n > sum) — a float average threshold can flip borderline
+    # rows differently per engine when a balance equals the true mean.
+    nation_stats = cust.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("bal_sum"),
+        F.count("c_acctbal").alias("n_bal"),
+    )
+    return (
+        cust.join(nation_stats, "c_nationkey")
+        .filter(F.col("c_acctbal").cast("decimal(30,6)") * F.col("n_bal") > F.col("bal_sum"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.max("c_acctbal").alias("top_balance"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG_BALANCE = """
+WITH nation_stats AS (
+  SELECT c_nationkey, sum(CAST(c_acctbal AS DECIMAL(30,6))) AS bal_sum,
+         count(c_acctbal) AS n_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_above,
+       max(c_acctbal) AS top_balance
+FROM customer c JOIN nation_stats a ON c.c_nationkey = a.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(30,6)) * a.n_bal > a.bal_sum
+GROUP BY c.c_nationkey
+"""
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customers_without_orders": q_customers_without_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "revenue_forecast": q_revenue_forecast,
+    "top_customers": q_top_customers,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "distinct_suppliers_parts": q_distinct_suppliers_parts,
+    "rollup_quantity": q_rollup_quantity,
+    "nation_presence": q_nation_presence,
+    "quantity_by_status_pivot": q_quantity_by_status_pivot,
+    "part_catalog_report": q_part_catalog_report,
+    "event_hourly_profile": q_event_hourly_profile,
+    "merge_upsert_effect": q_merge_upsert_effect,
+    "recon_lineitem": q_recon_lineitem,
+    "priciest_parts": q_priciest_parts,
+    "above_avg_balance": q_above_avg_balance,
+}
+
+RELATIONAL_ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "revenue_forecast": ORACLE_REVENUE_FORECAST,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,
+    "distinct_suppliers_parts": ORACLE_DISTINCT_SUPPLIERS_PARTS,
+    "rollup_quantity": ORACLE_ROLLUP_QUANTITY,
+    "nation_presence": ORACLE_NATION_PRESENCE,
+    "quantity_by_status_pivot": ORACLE_QUANTITY_BY_STATUS_PIVOT,
+    "part_catalog_report": ORACLE_PART_CATALOG_REPORT,
+    "event_hourly_profile": ORACLE_EVENT_HOURLY_PROFILE,
+    "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
+    "recon_lineitem": ORACLE_RECON_LINEITEM,
+    "priciest_parts": ORACLE_PRICIEST_PARTS,
+    "above_avg_balance": ORACLE_ABOVE_AVG_BALANCE,
+}

@@ -65,5 +65,20 @@ def get_session(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver testdata table (TESTDATA.md) as a DataFrame."""
+    """Read one driver testdata table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long nanos and convert to a
+    microsecond timestamp (bit-identical to DuckDB's ns->us cast for
+    this data). The conf is a runtime SQL conf, so this works in any
+    caller-provided session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -26,14 +26,10 @@ dispatches to the real MERGE instead.
 from __future__ import annotations
 
 import uuid
-from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from x_spark.errors import ETLJobException
 from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
-
-_SRC_MARKER = "__x_spark_src_marker"
 
 
 class ParquetCatalogDataSource(BaseDataSource):
@@ -94,74 +90,12 @@ class ParquetCatalogDataSource(BaseDataSource):
             self._full_overwrite(df, ref, [])
 
     def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec) -> None:
-        """Join-based MERGE with Delta semantics (SURVEY §2.2 W3/W4).
+        """Join-based MERGE with Delta semantics (SURVEY §2.2 W3/W4) —
+        the algebra lives in x_spark.operators.merge.merge_frames; this
+        method materializes the post-merge state into the target."""
+        from x_spark.operators.merge import merge_frames
 
-        matched (pk equality AND extra predicate)  -> update set columns
-        not-matched source rows (upsert only)      -> insert; unlisted
-                                                      columns NULL
-        Raises when one target row would match multiple source rows
-        (Delta parity, datasource/delta.py merge behavior).
-        """
-        if spec.validate_unique_source_keys:
-            dup = (
-                df.groupBy(*spec.primary_key_columns)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ETLJobException(
-                    "merge source has duplicate rows per primary key "
-                    f"{spec.primary_key_columns}; Delta MERGE would abort"
-                )
-
-        tgt = self.read(ref)
-        tgt_cols = tgt.columns
-        tgt_dtypes = dict(tgt.dtypes)
-        set_cols = set(spec.all_set_columns)
-        missing = [c for c in set_cols if c not in tgt_cols]
-        if missing:
-            raise ETLJobException(f"merge columns {missing} not present in target {ref.location}")
-
-        src = df.withColumn(_SRC_MARKER, F.lit(True)).alias("SRC")
-        tgt = tgt.alias("TGT")
-        pk_cond = reduce(
-            lambda a, b: a & b,
-            [F.col(f"TGT.{c}") == F.col(f"SRC.{c}") for c in spec.primary_key_columns],
-        )
-        cond = pk_cond & F.expr(spec.extra_target_predicate)
-
-        joined = tgt.join(src, cond, "left")
-        matched = F.col(f"SRC.{_SRC_MARKER}").isNotNull()
-        updated = joined.select(
-            *[
-                (
-                    F.when(matched, F.col(f"SRC.{c}")).otherwise(F.col(f"TGT.{c}")).alias(c)
-                    if c in set_cols
-                    else F.col(f"TGT.{c}").alias(c)
-                )
-                for c in tgt_cols
-            ]
-        )
-
-        if spec.insert_when_not_matched:
-            # Source rows with no matching target row under the full
-            # merge condition (anti-join keeps this fully distributed).
-            inserts = src.join(self.read(ref).alias("TGT"), cond, "left_anti").select(
-                *[
-                    (
-                        F.col(f"SRC.{c}").alias(c)
-                        if c in set_cols
-                        else F.lit(None).cast(tgt_dtypes[c]).alias(c)
-                    )
-                    for c in tgt_cols
-                ]
-            )
-            result = updated.unionByName(inserts)
-        else:
-            result = updated
-
+        result = merge_frames(self.read(ref), df, spec)
         self._staged_rewrite(result, ref, self.partition_columns(ref))
 
     def truncate(self, ref: TableRef) -> None:
