@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extensions beyond the reference (SURVEY §7 Phase E):
+
+- exact dedup           hash-groupBy on a canonical fingerprint
+- MinHash + LSH         shingle -> minhash signature -> banded bucket
+                        join -> candidate pairs (est. Jaccard)
+- SimHash               64->16-bit token-hash sign aggregate; nibble
+                        bands guarantee recall for hamming <= 3
+- n-gram Jaccard        exact verification on candidate pairs
+
+Design for 100 TB: signatures/fingerprints are computed in ONE
+projection per row with higher-order array functions (JVM codegen, no
+Python, no explode — shingling a row never shuffles). The only
+shuffles are (a) the bucket-join on band keys, whose fan-out is
+controlled by band width, and (b) the final distinct on pairs.
+Candidate verification touches only bucket-collision pairs, never the
+full cross product. Shingling reads a bounded prefix per document
+(standard sketching trade-off).
+
+All hash math is md5-based and < 2^52 (ANSI-safe), bit-identical in
+the DuckDB oracle — see x_spark.functions.portable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from x_spark.functions.portable import MINHASH_PRIME, hash32_sql
+
+# (a, b) coefficients for the k=8 minhash permutations, mirrored
+# literally in the oracle SQL:
+# h_i = (a_i * h32 + b_i) mod MINHASH_PRIME; a < 2^20 keeps products < 2^52.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (646271, 91813),
+    (417293, 20177),
+    (899809, 384203),
+    (131071, 55001),
+    (524287, 77213),
+    (262139, 131009),
+    (786431, 17291),
+    (104729, 262133),
+]
+
+SHINGLE_K = 8
+SHINGLE_PREFIX = 200  # bounded work per row
+N_BANDS = 4  # bands of 2 signature positions each
+
+
+def _shingle_expr(text_col: str) -> str:
+    """Spark-SQL expr: distinct char shingles of the text prefix.
+
+    DuckDB: list_distinct(list_transform(range(1, greatest(length(t)-k+1,0)+1),
+    i -> substr(t, i::int, k)))
+    """
+    t = f"substr({text_col}, 1, {SHINGLE_PREFIX})"
+    return (
+        f"array_distinct(CASE WHEN length({t}) >= {SHINGLE_K} "
+        f"THEN transform(sequence(1, length({t})-{SHINGLE_K}+1), i -> substr({t}, i, {SHINGLE_K})) "
+        f"ELSE array() END)"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("shingles", F.expr(_shingle_expr(text_col)))
+
+
+def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append sig_0..sig_{k-1} minhash columns (one projection, no shuffle)."""
+    out = with_shingles(df, text_col).withColumn(
+        "shingle_hashes", F.expr(f"transform(shingles, t -> {hash32_sql('t')})")
+    )
+    for i, (a, b) in enumerate(MINHASH_COEFFS):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.expr(
+                f"array_min(transform(shingle_hashes, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+            ),
+        )
+    return out
+
+
+def minhash_band_keys() -> list:
+    """Band key columns: '<band>|<sig_2j>|<sig_2j+1>'."""
+    keys = []
+    for j in range(N_BANDS):
+        keys.append(
+            F.concat_ws(
+                "|", F.lit(str(j)), F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")
+            ).alias(f"band_{j}")
+        )
+    return keys
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing >= 1 signature band, with the
+    estimated Jaccard (fraction of equal signature positions).
+
+    Scale: the band explode is k/2 rows per doc; the self-join shuffles
+    on band keys only; hot buckets (boilerplate text) are the skew risk
+    — AQE skew-join handles moderate cases, and a bucket-size cap is
+    the standard escape hatch (not needed at this SF).
+    """
+    k = len(MINHASH_COEFFS)
+    sigs = with_minhash_signature(df, text_col).select(
+        id_col, *[f"sig_{i}" for i in range(k)]
+    )
+    bands = sigs.select(
+        id_col, F.explode(F.array(*minhash_band_keys())).alias("band_key")
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(k)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(k)]
+    )
+    eq_count = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"sa_{i}") == F.col(f"sb_{i}"), 1).otherwise(0)
+            for i in range(k)
+        ],
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (eq_count.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Append a ``bits``-wide simhash of the whitespace tokens.
+
+    bit b = 1 iff sum over tokens of (2*((h>>b)&1) - 1) > 0 — pure
+    integer math, single projection, exact in both engines.
+    """
+    tok_hashes = (
+        f"transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), t -> {hash32_sql('t')})"
+    )
+    sim = (
+        f"aggregate(transform(sequence(0, {bits - 1}), b -> "
+        f"CASE WHEN aggregate({tok_hashes}, 0L, (acc, h) -> acc + 2 * ((h >> b) & 1) - 1) > 0 "
+        f"THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    )
+    return df.withColumn("simhash", F.expr(sim))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance, found via
+    4-nibble banding: hamming <= 3 guarantees at least one equal nibble
+    (pigeonhole), so the band join has full recall."""
+    sims = with_simhash(df, text_col).select(id_col, "simhash")
+    nibbles = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(j)),
+                        F.expr(f"(simhash >> {4 * j}) & 15"),
+                    ).alias(f"nib_{j}")
+                    for j in range(4)
+                ]
+            )
+        ).alias("nib_key"),
+    )
+    a, b = nibbles.alias("a"), nibbles.alias("b")
+    return (
+        a.join(b, "nib_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs (verification
+    stage): only bucket-collision pairs are scored, never all pairs."""
+    cands = minhash_candidate_pairs(df, id_col, text_col).select("id_a", "id_b")
+    sh = with_shingles(df, text_col).select(id_col, "shingles")
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one deterministic representative (min id) per key group —
+    the distributed hash-groupBy exact dedup. One shuffle on the key."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extensions beyond the reference (SURVEY §7 Phase E):
+
+- brute-force cosine top-k  (exact baseline; broadcast the query set,
+  one pass over the corpus, per-query top-k via window)
+- bucketed (IVF-style) variant: coarse-quantize vectors to a bucket,
+  search only the probed buckets — the 100 TB path where the corpus
+  shard per bucket fits an executor
+
+Cosine is computed with higher-order array functions (JVM codegen):
+cast to double, zip-multiply, sequential fold. The final value is
+rounded to 6dp — a continuous score never sits on a rounding boundary,
+and rounding decouples the hash-compare from engine summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two array<float/double> columns.
+
+    DuckDB: list_sum(list_transform(range(len(a)), i -> a[i+1]*b[i+1]))
+    (both engines fold left-to-right over the same doubles).
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str, b: str, decimals: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query vector.
+
+    Plan shape: queries are broadcast (small set), corpus is scanned
+    once; per-query ranking is a window over the query partition —
+    shuffle bounded by |queries| * |corpus| score rows before the
+    window's partial top-k pushdown (AQE). For large query sets,
+    chunk the query side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    from pyspark.sql import Window as W
+
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        cosine("qvec", "cvec").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are coarse-quantized by the
+    sign pattern of their first ``log2(n_buckets)`` components (a
+    deterministic, data-independent quantizer — a trained k-means
+    codebook slots in the same place); each query probes its own bucket
+    plus the nearest alternates by flipping the lowest-magnitude signs.
+
+    Scale: corpus is pre-partitioned by bucket (at rest: partitioned
+    parquet / bucketed table), so a query touches n_probe/n_buckets of
+    the data. The join is bucket-equi, not a cross join.
+    """
+    import math
+
+    bits = int(math.log2(n_buckets))
+
+    def bucket_expr(col: str) -> Column:
+        # sign bits of the first `bits` components
+        return F.expr(
+            f"aggregate(transform(sequence(0, {bits - 1}), "
+            f"i -> CASE WHEN element_at({col}, i + 1) >= 0 THEN shiftleft(1, i) ELSE 0 END), "
+            f"0, (acc, x) -> acc + x)"
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_expr(vec_col).alias("bucket"),
+    )
+    # probe buckets: own bucket + flip of each of the first (n_probe-1) bits
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_expr(vec_col).alias("bucket0"),
+    )
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("bucket0"),
+                *[
+                    F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                    for i in range(max(n_probe - 1, 0))
+                ],
+            )
+        ).alias("bucket"),
+    ).distinct()
+
+    from pyspark.sql import Window as W
+
+    scored = F.broadcast(probes).join(c, "bucket").select(
+        "query_id",
+        "cand_id",
+        cosine("qvec", "cvec").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Exact (all-pairs) at test scale; at 100 TB the same scoring runs
+    behind the bucketed quantizer above (join on bucket instead of the
+    cross product) — identical output for thresholds near 1 because
+    near-identical vectors share sign patterns.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

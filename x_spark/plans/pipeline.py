@@ -1,0 +1,437 @@
+"""LLM-data-pipeline query battery: dedup, similarity search, text
+analysis, multimodal plumbing — over documents/embeddings (TESTDATA.md).
+
+Each query pairs a Spark-first operator (x_spark.operators.*) with a
+DuckDB oracle that replicates the exact semantics, down to bit-level
+hash parity (md5-based primitives, integer modular arithmetic, and
+6dp-rounded continuous scores — see x_spark.functions.portable).
+
+Near-duplicate demos augment the corpus with deterministic perturbed
+copies (id + 100000) because the synthetic corpus has no natural dups;
+the augmentation expressions are mirrored in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from x_spark.operators import dedup as D
+from x_spark.operators import similarity as S
+from x_spark.operators import text as X
+from x_spark.operators.multimodal import documents_as_media, extract_features
+from x_spark.session import load_table
+
+# Shared augmentation: whitespace/case-perturbed copies (same
+# fingerprint) and appended-token copies (near-dup, not exact).
+_AUG_EXACT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, concat(' ', upper(text), '  ') FROM documents WHERE doc_id % 7 = 0
+"""
+
+_AUG_NEAR_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, concat(text, ' xtra') FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_aug_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def _docs_aug_near(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" xtra")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# Text statistics (column-level, scan-speed at any scale).
+def q_text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio"
+    )
+
+
+ORACLE_TEXT_STATISTICS = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+            THEN CAST(length(text) - length(regexp_extract_all(text, '\s')) AS BIGINT)
+                 / CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+            ELSE 0.0 END AS avg_token_len,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS BIGINT)
+                 / CAST(length(text) AS BIGINT)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                 / CAST(length(text) AS BIGINT)
+            ELSE 0.0 END AS digit_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-word argmax vs the labeled lang column.
+def q_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.language_id(_docs(spark, sf_dir))
+    return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+ORACLE_LANGUAGE_PROFILE = r"""
+WITH scored AS (
+  SELECT lang,
+         CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT)  AS score_en,
+         CAST(length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+         CAST(length(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT)  AS score_fr,
+         CAST(length(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS BIGINT)   AS score_es
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+              WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+              WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring histogram.
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = X.quality_score(_docs(spark, sf_dir))
+    return (
+        scored.withColumn("bucket", F.floor(F.col("quality") * 10).cast("bigint"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_QUALITY_HISTOGRAM = r"""
+WITH stats AS (
+  SELECT doc_id, lower(text) AS lt,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_extract_all(text, '\s')) AS BIGINT) AS token_chars,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS BIGINT) AS punct
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         n_tokens,
+         CASE WHEN n_tokens > 0 THEN token_chars / n_tokens ELSE 0.0 END AS avg_token_len,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CAST(length(regexp_extract_all(lt, '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) AS stop_hits
+  FROM stats
+), scored AS (
+  SELECT doc_id,
+         0.4 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) / 0.3, 1.0)
+         + 0.2 * greatest(1.0 - 2 * punct_ratio, 0.0)
+         + 0.1 * (CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS quality
+  FROM feat
+)
+SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by canonical fingerprint (hash-groupBy; one shuffle).
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = X.add_fingerprint(_docs_aug_exact(spark, sf_dir))
+    groups = D.exact_dedup(docs, ["fp"], "doc_id")
+    return groups.filter(F.col("group_size") > 1).select("fp", "doc_id", "group_size")
+
+
+ORACLE_EXACT_DEDUP = """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, concat(' ', upper(text), '  ') FROM documents WHERE doc_id % 7 = 0
+), fps AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM docs_aug
+)
+SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+FROM fps GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs.
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_candidate_pairs(_docs_aug_near(spark, sf_dir))
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
+
+
+def _minhash_oracle() -> str:
+    perm_exprs = ",\n         ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_PRIME if hasattr(D, 'MINHASH_PRIME') else 4294967291}), 'min') AS sig_{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, concat('{j}', '|', sig_{2*j}, '|', sig_{2*j+1}) AS band_key FROM sigs"
+        for j in range(D.N_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(len(D.MINHASH_COEFFS))
+    )
+    k = len(D.MINHASH_COEFFS)
+    return f"""
+WITH docs_aug AS ({_AUG_NEAR_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(substr(text,1,{D.SHINGLE_PREFIX}))-{D.SHINGLE_K}+1,0)+1),
+                                      i -> substr(substr(text,1,{D.SHINGLE_PREFIX}), i::int, {D.SHINGLE_K}))) AS shingles
+  FROM docs_aug
+), hashes AS (
+  SELECT doc_id, list_transform(shingles, t -> cast(concat('0x', substr(md5(t),1,8)) as bigint)) AS hs
+  FROM sh
+), sigs AS (
+  SELECT doc_id,
+         {perm_exprs}
+  FROM hashes
+), bands AS (
+{bands}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({eq_sum}) / {k}.0 AS est_jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE ({eq_sum}) / {k}.0 >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (nibble-banded, hamming <= 3).
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_docs_aug_near(spark, sf_dir)).select(
+        "id_a", "id_b", "simhash_a", "simhash_b", "hamming"
+    )
+
+
+_SIMHASH_TOKHASH = (
+    "list_transform(regexp_extract_all(lower(text), '\\S+'), "
+    "t -> cast(concat('0x', substr(md5(t),1,8)) as bigint))"
+)
+
+ORACLE_SIMHASH_NEAR_DUPS = f"""
+WITH docs_aug AS ({_AUG_NEAR_SQL}),
+toks AS (
+  SELECT doc_id, {_SIMHASH_TOKHASH} AS hs FROM docs_aug
+), sims AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0,16), b ->
+           CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> b) & 1) - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM toks
+), nibs AS (
+  SELECT doc_id, simhash, concat(j, '|', (simhash >> (4*j::int)) & 15) AS nib_key
+  FROM sims, (SELECT unnest(range(4)) AS j)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS simhash_a, b.simhash AS simhash_b
+  FROM nibs a JOIN nibs b ON a.nib_key = b.nib_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, simhash_a, simhash_b,
+       CAST(bit_count(xor(simhash_a, simhash_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification of LSH candidates.
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs_aug_near(spark, sf_dir), threshold=0.5)
+
+
+def _ngram_oracle() -> str:
+    base = _minhash_oracle()
+    # reuse the candidate CTE, then score exact jaccard on shingle sets
+    head, _sel = base.rsplit("SELECT id_a, id_b,", 1)
+    return f"""{head}
+SELECT p.id_a, p.id_b,
+       CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)
+       / (CAST(length(sa2.shingles) AS BIGINT) + CAST(length(sb2.shingles) AS BIGINT)
+          - CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)) AS jaccard
+FROM pairs p
+JOIN sh sa2 ON sa2.doc_id = p.id_a
+JOIN sh sb2 ON sb2.doc_id = p.id_b
+WHERE CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)
+      / (CAST(length(sa2.shingles) AS BIGINT) + CAST(length(sb2.shingles) AS BIGINT)
+         - CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs.
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    return S.embedding_near_dup_pairs(aug, threshold=0.999)
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))), 6) AS cos_sim
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.999
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline).
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.brute_force_topk(corpus, queries, k=10)
+
+
+ORACLE_ANN_TOPK_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1])))), 6) AS cos_sim
+  FROM q, c
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF-style bucketed top-k (sign-pattern coarse quantizer, 2 probes).
+def q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.bucketed_topk(corpus, queries, k=10, n_buckets=8, n_probe=2)
+
+
+ORACLE_ANN_TOPK_BUCKETED = """
+WITH c AS (
+  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings WHERE vec_id >= 5
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket0
+  FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT DISTINCT query_id, qv, bucket FROM (
+    SELECT query_id, qv, bucket0 AS bucket FROM q
+    UNION ALL
+    SELECT query_id, qv, xor(bucket0, 1) FROM q
+  )
+), scored AS (
+  SELECT query_id, cand_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1])))), 6) AS cos_sim
+  FROM probes JOIN c USING (bucket)
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + typed metadata through an Arrow-batched
+# mapInPandas decode pipeline (deterministic stub decoder).
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum, -- DuckDB md5 hashes the VARCHAR's UTF-8 bytes = the payload bytes
+       CAST((octet_length(encode(text)) % 640) + 1 AS BIGINT) AS width,
+       CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS BIGINT) AS height,
+       CAST((octet_length(encode(text)) * 13) % 60000 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+PIPELINE_QUERIES = {
+    "text_statistics": q_text_statistics,
+    "language_profile": q_language_profile,
+    "quality_histogram": q_quality_histogram,
+    "exact_dedup": q_exact_dedup,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_bucketed": q_ann_topk_bucketed,
+    "multimodal_features": q_multimodal_features,
+}
+
+PIPELINE_ORACLES = {
+    "text_statistics": ORACLE_TEXT_STATISTICS,
+    "language_profile": ORACLE_LANGUAGE_PROFILE,
+    "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_near_dups": _minhash_oracle(),
+    "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
+    "ngram_jaccard_dups": _ngram_oracle(),
+    "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+    "ann_topk_bruteforce": ORACLE_ANN_TOPK_BRUTEFORCE,
+    "ann_topk_bucketed": ORACLE_ANN_TOPK_BUCKETED,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}

@@ -11,10 +11,11 @@ correctness gate).
 
 from __future__ import annotations
 
+from x_spark.plans.pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 from x_spark.plans.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 
-QUERIES = {**RELATIONAL_QUERIES}
-ORACLES = {**RELATIONAL_ORACLES}
+QUERIES = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}
+ORACLES = {**RELATIONAL_ORACLES, **PIPELINE_ORACLES}
 
 
 def register(name, query_fn, oracle: str | None = None) -> None:
