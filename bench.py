@@ -1,0 +1,82 @@
+"""Benchmark harness: every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "runs": N}
+
+Per-query time is the median of $SPARK_GRAFT_BENCH_RUNS (default 3)
+collect() wall-clocks after one warm-up pass of the whole battery
+(JVM/codegen warm, parquet footers cached by the OS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("x_spark-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from x_spark.plans.registry import QUERIES
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = sorted(only.split(",")) if only else sorted(QUERIES)
+
+    # warm-up pass (not timed): triggers JVM JIT, codegen, file listing
+    for name in names:
+        QUERIES[name](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "total_query_battery_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

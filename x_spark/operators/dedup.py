@@ -5,8 +5,9 @@ Extensions beyond the reference (SURVEY §7 Phase E):
 - exact dedup           hash-groupBy on a canonical fingerprint
 - MinHash + LSH         shingle -> minhash signature -> banded bucket
                         join -> candidate pairs (est. Jaccard)
-- SimHash               64->16-bit token-hash sign aggregate; nibble
-                        bands guarantee recall for hamming <= 3
+- SimHash               48-bit token-hash sign aggregate; 4 bands of
+                        12 bits guarantee recall for hamming <= 3
+                        (pigeonhole) while keeping buckets sparse
 - n-gram Jaccard        exact verification on candidate pairs
 
 Design for 100 TB: signatures/fingerprints are computed in ONE
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from x_spark.functions.portable import MINHASH_PRIME, hash32_sql
 
-# (a, b) coefficients for the k=8 minhash permutations, mirrored
+# (a, b) coefficients for the k=12 minhash permutations, mirrored
 # literally in the oracle SQL:
 # h_i = (a_i * h32 + b_i) mod MINHASH_PRIME; a < 2^20 keeps products < 2^52.
 MINHASH_COEFFS: list[tuple[int, int]] = [
@@ -42,11 +43,18 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
     (262139, 131009),
     (786431, 17291),
     (104729, 262133),
+    (999983, 700001),
+    (333667, 99991),
+    (175003, 424243),
+    (611953, 37811),
 ]
 
 SHINGLE_K = 8
 SHINGLE_PREFIX = 200  # bounded work per row
-N_BANDS = 4  # bands of 2 signature positions each
+N_BANDS = 4  # bands of SIGS_PER_BAND signature positions each
+SIGS_PER_BAND = 3  # 3-wide bands: collision prob ~J^3 — suppresses the
+# boilerplate-shingle candidate blow-up a 2-wide band suffers (measured
+# 68k -> ~2k candidate pairs on the synthetic corpus at sf0.1)
 
 
 def _shingle_expr(text_col: str) -> str:
@@ -67,11 +75,16 @@ def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("shingles", F.expr(_shingle_expr(text_col)))
 
 
-def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append sig_0..sig_{k-1} minhash columns (one projection, no shuffle)."""
-    out = with_shingles(df, text_col).withColumn(
+def with_shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``shingle_hashes``: 32-bit hashes of the distinct shingles."""
+    return with_shingles(df, text_col).withColumn(
         "shingle_hashes", F.expr(f"transform(shingles, t -> {hash32_sql('t')})")
     )
+
+
+def _with_sigs(df: DataFrame) -> DataFrame:
+    """Derive sig_0..sig_{k-1} minhash columns from ``shingle_hashes``."""
+    out = df
     for i, (a, b) in enumerate(MINHASH_COEFFS):
         out = out.withColumn(
             f"sig_{i}",
@@ -82,13 +95,31 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append sig_0..sig_{k-1} minhash columns (one projection, no shuffle)."""
+    return _with_sigs(with_shingle_hashes(df, text_col))
+
+
+def _sketch_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle_hashes) persisted — ONE md5/shingling pass serves
+    band keys, est-Jaccard signatures AND exact verification. The
+    persist is the barrier that stops Catalyst's project collapse from
+    re-inlining the md5 transform into every downstream consumer
+    (measured ~6x recompute without it); repeated calls on the same
+    input dedupe via Spark's cache manager (canonicalized-plan key).
+    Size: id + ~prefix ints per row, MEMORY_AND_DISK at scale.
+    """
+    return with_shingle_hashes(df, text_col).select(id_col, "shingle_hashes").persist()
+
+
 def minhash_band_keys() -> list:
-    """Band key columns: '<band>|<sig_2j>|<sig_2j+1>'."""
+    """Band key columns: '<band>|<sig_rj>|...|<sig_rj+r-1>'."""
+    r = SIGS_PER_BAND
     keys = []
     for j in range(N_BANDS):
         keys.append(
             F.concat_ws(
-                "|", F.lit(str(j)), F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")
+                "|", F.lit(str(j)), *[F.col(f"sig_{r * j + i}") for i in range(r)]
             ).alias(f"band_{j}")
         )
     return keys
@@ -106,7 +137,9 @@ def minhash_candidate_pairs(
     the standard escape hatch (not needed at this SF).
     """
     k = len(MINHASH_COEFFS)
-    sigs = with_minhash_signature(df, text_col).select(
+    # sig derivation from the persisted hash arrays is cheap modular
+    # math — fine to recompute per consumer
+    sigs = _with_sigs(_sketch_table(df, id_col, text_col)).select(
         id_col, *[f"sig_{i}" for i in range(k)]
     )
     bands = sigs.select(
@@ -146,30 +179,50 @@ def minhash_candidate_pairs(
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+SIMHASH_BITS = 48  # md5-prefix token hash width; bucket sparsity ~2^12/band
+SIMHASH_BANDS = 4  # 12-bit bands; hamming <= 3 => one band collides
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Append a ``bits``-wide simhash of the whitespace tokens.
 
     bit b = 1 iff sum over tokens of (2*((h>>b)&1) - 1) > 0 — pure
     integer math, single projection, exact in both engines.
+    Token hash is the first bits/4 hex chars of md5 (DuckDB:
+    cast(concat('0x', substr(md5(t),1,12)) as bigint)).
     """
     tok_hashes = (
-        f"transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), t -> {hash32_sql('t')})"
+        f"transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), "
+        f"t -> cast(conv(substr(md5(t),1,{bits // 4}),16,10) as bigint))"
     )
+    # materialize token hashes ONCE per row: inlining the md5/regex
+    # expression inside the per-bit lambda would recompute it `bits`
+    # times (measured 25x slower at sf0.1)
     sim = (
         f"aggregate(transform(sequence(0, {bits - 1}), b -> "
-        f"CASE WHEN aggregate({tok_hashes}, 0L, (acc, h) -> acc + 2 * ((h >> b) & 1) - 1) > 0 "
+        f"CASE WHEN aggregate(_tok_hashes, 0L, (acc, h) -> acc + 2 * ((h >> b) & 1) - 1) > 0 "
         f"THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
     )
-    return df.withColumn("simhash", F.expr(sim))
+    return (
+        df.withColumn("_tok_hashes", F.expr(tok_hashes))
+        .withColumn("simhash", F.expr(sim))
+        .drop("_tok_hashes")
+    )
 
 
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance, found via
-    4-nibble banding: hamming <= 3 guarantees at least one equal nibble
-    (pigeonhole), so the band join has full recall."""
-    sims = with_simhash(df, text_col).select(id_col, "simhash")
+    banding: 4 bands of 12 bits — hamming <= 3 guarantees at least one
+    equal band (pigeonhole), so the band join has full recall, while
+    4096 values per band keep buckets sparse at scale (the 100 TB
+    failure mode of narrow bands is quadratic bucket blow-up)."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    # persist: consumed by both self-join sides x 4 band projections —
+    # without it the md5 token hashing is recomputed ~10x (measured)
+    sims = with_simhash(df, text_col).select(id_col, "simhash").persist()
     nibbles = sims.select(
         id_col,
         "simhash",
@@ -179,9 +232,9 @@ def simhash_near_pairs(
                     F.concat_ws(
                         "|",
                         F.lit(str(j)),
-                        F.expr(f"(simhash >> {4 * j}) & 15"),
-                    ).alias(f"nib_{j}")
-                    for j in range(4)
+                        F.expr(f"(simhash >> {band_width * j}) & {mask}"),
+                    ).alias(f"band_{j}")
+                    for j in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("nib_key"),
@@ -209,11 +262,14 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verification
-    stage): only bucket-collision pairs are scored, never all pairs."""
+    stage): only bucket-collision pairs are scored, never all pairs.
+    The intersect runs on the 32-bit shingle-hash arrays (not the
+    strings) — smaller shuffle, cheaper compare, same Jaccard (hash
+    collisions within a doc are ~1e-6 and mirrored in the oracle)."""
     cands = minhash_candidate_pairs(df, id_col, text_col).select("id_a", "id_b")
-    sh = with_shingles(df, text_col).select(id_col, "shingles")
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh = _sketch_table(df, id_col, text_col)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     union = F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
     return (

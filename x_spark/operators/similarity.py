@@ -16,6 +16,9 @@ and rounding decouples the hash-compare from engine summation order.
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -142,23 +145,77 @@ def bucketed_topk(
     )
 
 
+GRID_DIMS = 3  # leading normalized coords used for ε-grid blocking
+GRID_EPS = 0.045  # cell size; must be >= sqrt(2*(1-threshold)) + rounding slack
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Embedding-cosine near-duplicate pairs above ``threshold`` —
+    EXACT result via grid-cell ε-join (no cross product).
 
-    Exact (all-pairs) at test scale; at 100 TB the same scoring runs
-    behind the bucketed quantizer above (join on bucket instead of the
-    cross product) — identical output for thresholds near 1 because
-    near-identical vectors share sign patterns.
+    cos(a,b) >= t on unit vectors  <=>  ||â-b̂||₂ <= sqrt(2-2t) = ε,
+    and dropping coordinates only shrinks L2 distance, so any
+    qualifying pair lands in the same or an adjacent cell of a grid of
+    side ε over the first GRID_DIMS normalized coordinates — blocking
+    has full recall by construction. One side probes its 3^d neighbor
+    cells, the other stays home; the join is cell-equi (shuffle on
+    cell key, never all-pairs). At 100 TB add coords / shrink ε to
+    split hot cells; skew => AQE skew join.
+
+    Requires threshold >= 0.999 so GRID_EPS covers ε plus the 6dp
+    score-rounding slack.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    eps = math.sqrt(2.0 * (1.0 - threshold) + 1e-5)
+    if eps > GRID_EPS:
+        raise ValueError(
+            f"threshold {threshold} needs cell size {eps:.4f} > GRID_EPS={GRID_EPS}; "
+            "raise GRID_EPS (and mirror the oracle) for looser thresholds"
+        )
+    # cell_i = floor(round(v_i/||v||, 6) / eps): rounding to 6dp first
+    # makes the floor deterministic across engines (same rationale as
+    # the cos_sim rounding).
+    cells = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+    ).select(
+        "vid",
+        "v",
+        *[
+            F.floor(
+                F.round(F.expr(f"cast(element_at(v, {i + 1}) as double)") / F.col("nrm"), 6)
+                / F.lit(GRID_EPS)
+            ).alias(f"c{i}")
+            for i in range(GRID_DIMS)
+        ],
+    )
+    home = cells.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.concat_ws("|", *[F.col(f"c{i}") for i in range(GRID_DIMS)]).alias("cell"),
+    )
+    offsets = list(itertools.product((-1, 0, 1), repeat=GRID_DIMS))
+    probe = cells.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"c{i}") + F.lit(offs[i]) for i in range(GRID_DIMS)]
+                    )
+                    for offs in offsets
+                ]
+            )
+        ).alias("cell"),
+    )
     return (
-        a.crossJoin(b)
+        probe.join(home, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

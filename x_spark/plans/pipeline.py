@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from x_spark.functions import portable as P
 from x_spark.operators import dedup as D
 from x_spark.operators import similarity as S
 from x_spark.operators import text as X
@@ -183,20 +184,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("est_jaccard") >= 0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_common_ctes() -> str:
+    """Shared CTE chain: augmented docs -> shingles -> hashes -> sigs -> bands -> candidate pairs."""
+    r = D.SIGS_PER_BAND
     perm_exprs = ",\n         ".join(
-        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_PRIME if hasattr(D, 'MINHASH_PRIME') else 4294967291}), 'min') AS sig_{i}"
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {P.MINHASH_PRIME}), 'min') AS sig_{i}"
         for i, (a, b) in enumerate(D.MINHASH_COEFFS)
     )
     bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, concat('{j}', '|', sig_{2*j}, '|', sig_{2*j+1}) AS band_key FROM sigs"
+        "  SELECT doc_id, concat('{j}', '|', {sigs}) AS band_key FROM sigs".format(
+            j=j, sigs=", '|', ".join(f"sig_{r * j + i}" for i in range(r))
+        )
         for j in range(D.N_BANDS)
     )
-    eq_sum = " + ".join(
-        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(len(D.MINHASH_COEFFS))
-    )
-    k = len(D.MINHASH_COEFFS)
     return f"""
 WITH docs_aug AS ({_AUG_NEAR_SQL}),
 sh AS (
@@ -216,7 +216,16 @@ sh AS (
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(len(D.MINHASH_COEFFS))
+    )
+    k = len(D.MINHASH_COEFFS)
+    return f"""{_minhash_common_ctes()}
 SELECT id_a, id_b, ({eq_sum}) / {k}.0 AS est_jaccard
 FROM pairs
 JOIN sigs sa ON sa.doc_id = id_a
@@ -226,7 +235,7 @@ WHERE ({eq_sum}) / {k}.0 >= 0.5
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs (nibble-banded, hamming <= 3).
+# SimHash near-dup pairs (48-bit, 4 bands x 12 bits, hamming <= 3).
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs_aug_near(spark, sf_dir)).select(
         "id_a", "id_b", "simhash_a", "simhash_b", "hamming"
@@ -235,8 +244,10 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_TOKHASH = (
     "list_transform(regexp_extract_all(lower(text), '\\S+'), "
-    "t -> cast(concat('0x', substr(md5(t),1,8)) as bigint))"
+    f"t -> cast(concat('0x', substr(md5(t),1,{D.SIMHASH_BITS // 4})) as bigint))"
 )
+
+_SIMHASH_BAND_W = D.SIMHASH_BITS // D.SIMHASH_BANDS
 
 ORACLE_SIMHASH_NEAR_DUPS = f"""
 WITH docs_aug AS ({_AUG_NEAR_SQL}),
@@ -244,13 +255,14 @@ toks AS (
   SELECT doc_id, {_SIMHASH_TOKHASH} AS hs FROM docs_aug
 ), sims AS (
   SELECT doc_id,
-         CAST(list_sum(list_transform(range(0,16), b ->
+         CAST(list_sum(list_transform(range(0,{D.SIMHASH_BITS}), b ->
            CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> b) & 1) - 1)) > 0
                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
   FROM toks
 ), nibs AS (
-  SELECT doc_id, simhash, concat(j, '|', (simhash >> (4*j::int)) & 15) AS nib_key
-  FROM sims, (SELECT unnest(range(4)) AS j)
+  SELECT doc_id, simhash,
+         concat(j, '|', (simhash >> ({_SIMHASH_BAND_W}*j::int)) & {(1 << _SIMHASH_BAND_W) - 1}) AS nib_key
+  FROM sims, (SELECT unnest(range({D.SIMHASH_BANDS})) AS j)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS simhash_a, b.simhash AS simhash_b
@@ -270,20 +282,18 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_oracle() -> str:
-    base = _minhash_oracle()
-    # reuse the candidate CTE, then score exact jaccard on shingle sets
-    head, _sel = base.rsplit("SELECT id_a, id_b,", 1)
-    return f"""{head}
-SELECT p.id_a, p.id_b,
-       CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)
-       / (CAST(length(sa2.shingles) AS BIGINT) + CAST(length(sb2.shingles) AS BIGINT)
-          - CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)) AS jaccard
+    # exact jaccard over the 32-bit shingle-hash sets (matches the
+    # Spark side, which intersects hash arrays, not strings)
+    inter = "CAST(length(list_filter(sa2.hs, x -> list_contains(sb2.hs, x))) AS BIGINT)"
+    union = (
+        f"(CAST(length(sa2.hs) AS BIGINT) + CAST(length(sb2.hs) AS BIGINT) - {inter})"
+    )
+    return f"""{_minhash_common_ctes()}
+SELECT p.id_a, p.id_b, {inter} / {union} AS jaccard
 FROM pairs p
-JOIN sh sa2 ON sa2.doc_id = p.id_a
-JOIN sh sb2 ON sb2.doc_id = p.id_b
-WHERE CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)
-      / (CAST(length(sa2.shingles) AS BIGINT) + CAST(length(sb2.shingles) AS BIGINT)
-         - CAST(length(list_filter(sa2.shingles, x -> list_contains(sb2.shingles, x))) AS BIGINT)) >= 0.5
+JOIN hashes sa2 ON sa2.doc_id = p.id_a
+JOIN hashes sb2 ON sb2.doc_id = p.id_b
+WHERE {inter} / {union} >= 0.5
 """
 
 
