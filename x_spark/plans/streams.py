@@ -1,0 +1,106 @@
+"""Structured-Streaming query battery over the events table.
+
+Each query executes a real streaming pipeline (readStream file source
+-> event-time operator -> AvailableNow trigger -> memory sink /
+foreachBatch merge) and returns the final result DataFrame. Because
+the operators are event-time based (not processing-time), results are
+independent of micro-batch slicing, so each has an exact batch-SQL
+DuckDB oracle — the streaming entries get the STRONG correctness
+check, not the rows-only fallback.
+
+The reference has no streaming at all (SURVEY §2.11); this battery is
+the north-star extension mapped to watermarks + tumbling windows +
+session windows + foreachBatch merge (reusing W4 upsert semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from x_spark.streaming.events import (
+    read_events_stream,
+    rollup_sessions,
+    run_to_memory,
+    session_profile,
+    streaming_upsert_totals,
+    tumbling_profile,
+)
+
+SESSION_GAP_US = 10 * 60 * 1_000_000
+
+
+def q_stream_tumbling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(tumbling_profile(stream), "complete")
+
+
+ORACLE_STREAM_TUMBLING_PROFILE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return rollup_sessions(run_to_memory(session_profile(stream), "complete"))
+
+
+# Spark session_window: windows [ts, ts+gap) merge while they overlap,
+# so a new session starts when the gap to the previous event is >= gap;
+# window end = last event + gap. The oracle is the classic
+# gaps-and-islands formulation of exactly that rule.
+ORACLE_STREAM_SESSION_PROFILE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         epoch_us(max(ts)) + {SESSION_GAP_US} - epoch_us(min(ts)) AS dur_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       max(dur_us) / 1000000.0 AS max_session_sec
+FROM per GROUP BY user_id
+"""
+
+
+def q_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_upsert_totals(spark, sf_dir)
+
+
+ORACLE_STREAM_UPSERT_TOTALS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+STREAM_QUERIES = {
+    "stream_tumbling_profile": q_stream_tumbling_profile,
+    "stream_session_profile": q_stream_session_profile,
+    "stream_upsert_totals": q_stream_upsert_totals,
+}
+
+STREAM_ORACLES = {
+    "stream_tumbling_profile": ORACLE_STREAM_TUMBLING_PROFILE,
+    "stream_session_profile": ORACLE_STREAM_SESSION_PROFILE,
+    "stream_upsert_totals": ORACLE_STREAM_UPSERT_TOTALS,
+}

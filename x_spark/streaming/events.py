@@ -1,0 +1,217 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface at all (SURVEY §2.11 — grep for
+stream over its source/ returns nothing); this module is the north-star
+extension: Structured Streaming equivalents of the engine's batch
+operators, exercised against the driver's ``events`` table.
+
+Design (100 TB stance):
+- ``readStream`` file source with explicit schema — on a cluster this
+  is a cloud-storage directory or Kafka; the operator code is
+  identical, only the reader changes.
+- Watermark + windowed aggregation for event-time processing: state
+  store size is bounded by the watermark horizon, not the stream
+  length.
+- ``session_window`` for gap-based sessionization (stateful, merges
+  adjacent windows).
+- ``foreachBatch`` + the engine's join-based MERGE for streaming
+  upsert — each micro-batch is an incremental, idempotent-per-key
+  accumulation; value sums are carried as DECIMAL(30,6) so the result
+  is exact and independent of batch boundaries.
+
+Determinism for the correctness gate: queries run with
+``Trigger.AvailableNow`` into a memory sink and return the final
+DataFrame — event-time logic makes results independent of batch
+slicing, so the DuckDB oracle is plain batch SQL over the same data.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from x_spark.operators.merge import MergeSpec  # re-exported spec type
+
+_MEM_COUNTER = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over the events parquet with the schema pinned.
+
+    The file lives as TIMESTAMP(NANOS) parquet, which Spark's reader
+    only accepts as long nanos (``nanosAsLong``); convert to a
+    microsecond timestamp exactly like the batch path
+    (x_spark.session.load_table) so batch and stream agree bit-for-bit.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = path or os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        # the file stream source requires a directory; expose the
+        # single-file table through a symlink (no data copy)
+        d = tempfile.mkdtemp(prefix="xs_stream_src_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        src = d
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(src)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    a memory sink; return the materialized result table."""
+    name = f"xs_mem_{next(_MEM_COUNTER)}_{os.getpid()}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_profile(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark.
+
+    In production this runs in append mode: a window emits once the
+    watermark passes its end and its state is dropped — memory bounded
+    by (watermark horizon / window size) windows per key.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_profile(
+    stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization per user via ``session_window``
+    (stateful: adjacent windows merge while events arrive within the
+    gap). One row per (user, session). Chaining a second stateful
+    aggregation onto this inside the same streaming query trips
+    Spark's global-watermark correctness check — roll up with
+    :func:`rollup_sessions` AFTER materializing."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start")))
+            .alias("dur_us"),
+        )
+    )
+
+
+def rollup_sessions(sessions: DataFrame) -> DataFrame:
+    """Batch rollup of session_profile output to one row per user."""
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        (F.max("dur_us") / F.lit(1000000.0)).alias("max_session_sec"),
+    )
+
+
+def streaming_upsert_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming upsert: per-user running totals maintained across
+    micro-batches with the engine's join-based MERGE (foreachBatch).
+
+    The source is split into ``n_chunks`` files streamed one file per
+    trigger, so the merge genuinely runs incrementally; DECIMAL
+    accumulation makes the final state independent of batch slicing
+    (the oracle is a plain GROUP BY). On a cluster the accumulator is a
+    Delta table and foreachBatch issues MERGE INTO — same operator
+    semantics (SURVEY §2.2 W4).
+    """
+    from x_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    workdir = tempfile.mkdtemp(prefix="xs_stream_upsert_")
+    src_dir = os.path.join(workdir, "src")
+    events.repartition(n_chunks).write.mode("overwrite").parquet(src_dir)
+
+    stream = read_events_stream(spark, sf_dir, path=src_dir, max_files_per_trigger=1)
+
+    state: dict[str, DataFrame] = {
+        "acc": spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, total_value decimal(30,6)"
+        )
+    }
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("d_n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("d_v"),
+        )
+        acc = state["acc"]
+        merged = (
+            acc.join(delta, "user_id", "full_outer")
+            .select(
+                "user_id",
+                (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (
+                    F.coalesce(F.col("total_value"), F.lit(0).cast("decimal(30,6)"))
+                    + F.coalesce(F.col("d_v"), F.lit(0).cast("decimal(30,6)"))
+                )
+                .cast("decimal(30,6)")
+                .alias("total_value"),
+            )
+        )
+        # materialize the new state (localCheckpoint: cut lineage so
+        # state doesn't re-derive through every past batch)
+        state["acc"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    result = state["acc"].select(
+        "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
