@@ -1,0 +1,74 @@
+"""CLI surface: run / dry-run / explain / recon (SURVEY §3.3)."""
+
+import pytest
+
+from x_spark.cli import main, parse_params
+from x_spark.errors import JobConfigException
+
+
+@pytest.fixture()
+def job_yaml(tmp_path, spark):
+    spark.sql("DROP TABLE IF EXISTS cli_src")
+    spark.sql("DROP TABLE IF EXISTS cli_tgt")
+    spark.sql("CREATE TABLE cli_src (pk1 INT, c1 INT) USING parquet")
+    spark.sql("INSERT INTO cli_src VALUES (1, 10), (2, 20)")
+    spark.sql("CREATE TABLE cli_tgt (pk1 INT, c1 INT) USING parquet")
+    p = tmp_path / "job.yaml"
+    p.write_text(
+        """version: 0
+source:
+  query: select * from cli_src where c1 >= ${min_c1}
+target:
+  table: cli_tgt
+  operation: append
+"""
+    )
+    return str(p)
+
+
+def test_parse_params_rejects_bare(capsys):
+    with pytest.raises(JobConfigException):
+        parse_params(["novalue"])
+    assert parse_params(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
+
+
+def test_cli_dry_run(job_yaml, capsys):
+    assert main(["run", job_yaml, "--param", "min_c1=15", "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE OR REPLACE TEMPORARY VIEW __source_view" in out
+    assert "select * from cli_src where c1 >= 15;" in out
+    assert "INSERT INTO cli_tgt SELECT * FROM __source_view;" in out
+
+
+def test_cli_run_appends(job_yaml, spark):
+    assert main(["run", job_yaml, "--param", "min_c1=15"]) == 0
+    assert [r.pk1 for r in spark.table("cli_tgt").collect()] == [2]
+
+
+def test_cli_explain(job_yaml, capsys):
+    assert main(["explain", job_yaml, "--param", "min_c1=0"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+
+def test_cli_dry_run_merge_sql(tmp_path, spark):
+    p = tmp_path / "upsert.yaml"
+    p.write_text(
+        """version: 0
+source:
+  query: select 1 as pk1, 2 as c1
+target:
+  table: cli_tgt
+  operation: upsert
+  primary_key_column: [pk1]
+  update_column: [c1]
+"""
+    )
+    assert main(["run", str(p), "--dry-run"]) == 0
+    from x_spark.plans.etl import init_etl_job
+
+    stmts = init_etl_job(str(p), {}).generate_sql()
+    merge = stmts[-1]
+    assert merge.startswith("MERGE INTO cli_tgt AS TGT")
+    assert "WHEN MATCHED THEN UPDATE SET TGT.c1 = SRC.c1, TGT.pk1 = SRC.pk1" in merge
+    assert "WHEN NOT MATCHED THEN INSERT (c1, pk1) VALUES (SRC.c1, SRC.pk1)" in merge

@@ -107,12 +107,49 @@ class BaseETLJob:
         tgt = self.config.target
         return TableRef(table=tgt.table, path=tgt.path, options=tgt.options)
 
+    def _target_sql_name(self) -> str:
+        tgt = self.config.target
+        return tgt.table if tgt.table else f"delta.`{tgt.path}`"
+
+    def operation_sql(self) -> str:
+        raise NotImplementedError
+
+    def generate_sql(self) -> list[str]:
+        """Dry-run: the SQL statements the lifecycle would execute, in
+        order (the working replacement for the reference's stale
+        ``generate_full_sql`` API, SURVEY §3.3/§8.11). MERGE is
+        rendered as the ANSI statement Delta would run."""
+        cfg = self.config
+        stmts: list[str] = []
+        if cfg.source.pre_sql:
+            stmts.append(cfg.source.pre_sql)
+        if cfg.source.path is not None and cfg.source.query is None:
+            stmts.append(
+                f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS "
+                f"SELECT * FROM delta.`{cfg.source.path}`"
+            )
+        else:
+            stmts.append(
+                f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS {cfg.source_query}"
+            )
+        if cfg.source.post_sql:
+            stmts.append(cfg.source.post_sql)
+        if cfg.target.pre_sql:
+            stmts.append(cfg.target.pre_sql)
+        stmts.append(self.operation_sql())
+        if cfg.target.post_sql:
+            stmts.append(cfg.target.post_sql)
+        return stmts
+
 
 class AppendETLJob(BaseETLJob):
     """W1 (etl/append.py:11-33): append __source_view to the target."""
 
     def step_06_operate(self) -> None:
         self.to_datasource.append(self.source_df(), self.target_ref())
+
+    def operation_sql(self) -> str:
+        return f"INSERT INTO {self._target_sql_name()} SELECT * FROM {SOURCE_VIEW}"
 
 
 class OverwriteETLJob(BaseETLJob):
@@ -151,6 +188,13 @@ class OverwriteETLJob(BaseETLJob):
         ]
         return " OR ".join(clauses) if clauses else "1=0"
 
+    def operation_sql(self) -> str:
+        return (
+            f"INSERT OVERWRITE {self._target_sql_name()} "
+            f"REPLACE WHERE {self.replace_where_predicate()} "
+            f"SELECT * FROM {SOURCE_VIEW}"
+        )
+
 
 class _MergeETLJob(BaseETLJob):
     insert_when_not_matched = False
@@ -166,6 +210,25 @@ class _MergeETLJob(BaseETLJob):
 
     def step_06_operate(self) -> None:
         self.to_datasource.merge(self.source_df(), self.target_ref(), self.merge_spec())
+
+    def operation_sql(self) -> str:
+        spec = self.merge_spec()
+        cond = " AND ".join(
+            [f"({spec.extra_target_predicate})"]
+            + [f"TGT.{c} = SRC.{c}" for c in spec.primary_key_columns]
+        )
+        set_cols = list(dict.fromkeys(spec.update_columns + spec.primary_key_columns))
+        set_clause = ", ".join(f"TGT.{c} = SRC.{c}" for c in set_cols)
+        stmt = (
+            f"MERGE INTO {self._target_sql_name()} AS TGT "
+            f"USING {SOURCE_VIEW} AS SRC ON {cond} "
+            f"WHEN MATCHED THEN UPDATE SET {set_clause}"
+        )
+        if spec.insert_when_not_matched:
+            cols = ", ".join(set_cols)
+            vals = ", ".join(f"SRC.{c}" for c in set_cols)
+            stmt += f" WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        return stmt
 
 
 class UpdateETLJob(_MergeETLJob):
