@@ -1,0 +1,210 @@
+"""Extended operator battery: temporal as-of join, CUBE, exact
+percentiles, analytic lag windows, BPE-ish token stats, rolling-hash
+fingerprints.
+
+These cover SURVEY §2 rows marked ABSENT-as-extension (WF1 window
+frames, A6 cube/percentiles, J3 as-of) plus the remaining Phase-E text
+primitives (token counting with a BPE-ish regex, rolling-hash
+document fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from x_spark.functions.portable import MINHASH_PRIME
+from x_spark.operators.temporal import as_of_join
+from x_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col) -> F.Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# J3-extension: as-of join — for each click, the user's most recent
+# purchase at-or-before the click (point-in-time lookup, feature-store
+# shape). One shuffle on user_id; no range explosion.
+def q_asof_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = as_of_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        right_payload=["value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1000000.0)
+        ).alias("gap_sec"),
+        F.round(F.col("value_asof").cast("double"), 6).alias("purchase_value"),
+    )
+
+
+ORACLE_ASOF_PURCHASE_GAP = """
+WITH u AS (
+  SELECT user_id, ts, 1 AS m, NULL::BIGINT AS tb, event_id AS left_id,
+         NULL::DOUBLE AS r_value, NULL::TIMESTAMP AS r_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, event_id, NULL, value, ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, m, left_id,
+         last_value(r_ts IGNORE NULLS) OVER w AS asof_ts,
+         last_value(r_value IGNORE NULLS) OVER w AS asof_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, m, tb NULLS LAST
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT left_id AS event_id, user_id,
+       (epoch_us(ts) - epoch_us(asof_ts)) / 1000000.0 AS gap_sec,
+       round(asof_value, 6) AS purchase_value
+FROM c WHERE m = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: CUBE with grouping id (all aggregation lattice cells in one pass).
+def q_quantity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("bigint").alias("gid"),
+        )
+    )
+
+
+ORACLE_QUANTITY_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: exact percentiles (continuous interpolation), per group.
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(cast(l_quantity as double), 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(cast(l_quantity as double), 0.9)"), 6).alias("p90_qty"),
+        F.round(F.min(qty), 6).alias("min_qty"),
+        F.round(F.max(qty), 6).alias("max_qty"),
+    )
+
+
+ORACLE_QUANTITY_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90_qty,
+       round(min(CAST(l_quantity AS DOUBLE)), 6) AS min_qty,
+       round(max(CAST(l_quantity AS DOUBLE)), 6) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# WF1: analytic window frames — weekly revenue with week-over-week lag.
+# The ORDER BY window is tiny (one row per week) after pre-aggregation.
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"))
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    w = W.orderBy("week")
+    return weekly.select(
+        "week",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 6).alias("wow_delta"),
+        F.lag("n_orders", 1).over(w).alias("prev_orders"),
+    )
+
+
+ORACLE_WEEKLY_REVENUE_WOW = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS week,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT week, revenue, n_orders,
+       round(revenue - lag(revenue, 1) OVER (ORDER BY week), 6) AS wow_delta,
+       lag(n_orders, 1) OVER (ORDER BY week) AS prev_orders
+FROM weekly
+"""
+
+
+# ---------------------------------------------------------------------------
+# Phase-E text: BPE-ish token counting (letter runs / digits / marks as
+# separate tokens) and a polynomial rolling-hash fingerprint over the
+# 32-bit token hashes — both single-projection, scan-speed.
+_BPE_RE = "[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]"
+
+
+def q_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok_hashes = (
+        "transform(regexp_extract_all(lower(text), '\\\\S+', 0), "
+        "t -> cast(conv(substr(md5(t),1,8),16,10) as bigint))"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(r"\S+")).cast("bigint").alias("n_ws_tokens"),
+        F.expr(
+            f"aggregate({tok_hashes}, 0L, (acc, h) -> (acc * 31 + h) % {MINHASH_PRIME}L)"
+        ).alias("rolling_fp"),
+    )
+
+
+ORACLE_TOKEN_FINGERPRINTS = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_extract_all(lower(text), '\\S+'),
+                          t -> cast(concat('0x', substr(md5(t),1,8)) as bigint))),
+         (acc, h) -> (acc * 31 + h) % {MINHASH_PRIME}) AS BIGINT) AS rolling_fp
+FROM documents
+"""
+
+
+EXTENDED_QUERIES = {
+    "asof_purchase_gap": q_asof_purchase_gap,
+    "quantity_cube": q_quantity_cube,
+    "quantity_percentiles": q_quantity_percentiles,
+    "weekly_revenue_wow": q_weekly_revenue_wow,
+    "token_fingerprints": q_token_fingerprints,
+}
+
+EXTENDED_ORACLES = {
+    "asof_purchase_gap": ORACLE_ASOF_PURCHASE_GAP,
+    "quantity_cube": ORACLE_QUANTITY_CUBE,
+    "quantity_percentiles": ORACLE_QUANTITY_PERCENTILES,
+    "weekly_revenue_wow": ORACLE_WEEKLY_REVENUE_WOW,
+    "token_fingerprints": ORACLE_TOKEN_FINGERPRINTS,
+}

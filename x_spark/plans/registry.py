@@ -11,12 +11,23 @@ correctness gate).
 
 from __future__ import annotations
 
+from x_spark.plans.extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 from x_spark.plans.pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 from x_spark.plans.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
 from x_spark.plans.streams import STREAM_ORACLES, STREAM_QUERIES
 
-QUERIES = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **STREAM_QUERIES}
-ORACLES = {**RELATIONAL_ORACLES, **PIPELINE_ORACLES, **STREAM_ORACLES}
+QUERIES = {
+    **RELATIONAL_QUERIES,
+    **PIPELINE_QUERIES,
+    **STREAM_QUERIES,
+    **EXTENDED_QUERIES,
+}
+ORACLES = {
+    **RELATIONAL_ORACLES,
+    **PIPELINE_ORACLES,
+    **STREAM_ORACLES,
+    **EXTENDED_ORACLES,
+}
 
 
 def register(name, query_fn, oracle: str | None = None) -> None:
