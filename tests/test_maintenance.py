@@ -1,0 +1,94 @@
+"""W7 extensions: DELETE operation, compaction, SCD2 unit checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.plans.etl import init_etl_job
+from x_spark.sources import init_datasource
+from x_spark.sources.base import TableRef
+
+
+@pytest.fixture()
+def deltbl(spark):
+    spark.sql("DROP TABLE IF EXISTS del_tgt")
+    spark.sql("CREATE TABLE del_tgt (pk INT, c INT) USING parquet")
+    spark.sql("INSERT INTO del_tgt VALUES (1, 10), (2, 20), (3, NULL), (4, 40)")
+    return "del_tgt"
+
+
+def test_delete_operation_predicate_semantics(spark, deltbl):
+    job = init_etl_job(
+        {
+            "version": 0,
+            "target": {
+                "datasource": "parquet",
+                "table": deltbl,
+                "operation": "delete",
+                "where_statement_on_table": "c >= 20",
+            },
+        },
+        spark=spark,
+    )
+    job.run()
+    # c=NULL row survives (predicate NULL != TRUE), c=10 survives
+    rows = sorted((r.pk, r.c) for r in spark.table(deltbl).collect())
+    assert rows == [(1, 10), (3, None)]
+
+
+def test_delete_dry_run_sql(spark, deltbl):
+    job = init_etl_job(
+        {
+            "version": 0,
+            "target": {
+                "datasource": "parquet",
+                "table": deltbl,
+                "operation": "delete",
+                "where_statement_on_table": "pk = 1",
+            },
+        },
+        spark=spark,
+    )
+    assert job.generate_sql() == ["DELETE FROM del_tgt WHERE pk = 1"]
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).withColumn("v", F.col("id") * 2).repartition(16).write.parquet(path)
+    ds = init_datasource("parquet", spark)
+    ref = TableRef(path=path)
+    assert len(ds.read(ref).inputFiles()) == 16
+    ds.compact(ref, target_files=2)
+    assert len(ds.read(ref).inputFiles()) <= 2
+    df = ds.read(ref)
+    assert df.count() == 10000
+    assert df.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
+
+
+def test_scd2_noop_change_keeps_row_open(spark):
+    from x_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None), (2, "b", "2020-01-01", None)],
+        "k int, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "B", "2024-01-01"), (3, "c", "2024-01-01")],
+        "k int, attr string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_apply(dim, changes, ["k"], ["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    # no-op change: single open row
+    assert len(by_key[1]) == 1 and by_key[1][0].valid_to is None
+    # real change: closed old + open new
+    k2 = sorted(by_key[2], key=lambda r: (r.valid_to is None, r.attr))
+    assert len(k2) == 2
+    assert k2[0].attr == "b" and k2[0].valid_to is not None
+    assert k2[1].attr == "B" and k2[1].valid_to is None
+    # new key: inserted open
+    assert len(by_key[3]) == 1 and by_key[3][0].valid_to is None

@@ -27,7 +27,7 @@ from x_spark.errors import JobConfigException
 
 _PARAM_RE = re.compile(r"\$\{([A-Za-z0-9_.-]+)\}")
 
-VALID_OPERATIONS = ("append", "insert", "overwrite", "update", "upsert")
+VALID_OPERATIONS = ("append", "insert", "overwrite", "update", "upsert", "delete")
 
 
 def substitute_params(text: str, params: dict[str, Any] | None) -> str:
@@ -83,17 +83,24 @@ class EndpointConfig:
 @dataclass(frozen=True)
 class JobConfig:
     version: int
-    source: EndpointConfig
+    source: EndpointConfig | None
     target: EndpointConfig
 
     @classmethod
     def from_dict(cls, raw: dict) -> "JobConfig":
-        for key in ("version", "source", "target"):
+        for key in ("version", "target"):
             if key not in raw:
                 raise JobConfigException(f"job config missing required key {key!r}")
+        operation = str(dict(raw["target"]).get("operation", "")).lower()
+        if "source" not in raw and operation != "delete":
+            raise JobConfigException("job config missing required key 'source'")
         job = cls(
             version=int(raw["version"]),
-            source=EndpointConfig.from_dict(dict(raw["source"]), "source"),
+            source=(
+                EndpointConfig.from_dict(dict(raw["source"]), "source")
+                if "source" in raw
+                else None
+            ),
             target=EndpointConfig.from_dict(dict(raw["target"]), "target"),
         )
         job.validate()
@@ -101,9 +108,9 @@ class JobConfig:
 
     def validate(self) -> None:
         src, tgt = self.source, self.target
-        if src.query is None and src.table is None and src.path is None:
-            raise JobConfigException("source requires one of query/table/path")
         op = (tgt.operation or "").lower()
+        if src is not None and src.query is None and src.table is None and src.path is None:
+            raise JobConfigException("source requires one of query/table/path")
         if op not in VALID_OPERATIONS:
             raise JobConfigException(
                 f"target.operation {tgt.operation!r} not in {VALID_OPERATIONS}"

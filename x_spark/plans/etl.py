@@ -46,6 +46,7 @@ def init_etl_job(
         "overwrite": OverwriteETLJob,
         "update": UpdateETLJob,
         "upsert": UpsertETLJob,
+        "delete": DeleteETLJob,
     }[operation]
     return job_cls(job_config, spark or get_session())
 
@@ -54,7 +55,11 @@ class BaseETLJob:
     def __init__(self, config: JobConfig, spark: SparkSession) -> None:
         self.config = config
         self.spark = spark
-        self.from_datasource = init_datasource(config.source.datasource, spark)
+        self.from_datasource = (
+            init_datasource(config.source.datasource, spark)
+            if config.source is not None
+            else None
+        )
         self.to_datasource = init_datasource(config.target.datasource, spark)
 
     # -- lifecycle -----------------------------------------------------
@@ -68,11 +73,14 @@ class BaseETLJob:
         self.step_08_clean()
 
     def step_01_source_pre_sql(self) -> None:
-        if self.config.source.pre_sql:
-            self.from_datasource.sql(self.config.source.pre_sql)
+        src = self.config.source
+        if src is not None and src.pre_sql:
+            self.from_datasource.sql(src.pre_sql)
 
     def step_03_create_source_view(self) -> None:
         src = self.config.source
+        if src is None:  # source-less ops (delete)
+            return
         if src.path is not None and src.query is None:
             df = self.from_datasource.read(TableRef(path=src.path, options=src.options))
         else:
@@ -80,8 +88,9 @@ class BaseETLJob:
         df.createOrReplaceTempView(SOURCE_VIEW)
 
     def step_04_source_post_sql(self) -> None:
-        if self.config.source.post_sql:
-            self.from_datasource.sql(self.config.source.post_sql)
+        src = self.config.source
+        if src is not None and src.post_sql:
+            self.from_datasource.sql(src.post_sql)
 
     def step_05_target_pre_sql(self) -> None:
         # Routed to the TARGET datasource (fixes etl/parent.py:181 which
@@ -97,7 +106,8 @@ class BaseETLJob:
             self.to_datasource.sql(self.config.target.post_sql)
 
     def step_08_clean(self) -> None:
-        self.spark.catalog.dropTempView(SOURCE_VIEW)
+        if self.config.source is not None:
+            self.spark.catalog.dropTempView(SOURCE_VIEW)
 
     # -- shared helpers ------------------------------------------------
     def source_df(self) -> DataFrame:
@@ -121,19 +131,20 @@ class BaseETLJob:
         rendered as the ANSI statement Delta would run."""
         cfg = self.config
         stmts: list[str] = []
-        if cfg.source.pre_sql:
-            stmts.append(cfg.source.pre_sql)
-        if cfg.source.path is not None and cfg.source.query is None:
-            stmts.append(
-                f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS "
-                f"SELECT * FROM delta.`{cfg.source.path}`"
-            )
-        else:
-            stmts.append(
-                f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS {cfg.source_query}"
-            )
-        if cfg.source.post_sql:
-            stmts.append(cfg.source.post_sql)
+        if cfg.source is not None:
+            if cfg.source.pre_sql:
+                stmts.append(cfg.source.pre_sql)
+            if cfg.source.path is not None and cfg.source.query is None:
+                stmts.append(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS "
+                    f"SELECT * FROM delta.`{cfg.source.path}`"
+                )
+            else:
+                stmts.append(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS {cfg.source_query}"
+                )
+            if cfg.source.post_sql:
+                stmts.append(cfg.source.post_sql)
         if cfg.target.pre_sql:
             stmts.append(cfg.target.pre_sql)
         stmts.append(self.operation_sql())
@@ -243,3 +254,21 @@ class UpsertETLJob(_MergeETLJob):
     (golden-confirmed quirk, SURVEY §8.7)."""
 
     insert_when_not_matched = True
+
+
+class DeleteETLJob(BaseETLJob):
+    """W7 extension: ANSI DELETE scoped by ``where_statement_on_table``.
+
+    Source-less — the lifecycle's source steps no-op. Rows where the
+    predicate is TRUE are removed; FALSE/NULL survive."""
+
+    def step_06_operate(self) -> None:
+        self.to_datasource.delete(
+            self.target_ref(), self.config.target.where_statement_on_table
+        )
+
+    def operation_sql(self) -> str:
+        return (
+            f"DELETE FROM {self._target_sql_name()} "
+            f"WHERE {self.config.target.where_statement_on_table}"
+        )

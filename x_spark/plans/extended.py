@@ -193,15 +193,117 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# W7 extension: SCD Type-2 apply over a synthetic customer dimension.
+# Exercises every branch: pre-closed history passthrough, close+reopen
+# on change, no-op changes kept open, new keys inserted open. Decimal
+# arithmetic keeps values bit-identical across engines.
+_SCD_TS0, _SCD_TS1, _SCD_TS2 = "2019-01-01", "2020-01-01", "2024-06-01"
+
+
+def q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "c_mktsegment",
+    )
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    null_ts = F.lit(None).cast("timestamp")
+    open_rows = cust.select(
+        "c_custkey", "bal", "c_mktsegment",
+        ts(_SCD_TS1).alias("valid_from"), null_ts.alias("valid_to"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("bal") - F.lit(50.00).cast("decimal(12,2)")).cast("decimal(12,2)").alias("bal"),
+        "c_mktsegment",
+        ts(_SCD_TS0).alias("valid_from"), ts(_SCD_TS1).alias("valid_to"),
+    )
+    dim = hist.unionByName(open_rows)
+    changed = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("bal") + F.lit(100.50).cast("decimal(12,2)")).cast("decimal(12,2)").alias("bal"),
+        "c_mktsegment",
+        ts(_SCD_TS2).alias("ts"),
+    )
+    noop = cust.filter((F.col("c_custkey") % 9 == 0) & (F.col("c_custkey") % 10 != 0)).select(
+        "c_custkey", "bal", "c_mktsegment", ts(_SCD_TS2).alias("ts")
+    )
+    newk = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "bal",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        ts(_SCD_TS2).alias("ts"),
+    )
+    changes = changed.unionByName(noop).unionByName(newk)
+    out = scd2_apply(dim, changes, ["c_custkey"], ["bal", "c_mktsegment"])
+    return out.select(
+        "c_custkey",
+        F.col("bal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+    )
+
+
+ORACLE_SCD2_CUSTOMER = f"""
+WITH cust AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment FROM customer
+), dim AS (
+  SELECT c_custkey, CAST(bal - 50.00 AS DECIMAL(12,2)) AS bal, c_mktsegment,
+         TIMESTAMP '{_SCD_TS0}' AS valid_from, TIMESTAMP '{_SCD_TS1}' AS valid_to
+  FROM cust WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, bal, c_mktsegment, TIMESTAMP '{_SCD_TS1}', NULL FROM cust
+), changes AS (
+  SELECT c_custkey AS k, CAST(bal + 100.50 AS DECIMAL(12,2)) AS nbal,
+         c_mktsegment AS nseg, TIMESTAMP '{_SCD_TS2}' AS cts
+  FROM cust WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, bal, c_mktsegment, TIMESTAMP '{_SCD_TS2}'
+  FROM cust WHERE c_custkey % 9 = 0 AND c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, bal, 'NEWSEG', TIMESTAMP '{_SCD_TS2}'
+  FROM cust WHERE c_custkey % 50 = 0
+), closed_hist AS (
+  SELECT * FROM dim WHERE valid_to IS NOT NULL
+), open_rows AS (
+  SELECT * FROM dim WHERE valid_to IS NULL
+), j AS (
+  SELECT o.c_custkey AS ok, o.bal, o.c_mktsegment, o.valid_from,
+         c.k, c.nbal, c.nseg, c.cts,
+         (o.bal IS DISTINCT FROM c.nbal OR o.c_mktsegment IS DISTINCT FROM c.nseg) AS differs
+  FROM open_rows o FULL JOIN changes c ON o.c_custkey = c.k
+)
+SELECT c_custkey, CAST(bal AS DOUBLE) AS c_acctbal, c_mktsegment, valid_from, valid_to
+FROM (
+  SELECT * FROM closed_hist
+  UNION ALL
+  SELECT ok, bal, c_mktsegment, valid_from, cts FROM j
+  WHERE ok IS NOT NULL AND cts IS NOT NULL AND differs
+  UNION ALL
+  SELECT coalesce(ok, k), nbal, nseg, cts, NULL FROM j
+  WHERE cts IS NOT NULL AND (ok IS NULL OR differs)
+  UNION ALL
+  SELECT ok, bal, c_mktsegment, valid_from, NULL FROM j
+  WHERE ok IS NOT NULL AND (cts IS NULL OR NOT differs)
+)
+"""
+
+
 EXTENDED_QUERIES = {
     "asof_purchase_gap": q_asof_purchase_gap,
     "quantity_cube": q_quantity_cube,
     "quantity_percentiles": q_quantity_percentiles,
     "weekly_revenue_wow": q_weekly_revenue_wow,
     "token_fingerprints": q_token_fingerprints,
+    "scd2_customer": q_scd2_customer,
 }
 
 EXTENDED_ORACLES = {
+    "scd2_customer": ORACLE_SCD2_CUSTOMER,
     "asof_purchase_gap": ORACLE_ASOF_PURCHASE_GAP,
     "quantity_cube": ORACLE_QUANTITY_CUBE,
     "quantity_percentiles": ORACLE_QUANTITY_PERCENTILES,

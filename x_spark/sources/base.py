@@ -101,6 +101,35 @@ class BaseDataSource(ABC):
     def truncate(self, ref: TableRef) -> None:
         ...
 
+    @abstractmethod
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        """ANSI DELETE semantics: remove rows where ``predicate`` is
+        TRUE; rows where it is FALSE or NULL survive (W7 extension —
+        the reference stops at update/upsert)."""
+
+    def compact(self, ref: TableRef, target_files: int | None = None) -> int:
+        """Small-file compaction (the OPTIMIZE analogue for plain
+        formats): rewrite the relation into ``target_files`` files
+        (default: sized from input bytes at ~128 MB/file). Returns the
+        target file count. At 100 TB run per-partition, not
+        table-wide."""
+        import math
+
+        df = self.read(ref)
+        if target_files is None:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            nbytes = 0
+            for f in df.inputFiles():
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                nbytes += p.getFileSystem(conf).getFileStatus(p).getLen()
+            target_files = max(1, math.ceil(nbytes / (128 << 20)))
+        self._compact_rewrite(df.repartition(target_files), ref)
+        return target_files
+
+    def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
+        self.overwrite(df, ref)
+
     # -- metadata ------------------------------------------------------
     @abstractmethod
     def partition_columns(self, ref: TableRef) -> list[str]:

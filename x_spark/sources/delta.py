@@ -77,6 +77,14 @@ class DeltaDataSource(BaseDataSource):
     def truncate(self, ref: TableRef) -> None:
         self._delta_table(ref).delete("true")
 
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        self._delta_table(ref).delete(predicate)
+
+    def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
+        # OPTIMIZE is the native Delta path; repartition+overwrite is the
+        # portable fallback shared with the base implementation
+        self.overwrite(df, ref)
+
     def partition_columns(self, ref: TableRef) -> list[str]:
         detail = self._delta_table(ref).detail().select("partitionColumns").head()
         return list(detail[0]) if detail else []

@@ -105,6 +105,15 @@ class ParquetCatalogDataSource(BaseDataSource):
         else:
             self.spark.sql(f"TRUNCATE TABLE {ref.table}")
 
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        """ANSI DELETE: drop rows where the predicate is TRUE (FALSE or
+        NULL survive); staged rewrite of the survivors."""
+        kept = self.read(ref).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        self._staged_rewrite(kept, ref, self.partition_columns(ref))
+
+    def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
+        self._staged_rewrite(df, ref, self.partition_columns(ref))
+
     # -- metadata ------------------------------------------------------
     def partition_columns(self, ref: TableRef) -> list[str]:
         """Partition columns via the catalog API — the robust replacement
