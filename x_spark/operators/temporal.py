@@ -25,6 +25,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: float = -1800.0,
+    upper_sec: float = 0.0,
+) -> DataFrame:
+    """Interval join: pairs (l, r) with the same key and
+    ``l.left_ts + lower_sec <= r.right_ts < l.left_ts + upper_sec``.
+
+    Bucketized implementation — the scalable alternative to a raw
+    theta-join (which Spark executes as a per-key cross product):
+    time is tiled into buckets of the interval width; each left row
+    probes the <=2 buckets its window spans, right rows sit in exactly
+    one bucket, and the join is pure equi on (key, bucket) with an
+    exact residual filter. Candidate fan-out is bounded by actual
+    temporal locality, never |L|x|R| per key.
+
+    Returns left rows joined to matching right rows (inner); columns
+    are the left columns plus right columns suffixed ``_r``.
+    """
+    width_us = int((upper_sec - lower_sec) * 1_000_000)
+    if width_us <= 0:
+        raise ValueError("upper_sec must exceed lower_sec")
+    lo_us = int(lower_sec * 1_000_000)
+    up_us = int(upper_sec * 1_000_000)
+
+    l2 = left.select(
+        *[F.col(c) for c in left.columns],
+        F.unix_micros(F.col(left_ts)).alias("__lus"),
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__lus") + F.lit(lo_us)) / F.lit(width_us)),
+                F.floor((F.col("__lus") + F.lit(up_us)) / F.lit(width_us)),
+            )
+        ),
+    )
+    r2 = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns],
+        F.unix_micros(F.col(right_ts)).alias("__rus"),
+    ).withColumn("__bucket", F.floor(F.col("__rus") / F.lit(width_us)))
+    on = [l2[k] == r2[f"{k}_r"] for k in key_cols] + [l2["__bucket"] == r2["__bucket"]]
+    joined = l2.join(r2, reduce_and(on)).filter(
+        (F.col("__rus") >= F.col("__lus") + F.lit(lo_us))
+        & (F.col("__rus") < F.col("__lus") + F.lit(up_us))
+    )
+    return joined.select(
+        *[l2[c] for c in left.columns],
+        *[r2[f"{c}_r"] for c in right.columns],
+    )
+
+
+def reduce_and(conds):
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, conds)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

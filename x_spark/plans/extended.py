@@ -77,6 +77,40 @@ FROM c WHERE m = 1
 
 
 # ---------------------------------------------------------------------------
+# J3-extension: bucketized range join — clicks within the 30 minutes
+# before each purchase, per user (zero-click purchases kept via a final
+# left join against the pair counts).
+def q_range_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    pairs = range_join(
+        purchases, clicks, ["user_id"], lower_sec=-1800.0, upper_sec=0.0
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n"))
+    return purchases.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_clicks_30m"),
+    )
+
+
+ORACLE_RANGE_CLICK_CONTEXT = """
+SELECT p.event_id, p.user_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # A6: CUBE with grouping id (all aggregation lattice cells in one pass).
 def q_quantity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -300,10 +334,12 @@ EXTENDED_QUERIES = {
     "weekly_revenue_wow": q_weekly_revenue_wow,
     "token_fingerprints": q_token_fingerprints,
     "scd2_customer": q_scd2_customer,
+    "range_click_context": q_range_click_context,
 }
 
 EXTENDED_ORACLES = {
     "scd2_customer": ORACLE_SCD2_CUSTOMER,
+    "range_click_context": ORACLE_RANGE_CLICK_CONTEXT,
     "asof_purchase_gap": ORACLE_ASOF_PURCHASE_GAP,
     "quantity_cube": ORACLE_QUANTITY_CUBE,
     "quantity_percentiles": ORACLE_QUANTITY_PERCENTILES,

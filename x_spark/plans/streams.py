@@ -18,10 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from x_spark.streaming.events import (
+    chunked_events_dir,
     read_events_stream,
+    rollup_final_user_stats,
     rollup_sessions,
     run_to_memory,
     session_profile,
+    stateful_user_stats,
     streaming_upsert_totals,
     tumbling_profile,
 )
@@ -93,13 +96,32 @@ GROUP BY user_id
 """
 
 
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = chunked_events_dir(spark, sf_dir, n_chunks=4)
+    stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    emitted = run_to_memory(stateful_user_stats(stream), "append")
+    return rollup_final_user_stats(emitted)
+
+
+ORACLE_STREAM_STATEFUL_USER_STATS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
 STREAM_QUERIES = {
+    "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_tumbling_profile": q_stream_tumbling_profile,
     "stream_session_profile": q_stream_session_profile,
     "stream_upsert_totals": q_stream_upsert_totals,
 }
 
 STREAM_ORACLES = {
+    "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
     "stream_tumbling_profile": ORACLE_STREAM_TUMBLING_PROFILE,
     "stream_session_profile": ORACLE_STREAM_SESSION_PROFILE,
     "stream_upsert_totals": ORACLE_STREAM_UPSERT_TOTALS,

@@ -147,6 +147,75 @@ def rollup_sessions(sessions: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value cents, max value) carried in explicit
+    group state across micro-batches.
+
+    Every update emits the new state row (append sink), so the LAST row
+    per user — selected afterwards by the monotone count — is the final
+    state. Arithmetic is order-independent (integer cents via floor,
+    max) so the result is exact regardless of batch slicing. State is
+    one tuple per user: memory bounded by |users|, the
+    applyInPandasWithState contract at scale (add a timeout to retire
+    idle keys).
+    """
+    import pandas as pd  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents, mx = state.get if state.exists else (0, 0, None)
+        for pdf in pdf_iter:
+            vals = pdf["value"].to_numpy()
+            n += len(vals)
+            cents += int(np.floor(vals * 100.0).astype("int64").sum())
+            if len(vals):
+                m = float(vals.max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_cents": cents, "max_value": mx}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint, max_value double",
+        stateStructType="n bigint, cents bigint, mx double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rollup_final_user_stats(emitted: DataFrame) -> DataFrame:
+    """Batch rollup: keep each user's final state (max event count —
+    the count is monotone, so the lexicographic struct max is the last
+    emission)."""
+    final = F.max(F.struct("n_events", "total_cents", "max_value")).alias("s")
+    return (
+        emitted.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_cents").alias("total_cents"),
+            F.col("s.max_value").alias("max_value"),
+        )
+    )
+
+
+def chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Write the events table as ``n_chunks`` files under a temp dir so
+    file-per-trigger streaming genuinely runs multiple micro-batches."""
+    from x_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="xs_stream_chunks_")
+    src_dir = os.path.join(workdir, "src")
+    events.repartition(n_chunks).write.mode("overwrite").parquet(src_dir)
+    return src_dir
+
+
 def streaming_upsert_totals(
     spark: SparkSession,
     sf_dir: str,
