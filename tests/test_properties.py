@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): the distributed algebra must
+agree with a brute-force single-process model on arbitrary small
+inputs — merge (Delta MERGE semantics), as-of join, range join.
+
+Examples are kept small and the count modest because each example is a
+full Spark roundtrip; the point is semantic edge coverage (empty
+sides, ties, NULL predicates, all-matched / none-matched), which tiny
+random tables hit quickly.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from x_spark.operators.merge import merge_frames
+from x_spark.operators.temporal import as_of_join, range_join
+from x_spark.sources.base import MergeSpec
+
+SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-3, max_value=3)
+tss = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def merge_case(draw):
+    tgt = draw(
+        st.lists(st.tuples(keys, vals, vals), max_size=8, unique_by=lambda r: r[0])
+    )
+    src = draw(
+        st.lists(st.tuples(keys, vals, vals), max_size=8, unique_by=lambda r: r[0])
+    )
+    upsert = draw(st.booleans())
+    return tgt, src, upsert
+
+
+@SETTINGS
+@given(merge_case())
+def test_merge_matches_model(spark, case):
+    tgt_rows, src_rows, upsert = case
+    tgt = spark.createDataFrame(tgt_rows or [(None, None, None)], "pk int, a int, b int")
+    if not tgt_rows:
+        tgt = tgt.limit(0)
+    src = spark.createDataFrame(src_rows or [(None, None, None)], "pk int, a int, b int")
+    if not src_rows:
+        src = src.limit(0)
+    spec = MergeSpec(
+        primary_key_columns=["pk"], update_columns=["a"], insert_when_not_matched=upsert
+    )
+    got = sorted(
+        (r.pk, r.a, r.b) for r in merge_frames(tgt, src, spec).collect()
+    )
+
+    # model: matched -> a (and pk) from src, b kept; unmatched tgt kept;
+    # upsert inserts (pk, a, NULL)
+    src_by_pk = {r[0]: r for r in src_rows}
+    expect = []
+    for pk, a, b in tgt_rows:
+        if pk in src_by_pk:
+            expect.append((pk, src_by_pk[pk][1], b))
+        else:
+            expect.append((pk, a, b))
+    if upsert:
+        tgt_pks = {r[0] for r in tgt_rows}
+        for pk, a, b in src_rows:
+            if pk not in tgt_pks:
+                expect.append((pk, a, None))
+    assert got == sorted(expect)
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(st.lists(st.tuples(keys, tss), max_size=8))
+    right = draw(
+        st.lists(st.tuples(keys, tss, vals), max_size=8, unique_by=lambda r: (r[0], r[1]))
+    )
+    return left, right
+
+
+@SETTINGS
+@given(asof_case())
+def test_asof_join_matches_model(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)] or [(0, None, None)],
+        "lid int, k int, ts int",
+    )
+    if not left_rows:
+        left = left.limit(0)
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k int, ts int, v int"
+    )
+    if not right_rows:
+        right = right.limit(0)
+    out = as_of_join(
+        left, right, key_cols=["k"], right_payload=["v"], tiebreak="v"
+    )
+    got = sorted((r.lid, r.v_asof, r.asof_ts) for r in out.collect())
+
+    expect = []
+    for i, (k, t) in enumerate(left_rows):
+        cands = [r for r in right_rows if r[0] == k and r[1] <= t]
+        if cands:
+            best = max(cands, key=lambda r: (r[1], r[2]))  # latest ts, tiebreak v
+            expect.append((i, best[2], best[1]))
+        else:
+            expect.append((i, None, None))
+    assert got == sorted(expect)
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(keys, tss), max_size=8),
+    st.lists(st.tuples(keys, tss), max_size=8),
+)
+def test_range_join_matches_model(spark, lrows, rrows):
+    # window: right_ts in [left_ts - 4, left_ts)
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)] or [(0, None, None)],
+        "lid int, k int, tsec int",
+    ).withColumn("ts", F.expr("timestamp_seconds(tsec)"))
+    if not lrows:
+        left = left.limit(0)
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rrows)] or [(0, None, None)],
+        "rid int, k int, tsec int",
+    ).withColumn("ts", F.expr("timestamp_seconds(tsec)"))
+    if not rrows:
+        right = right.limit(0)
+    out = range_join(left, right, ["k"], lower_sec=-4.0, upper_sec=0.0)
+    got = sorted((r.lid, r.rid_r) for r in out.collect())
+
+    expect = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(lrows)
+        for j, (rk, rt) in enumerate(rrows)
+        if lk == rk and lt - 4 <= rt < lt
+    )
+    assert got == expect
