@@ -1,0 +1,83 @@
+"""Plan-shape regression tests — the scale properties the engine
+relies on must be visible in the physical plan, not assumed:
+filter/column pushdown to the parquet scan, broadcast of small dims,
+partition pruning on partitioned layouts, no cartesian products in
+the bucketized joins, and salted aggregation correctness.
+"""
+
+from pyspark.sql import functions as F
+
+from x_spark.plans.registry import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pushdown(spark, sf_dir):
+    plan = _plan(QUERIES["shipping_priority"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    # column pruning: the lineitem scan must not read unused columns
+    li_scan = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln]
+    assert li_scan and all("l_quantity" not in ln for ln in li_scan)
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["top_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketized_joins_avoid_cartesian(spark, sf_dir):
+    for name in ("range_click_context", "embedding_near_dups", "asof_purchase_gap"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "by_day")
+    (
+        spark.range(0, 1000)
+        .withColumn("day", (F.col("id") % 10).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("day") == "3").select(F.sum("v"))
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # and the pruned scan reads only the day=3 slice
+    pruned = spark.read.parquet(path).filter(F.col("day") == "3")
+    assert pruned.count() == 100
+
+
+def test_salted_agg_matches_plain(spark):
+    from x_spark.operators.skew import salted_agg
+
+    # skewed: 90% of rows on one key
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    got = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"total": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want

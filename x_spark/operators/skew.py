@@ -1,0 +1,62 @@
+"""Skew mitigation: two-stage salted aggregation.
+
+AQE's skew-join splitting handles skewed JOINS at runtime; skewed
+GROUP BYs on low-cardinality hot keys still funnel every row of the
+hot key through one reducer. The standard fix is salting: aggregate
+on (key, salt) first — spreading each hot key over ``n_salts``
+reducers — then merge the partials. Works for any algebraic
+aggregate (sum/count/min/max: partial and merge are the same op;
+count merges with sum; avg = sum/count assembled at the end).
+
+At 100 TB this is the difference between a 4-hour straggler stage and
+an even stage; pair with ``spark.sql.shuffle.partitions`` sized so
+each (key, salt) partial fits in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SALT = "__x_spark_salt"
+
+# aggregate -> (partial fn, merge fn)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation: ``aggs`` maps output alias ->
+    (agg_name, column), agg_name in {sum,count,min,max}.
+
+    The salt is derived from a per-row id (uniform, no data
+    dependence), so hot keys spread evenly regardless of value
+    distribution. Result is identical to the direct groupBy.
+    """
+    unknown = [a for a, (fn, _) in aggs.items() if fn not in _ALGEBRAIC]
+    if unknown:
+        raise ValueError(f"non-algebraic aggregates not supported: {unknown}")
+
+    salted = df.withColumn(
+        _SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partials = salted.groupBy(*group_cols, _SALT).agg(
+        *[
+            _ALGEBRAIC[fn][0](col).alias(alias)
+            for alias, (fn, col) in aggs.items()
+        ]
+    )
+    return partials.groupBy(*group_cols).agg(
+        *[
+            _ALGEBRAIC[fn][1](alias).alias(alias)
+            for alias, (fn, _) in aggs.items()
+        ]
+    )
