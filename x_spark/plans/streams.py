@@ -99,7 +99,7 @@ GROUP BY user_id
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = chunked_events_dir(spark, sf_dir, n_chunks=4)
     stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
-    emitted = run_to_memory(stateful_user_stats(stream), "append")
+    emitted = run_to_memory(stateful_user_stats(stream), "append", shuffle_partitions=8)
     return rollup_final_user_stats(emitted)
 
 

@@ -70,19 +70,36 @@ def read_events_stream(
     return stream
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into
-    a memory sink; return the materialized result table."""
-    name = f"xs_mem_{next(_MEM_COUNTER)}_{os.getpid()}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    a memory sink; return the materialized result table.
+
+    ``shuffle_partitions`` temporarily overrides the session setting
+    for this query: the state store keeps one store per shuffle
+    partition per batch, so stateful queries over modest key counts
+    run much faster with fewer partitions (size to |keys| at scale).
+    """
     spark = stream_df.sparkSession
+    name = f"xs_mem_{next(_MEM_COUNTER)}_{os.getpid()}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -204,15 +221,24 @@ def rollup_final_user_stats(emitted: DataFrame) -> DataFrame:
     )
 
 
+_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+
+
 def chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Write the events table as ``n_chunks`` files under a temp dir so
-    file-per-trigger streaming genuinely runs multiple micro-batches."""
+    file-per-trigger streaming genuinely runs multiple micro-batches.
+    Memoized per (sf_dir, n_chunks) — the source data is immutable."""
+    key = (os.path.abspath(sf_dir), n_chunks)
+    cached = _CHUNK_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     from x_spark.session import load_table
 
     events = load_table(spark, sf_dir, "events")
     workdir = tempfile.mkdtemp(prefix="xs_stream_chunks_")
     src_dir = os.path.join(workdir, "src")
     events.repartition(n_chunks).write.mode("overwrite").parquet(src_dir)
+    _CHUNK_CACHE[key] = src_dir
     return src_dir
 
 
@@ -231,13 +257,8 @@ def streaming_upsert_totals(
     Delta table and foreachBatch issues MERGE INTO — same operator
     semantics (SURVEY §2.2 W4).
     """
-    from x_spark.session import load_table
-
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     workdir = tempfile.mkdtemp(prefix="xs_stream_upsert_")
-    src_dir = os.path.join(workdir, "src")
-    events.repartition(n_chunks).write.mode("overwrite").parquet(src_dir)
-
+    src_dir = chunked_events_dir(spark, sf_dir, n_chunks)
     stream = read_events_stream(spark, sf_dir, path=src_dir, max_files_per_trigger=1)
 
     state: dict[str, DataFrame] = {
