@@ -51,6 +51,32 @@ def test_cli_explain(job_yaml, capsys):
     assert "Physical Plan" in out
 
 
+def test_cli_recon(tmp_path, spark, capsys):
+    spark.sql("DROP TABLE IF EXISTS recon_a")
+    spark.sql("CREATE TABLE recon_a (g STRING, v DOUBLE) USING parquet")
+    spark.sql("INSERT INTO recon_a VALUES ('x', 1.0), ('x', 2.0), ('y', 5.0)")
+    p = tmp_path / "recon.yaml"
+    p.write_text(
+        """version: 0
+group_by: [g]
+data:
+  - name: left
+    datasource: parquet
+    query: select * from recon_a
+    metrics:
+      - sum_v: sum(v)
+  - name: right
+    datasource: parquet
+    query: select * from recon_a
+    metrics:
+      - sum_v: sum(v)
+"""
+    )
+    assert main(["recon", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "match_sum_v" in out and "true" in out
+
+
 def test_cli_dry_run_merge_sql(tmp_path, spark):
     p = tmp_path / "upsert.yaml"
     p.write_text(

@@ -133,3 +133,49 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_sig", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 10_000) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    timestamp (0, every_ms, ... < duration) — a row-EXPANDING
+    mapInPandas stage, the shape a real video pipeline needs (decode
+    once per input, emit many frames). The frame signature is the
+    deterministic stub for a decoded-frame tensor; a real codec slots
+    into the same loop. Batch size stays bounded because expansion is
+    per-payload duration, not per-batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "video":
+                    continue
+                payload = bytes(payload) if payload is not None else b""
+                duration_ms = DECODERS[modality](payload)["duration_ms"]
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    sig = hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "frame_sig": sig,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

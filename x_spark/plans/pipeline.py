@@ -19,7 +19,11 @@ from x_spark.functions import portable as P
 from x_spark.operators import dedup as D
 from x_spark.operators import similarity as S
 from x_spark.operators import text as X
-from x_spark.operators.multimodal import documents_as_media, extract_features
+from x_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    sample_frames,
+)
 from x_spark.session import load_table
 
 # Shared augmentation: whitespace/case-perturbed copies (same
@@ -418,7 +422,30 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: row-expanding mapInPandas (video -> one
+# row per sampled frame, 10s stride over the stub-decoded duration).
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_docs(spark, sf_dir))
+    return sample_frames(media, every_ms=10_000)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH vids AS (
+  SELECT doc_id, text, (octet_length(encode(text)) * 13) % 60000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 10000 AS BIGINT) AS ts_ms,
+       md5(text || '#' || CAST(i AS VARCHAR)) AS frame_sig
+FROM vids, LATERAL (SELECT unnest(range(0, CAST(ceil(duration_ms / 10000.0) AS BIGINT))) AS i)
+WHERE duration_ms > 0
+"""
+
+
 PIPELINE_QUERIES = {
+    "multimodal_frames": q_multimodal_frames,
     "text_statistics": q_text_statistics,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
@@ -433,6 +460,7 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLES = {
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
