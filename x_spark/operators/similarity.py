@@ -42,6 +42,68 @@ def cosine(a: str, b: str, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized-Python alternative to :func:`brute_force_topk`: the
+    query set is closed over (it is small — a broadcast by value), and
+    a ``mapInPandas`` stage scores each Arrow batch of the corpus as
+    ONE numpy matmul, emitting per-batch partial top-k; a final window
+    keeps the global top-k per query.
+
+    This is the documented pattern for when scoring genuinely needs
+    Python (learned rerankers, custom metrics): Arrow batches + matrix
+    ops, never per-row Python. For plain cosine the JVM expression
+    path (:func:`brute_force_topk`) is the default — see bench.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(it):
+        for pdf in it:
+            c_mat = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = np.round(q_mat @ c_mat.T, 6)  # (n_queries, batch)
+            n_keep = min(k, sims.shape[1])
+            cand_ids = pdf[id_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                # partial top-k under the SAME total order as the final
+                # window (score desc, cand_id asc) — rounding first so
+                # batch-boundary ties resolve identically
+                idx = np.lexsort((cand_ids, -sims[qi]))[:n_keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": cand_ids[idx],
+                            "cos_sim": sims[qi][idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    from pyspark.sql import Window as W
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id bigint, cand_id bigint, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

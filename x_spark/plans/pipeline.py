@@ -401,6 +401,18 @@ FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# ANN: the vectorized-Python path (Arrow batches -> numpy matmul with
+# per-batch partial top-k) — same semantics/oracle as the JVM
+# expression baseline; exists to document the "when Python is
+# unavoidable" pattern with measured numbers next to the default.
+def q_ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.cosine_topk_pandas(corpus, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload + typed metadata through an Arrow-batched
 # mapInPandas decode pipeline (deterministic stub decoder).
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +458,7 @@ WHERE duration_ms > 0
 
 PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
+    "ann_topk_pandas": q_ann_topk_pandas,
     "text_statistics": q_text_statistics,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
@@ -461,6 +474,7 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
