@@ -401,6 +401,75 @@ FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality filter -> deterministic hash
+# sample -> exact-dedup survivor selection -> per-language corpus
+# stats. The composition is ONE Catalyst plan — filters fuse into the
+# scan, the only shuffles are the dedup groupBy and the final agg.
+# Sampling is content-hash based (md5 of the fingerprint), so it is
+# reproducible across runs, engines, and cluster layouts — the
+# property a training-data pipeline needs (seeded rand() is not
+# stable across partitionings).
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from x_spark.functions.portable import hash32
+
+    docs = X.quality_score(X.add_fingerprint(_docs_aug_exact(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", "left"
+    )))
+    kept = docs.filter(F.col("quality") >= 0.5).filter(hash32("fp") % 10 < 8)
+    w = W.partitionBy("fp").orderBy(F.asc("doc_id"))
+    survivors = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return survivors.groupBy(F.coalesce("lang", F.lit("unknown")).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count("text", F.lit(r"\S+")).cast("bigint")).alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+ORACLE_CURATION_PIPELINE = r"""
+WITH docs_aug AS (
+  SELECT d.doc_id, d.text, o.lang
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, concat(' ', upper(text), '  ') FROM documents WHERE doc_id % 7 = 0) d
+  LEFT JOIN (SELECT doc_id, lang FROM documents) o USING (doc_id)
+), feat AS (
+  SELECT doc_id, text, lang,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_extract_all(text, '\s')) AS BIGINT) AS token_chars,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS BIGINT) AS punct,
+         CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) AS stop_hits
+  FROM docs_aug
+), scored AS (
+  SELECT doc_id, text, lang, fp, n_tokens,
+         0.4 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) / 0.3, 1.0)
+         + 0.2 * greatest(1.0 - 2 * (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END), 0.0)
+         + 0.1 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN token_chars / n_tokens ELSE 0.0 END)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS quality
+  FROM feat
+), kept AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.5
+    AND cast(concat('0x', substr(md5(fp),1,8)) as bigint) % 10 < 8
+), survivors AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+)
+SELECT coalesce(lang, 'unknown') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM survivors WHERE rn = 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN: the vectorized-Python path (Arrow batches -> numpy matmul with
 # per-batch partial top-k) — same semantics/oracle as the JVM
 # expression baseline; exists to document the "when Python is
@@ -459,6 +528,7 @@ WHERE duration_ms > 0
 PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "ann_topk_pandas": q_ann_topk_pandas,
+    "curation_pipeline": q_curation_pipeline,
     "text_statistics": q_text_statistics,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
@@ -475,6 +545,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
