@@ -64,6 +64,53 @@ def test_compact_reduces_files(spark, tmp_path):
     assert df.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
 
 
+def test_partition_by_creates_pruned_layout(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS part_src")
+    spark.sql("CREATE TABLE part_src (k INT, day STRING) USING parquet")
+    spark.sql("INSERT INTO part_src VALUES (1,'a'),(2,'b'),(3,'a'),(4,'c')")
+    target = str(tmp_path / "by_day")
+    job = init_etl_job(
+        {
+            "version": 0,
+            "source": {"datasource": "parquet", "table": "part_src"},
+            "target": {
+                "datasource": "parquet",
+                "path": target,
+                "operation": "append",
+                "partition_by": ["day"],
+            },
+        },
+        spark=spark,
+    )
+    job.run()
+    files = spark.read.parquet(target).inputFiles()
+    assert files and all("/day=" in f for f in files)
+    plan = (
+        spark.read.parquet(target)
+        .filter(F.col("day") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # second append must respect the existing layout
+    job2 = init_etl_job(
+        {
+            "version": 0,
+            "source": {"datasource": "parquet", "query": "select 9 as k, 'a' as day"},
+            "target": {
+                "datasource": "parquet",
+                "path": target,
+                "operation": "append",
+                "partition_by": ["day"],
+            },
+        },
+        spark=spark,
+    )
+    job2.run()
+    assert spark.read.parquet(target).filter("day = 'a'").count() == 3
+
+
 def test_scd2_noop_change_keeps_row_open(spark):
     from x_spark.operators.scd import scd2_apply
 

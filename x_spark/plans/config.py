@@ -65,6 +65,9 @@ class EndpointConfig:
     primary_key_column: list[str] = field(default_factory=list)
     update_column: list[str] = field(default_factory=list)
     where_statement_on_table: str = "1=1"
+    # layout for tables the job creates (ignored for existing targets,
+    # whose layout is authoritative): hive partitioning for pruning
+    partition_by: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, raw: dict, side: str) -> "EndpointConfig":
@@ -74,7 +77,7 @@ class EndpointConfig:
             raise JobConfigException(f"unknown {side} config keys: {sorted(unknown)}")
         kwargs = dict(raw)
         kwargs.setdefault("datasource", "delta")
-        for list_key in ("primary_key_column", "update_column"):
+        for list_key in ("primary_key_column", "update_column", "partition_by"):
             if list_key in kwargs and isinstance(kwargs[list_key], str):
                 kwargs[list_key] = [kwargs[list_key]]
         return cls(**kwargs)

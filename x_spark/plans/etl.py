@@ -115,7 +115,12 @@ class BaseETLJob:
 
     def target_ref(self) -> TableRef:
         tgt = self.config.target
-        return TableRef(table=tgt.table, path=tgt.path, options=tgt.options)
+        return TableRef(
+            table=tgt.table,
+            path=tgt.path,
+            options=tgt.options,
+            partition_by=list(tgt.partition_by),
+        )
 
     def _target_sql_name(self) -> str:
         tgt = self.config.target

@@ -51,6 +51,8 @@ class TableRef:
     table: str | None = None
     path: str | None = None
     options: dict[str, str] = field(default_factory=dict)
+    # layout when the write CREATES the relation (existing layouts win)
+    partition_by: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if (self.table is None) == (self.path is None):

@@ -44,7 +44,17 @@ class ParquetCatalogDataSource(BaseDataSource):
     # -- writes --------------------------------------------------------
     def append(self, df: DataFrame, ref: TableRef) -> None:
         if ref.is_path:
-            df.write.format(self.format_name).options(**ref.options).mode("append").save(ref.path)
+            writer = df.write.format(self.format_name).options(**ref.options).mode("append")
+            # an existing layout is authoritative; partition_by only
+            # shapes relations this write creates
+            part_cols = (
+                self._path_partition_columns(ref.path)
+                if self._path_exists(ref.path)
+                else list(ref.partition_by)
+            )
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.save(ref.path)
             return
         if self.spark.catalog.tableExists(ref.table):
             # By-name resolution against the existing schema (missing
@@ -54,9 +64,10 @@ class ParquetCatalogDataSource(BaseDataSource):
             df = df.select(*target_cols)
             df.write.format(self.format_name).mode("append").insertInto(ref.table)
         else:
-            df.write.format(self.format_name).options(**ref.options).mode("append").saveAsTable(
-                ref.table
-            )
+            writer = df.write.format(self.format_name).options(**ref.options).mode("append")
+            if ref.partition_by:
+                writer = writer.partitionBy(*ref.partition_by)
+            writer.saveAsTable(ref.table)
 
     def overwrite(self, df: DataFrame, ref: TableRef, replace_where: str | None = None) -> None:
         part_cols = self.partition_columns(ref) if self.table_exists(ref) else []
@@ -124,7 +135,14 @@ class ParquetCatalogDataSource(BaseDataSource):
         return [c.name for c in self.spark.catalog.listColumns(ref.table) if c.isPartition]
 
     # -- internals -----------------------------------------------------
+    def _path_exists(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _full_overwrite(self, df: DataFrame, ref: TableRef, part_cols: list[str]) -> None:
+        part_cols = part_cols or list(ref.partition_by)
         if ref.is_path:
             writer = df.write.format(self.format_name).options(**ref.options).mode("overwrite")
             if part_cols:
