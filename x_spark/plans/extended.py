@@ -327,7 +327,34 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# F6 extension: JSON functions over the events props column —
+# extraction stays in the scan projection (whole-stage codegen), no
+# UDFs, aggregation exact on integers.
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 EXTENDED_QUERIES = {
+    "json_props_stats": q_json_props_stats,
     "asof_purchase_gap": q_asof_purchase_gap,
     "quantity_cube": q_quantity_cube,
     "quantity_percentiles": q_quantity_percentiles,
@@ -338,6 +365,7 @@ EXTENDED_QUERIES = {
 }
 
 EXTENDED_ORACLES = {
+    "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "scd2_customer": ORACLE_SCD2_CUSTOMER,
     "range_click_context": ORACLE_RANGE_CLICK_CONTEXT,
     "asof_purchase_gap": ORACLE_ASOF_PURCHASE_GAP,

@@ -47,6 +47,9 @@ class FileDataSource(BaseDataSource):
     def truncate(self, ref: TableRef) -> None:
         raise DataSourceException("FileDataSource does not support truncate")
 
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        raise DataSourceException("FileDataSource does not support delete; use parquet/delta")
+
     def partition_columns(self, ref: TableRef) -> list[str]:
         return []
 
