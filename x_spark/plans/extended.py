@@ -353,7 +353,130 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A6/F6: ordered array aggregation — collect_list is order-dependent,
+# so sort_array makes it deterministic and cross-engine comparable.
+def q_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            # serialized rather than array-typed: array columns
+            # stringify differently across pandas/numpy paths, which
+            # breaks naive value-hash comparison
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_NATION_SUPPLIER_ROSTER = """
+SELECT n_name,
+       array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6: scalar string/date function battery in one scan projection.
+def q_scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+        F.concat_ws("-", F.lit("ord"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.length(F.trim(F.col("o_orderpriority"))).cast("bigint").alias("prio_len"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        # DATE results surface as timestamps so the pandas-level compare
+        # is type-stable (pandas has no date dtype)
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_1999"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("non_open_status"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_label"),
+    )
+
+
+ORACLE_SCALAR_FUNCTION_BATTERY = """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+       concat('ord', '-', CAST(o_orderkey AS VARCHAR)) AS tag,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+       CAST(length(trim(o_orderpriority)) AS BIGINT) AS prio_len,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+       nullif(o_orderstatus, 'O') AS non_open_status,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 flavor: correlated EXISTS / NOT EXISTS self-joins on
+# lineitem — Catalyst decorrelates into semi/anti joins; the suppliers
+# whose lineitems arrived late on multi-supplier orders where every
+# OTHER supplier delivered on time.
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("xq21_lineitem")
+    sup.createOrReplaceTempView("xq21_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM xq21_supplier, xq21_lineitem l1
+        WHERE s_suppkey = l1.l_suppkey
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM xq21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM xq21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+ORACLE_BLAMED_SUPPLIERS = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1
+WHERE s_suppkey = l1.l_suppkey
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
 EXTENDED_QUERIES = {
+    "nation_supplier_roster": q_nation_supplier_roster,
+    "scalar_function_battery": q_scalar_function_battery,
+    "blamed_suppliers": q_blamed_suppliers,
     "json_props_stats": q_json_props_stats,
     "asof_purchase_gap": q_asof_purchase_gap,
     "quantity_cube": q_quantity_cube,
@@ -366,6 +489,9 @@ EXTENDED_QUERIES = {
 
 EXTENDED_ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
+    "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,
+    "scalar_function_battery": ORACLE_SCALAR_FUNCTION_BATTERY,
+    "blamed_suppliers": ORACLE_BLAMED_SUPPLIERS,
     "scd2_customer": ORACLE_SCD2_CUSTOMER,
     "range_click_context": ORACLE_RANGE_CLICK_CONTEXT,
     "asof_purchase_gap": ORACLE_ASOF_PURCHASE_GAP,
