@@ -73,6 +73,20 @@ def test_disjoint_groups_full_outer(spark):
     assert rows[2]["match_s"] is False
 
 
+def test_pairwise_compare_three_sources(spark):
+    cfg = recon_config(3)
+    cfg["compare"] = "pairwise"
+    cfg["data"][2]["query"] = "SELECT 1 AS C1, cast(9.0 as double) AS C2"
+    out = init_recon_job(cfg, spark=spark).run()
+    row = out.collect()[0].asDict()
+    # source2 matches the baseline, source3 does not
+    assert row["match_source2_avg_c2"] is True
+    assert row["match_source3_avg_c2"] is False
+    assert row["delta_source3_avg_c2"] == 7.0
+    # baseline itself has no compare columns
+    assert "match_source1_avg_c2" not in row
+
+
 def test_param_templating(tmp_path, spark):
     yml = tmp_path / "recon.yml"
     yml.write_text(

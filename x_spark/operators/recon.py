@@ -65,6 +65,9 @@ class ReconJob:
                 raise JobConfigException(f"recon config missing required key {key!r}")
         self.spark = spark
         self.group_by: list[str] = list(config["group_by"])
+        # 'two_source' (reference parity: compare only with exactly 2
+        # sources) or 'pairwise' (extension: N sources vs the first)
+        self.compare_mode: str = str(config.get("compare", "two_source")).lower()
         self.sources: dict[str, dict] = {}
         # Normalize: default names source_<i> (recon.py:62-66), metrics
         # list-of-single-pair-dicts -> one dict (recon.py:75-81).
@@ -115,6 +118,40 @@ class ReconJob:
                 agg = agg.withColumnRenamed(metric, f"{name}_{metric}")
             renamed.append(agg)
         joined = reduce(lambda a, b: a.join(b, on=self.group_by, how="full"), renamed)
+
+        if self.compare_mode == "pairwise" and len(self.sources) > 2:
+            # Extension beyond the reference's 2-source gate
+            # (recon/recon.py:149): every non-baseline source compared
+            # against the FIRST source, columns suffixed per source.
+            names = list(self.sources)
+            base, others = names[0], names[1:]
+            base_dtypes = dict(self.agg[base].dtypes)
+            for other in others:
+                for metric in self.metric_names:
+                    if (
+                        metric not in self.sources[base]["metrics"]
+                        or metric not in self.sources[other]["metrics"]
+                    ):
+                        continue
+                    c1 = F.col(f"{base}_{metric}")
+                    c2 = F.col(f"{other}_{metric}")
+                    dtype = base_dtypes.get(metric, "")
+                    if dtype.startswith(NUMERIC_DTYPES):
+                        joined = joined.withColumn(
+                            f"delta_{other}_{metric}", F.abs(c1 - c2)
+                        )
+                    if dtype.startswith(FLOAT_DTYPES):
+                        joined = joined.withColumn(
+                            f"match_{other}_{metric}", relative_match(c1, c2)
+                        )
+                    else:
+                        joined = joined.withColumn(
+                            f"match_{other}_{metric}",
+                            F.when(c1.isNull() & c2.isNull(), F.lit(True)).otherwise(
+                                c1.eqNullSafe(c2)
+                            ),
+                        )
+            return joined
 
         if len(self.sources) == 2:
             (n1, s1), (n2, s2) = self.sources.items()
