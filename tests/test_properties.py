@@ -112,6 +112,52 @@ def test_asof_join_matches_model(spark, case):
     assert got == sorted(expect)
 
 
+@st.composite
+def scd2_case(draw):
+    # open dim rows: unique keys with an attribute
+    dim = draw(st.lists(st.tuples(keys, vals), max_size=6, unique_by=lambda r: r[0]))
+    changes = draw(st.lists(st.tuples(keys, vals), max_size=6, unique_by=lambda r: r[0]))
+    return dim, changes
+
+
+@SETTINGS
+@given(scd2_case())
+def test_scd2_matches_model(spark, case):
+    from x_spark.operators.scd import scd2_apply
+
+    dim_rows, change_rows = case
+    dim = spark.createDataFrame(
+        [(k, a, 100, None) for k, a in dim_rows] or [(None,) * 4],
+        "k int, attr int, valid_from int, valid_to int",
+    )
+    if not dim_rows:
+        dim = dim.limit(0)
+    changes = spark.createDataFrame(
+        [(k, a, 200) for k, a in change_rows] or [(None,) * 3],
+        "k int, attr int, ts int",
+    )
+    if not change_rows:
+        changes = changes.limit(0)
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in scd2_apply(dim, changes, ["k"], ["attr"]).collect()
+    )
+
+    ch = {k: a for k, a in change_rows}
+    expect = []
+    for k, a in dim_rows:
+        if k in ch and ch[k] != a:
+            expect.append((k, a, 100, 200))  # closed
+            expect.append((k, ch[k], 200, None))  # reopened
+        else:
+            expect.append((k, a, 100, None))  # kept
+    dim_keys = {k for k, _ in dim_rows}
+    for k, a in change_rows:
+        if k not in dim_keys:
+            expect.append((k, a, 200, None))  # new key
+    assert got == sorted(expect)
+
+
 @SETTINGS
 @given(
     st.lists(st.tuples(keys, tss), max_size=8),
