@@ -473,7 +473,86 @@ GROUP BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q11 flavor: value concentration — parts whose revenue exceeds
+# a fraction of TOTAL revenue (scalar subquery against the same agg;
+# the total is computed once and broadcast).
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_rev")
+    )
+    total = rev.agg(F.sum("part_rev").alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("t") * 0.0005)
+        .select("l_partkey", F.round("part_rev", 4).alias("part_rev"))
+    )
+
+
+ORACLE_PART_VALUE_CONCENTRATION = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(part_rev, 4) AS part_rev
+FROM rev
+WHERE part_rev > (SELECT sum(part_rev) FROM rev) * 0.0005
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 flavor: supplier diversity per (brand, size band),
+# excluding suppliers flagged by a NOT IN subquery (negative balance).
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy(
+            "p_brand",
+            # floor, not int-cast: Spark's double->int truncates while
+            # DuckDB's rounds — floor is unambiguous in both
+            F.floor(F.col("p_size").cast("double") / 10).cast("int").alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_DIVERSITY = """
+SELECT p_brand,
+       CAST(floor(CAST(p_size AS DOUBLE) / 10) AS INT) AS size_band,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: approximate distinct (HLL). The estimate is engine-specific, so
+# this is deliberately a rows-only entry (no oracle) — the honest
+# labeling for approximate operators; the exact variant is covered by
+# distinct_suppliers_parts.
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 EXTENDED_QUERIES = {
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_diversity": q_supplier_diversity,
+    "approx_distinct_users": q_approx_distinct_users,
     "nation_supplier_roster": q_nation_supplier_roster,
     "scalar_function_battery": q_scalar_function_battery,
     "blamed_suppliers": q_blamed_suppliers,
@@ -489,6 +568,10 @@ EXTENDED_QUERIES = {
 
 EXTENDED_ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
+    "part_value_concentration": ORACLE_PART_VALUE_CONCENTRATION,
+    "supplier_diversity": ORACLE_SUPPLIER_DIVERSITY,
+    # approx_distinct_users intentionally has NO oracle (HLL estimates
+    # are engine-specific) -> driver records the rows-only check
     "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,
     "scalar_function_battery": ORACLE_SCALAR_FUNCTION_BATTERY,
     "blamed_suppliers": ORACLE_BLAMED_SUPPLIERS,
