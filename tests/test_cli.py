@@ -77,6 +77,31 @@ data:
     assert "match_sum_v" in out and "true" in out
 
 
+def test_cli_sql_script(tmp_path, spark, capsys):
+    p = tmp_path / "script.sql"
+    p.write_text(
+        """
+DROP TABLE IF EXISTS sqlscript_t;
+CREATE TABLE sqlscript_t (k INT, note STRING) USING parquet;
+INSERT INTO sqlscript_t VALUES (1, 'semi;colon inside'), (${k}, 'two');
+SELECT count(*) AS n, max(k) AS mx FROM sqlscript_t
+"""
+    )
+    assert main(["sql", str(p), "--param", "k=7"]) == 0
+    out = capsys.readouterr().out
+    assert "2" in out and "7" in out
+    assert spark.table("sqlscript_t").count() == 2
+
+
+def test_cli_compact(tmp_path, spark, capsys):
+    path = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    assert main(["compact", f"path={path}", "--target-files", "1"]) == 0
+    assert "compacted to 1 file(s)" in capsys.readouterr().out
+    assert len(spark.read.parquet(path).inputFiles()) == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_cli_dry_run_merge_sql(tmp_path, spark):
     p = tmp_path / "upsert.yaml"
     p.write_text(

@@ -51,12 +51,44 @@ def build_parser() -> argparse.ArgumentParser:
     recon.add_argument("config")
     recon.add_argument("--param", action="append", metavar="NAME=VALUE")
     recon.add_argument("--limit", type=int, default=20, help="rows to display")
+
+    sql = sub.add_parser(
+        "sql", help="run a multi-statement SQL script (';'-separated)"
+    )
+    sql.add_argument("script", help="path to a .sql file")
+    sql.add_argument("--param", action="append", metavar="NAME=VALUE")
+    sql.add_argument("--limit", type=int, default=20, help="rows shown for the last statement")
+
+    comp = sub.add_parser("compact", help="compact a table/path's small files")
+    comp.add_argument("target", help="catalog table name or path=<dir>")
+    comp.add_argument("--datasource", default="parquet")
+    comp.add_argument("--target-files", type=int, default=None)
     return parser
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on ';' outside single/double-quoted strings."""
+    stmts, buf, quote = [], [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    params = parse_params(args.param)
+    params = parse_params(getattr(args, "param", None))
 
     if args.command == "run":
         from x_spark.plans.etl import init_etl_job
@@ -84,6 +116,38 @@ def main(argv: list[str] | None = None) -> int:
 
         result = init_recon_job(args.config, params).run()
         result.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "sql":
+        # The working version of the reference's multi-statement
+        # executor (wheel parent.py:129-157, commented out upstream):
+        # split on ';' outside quotes, run sequentially, show the last
+        # result.
+        from x_spark.plans.config import substitute_params
+        from x_spark.session import get_session
+
+        with open(args.script, "r", encoding="utf-8") as fh:
+            text = substitute_params(fh.read(), params)
+        spark = get_session()
+        result = None
+        for stmt in _split_statements(text):
+            result = spark.sql(stmt)
+        if result is not None:
+            result.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "compact":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource(args.datasource, get_session())
+        if args.target.startswith("path="):
+            ref = TableRef(path=args.target[len("path="):])
+        else:
+            ref = TableRef(table=args.target)
+        n = ds.compact(ref, args.target_files)
+        print(f"compacted to {n} file(s)")
         return 0
 
     return 2
