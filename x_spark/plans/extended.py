@@ -537,6 +537,69 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# F6/U: explode (lateral view) — classic word count with a
+# deterministic top-k (count desc, token asc).
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+ORACLE_TOKEN_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token FROM documents
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+)
+SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# WF1: RANGE window frame — rolling 7-day revenue per order day
+# (frame bounded by VALUE distance, not row count).
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    daily = daily.withColumn(
+        "day_num", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("bigint")
+    )
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 4).alias("rolling_7d_revenue"),
+        F.count("*").over(w).alias("days_in_window"),
+    )
+
+
+ORACLE_ROLLING_REVENUE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+         CAST(epoch_us(date_trunc('day', o_orderdate)) / 86400000000 AS BIGINT) AS day_num
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       round(sum(revenue) OVER w, 4) AS rolling_7d_revenue,
+       CAST(count(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A6: approximate distinct (HLL). The estimate is engine-specific, so
 # this is deliberately a rows-only entry (no oracle) — the honest
 # labeling for approximate operators; the exact variant is covered by
@@ -553,6 +616,8 @@ EXTENDED_QUERIES = {
     "part_value_concentration": q_part_value_concentration,
     "supplier_diversity": q_supplier_diversity,
     "approx_distinct_users": q_approx_distinct_users,
+    "token_topk": q_token_topk,
+    "rolling_revenue": q_rolling_revenue,
     "nation_supplier_roster": q_nation_supplier_roster,
     "scalar_function_battery": q_scalar_function_battery,
     "blamed_suppliers": q_blamed_suppliers,
@@ -570,6 +635,8 @@ EXTENDED_ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "part_value_concentration": ORACLE_PART_VALUE_CONCENTRATION,
     "supplier_diversity": ORACLE_SUPPLIER_DIVERSITY,
+    "token_topk": ORACLE_TOKEN_TOPK,
+    "rolling_revenue": ORACLE_ROLLING_REVENUE,
     # approx_distinct_users intentionally has NO oracle (HLL estimates
     # are engine-specific) -> driver records the rows-only check
     "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,

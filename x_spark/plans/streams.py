@@ -34,7 +34,7 @@ SESSION_GAP_US = 10 * 60 * 1_000_000
 
 def q_stream_tumbling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
-    return run_to_memory(tumbling_profile(stream), "complete")
+    return run_to_memory(tumbling_profile(stream), "complete", shuffle_partitions=8)
 
 
 ORACLE_STREAM_TUMBLING_PROFILE = """
@@ -49,7 +49,9 @@ GROUP BY 1, 2
 
 def q_stream_session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
-    return rollup_sessions(run_to_memory(session_profile(stream), "complete"))
+    return rollup_sessions(
+        run_to_memory(session_profile(stream), "complete", shuffle_partitions=8)
+    )
 
 
 # Spark session_window: windows [ts, ts+gap) merge while they overlap,

@@ -292,13 +292,20 @@ def streaming_upsert_totals(
         # state doesn't re-derive through every past batch)
         state["acc"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    # per-batch merge joins are tiny — size shuffle partitions to the
+    # key count for the duration of the stream
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     result = state["acc"].select(
         "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
     )
