@@ -1,0 +1,59 @@
+"""Iterative graph operators: connected components by min-label
+propagation — dedup candidate pairs -> duplicate CLUSTERS (the step
+after pairwise detection in a real dedup pipeline: pick one survivor
+per component, not per pair).
+
+Spark-first shape: the classic label-propagation loop. Each iteration
+is one join + one aggregation (both shuffle on node id); the driver
+only checks convergence (a limit-1 count, not data movement) and
+``localCheckpoint`` cuts lineage so plan depth stays O(1) rather than
+O(iterations). Iterations needed = graph diameter — near-dup clusters
+are small and star-shaped, so this converges in 2-3 rounds. At 100 TB
+the same loop runs with the edges bucketed by node; the
+alternating-star optimization (Kiveris et al., "Connected Components
+in MapReduce") slots in if diameters grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = min node id reachable (deterministic labeling)."""
+    e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges["b"] == labels["node"], "inner"
+        ).select(edges["a"].alias("node"), F.col("component"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

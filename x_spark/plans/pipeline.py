@@ -302,6 +302,41 @@ WHERE {inter} / {union} >= 0.5
 
 
 # ---------------------------------------------------------------------------
+# Duplicate CLUSTERS: connected components (iterative min-label
+# propagation) over the verified near-dup pairs — pairwise detection
+# -> transitive groups, the survivor-selection unit of a real dedup
+# pipeline. Oracle: recursive-CTE transitive closure.
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.graph import connected_components
+
+    pairs = D.ngram_jaccard_pairs(_docs_aug_near(spark, sf_dir), threshold=0.5)
+    labels = connected_components(pairs)
+    return labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+
+
+def _dup_components_oracle() -> str:
+    ngram = _ngram_oracle()
+    return f"""
+WITH RECURSIVE sp AS ({ngram}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs.
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -529,6 +564,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
+    "dup_components": q_dup_components,
     "text_statistics": q_text_statistics,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
@@ -546,6 +582,7 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "dup_components": _dup_components_oracle(),
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,

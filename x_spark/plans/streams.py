@@ -25,6 +25,7 @@ from x_spark.streaming.events import (
     run_to_memory,
     session_profile,
     stateful_user_stats,
+    stream_stream_click_purchase,
     streaming_upsert_totals,
     tumbling_profile,
 )
@@ -115,7 +116,27 @@ GROUP BY user_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        stream_stream_click_purchase(spark, sf_dir), "append", shuffle_partitions=8
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_sec
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+"""
+
+
 STREAM_QUERIES = {
+    "stream_stream_join": q_stream_stream_join,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_tumbling_profile": q_stream_tumbling_profile,
     "stream_session_profile": q_stream_session_profile,
@@ -123,6 +144,7 @@ STREAM_QUERIES = {
 }
 
 STREAM_ORACLES = {
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
     "stream_tumbling_profile": ORACLE_STREAM_TUMBLING_PROFILE,
     "stream_session_profile": ORACLE_STREAM_SESSION_PROFILE,

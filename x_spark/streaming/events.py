@@ -164,6 +164,59 @@ def rollup_sessions(sessions: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_click_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    window_sec: int = 1800,
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks in the preceding ``window_sec`` — the canonical
+    event-correlation shape.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both inputs, so Spark can evict join state once the
+    watermark passes (state is bounded by watermark horizon x input
+    rate, not stream length). Inner-join emission is
+    batching-independent — every qualifying pair is emitted exactly
+    once — so the batch range-join SQL is an exact oracle.
+    """
+    base = read_events_stream(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {window_sec} SECONDS "
+            "AND c_ts < p_ts"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000.0)).alias(
+            "gap_sec"
+        ),
+    )
+
+
 def stateful_user_stats(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value cents, max value) carried in explicit
