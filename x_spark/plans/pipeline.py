@@ -302,6 +302,46 @@ WHERE {inter} / {union} >= 0.5
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus splitting: per-language stratified sampling +
+# content-hash train/val/test assignment, summarized per (lang, split).
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    sampled = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25},
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+    split = hash_split(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+ORACLE_CORPUS_SPLITS = """
+WITH b AS (
+  SELECT lang, doc_id,
+         cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)),1,8)) as bigint) % 10000 AS bucket
+  FROM documents
+), sampled AS (
+  SELECT * FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
+                           WHEN 'fr' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
+), split AS (
+  -- ranges allocated in sorted(split name) order: test, train, val
+  SELECT lang,
+         CASE WHEN bucket < 1000 THEN 'test'
+              WHEN bucket < 9000 THEN 'train'
+              ELSE 'val' END AS split
+  FROM sampled
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM split GROUP BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
 # Duplicate CLUSTERS: connected components (iterative min-label
 # propagation) over the verified near-dup pairs — pairwise detection
 # -> transitive groups, the survivor-selection unit of a real dedup
@@ -565,6 +605,7 @@ PIPELINE_QUERIES = {
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
+    "corpus_splits": q_corpus_splits,
     "text_statistics": q_text_statistics,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
@@ -583,6 +624,7 @@ PIPELINE_ORACLES = {
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),
+    "corpus_splits": ORACLE_CORPUS_SPLITS,
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
