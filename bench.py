@@ -58,6 +58,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # isolate queries: drop persisted intermediates from prior
+        # queries so a 50+-query session doesn't degrade into storage
+        # eviction / GC pressure (measured 2-3x inflation without this)
+        spark.catalog.clearCache()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

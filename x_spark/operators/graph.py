@@ -27,33 +27,38 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = min node id reachable (deterministic labeling)."""
-    e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
-    )
-    for _ in range(max_iterations):
-        neighbor_labels = edges.join(
-            labels, edges["b"] == labels["node"], "inner"
-        ).select(edges["a"].alias("node"), F.col("component"))
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+    spark = pairs.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # candidate-pair graphs are tiny relative to the corpus; per-round
+    # jobs are scheduler-bound, so size the shuffles down
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+        edges = (
+            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        labels = edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("component")
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        prev_sum = None
+        for _ in range(max_iterations):
+            neighbor_labels = edges.join(
+                labels, edges["b"] == labels["node"], "inner"
+            ).select(edges["a"].alias("node"), F.col("component"))
+            labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            # labels only ever decrease, so an unchanged sum IS the
+            # fixpoint — one scalar agg per round, no compare join
+            cur_sum = labels.agg(F.sum("component")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
