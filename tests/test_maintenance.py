@@ -64,6 +64,44 @@ def test_compact_reduces_files(spark, tmp_path):
     assert df.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
 
 
+def test_merge_extra_predicate_narrows_and_inserts(spark):
+    """where_statement_on_table joins into the MERGE condition
+    (etl/update_and_upsert.py:18-24): a target row matching the PK but
+    failing the predicate is NOT matched — the update skips it, and an
+    upsert (Delta semantics) treats the source row as not-matched and
+    INSERTS it."""
+    spark.sql("DROP TABLE IF EXISTS mp_tgt")
+    spark.sql("CREATE TABLE mp_tgt (pk INT, c INT, guard INT) USING parquet")
+    spark.sql("INSERT INTO mp_tgt VALUES (1, 10, 1), (2, 20, 0)")
+    base = {
+        "version": 0,
+        "source": {
+            "datasource": "parquet",
+            "query": "SELECT 1 AS pk, 99 AS c UNION ALL SELECT 2, 88",
+        },
+        "target": {
+            "datasource": "parquet",
+            "table": "mp_tgt",
+            "operation": "update",
+            "primary_key_column": ["pk"],
+            "update_column": ["c"],
+            "where_statement_on_table": "guard = 1",
+        },
+    }
+    init_etl_job(dict(base), spark=spark).run()
+    rows = {r.pk: (r.c, r.guard) for r in spark.table("mp_tgt").collect()}
+    assert rows[1] == (99, 1)  # matched: pk + guard=1
+    assert rows[2] == (20, 0)  # pk matched but guard=0 -> untouched
+
+    upsert_cfg = dict(base)
+    upsert_cfg["target"] = dict(base["target"], operation="upsert")
+    init_etl_job(upsert_cfg, spark=spark).run()
+    rows = sorted((r.pk, r.c, r.guard) for r in spark.table("mp_tgt").collect())
+    # pk=2 source row is NOT matched under the full condition -> inserted
+    # with NULL guard (Delta parity); original pk=2 row untouched
+    assert rows == [(1, 99, 1), (2, 20, 0), (2, 88, None)]
+
+
 def test_partition_by_creates_pruned_layout(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS part_src")
     spark.sql("CREATE TABLE part_src (k INT, day STRING) USING parquet")
