@@ -2,10 +2,14 @@
 
 ``entry(spark)`` — flagship query (pricing summary aggregation battery)
 on sf0.001.
-``queries()`` — every implemented operator from SURVEY.md §2 plus the
-LLM-data-pipeline extensions, as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL per query (omitted only for
-non-SQL-expressible ops, which get rows-only checks).
+``queries()`` — 56 queries covering every implemented operator from
+SURVEY.md §2 plus the LLM-data-pipeline extensions (dedup families,
+ANN, text analysis, multimodal, streaming incl. stream-stream join and
+stateful ops, temporal joins, SCD2, sampling, graph components), as
+(spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — matching DuckDB SQL per query. Sole intentional
+omission: approx_distinct_users (HLL estimates are engine-specific),
+which takes the rows-only check.
 """
 
 from __future__ import annotations

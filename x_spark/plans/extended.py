@@ -600,6 +600,43 @@ WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 
 
 # ---------------------------------------------------------------------------
+# WF1: ranking functions — ntile buckets + percent_rank/cume_dist per
+# market segment (deterministic: acctbal ties broken by custkey).
+def q_customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    tiles = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return tiles.groupBy("c_mktsegment", "tile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+        F.round(F.max("cume"), 6).alias("max_cume"),
+    )
+
+
+ORACLE_CUSTOMER_VALUE_TILES = """
+WITH tiles AS (
+  SELECT c_mktsegment,
+         ntile(4) OVER w AS tile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT c_mktsegment, CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(pct_rank), 6) AS min_pct_rank,
+       round(max(cume), 6) AS max_cume
+FROM tiles GROUP BY c_mktsegment, tile
+"""
+
+
+# ---------------------------------------------------------------------------
 # A6: approximate distinct (HLL). The estimate is engine-specific, so
 # this is deliberately a rows-only entry (no oracle) — the honest
 # labeling for approximate operators; the exact variant is covered by
@@ -618,6 +655,7 @@ EXTENDED_QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "token_topk": q_token_topk,
     "rolling_revenue": q_rolling_revenue,
+    "customer_value_tiles": q_customer_value_tiles,
     "nation_supplier_roster": q_nation_supplier_roster,
     "scalar_function_battery": q_scalar_function_battery,
     "blamed_suppliers": q_blamed_suppliers,
@@ -637,6 +675,7 @@ EXTENDED_ORACLES = {
     "supplier_diversity": ORACLE_SUPPLIER_DIVERSITY,
     "token_topk": ORACLE_TOKEN_TOPK,
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
+    "customer_value_tiles": ORACLE_CUSTOMER_VALUE_TILES,
     # approx_distinct_users intentionally has NO oracle (HLL estimates
     # are engine-specific) -> driver records the rows-only check
     "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,
