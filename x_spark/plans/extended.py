@@ -600,6 +600,56 @@ WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q8 flavor: market share — a 5-way join with conditional
+# aggregation (share = conditional sum / total sum per group). Dims
+# broadcast; the single fact shuffle carries the groupBy.
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("r_name", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "BRAZIL", rev).otherwise(F.lit(0).cast("decimal(30,6)")))
+                / F.sum(rev)
+            ).cast("double").alias("brazil_share"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .withColumn("brazil_share", F.round("brazil_share", 6))
+        .withColumn("total_rev", F.round("total_rev", 4))
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT r_name,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       round(CAST(sum(CASE WHEN n_name = 'BRAZIL'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                           ELSE CAST(0 AS DECIMAL(30,6)) END)
+                  / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS brazil_share,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS total_rev
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
 # WF1: ranking functions — ntile buckets + percent_rank/cume_dist per
 # market segment (deterministic: acctbal ties broken by custkey).
 def q_customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +706,7 @@ EXTENDED_QUERIES = {
     "token_topk": q_token_topk,
     "rolling_revenue": q_rolling_revenue,
     "customer_value_tiles": q_customer_value_tiles,
+    "market_share": q_market_share,
     "nation_supplier_roster": q_nation_supplier_roster,
     "scalar_function_battery": q_scalar_function_battery,
     "blamed_suppliers": q_blamed_suppliers,
@@ -676,6 +727,7 @@ EXTENDED_ORACLES = {
     "token_topk": ORACLE_TOKEN_TOPK,
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
     "customer_value_tiles": ORACLE_CUSTOMER_VALUE_TILES,
+    "market_share": ORACLE_MARKET_SHARE,
     # approx_distinct_users intentionally has NO oracle (HLL estimates
     # are engine-specific) -> driver records the rows-only check
     "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,
