@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship query (pricing summary aggregation battery)
 on sf0.001.
-``queries()`` — 56 queries covering every implemented operator from
+``queries()`` — 57 queries covering every implemented operator from
 SURVEY.md §2 plus the LLM-data-pipeline extensions (dedup families,
 ANN, text analysis, multimodal, streaming incl. stream-stream join and
 stateful ops, temporal joins, SCD2, sampling, graph components), as
