@@ -52,6 +52,30 @@ def test_partition_pruning(spark, tmp_path):
     assert pruned.count() == 100
 
 
+def test_no_fact_table_broadcast_hints(spark, sf_dir):
+    """Fact-scaled tables (customer/orders/lineitem/part/supplier grow
+    with SF) must never carry an explicit broadcast hint — the hint
+    overrides Catalyst's size check and OOMs executors at 100x SF.
+    With autoBroadcastJoinThreshold=-1 and AQE off, every
+    BroadcastExchange in the plan comes from an explicit hint, so the
+    count equals the number of hinted dims."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["market_share"](spark, sf_dir))
+        # exactly nation + region are hinted; customer joins shuffle-side
+        assert plan.count("BroadcastExchange") == 2
+        # hinted-broadcast budget per query == its dim-hint count
+        for name, hinted_dims in (("top_customers", 1), ("local_supplier_volume", 2)):
+            p = _plan(QUERIES[name](spark, sf_dir))
+            assert p.count("BroadcastExchange") <= hinted_dims, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 def test_salted_agg_matches_plain(spark):
     from x_spark.operators.skew import salted_agg
 

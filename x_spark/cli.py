@@ -67,23 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _split_statements(text: str) -> list[str]:
-    """Split on ';' outside single/double-quoted strings."""
-    stmts, buf, quote = [], [], None
-    for ch in text:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
-            buf.append(ch)
-        elif ch == ";":
-            stmts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    stmts.append("".join(buf))
-    return [s.strip() for s in stmts if s.strip()]
+    """Comment- and quote-aware ';' split (shared with lifecycle
+    script hooks — see sources/base.py:split_sql_statements)."""
+    from x_spark.sources.base import split_sql_statements
+
+    return split_sql_statements(text)
 
 
 def main(argv: list[str] | None = None) -> int:

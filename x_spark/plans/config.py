@@ -59,6 +59,9 @@ class EndpointConfig:
     path: str | None = None
     pre_sql: str | None = None
     post_sql: str | None = None
+    # opt-in: treat pre_sql/post_sql as ';'-separated scripts instead of
+    # one atomic statement (the reference only ever ran atomic hooks)
+    sql_scripts: bool = False
     options: dict[str, str] = field(default_factory=dict)
     # target-only:
     operation: str | None = None

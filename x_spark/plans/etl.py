@@ -72,10 +72,18 @@ class BaseETLJob:
         self.step_07_target_post_sql()
         self.step_08_clean()
 
+    def _run_hook(self, datasource, endpoint, sql: str) -> None:
+        """Lifecycle hook execution: atomic by default; ';'-separated
+        scripts when the endpoint opts in with ``sql_scripts: true``."""
+        if endpoint.sql_scripts:
+            datasource.sql_script(sql)
+        else:
+            datasource.sql(sql)
+
     def step_01_source_pre_sql(self) -> None:
         src = self.config.source
         if src is not None and src.pre_sql:
-            self.from_datasource.sql(src.pre_sql)
+            self._run_hook(self.from_datasource, src, src.pre_sql)
 
     def step_03_create_source_view(self) -> None:
         src = self.config.source
@@ -90,20 +98,20 @@ class BaseETLJob:
     def step_04_source_post_sql(self) -> None:
         src = self.config.source
         if src is not None and src.post_sql:
-            self.from_datasource.sql(src.post_sql)
+            self._run_hook(self.from_datasource, src, src.post_sql)
 
     def step_05_target_pre_sql(self) -> None:
         # Routed to the TARGET datasource (fixes etl/parent.py:181 which
         # ran it on the source side, SURVEY §8.4).
         if self.config.target.pre_sql:
-            self.to_datasource.sql(self.config.target.pre_sql)
+            self._run_hook(self.to_datasource, self.config.target, self.config.target.pre_sql)
 
     def step_06_operate(self) -> None:
         raise NotImplementedError
 
     def step_07_target_post_sql(self) -> None:
         if self.config.target.post_sql:
-            self.to_datasource.sql(self.config.target.post_sql)
+            self._run_hook(self.to_datasource, self.config.target, self.config.target.post_sql)
 
     def step_08_clean(self) -> None:
         if self.config.source is not None:
@@ -135,10 +143,19 @@ class BaseETLJob:
         ``generate_full_sql`` API, SURVEY §3.3/§8.11). MERGE is
         rendered as the ANSI statement Delta would run."""
         cfg = self.config
+
+        def hook(endpoint, sql: str | None) -> list[str]:
+            if not sql:
+                return []
+            if endpoint.sql_scripts:
+                from x_spark.sources.base import split_sql_statements
+
+                return split_sql_statements(sql)
+            return [sql]
+
         stmts: list[str] = []
         if cfg.source is not None:
-            if cfg.source.pre_sql:
-                stmts.append(cfg.source.pre_sql)
+            stmts.extend(hook(cfg.source, cfg.source.pre_sql))
             if cfg.source.path is not None and cfg.source.query is None:
                 stmts.append(
                     f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS "
@@ -148,13 +165,10 @@ class BaseETLJob:
                 stmts.append(
                     f"CREATE OR REPLACE TEMPORARY VIEW {SOURCE_VIEW} AS {cfg.source_query}"
                 )
-            if cfg.source.post_sql:
-                stmts.append(cfg.source.post_sql)
-        if cfg.target.pre_sql:
-            stmts.append(cfg.target.pre_sql)
+            stmts.extend(hook(cfg.source, cfg.source.post_sql))
+        stmts.extend(hook(cfg.target, cfg.target.pre_sql))
         stmts.append(self.operation_sql())
-        if cfg.target.post_sql:
-            stmts.append(cfg.target.post_sql)
+        stmts.extend(hook(cfg.target, cfg.target.post_sql))
         return stmts
 
 
@@ -194,14 +208,16 @@ class OverwriteETLJob(BaseETLJob):
     def replace_where_predicate(self) -> str:
         """Reference-style replaceWhere string from the source's distinct
         partition tuples (etl/overwrite.py:20-36); '1=1' when the target
-        is unpartitioned."""
+        is unpartitioned. Literals are typed and quote-escaped and NULL
+        partition values render as IS NULL — the reference interpolated
+        raw f-strings (SURVEY §7 hard-item 3)."""
+        from x_spark.sources.base import partition_tuple_clause
+
         part_cols = self.to_datasource.partition_columns(self.target_ref())
         if not part_cols:
             return "1=1"
         tuples = self.source_df().select(*part_cols).distinct().collect()
-        clauses = [
-            "(" + " AND ".join(f"{c} = '{row[c]}'" for c in part_cols) + ")" for row in tuples
-        ]
+        clauses = [partition_tuple_clause(row, part_cols) for row in tuples]
         return " OR ".join(clauses) if clauses else "1=0"
 
     def operation_sql(self) -> str:

@@ -610,9 +610,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    # customer is fact-scaled (150k rows x SF) — no broadcast hint; AQE
+    # decides from runtime size. nation/region are fixed 25/5-row dims:
+    # always broadcast.
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))

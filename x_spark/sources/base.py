@@ -9,10 +9,112 @@ introspection is the robust Spark-native replacement).
 
 from __future__ import annotations
 
+import datetime
+import decimal
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def sql_literal(value) -> str:
+    """Render a Python value as a typed ANSI SQL literal.
+
+    Strings are quote-escaped by doubling (`O'Brien` -> `'O''Brien'`),
+    numerics/booleans render bare, date/datetime use DATE/TIMESTAMP
+    keyword literals. Never interpolate raw values into predicates —
+    the reference relied on implicit string->type casts
+    (etl/overwrite.py:26, SURVEY §7 hard-item 3) and breaks on quotes.
+    """
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float, decimal.Decimal)):
+        return str(value)
+    if isinstance(value, datetime.datetime):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    if isinstance(value, datetime.date):
+        return f"DATE '{value.isoformat()}'"
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"
+
+
+def split_sql_statements(text: str) -> list[str]:
+    """Split a SQL script on ';' outside quoted strings and comments.
+
+    Skips ``--`` line comments and ``/* ... */`` block comments, and
+    handles doubled (``''``) and backslash-escaped quotes inside
+    strings; comment-only fragments are dropped. The working version of
+    the reference wheel's commented-out multi-statement executor
+    (parent.py:129-157)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                buf.append(text[i : i + 2])
+                i += 2
+                continue
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:  # doubled quote: literal
+                    buf.append(quote)
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j == -1 else j
+            buf.append(text[i:j])
+            i = j
+            continue
+        if text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip() and not _comment_only(s)]
+
+
+def _comment_only(stmt: str) -> bool:
+    """True when a fragment holds nothing but comments/whitespace (e.g.
+    a trailing ``-- done`` after the last ';')."""
+    import re
+
+    stripped = re.sub(r"/\*.*?\*/", "", stmt, flags=re.S)
+    stripped = re.sub(r"--[^\n]*", "", stripped)
+    return not stripped.strip()
+
+
+def partition_tuple_clause(row, part_cols: list[str]) -> str:
+    """One `(c1 = lit AND c2 IS NULL ...)` conjunct for a partition
+    tuple; NULL partition values render as IS NULL (NULL = NULL would
+    never match)."""
+    terms = [
+        f"{c} IS NULL" if row[c] is None else f"{c} = {sql_literal(row[c])}"
+        for c in part_cols
+    ]
+    return "(" + " AND ".join(terms) + ")"
 
 
 @dataclass(frozen=True)
@@ -81,6 +183,17 @@ class BaseDataSource(ABC):
         if ";" in query.rstrip().rstrip(";"):
             raise ValueError("sql() accepts a single atomic statement (no ';')")
         return self.spark.sql(query)
+
+    def sql_script(self, script: str) -> DataFrame | None:
+        """Run a ';'-separated SQL script sequentially; returns the last
+        statement's DataFrame (None for an empty script). Opt-in for
+        lifecycle hooks via the endpoint's ``sql_scripts: true`` config
+        flag — the default hook contract stays atomic, matching the
+        reference (datasource/delta.py:30-41)."""
+        result: DataFrame | None = None
+        for stmt in split_sql_statements(script):
+            result = self.spark.sql(stmt)
+        return result
 
     @abstractmethod
     def read(self, ref: TableRef) -> DataFrame:

@@ -26,6 +26,7 @@ dispatches to the real MERGE instead.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -70,23 +71,36 @@ class ParquetCatalogDataSource(BaseDataSource):
             writer.saveAsTable(ref.table)
 
     def overwrite(self, df: DataFrame, ref: TableRef, replace_where: str | None = None) -> None:
+        """Full overwrite, or Delta replaceWhere semantics when an
+        explicit predicate is given:
+
+        - source rows violating the predicate abort the write (Delta
+          rejects them; silently overwriting their partitions would
+          diverge),
+        - target rows where the predicate is TRUE are replaced; FALSE
+          *or NULL* survive (mirrors ``delete()`` — ``~NULL`` is NULL
+          and would silently drop NULL-valued rows otherwise).
+
+        Callers that want "replace the partitions present in df" use
+        ``overwrite_dynamic`` — that path needs no target read at all.
+        """
         part_cols = self.partition_columns(ref) if self.table_exists(ref) else []
         if replace_where in (None, "", "1=1") or not self.table_exists(ref):
             self._full_overwrite(df, ref, part_cols)
             return
-        if part_cols:
-            # Partition-scoped: Spark dynamic partition overwrite replaces
-            # exactly the partitions present in df — the same observable
-            # result as Delta replaceWhere with a source-derived partition
-            # predicate (reference golden: untouched partitions survive,
-            # FIXTURES.md §2 overwrite block).
-            self._dynamic_partition_overwrite(df, ref)
-        else:
-            # Generic predicate on an unpartitioned target: keep rows NOT
-            # matching the predicate, union the new data, rewrite.
-            kept = self.read(ref).filter(~F.expr(replace_where))
-            result = kept.unionByName(df.select(*kept.columns))
-            self._staged_rewrite(result, ref, part_cols)
+        pred = F.coalesce(F.expr(replace_where), F.lit(False))
+        # Single-pass source constraint: rows failing the predicate hit
+        # raise_error during the write (OR short-circuits row-wise in
+        # codegen, so conforming rows never evaluate the error branch).
+        checked = df.filter(
+            pred
+            | F.raise_error(
+                F.lit(f"source rows violate replaceWhere predicate {replace_where!r}")
+            ).cast("boolean")
+        )
+        kept = self.read(ref).filter(~pred)
+        result = kept.unionByName(checked.select(*kept.columns))
+        self._staged_rewrite(result, ref, part_cols)
 
     def overwrite_dynamic(self, df: DataFrame, ref: TableRef) -> None:
         """Replace exactly the partitions present in ``df`` (or the whole
@@ -103,11 +117,85 @@ class ParquetCatalogDataSource(BaseDataSource):
     def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec) -> None:
         """Join-based MERGE with Delta semantics (SURVEY §2.2 W3/W4) —
         the algebra lives in x_spark.operators.merge.merge_frames; this
-        method materializes the post-merge state into the target."""
-        from x_spark.operators.merge import merge_frames
+        method materializes the post-merge state into the target.
 
-        result = merge_frames(self.read(ref), df, spec)
-        self._staged_rewrite(result, ref, self.partition_columns(ref))
+        Scale path: when the target is partitioned and no partition
+        column is updatable, only the partitions a merge can touch
+        (those holding pk-matched target rows, plus the partitions
+        inserted rows land in) are read and rewritten — the
+        partition-level analogue of Delta MERGE's file pruning. Falls
+        back to a full staged rewrite otherwise."""
+        from x_spark.operators.merge import check_unique_source_keys, merge_frames
+
+        part_cols = self.partition_columns(ref)
+        target = self.read(ref)
+        touched = self._merge_touched_predicate(target, df, spec, part_cols)
+        if touched is not None:
+            # Uniqueness is a property of the source alone — check it
+            # against the full contract, then skip the re-check inside
+            # merge_frames.
+            if spec.validate_unique_source_keys:
+                import dataclasses
+
+                check_unique_source_keys(df, spec)
+                spec = dataclasses.replace(spec, validate_unique_source_keys=False)
+            if not touched:  # no matched keys, no inserts: no-op merge
+                return
+            from functools import reduce
+
+            pred = reduce(lambda a, b: a | b, touched)
+            restricted = target.filter(pred)
+            result = merge_frames(restricted, df, spec)
+            # Merge never deletes, and partition values can't change on
+            # this path, so every touched partition appears in `result`
+            # — dynamic partition overwrite replaces exactly those.
+            self._staged_rewrite(result, ref, part_cols, dynamic=True)
+            return
+        result = merge_frames(target, df, spec)
+        self._staged_rewrite(result, ref, part_cols)
+
+    def _merge_touched_predicate(
+        self, target: DataFrame, src: DataFrame, spec: MergeSpec, part_cols: list[str]
+    ):
+        """Per-partition-tuple predicate clauses a merge can modify, or
+        None when partition pruning is unsafe (unpartitioned target, or
+        a partition column is in the update set so rows could move
+        across partitions). An empty list means the merge is a no-op.
+
+        Touched = partitions of target rows whose pk matches some source
+        row (pk-only superset of the full match condition — safe) union,
+        for upserts, the partitions inserted rows land in (source value
+        when the partition column is carried by the insert, else NULL —
+        the reference's NULL-insert quirk, SURVEY §8.7). The collect is
+        bounded by the touched-partition count: metadata scale."""
+        from functools import reduce
+
+        if not part_cols or set(part_cols) & set(spec.update_columns):
+            return None
+        src_keys = src.select(*spec.primary_key_columns).distinct()
+        matched = (
+            target.join(src_keys, spec.primary_key_columns, "left_semi")
+            .select(*part_cols)
+            .distinct()
+        )
+        if spec.insert_when_not_matched:
+            carried = set(spec.all_set_columns)
+            ins_tuples = src.select(
+                *[
+                    (F.col(c) if c in carried else F.lit(None).cast(dict(target.dtypes)[c])).alias(c)
+                    for c in part_cols
+                ]
+            ).distinct()
+            matched = matched.unionByName(ins_tuples).distinct()
+        rows = matched.collect()
+        clauses = []
+        for row in rows:
+            terms = [
+                F.col(c).isNull() if row[c] is None else (F.col(c) == F.lit(row[c]))
+                for c in part_cols
+            ]
+            clauses.append(reduce(lambda a, b: a & b, terms))
+        return clauses
 
     def truncate(self, ref: TableRef) -> None:
         if ref.is_path:
@@ -147,17 +235,17 @@ class ParquetCatalogDataSource(BaseDataSource):
             writer = df.write.format(self.format_name).options(**ref.options).mode("overwrite")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
-            writer.save(ref.path)
+            # static scope: a session-level dynamic mode would silently
+            # leave partitions absent from df behind on a FULL overwrite
+            with self._overwrite_mode("static"):
+                writer.save(ref.path)
             return
         if self.spark.catalog.tableExists(ref.table):
             # Preserve the table definition (schema order, partitioning):
             # static INSERT OVERWRITE replaces all contents.
             target_cols = self.spark.table(ref.table).columns
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-            try:
+            with self._overwrite_mode("static"):
                 df.select(*target_cols).write.mode("overwrite").insertInto(ref.table)
-            finally:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         else:
             writer = df.write.format(self.format_name).mode("overwrite")
             if part_cols:
@@ -165,29 +253,51 @@ class ParquetCatalogDataSource(BaseDataSource):
             writer.saveAsTable(ref.table)
 
     def _dynamic_partition_overwrite(self, df: DataFrame, ref: TableRef) -> None:
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if ref.is_path:
-            part_cols = self._path_partition_columns(ref.path)
-            writer = df.write.format(self.format_name).mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.save(ref.path)
-        else:
-            target_cols = self.spark.table(ref.table).columns
-            df.select(*target_cols).write.mode("overwrite").insertInto(ref.table)
+        with self._overwrite_mode("dynamic"):
+            if ref.is_path:
+                part_cols = self._path_partition_columns(ref.path)
+                writer = df.write.format(self.format_name).mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.save(ref.path)
+            else:
+                target_cols = self.spark.table(ref.table).columns
+                df.select(*target_cols).write.mode("overwrite").insertInto(ref.table)
 
-    def _staged_rewrite(self, result: DataFrame, ref: TableRef, part_cols: list[str]) -> None:
+    @contextmanager
+    def _overwrite_mode(self, mode: str):
+        """Scoped spark.sql.sources.partitionOverwriteMode: restore the
+        caller session's prior value (the engine must not permanently
+        flip session-global confs on vanilla sessions)."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, mode)
+        try:
+            yield
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+
+    def _staged_rewrite(
+        self, result: DataFrame, ref: TableRef, part_cols: list[str], *, dynamic: bool = False
+    ) -> None:
         """Materialize ``result`` to a staging dir, then overwrite the
         target from it. Needed because Spark refuses to overwrite a
         table that the plan is also reading. Two writes instead of
         Delta's single transactional commit — the price of running
         without a table format; partition pruning in callers keeps the
-        rewritten byte count down."""
+        rewritten byte count down. ``dynamic=True`` replaces only the
+        partitions present in ``result`` (the pruned-merge write path)."""
         staging = self._staging_path()
         result.write.parquet(staging)
         try:
             staged = self.spark.read.parquet(staging)
-            self._full_overwrite(staged, ref, part_cols)
+            if dynamic:
+                self._dynamic_partition_overwrite(staged, ref)
+            else:
+                self._full_overwrite(staged, ref, part_cols)
         finally:
             self._hadoop_delete(staging)
 
