@@ -1,0 +1,77 @@
+"""Registry-shape invariants for the driver correctness gate.
+
+The driver records a CORRECTNESS row only for the first
+``DRIVER_CHECKED_PREFIX`` registry entries (observed round 1) — every
+distinct operator family must sit inside that window, and the window
+must not overflow as queries are added.
+"""
+
+from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
+
+# one representative per operator family that MUST be driver-checked
+FAMILY_REPRESENTATIVES = [
+    "pricing_summary",          # groupBy+agg battery (A1-A4)
+    "late_shipment_priority",   # join + conditional agg
+    "top_customers",            # topk / ORDER-LIMIT
+    "top_orders_per_segment",   # window rank
+    "distinct_suppliers_parts", # distinct
+    "quantity_cube",            # cube/rollup grouping sets
+    "quantity_percentiles",     # percentile aggs
+    "nation_presence",          # union/intersect/except
+    "quantity_by_status_pivot", # pivot
+    "part_catalog_report",      # projections/casts/null handling
+    "merge_upsert_effect",      # MERGE
+    "recon_lineitem",           # recon pipeline + tolerance compare
+    "above_avg_balance",        # scalar subquery
+    "scalar_function_battery",  # scalar function library
+    "json_props_stats",         # JSON functions
+    "blamed_suppliers",         # exists / not-exists decorrelation
+    "market_share",             # multi-join share-of-total
+    "rolling_revenue",          # window frames
+    "weekly_revenue_wow",       # lag / time-series deltas
+    "customer_value_tiles",     # ntile/percent_rank/cume_dist
+    "asof_purchase_gap",        # as-of join
+    "range_click_context",      # range join
+    "scd2_customer",            # SCD2
+    "exact_dedup",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ngram_jaccard_dups",
+    "embedding_near_dups",
+    "dup_components",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_pandas",
+    "text_statistics",
+    "language_profile",
+    "quality_histogram",
+    "token_topk",               # token counting
+    "token_fingerprints",       # rolling-hash fingerprints
+    "corpus_splits",            # deterministic sampling
+    "multimodal_features",
+    "multimodal_frames",
+    "approx_distinct_users",    # HLL sketch (rows-only)
+    "curation_pipeline",
+    "stream_tumbling_profile",
+    "stream_session_profile",
+    "stream_upsert_totals",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+]
+
+
+def test_driver_window_holds_every_family():
+    head = list(QUERIES)[:DRIVER_CHECKED_PREFIX]
+    missing = [n for n in FAMILY_REPRESENTATIVES if n not in head]
+    assert not missing, f"families outside the driver-checked prefix: {missing}"
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    no_oracle = {n for n in QUERIES if n not in ORACLES}
+    # intentional rows-only checks (engine-specific estimates)
+    assert no_oracle <= {"approx_distinct_users"}, no_oracle
+
+
+def test_registry_consistent():
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) == len(set(QUERIES))
