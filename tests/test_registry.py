@@ -56,6 +56,7 @@ FAMILY_REPRESENTATIVES = [
     "stream_session_profile",
     "stream_upsert_totals",
     "stream_stateful_user_stats",
+    "stream_user_stats_agg",
     "stream_stream_join",
 ]
 

@@ -28,6 +28,7 @@ from x_spark.streaming.events import (
     stream_stream_click_purchase,
     streaming_upsert_totals,
     tumbling_profile,
+    user_stats_agg,
 )
 
 SESSION_GAP_US = 10 * 60 * 1_000_000
@@ -100,10 +101,23 @@ GROUP BY user_id
 
 
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = chunked_events_dir(spark, sf_dir, n_chunks=4)
+    # 2 micro-batches: enough to exercise cross-batch state carry; the
+    # per-group Python cost scales with groups x batches, and this query
+    # is the documented custom-state *pattern* — q_stream_user_stats_agg
+    # is the production shape for these built-in-expressible stats.
+    src = chunked_events_dir(spark, sf_dir, n_chunks=2)
     stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
     emitted = run_to_memory(stateful_user_stats(stream), "append", shuffle_partitions=8)
     return rollup_final_user_stats(emitted)
+
+
+def q_stream_user_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming aggregation over the same chunked multi-batch
+    source — JVM state store, no Python; hash-matches the same oracle
+    as the custom-state variant."""
+    src = chunked_events_dir(spark, sf_dir, n_chunks=4)
+    stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    return run_to_memory(user_stats_agg(stream), "complete", shuffle_partitions=8)
 
 
 ORACLE_STREAM_STATEFUL_USER_STATS = """
@@ -138,6 +152,7 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 STREAM_QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
+    "stream_user_stats_agg": q_stream_user_stats_agg,
     "stream_tumbling_profile": q_stream_tumbling_profile,
     "stream_session_profile": q_stream_session_profile,
     "stream_upsert_totals": q_stream_upsert_totals,
@@ -146,6 +161,8 @@ STREAM_QUERIES = {
 STREAM_ORACLES = {
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
+    # same oracle: the built-in agg must match the custom-state operator
+    "stream_user_stats_agg": ORACLE_STREAM_STATEFUL_USER_STATS,
     "stream_tumbling_profile": ORACLE_STREAM_TUMBLING_PROFILE,
     "stream_session_profile": ORACLE_STREAM_SESSION_PROFILE,
     "stream_upsert_totals": ORACLE_STREAM_UPSERT_TOTALS,
