@@ -71,15 +71,53 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    payload = {
         "metric": "total_query_battery_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs": runs,
-    }))
+    }
+    if not only:
+        payload["ann_recall_at_10"] = ann_recall_report(spark, sf_dir)
+    print(json.dumps(payload))
     spark.stop()
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> dict:
+    """recall@10 vs brute force for the approximate ANN variants, with
+    the corpus fraction each probe budget touches."""
+    from pyspark.sql import functions as F
+
+    from x_spark.operators import similarity as S
+    from x_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = S.brute_force_topk(corpus, queries, k=10).persist()
+    exact.count()
+    codebook = S.train_codebook(corpus, n_centroids=16, n_iters=5)
+    report = {
+        "ivf_trained_16c_3probe": {
+            "recall": round(
+                S.recall_at_k(S.ivf_topk(corpus, queries, codebook, k=10, n_probe=3), exact), 3
+            ),
+            "corpus_fraction": round(3 / 16, 3),
+        },
+        "sign_quantizer_8b_2probe": {
+            "recall": round(
+                S.recall_at_k(
+                    S.bucketed_topk(corpus, queries, k=10, n_buckets=8, n_probe=2), exact
+                ),
+                3,
+            ),
+            "corpus_fraction": round(2 / 8, 3),
+        },
+    }
+    exact.unpersist()
+    return report
 
 
 if __name__ == "__main__":

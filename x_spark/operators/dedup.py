@@ -25,11 +25,14 @@ the DuckDB oracle — see x_spark.functions.portable.
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from x_spark.functions.portable import MINHASH_PRIME, hash32_sql
+
+logger = logging.getLogger(__name__)
 
 # (a, b) coefficients for the k=12 minhash permutations, mirrored
 # literally in the oracle SQL:
@@ -125,16 +128,66 @@ def minhash_band_keys() -> list:
     return keys
 
 
+def cap_band_buckets(
+    bands: DataFrame, key_col: str, cap: int | None, label: str = "lsh"
+) -> DataFrame:
+    """Drop band buckets holding more than ``cap`` members — the
+    escape hatch for boilerplate-heavy corpora where one hot bucket
+    would otherwise produce O(n^2) candidate pairs.
+
+    A bucket of size n yields n(n-1)/2 pairs; buckets past a few
+    hundred members are near-certainly boilerplate (identical headers,
+    license blocks) whose pairs are better found by exact dedup on the
+    boilerplate key. Dropping a bucket can only lose pairs whose EVERY
+    colliding band is hot — for genuinely similar documents other
+    bands still collide, so recall on normal text is unchanged (pinned
+    by test_dedup_cap.py).
+
+    Single extra shuffle-free pass: the count runs as a window over the
+    same band-key partitioning the join shuffles on. Dropped-bucket
+    stats are logged with one metadata-bounded aggregate action.
+    """
+    if cap is None:
+        return bands
+    w = Window.partitionBy(key_col)
+    sized = bands.withColumn("_bucket_n", F.count("*").over(w))
+    dropped = (
+        sized.filter(F.col("_bucket_n") > cap)
+        .groupBy(key_col)
+        .count()
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max_size"),
+            F.sum("count").alias("n_members"),
+        )
+        .first()
+    )
+    if dropped and dropped["n_buckets"]:
+        logger.warning(
+            "%s: dropped %d hot bucket(s) over cap=%d (largest=%d, %d members) "
+            "— pairs within them are not scored",
+            label,
+            dropped["n_buckets"],
+            cap,
+            dropped["max_size"],
+            dropped["n_members"],
+        )
+    return sized.filter(F.col("_bucket_n") <= cap).drop("_bucket_n")
+
+
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: ids sharing >= 1 signature band, with the
     estimated Jaccard (fraction of equal signature positions).
 
     Scale: the band explode is k/2 rows per doc; the self-join shuffles
     on band keys only; hot buckets (boilerplate text) are the skew risk
-    — AQE skew-join handles moderate cases, and a bucket-size cap is
-    the standard escape hatch (not needed at this SF).
+    — AQE skew-join handles moderate cases, and ``max_bucket_size``
+    drops pathological buckets (see :func:`cap_band_buckets`).
     """
     k = len(MINHASH_COEFFS)
     # sig derivation from the persisted hash arrays is cheap modular
@@ -145,6 +198,7 @@ def minhash_candidate_pairs(
     bands = sigs.select(
         id_col, F.explode(F.array(*minhash_band_keys())).alias("band_key")
     )
+    bands = cap_band_buckets(bands, "band_key", max_bucket_size, "minhash-lsh")
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (
@@ -211,7 +265,11 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance, found via
     banding: 4 bands of 12 bits — hamming <= 3 guarantees at least one
@@ -239,6 +297,7 @@ def simhash_near_pairs(
             )
         ).alias("nib_key"),
     )
+    nibbles = cap_band_buckets(nibbles, "nib_key", max_bucket_size, "simhash")
     a, b = nibbles.alias("a"), nibbles.alias("b")
     return (
         a.join(b, "nib_key")
@@ -259,14 +318,20 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verification
     stage): only bucket-collision pairs are scored, never all pairs.
     The intersect runs on the 32-bit shingle-hash arrays (not the
     strings) — smaller shuffle, cheaper compare, same Jaccard (hash
     collisions within a doc are ~1e-6 and mirrored in the oracle)."""
-    cands = minhash_candidate_pairs(df, id_col, text_col).select("id_a", "id_b")
+    cands = minhash_candidate_pairs(df, id_col, text_col, max_bucket_size).select(
+        "id_a", "id_b"
+    )
     sh = _sketch_table(df, id_col, text_col)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))

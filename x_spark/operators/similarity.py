@@ -207,6 +207,165 @@ def bucketed_topk(
     )
 
 
+def _unit_expr(vec_col: str) -> Column:
+    """Normalized copy of an array<float> column as array<double>."""
+    return F.expr(
+        f"transform({vec_col}, x -> cast(x as double) / "
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (a, b) -> "
+        f"cast(a as double) * cast(b as double)), cast(0.0 as double), (acc, v) -> acc + v)))"
+    )
+
+
+def _centroid_dot_sql(vec_col: str, centroid: list[float]) -> str:
+    lits = ", ".join(f"cast({c!r} as double)" for c in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _centroid_dot(vec_col: str, centroid: list[float]) -> Column:
+    return F.expr(_centroid_dot_sql(vec_col, centroid))
+
+
+def train_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic spherical k-means codebook (Lloyd's, fixed
+    iteration count) for IVF coarse quantization.
+
+    - init: the ``n_centroids`` vectors with smallest md5(id) — a
+      deterministic pseudo-random draw, stable across partitionings
+    - assign: argmax cosine against the current codebook (JVM exprs,
+      one corpus scan per iteration)
+    - update: element-wise mean accumulated in DECIMAL(38,12) (float
+      summation order would make centroids partitioning-dependent),
+      re-normalized and rounded to 9dp; empty clusters keep their
+      previous centroid
+
+    Driver state is n_centroids x dim floats per iteration — metadata
+    scale. At 100 TB train on a deterministic hash-sample of the corpus
+    (the codebook needs thousands of points per centroid, not the full
+    table) and persist the codebook next to the data.
+    """
+    unit = corpus.select(
+        F.col(id_col).alias("cid"), _unit_expr(vec_col).alias("v")
+    ).persist()
+    init_rows = (
+        unit.orderBy(F.md5(F.col("cid").cast("string"))).limit(n_centroids).collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init_rows]
+    for _ in range(n_iters):
+        assign = unit.select(
+            "cid",
+            "v",
+            _argmax_centroid("v", centroids).alias("cluster"),
+        )
+        means = (
+            assign.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)"))
+                    / F.count("*")
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster: keep old
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for j, comp in by_cluster.items():
+            vec = [comp[p] for p in range(len(comp))]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new_centroids[j] = [round(x / nrm, 9) for x in vec]
+        centroids = new_centroids
+    unit.unpersist()
+    return centroids
+
+
+def _argmax_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid for a unit vector column (ties:
+    lowest index, via array_position's first-match semantics)."""
+    dots = F.array(*[_centroid_dot(vec_col, c) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _probe_clusters(vec_col: str, centroids: list[list[float]], n_probe: int) -> Column:
+    """The ``n_probe`` nearest centroid indices for a query vector,
+    ordered by descending dot product (ties: lower index first)."""
+    k = len(centroids)
+    dots = "array(" + ", ".join(_centroid_dot_sql(vec_col, c) for c in centroids) + ")"
+    # sort (negated-dot, index) structs; field order drives the sort
+    ranked = (
+        f"transform(array_sort(zip_with({dots}, sequence(0, {k - 1}), "
+        f"(d, i) -> named_struct('nd', -d, 'i', i))), s -> s.i)"
+    )
+    return F.expr(f"slice({ranked}, 1, {n_probe})")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k with a trained codebook: corpus rows are
+    assigned to their nearest centroid (at rest: a bucketed/partitioned
+    layout on ``cluster``), each query probes its ``n_probe`` nearest
+    centroids, and scoring is a cluster-equi join — a query touches
+    ~n_probe/len(codebook) of the corpus, and a trained codebook sends
+    far fewer true neighbours to unprobed clusters than the sign
+    quantizer at the same probe budget (recall measured in bench.py).
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        _unit_expr(vec_col).alias("cunit"),
+    ).select(
+        "cand_id", "cvec", _argmax_centroid("cunit", codebook).alias("cluster")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _unit_expr(vec_col).alias("qunit"),
+    ).select(
+        "query_id",
+        "qvec",
+        F.explode(_probe_clusters("qunit", codebook, n_probe)).alias("cluster"),
+    )
+    scored = F.broadcast(q).join(c, "cluster").select(
+        "query_id",
+        "cand_id",
+        cosine("qvec", "cvec").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate
+    result (both as (query_id, cand_id) rank<=k frames)."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    hit = e.join(a, ["query_id", "cand_id"], "left_semi").count()
+    total = e.count()
+    return hit / total if total else 1.0
+
+
 GRID_DIMS = 3  # leading normalized coords used for ε-grid blocking
 GRID_EPS = 0.045  # cell size; must be >= sqrt(2*(1-threshold)) + rounding slack
 
