@@ -53,6 +53,7 @@ FAMILY_REPRESENTATIVES = [
     "multimodal_frames",
     "approx_distinct_users",    # HLL sketch (rows-only)
     "curation_pipeline",
+    "duckdb_dim_roundtrip",      # external-DB connector round trip
     "stream_tumbling_profile",
     "stream_session_profile",
     "stream_upsert_totals",

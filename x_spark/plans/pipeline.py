@@ -626,8 +626,49 @@ WHERE duration_ms > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# External-DB connector round trip: publish the supplier dimension into
+# DuckDB through the connector surface (append path), read it back
+# through the same connector, and join it against the parquet-side
+# nation table — proving the second connector end-to-end inside the
+# driver's own correctness gate. The oracle is plain SQL because the
+# round trip must be lossless.
+def q_duckdb_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("duckdb", spark)  # in-memory, scoped to this call
+    ref = TableRef(table="supplier_dim")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    ds.append(sup, ref)
+    back = ds.read(ref)
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_DUCKDB_DIM_ROUNDTRIP = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
+    "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -648,6 +689,7 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

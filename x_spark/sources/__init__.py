@@ -13,6 +13,8 @@ Our registry supports:
   semantics of every operation are identical).
 - ``file``    — read-only path scans for parquet/csv/json (SURVEY §2.1
   S10 extension).
+- ``duckdb[:/path/db.duckdb]`` — embedded external-database connector
+  (dimension tables / result publishing; Arrow interchange).
 """
 
 from __future__ import annotations
@@ -44,11 +46,20 @@ else:
 
 
 def init_datasource(source_type: str, spark: SparkSession) -> BaseDataSource:
-    """Factory mirroring datasource/base_datasource.py:13-24."""
-    source_type = (source_type or "delta").lower()
+    """Factory mirroring datasource/base_datasource.py:13-24. The
+    ``duckdb`` type carries its database file after a colon
+    (``duckdb:/path/db.duckdb``; bare ``duckdb`` -> in-memory)."""
+    raw = source_type or "delta"
+    source_type = raw.lower()
+    if source_type == "duckdb" or source_type.startswith("duckdb:"):
+        from x_spark.sources.duckdb_db import DuckDBDataSource
+
+        _, _, database = raw.partition(":")  # path keeps its case
+        return DuckDBDataSource(spark, database)
     cls = _REGISTRY.get(source_type)
     if cls is None:
         raise DataSourceException(
-            f"Unknown datasource type {source_type!r}; expected one of {sorted(_REGISTRY)}"
+            f"Unknown datasource type {source_type!r}; expected one of "
+            f"{sorted(_REGISTRY) + ['duckdb[:/path]']}"
         )
     return cls(spark)
