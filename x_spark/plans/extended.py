@@ -431,27 +431,38 @@ WHERE o_orderkey % 100 = 0
 # whose lineitems arrived late on multi-supplier orders where every
 # OTHER supplier delivered on time.
 def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor, single-aggregation formulation.
+
+    The textbook decorrelated EXISTS/NOT EXISTS costs two extra
+    lineitem self-join shuffles. Both predicates are per-order set
+    properties, so ONE groupBy(l_orderkey) computes them for every
+    row at once:
+
+    - EXISTS(other supplier on the order)      <=> distinct suppliers >= 2
+    - NOT EXISTS(other supplier with flag 'R') <=> distinct 'R' suppliers = 1
+      (the candidate row itself has flag 'R', so it contributes the 1)
+
+    One lineitem aggregation + one orderkey-equi join replaces the two
+    semi/anti self-joins; the oracle keeps the canonical correlated
+    form, proving the rewrite's equivalence on every run.
+    """
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
-    li.createOrReplaceTempView("xq21_lineitem")
-    sup.createOrReplaceTempView("xq21_supplier")
-    return spark.sql(
-        """
-        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-        FROM xq21_supplier, xq21_lineitem l1
-        WHERE s_suppkey = l1.l_suppkey
-          AND l1.l_returnflag = 'R'
-          AND EXISTS (
-            SELECT 1 FROM xq21_lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM xq21_lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_returnflag = 'R'
-          )
-        GROUP BY s_name
-        """
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_sup"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_sup") >= 2) & (F.col("n_r_sup") == 1))
+    )
+    return (
+        blamed.join(sup, blamed.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
     )
 
 
