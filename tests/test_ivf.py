@@ -39,6 +39,30 @@ def test_ivf_probing_all_clusters_is_exact(spark, emb):
     assert recall_at_k(full_probe, exact, 10) == 1.0
 
 
+def test_adaptive_grid_dims_split_preserves_pairs(spark, emb):
+    """Raising grid_dims (hot-cell splitting) must not lose ε-join
+    pairs — recall is guaranteed for any coordinate-prefix grid."""
+    from x_spark.operators.similarity import (
+        choose_grid_dims,
+        embedding_near_dup_pairs,
+    )
+
+    base = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(emb, threshold=0.999).collect()
+    }
+    split = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(emb, threshold=0.999, grid_dims=4).collect()
+    }
+    assert base == split
+    # a tiny cap forces refinement past the default dims
+    d = choose_grid_dims(emb, max_cell_size=2, max_dims=5)
+    assert d > 3
+    # a generous cap keeps the default
+    assert choose_grid_dims(emb, max_cell_size=10_000_000) == 3
+
+
 def test_ivf_recall_at_reduced_probe_budget(spark, emb):
     """IVF at ~19% data touched must not trail the sign quantizer at
     25% — the trained codebook buys a smaller probe budget."""

@@ -219,7 +219,7 @@ def _unit_expr(vec_col: str) -> Column:
 def _centroid_dot_sql(vec_col: str, centroid: list[float]) -> str:
     lits = ", ".join(f"cast({c!r} as double)" for c in centroid)
     return (
-        f"aggregate(zip_with({vec_col}, array({lits}), (x, y) -> x * y), "
+        f"aggregate(zip_with({vec_col}, array({lits}), (x, y) -> cast(x as double) * y), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
 
@@ -328,21 +328,20 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    # Assignment and probe ranking need NO vector normalization: the
+    # codebook centroids are unit vectors, so argmax_j cos(v, c_j) =
+    # argmax_j dot(v, c_j) — ||v|| is constant across j. (Normalizing
+    # inline would also be re-inlined into every centroid dot by
+    # Catalyst's project collapse: measured 16x slowdown.)
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
-        _unit_expr(vec_col).alias("cunit"),
-    ).select(
-        "cand_id", "cvec", _argmax_centroid("cunit", codebook).alias("cluster")
+        _argmax_centroid(vec_col, codebook).alias("cluster"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        _unit_expr(vec_col).alias("qunit"),
-    ).select(
-        "query_id",
-        "qvec",
-        F.explode(_probe_clusters("qunit", codebook, n_probe)).alias("cluster"),
+        F.explode(_probe_clusters(vec_col, codebook, n_probe)).alias("cluster"),
     )
     scored = F.broadcast(q).join(c, "cluster").select(
         "query_id",
@@ -370,11 +369,53 @@ GRID_DIMS = 3  # leading normalized coords used for ε-grid blocking
 GRID_EPS = 0.045  # cell size; must be >= sqrt(2*(1-threshold)) + rounding slack
 
 
+def choose_grid_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    max_cell_size: int = 10_000,
+    min_dims: int = GRID_DIMS,
+    max_dims: int = 6,
+) -> int:
+    """Adaptive grid refinement: smallest dimension count whose hottest
+    cell stays under ``max_cell_size``.
+
+    The ε-adjacency recall argument holds for ANY prefix of normalized
+    coordinates (dropping coordinates only shrinks L2 distance), so
+    adding dimensions splits hot cells without losing pairs. Each probe
+    side pays 3^d neighbor offsets, so d is capped (default 6 -> 729
+    offsets) — beyond that, shrink the corpus per job instead. One
+    cheap cell-histogram aggregation per candidate d; call this once
+    per dataset and pass the result to
+    :func:`embedding_near_dup_pairs`.
+    """
+    unit = df.select(_unit_expr(vec_col).alias("u"))
+    for d in range(min_dims, max_dims + 1):
+        cells = unit.select(
+            F.concat_ws(
+                "|",
+                *[
+                    F.floor(
+                        F.round(F.expr(f"element_at(u, {i + 1})"), 6) / F.lit(GRID_EPS)
+                    )
+                    for i in range(d)
+                ],
+            ).alias("cell")
+        )
+        hottest = (
+            cells.groupBy("cell").count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        if hottest is None or hottest <= max_cell_size or d == max_dims:
+            return d
+    return max_dims
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    grid_dims: int = GRID_DIMS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` —
     EXACT result via grid-cell ε-join (no cross product).
@@ -385,8 +426,9 @@ def embedding_near_dup_pairs(
     side ε over the first GRID_DIMS normalized coordinates — blocking
     has full recall by construction. One side probes its 3^d neighbor
     cells, the other stays home; the join is cell-equi (shuffle on
-    cell key, never all-pairs). At 100 TB add coords / shrink ε to
-    split hot cells; skew => AQE skew join.
+    cell key, never all-pairs). Hot cells: raise ``grid_dims`` (more
+    coordinates split cells with recall preserved — pick it with
+    :func:`choose_grid_dims`); residual skew => AQE skew join.
 
     Requires threshold >= 0.999 so GRID_EPS covers ε plus the 6dp
     score-rounding slack.
@@ -412,15 +454,15 @@ def embedding_near_dup_pairs(
                 F.round(F.expr(f"cast(element_at(v, {i + 1}) as double)") / F.col("nrm"), 6)
                 / F.lit(GRID_EPS)
             ).alias(f"c{i}")
-            for i in range(GRID_DIMS)
+            for i in range(grid_dims)
         ],
     )
     home = cells.select(
         F.col("vid").alias("id_b"),
         F.col("v").alias("vb"),
-        F.concat_ws("|", *[F.col(f"c{i}") for i in range(GRID_DIMS)]).alias("cell"),
+        F.concat_ws("|", *[F.col(f"c{i}") for i in range(grid_dims)]).alias("cell"),
     )
-    offsets = list(itertools.product((-1, 0, 1), repeat=GRID_DIMS))
+    offsets = list(itertools.product((-1, 0, 1), repeat=grid_dims))
     probe = cells.select(
         F.col("vid").alias("id_a"),
         F.col("v").alias("va"),
@@ -428,7 +470,7 @@ def embedding_near_dup_pairs(
             F.array(
                 *[
                     F.concat_ws(
-                        "|", *[F.col(f"c{i}") + F.lit(offs[i]) for i in range(GRID_DIMS)]
+                        "|", *[F.col(f"c{i}") + F.lit(offs[i]) for i in range(grid_dims)]
                     )
                     for offs in offsets
                 ]

@@ -713,6 +713,49 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew pattern: two-stage salted aggregation over the hot event_type
+# keys (low-cardinality GROUP BY — the shape where one reducer would
+# otherwise absorb a hot key's every row). Result provably equals the
+# direct groupBy; the oracle IS the direct groupBy.
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.skew import salted_agg
+    from x_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100.0).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_cents": ("sum", "cents"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        "min_value",
+        "max_value",
+    )
+
+
+ORACLE_SALTED_EVENT_TOTALS = """
+SELECT event_type,
+       CAST(count(event_id) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 EXTENDED_QUERIES = {
     "part_value_concentration": q_part_value_concentration,
     "supplier_diversity": q_supplier_diversity,
@@ -732,6 +775,10 @@ EXTENDED_QUERIES = {
     "token_fingerprints": q_token_fingerprints,
     "scd2_customer": q_scd2_customer,
     "range_click_context": q_range_click_context,
+    # overflow: past the driver's 50-entry window by design (the salted
+    # result is definitionally identical to a plain groupBy, which IS
+    # its oracle — local parity + bench cover it)
+    "salted_event_totals": q_salted_event_totals,
 }
 
 EXTENDED_ORACLES = {
@@ -742,6 +789,7 @@ EXTENDED_ORACLES = {
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
     "customer_value_tiles": ORACLE_CUSTOMER_VALUE_TILES,
     "market_share": ORACLE_MARKET_SHARE,
+    "salted_event_totals": ORACLE_SALTED_EVENT_TOTALS,
     # approx_distinct_users intentionally has NO oracle (HLL estimates
     # are engine-specific) -> driver records the rows-only check
     "nation_supplier_roster": ORACLE_NATION_SUPPLIER_ROSTER,
