@@ -63,6 +63,80 @@ def test_adaptive_grid_dims_split_preserves_pairs(spark, emb):
     assert choose_grid_dims(emb, max_cell_size=10_000_000) == 3
 
 
+@pytest.mark.parametrize("threshold", [0.95, 0.90])
+def test_eps_join_loose_thresholds_match_brute_force(spark, threshold):
+    """The threshold-adaptive cell size must keep FULL recall at loose
+    thresholds (cells grow to >= eps = sqrt(2-2t)) — pair set equals an
+    all-pairs cross join.
+
+    Synthetic corpus: 24 seed directions, 5 deterministic perturbations
+    each at angles straddling both thresholds, so both parameter points
+    have a non-empty, different answer set.
+    """
+    import math
+    import random
+
+    from x_spark.operators.similarity import cosine, embedding_near_dup_pairs
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(24):
+        seed = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in seed))
+        seed = [x / nrm for x in seed]
+        # orthogonal-ish noise direction per seed
+        noise = [rng.gauss(0, 1) for _ in range(dim)]
+        d = sum(a * b for a, b in zip(seed, noise))
+        noise = [n - d * s for n, s in zip(noise, seed)]
+        nn = math.sqrt(sum(x * x for x in noise)) or 1.0
+        noise = [x / nn for x in noise]
+        for ang in (0.0, 0.1, 0.25, 0.4, 0.6):  # cos: 1, .995, .969, .921, .825
+            vec = [
+                math.cos(ang) * s + math.sin(ang) * n
+                for s, n in zip(seed, noise)
+            ]
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    small = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").persist()
+    small.count()
+    grid = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(small, threshold=threshold).collect()
+    }
+    a = small.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = small.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .collect()
+    }
+    small.unpersist()
+    assert grid == brute
+    assert brute  # non-vacuous: the loose threshold must produce pairs
+
+
+def test_codebook_persistence_round_trip(spark, emb, tmp_path):
+    """save_codebook/load_codebook (train-offline story) must be exact:
+    a loaded codebook yields bit-identical probe results."""
+    from x_spark.operators.similarity import load_codebook, save_codebook
+
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = train_codebook(corpus, n_centroids=8, n_iters=3)
+    path = str(tmp_path / "codebook.parquet")
+    save_codebook(spark, cb, path)
+    cb2 = load_codebook(spark, path)
+    assert cb == cb2
+    a = {tuple(r) for r in ivf_topk(corpus, queries, cb, k=10, n_probe=2).collect()}
+    b = {tuple(r) for r in ivf_topk(corpus, queries, cb2, k=10, n_probe=2).collect()}
+    assert a == b
+
+
 def test_ivf_recall_at_reduced_probe_budget(spark, emb):
     """IVF at ~19% data touched must not trail the sign quantizer at
     25% — the trained codebook buys a smaller probe budget."""

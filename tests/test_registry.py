@@ -39,7 +39,6 @@ FAMILY_REPRESENTATIVES = [
     "ngram_jaccard_dups",
     "embedding_near_dups",
     "dup_components",
-    "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "ann_topk_ivf",
     "ann_topk_pandas",
@@ -60,6 +59,7 @@ FAMILY_REPRESENTATIVES = [
     "stream_stateful_user_stats",
     "stream_user_stats_agg",
     "stream_stream_join",
+    "salted_event_totals",      # skew-mitigating salted two-stage agg
 ]
 
 

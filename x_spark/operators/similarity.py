@@ -289,6 +289,22 @@ def train_codebook(
     return centroids
 
 
+def save_codebook(spark, codebook: list[list[float]], path: str) -> None:
+    """Persist a trained codebook as a (tiny) parquet table — the
+    train-offline story: centroids live next to the corpus, queries pay
+    only the probe path. One file; metadata scale."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(codebook)]
+    df = spark.createDataFrame(rows, "cluster int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebook(spark, path: str) -> list[list[float]]:
+    """Load a persisted codebook (inverse of :func:`save_codebook`),
+    ordered by cluster id so probe indices are stable."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
 def _argmax_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
     """Index of the max-cosine centroid for a unit vector column (ties:
     lowest index, via array_position's first-match semantics)."""
@@ -366,7 +382,21 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
 
 
 GRID_DIMS = 3  # leading normalized coords used for ε-grid blocking
-GRID_EPS = 0.045  # cell size; must be >= sqrt(2*(1-threshold)) + rounding slack
+GRID_EPS = 0.045  # minimum cell size (covers threshold >= 0.999 + rounding slack)
+
+
+def grid_cell_size(threshold: float) -> float:
+    """Cell side for the ε-grid at a given cosine ``threshold``.
+
+    cos(a,b) >= t on unit vectors <=> ||â-b̂|| <= sqrt(2-2t) = ε, so any
+    cell side >= ε preserves the adjacent-cell recall guarantee. The
+    1e-5 slack absorbs the 6dp coordinate/score rounding; the GRID_EPS
+    floor keeps tight thresholds from degenerating into micro-cells
+    (3^d probes of near-empty cells). Looser thresholds get exactly-ε
+    cells — bigger cells, fewer of them; hot cells are then split by
+    raising ``grid_dims`` (:func:`choose_grid_dims`).
+    """
+    return max(GRID_EPS, math.sqrt(2.0 * (1.0 - threshold) + 1e-5))
 
 
 def choose_grid_dims(
@@ -389,6 +419,7 @@ def choose_grid_dims(
     per dataset and pass the result to
     :func:`embedding_near_dup_pairs`.
     """
+    cell = grid_cell_size(threshold)
     unit = df.select(_unit_expr(vec_col).alias("u"))
     for d in range(min_dims, max_dims + 1):
         cells = unit.select(
@@ -396,7 +427,7 @@ def choose_grid_dims(
                 "|",
                 *[
                     F.floor(
-                        F.round(F.expr(f"element_at(u, {i + 1})"), 6) / F.lit(GRID_EPS)
+                        F.round(F.expr(f"element_at(u, {i + 1})"), 6) / F.lit(cell)
                     )
                     for i in range(d)
                 ],
@@ -423,23 +454,19 @@ def embedding_near_dup_pairs(
     cos(a,b) >= t on unit vectors  <=>  ||â-b̂||₂ <= sqrt(2-2t) = ε,
     and dropping coordinates only shrinks L2 distance, so any
     qualifying pair lands in the same or an adjacent cell of a grid of
-    side ε over the first GRID_DIMS normalized coordinates — blocking
+    side >= ε over the first GRID_DIMS normalized coordinates — blocking
     has full recall by construction. One side probes its 3^d neighbor
     cells, the other stays home; the join is cell-equi (shuffle on
     cell key, never all-pairs). Hot cells: raise ``grid_dims`` (more
     coordinates split cells with recall preserved — pick it with
     :func:`choose_grid_dims`); residual skew => AQE skew join.
 
-    Requires threshold >= 0.999 so GRID_EPS covers ε plus the 6dp
-    score-rounding slack.
+    The cell side adapts to the threshold (:func:`grid_cell_size`):
+    any threshold in (0, 1] is supported — looser thresholds trade
+    bigger cells (more candidates per cell) for the same full recall.
     """
-    eps = math.sqrt(2.0 * (1.0 - threshold) + 1e-5)
-    if eps > GRID_EPS:
-        raise ValueError(
-            f"threshold {threshold} needs cell size {eps:.4f} > GRID_EPS={GRID_EPS}; "
-            "raise GRID_EPS (and mirror the oracle) for looser thresholds"
-        )
-    # cell_i = floor(round(v_i/||v||, 6) / eps): rounding to 6dp first
+    cell = grid_cell_size(threshold)
+    # cell_i = floor(round(v_i/||v||, 6) / cell): rounding to 6dp first
     # makes the floor deterministic across engines (same rationale as
     # the cos_sim rounding).
     cells = df.select(
@@ -452,7 +479,7 @@ def embedding_near_dup_pairs(
         *[
             F.floor(
                 F.round(F.expr(f"cast(element_at(v, {i + 1}) as double)") / F.col("nrm"), 6)
-                / F.lit(GRID_EPS)
+                / F.lit(cell)
             ).alias(f"c{i}")
             for i in range(grid_dims)
         ],

@@ -31,6 +31,8 @@ _ALL_QUERIES = {
 # flavors of join+agg / topk / grouping-set shapes). Tail queries still
 # run in bench.py and in the local oracle-parity suite.
 _TAIL = [
+    "ann_topk_bruteforce",     # exact top-k: ann_topk_pandas hash-checks the same
+                               # result; bucketed+ivf cover the approximate family
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative

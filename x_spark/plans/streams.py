@@ -25,6 +25,7 @@ from x_spark.streaming.events import (
     run_to_memory,
     session_profile,
     stateful_user_stats,
+    stateful_user_stats_tws,
     stream_stream_click_purchase,
     streaming_upsert_totals,
     tumbling_profile,
@@ -108,6 +109,35 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = chunked_events_dir(spark, sf_dir, n_chunks=2)
     stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
     emitted = run_to_memory(stateful_user_stats(stream), "append", shuffle_partitions=8)
+    return rollup_final_user_stats(emitted)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` flavor of the custom-state
+    operator (Spark 4.x successor API). Requires the RocksDB state
+    store provider, scoped to this query and restored after — the
+    session invariant is that queries never leak conf changes."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        src = chunked_events_dir(spark, sf_dir, n_chunks=2)
+        stream = read_events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+        emitted = run_to_memory(
+            stateful_user_stats_tws(stream), "append", shuffle_partitions=8
+        )
+        # materialize under the RocksDB conf (memory-sink table is lazy)
+        emitted = emitted.localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
     return rollup_final_user_stats(emitted)
 
 

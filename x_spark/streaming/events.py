@@ -282,6 +282,72 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` variant of
+    :func:`stateful_user_stats` — the Spark 4.x successor API
+    (SPARK-49564) to ``applyInPandasWithState``.
+
+    Same semantics and output shape (emit the running per-user state
+    every batch; final state selected afterwards by the monotone count
+    via :func:`rollup_final_user_stats`), but state lives in typed
+    handles (``getValueState`` with a schema) instead of a single
+    opaque tuple, the processor is an object with an explicit
+    lifecycle (init/handleInputRows/close), and the runtime supports
+    timers/TTL and multiple state variables per key. Requires the
+    RocksDB state store provider — the caller (see
+    ``plans/streams.q_stream_stateful_tws``) scopes that conf to the
+    query.
+
+    Environment note: the Python side of transformWithState speaks
+    protobuf to Spark's state server; ``google.protobuf`` is not
+    installed in this container, so this operator is written to the
+    public API and verified by ``tests/test_streaming_tws.py``, which
+    SKIPS unless protobuf is importable (same gating policy as the
+    Delta connector — see ROADMAP).
+
+    At scale the guidance matches the applyInPandasWithState note: use
+    this shape only for transitions built-in aggregates can't express;
+    here it exists so both custom-state APIs are covered against the
+    same oracle.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, cents bigint, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, mx = self._state.get() if self._state.exists() else (0, 0, None)
+            for pdf in rows:
+                vals = pdf["value"].to_numpy()
+                n += len(vals)
+                cents += int(np.floor(vals * 100.0).astype("int64").sum())
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
+            self._state.update((n, cents, mx))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_cents": cents, "max_value": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint, max_value double",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def rollup_final_user_stats(emitted: DataFrame) -> DataFrame:
     """Batch rollup: keep each user's final state (max event count —
     the count is monotone, so the lexicographic struct max is the last
