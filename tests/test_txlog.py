@@ -1,0 +1,322 @@
+"""Transaction-logged parquet tables (txlog connector).
+
+Covers the same Delta-shaped contract as ``test_delta_conformance.py``
+(MERGE cardinality/quirks, replaceWhere, dynamic overwrite) on
+path-addressed txlog tables, PLUS the transactional mechanics the
+parquet fallback cannot offer: atomic versioned commits, snapshot
+isolation, time travel, footer-stats file skipping, optimistic
+concurrency, vacuum, and log checkpoints.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.errors import DataSourceException, ETLJobException
+from x_spark.sources import init_datasource
+from x_spark.sources.base import MergeSpec, TableRef
+from x_spark.sources.txlog import (
+    CHECKPOINT_INTERVAL,
+    ConcurrentWriteException,
+    _list_log,
+    resolve_snapshot,
+)
+
+
+@pytest.fixture()
+def ds(spark):
+    return init_datasource("txlog", spark)
+
+
+def _ref(tmp_path, name="t", **kw):
+    return TableRef(path=str(tmp_path / name), **kw)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _seed(spark, ds, ref, rows=((1, "a", 10), (2, "a", 20), (3, "b", 30))):
+    df = spark.createDataFrame(list(rows), "pk int, part string, v int")
+    ds.append(df, ref)
+    return df
+
+
+# -- core ops ---------------------------------------------------------------
+def test_append_and_read_round_trip(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    assert _rows(ds.read(ref)) == [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    # by-name resolution: shuffled column order appends correctly
+    more = spark.createDataFrame([(99, 4, "b")], "v int, pk int, part string")
+    ds.append(more, ref)
+    assert (4, "b", 99) in _rows(ds.read(ref))
+
+
+def test_append_rejects_missing_columns(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    with pytest.raises(Exception):
+        ds.append(spark.createDataFrame([(5,)], "pk int"), ref)
+
+
+def test_merge_upsert_quirks_match_delta_contract(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    src = spark.createDataFrame([(2, 99), (7, 70)], "pk int, v int")
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"], insert_when_not_matched=True))
+    rows = _rows(ds.read(ref))
+    # matched row updated, non-set column kept; insert covers pk+update
+    # columns only (NULL elsewhere); unmatched target rows untouched
+    assert rows == [(1, "a", 10), (2, "a", 99), (3, "b", 30), (7, None, 70)]
+
+
+def test_merge_aborts_on_duplicate_source_keys(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    src = spark.createDataFrame([(1, 100), (1, 200)], "pk int, v int")
+    with pytest.raises(ETLJobException, match="duplicate"):
+        ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+
+
+def test_replace_where_contract(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20), (3, None, 30)])
+    # source rows violating the predicate abort the write
+    bad = spark.createDataFrame([(9, "zzz", 90)], "pk int, part string, v int")
+    with pytest.raises(Exception, match="violate"):
+        ds.overwrite(bad, ref, replace_where="part = 'a'")
+    # TRUE rows replaced; FALSE and NULL rows survive
+    good = spark.createDataFrame([(8, "a", 80)], "pk int, part string, v int")
+    ds.overwrite(good, ref, replace_where="part = 'a'")
+    assert _rows(ds.read(ref)) == [(2, "b", 20), (3, None, 30), (8, "a", 80)]
+
+
+def test_dynamic_overwrite_replaces_only_source_partitions(spark, ds, tmp_path):
+    ref = _ref(tmp_path, partition_by=["part"])
+    _seed(spark, ds, ref)
+    newer = spark.createDataFrame([(9, "a", 90)], "pk int, part string, v int")
+    ds.overwrite_dynamic(newer, ref)
+    assert _rows(ds.read(ref)) == [(3, "b", 30), (9, "a", 90)]
+
+
+def test_delete_and_truncate(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20), (3, None, 30)])
+    ds.delete(ref, "part = 'a'")  # NULL predicate rows survive
+    assert _rows(ds.read(ref)) == [(2, "b", 20), (3, None, 30)]
+    ds.truncate(ref)
+    out = ds.read(ref)
+    assert out.count() == 0
+    assert out.columns == ["pk", "part", "v"]  # schema survives truncate
+
+
+def test_compact_is_logically_noop(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    _seed(spark, ds, ref, [(4, "c", 40)])
+    before = _rows(ds.read(ref))
+    n = ds.compact(TableRef(path=ref.path), target_files=1)
+    assert n == 1
+    snap = resolve_snapshot(ref.path)
+    assert len(snap.files) == 1
+    assert _rows(ds.read(ref)) == before
+
+
+# -- transactional mechanics ------------------------------------------------
+def test_time_travel_and_history(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    ds.delete(ref, "pk = 1")
+    v1 = TableRef(path=ref.path, options={"versionAsOf": "1"})
+    assert len(_rows(ds.read(v1))) == 3
+    assert len(_rows(ds.read(ref))) == 2
+    ops = [h["operation"] for h in ds.history(ref)]
+    assert ops == ["CREATE", "APPEND", "DELETE"]
+    with pytest.raises(DataSourceException, match="does not exist"):
+        ds.read(TableRef(path=ref.path, options={"versionAsOf": "17"}))
+
+
+def test_snapshot_isolation_for_running_reads(spark, ds, tmp_path):
+    """A DataFrame resolved before a concurrent overwrite still reads
+    the files of ITS snapshot — readers never see mixed versions."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    old = ds.read(ref)
+    ds.overwrite(
+        spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"), ref
+    )
+    assert _rows(old) == [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    assert _rows(ds.read(ref)) == [(9, "z", 90)]
+
+
+def test_merge_skips_files_outside_key_range(spark, ds, tmp_path):
+    """Footer-stats data skipping: a merge touching keys 1-3 must not
+    rewrite (or even read) the file holding keys 100+ — its add entry
+    and bytes survive identically."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "a", 20)])
+    _seed(spark, ds, ref, [(100, "b", 1), (200, "b", 2)])
+    snap0 = resolve_snapshot(ref.path)
+    high_files = {
+        p for p, a in snap0.files.items()
+        if (a["stats"]["minValues"].get("pk") or 0) >= 100
+    }
+    assert high_files
+    mtimes = {
+        p: os.path.getmtime(os.path.join(ref.path, p)) for p in high_files
+    }
+    src = spark.createDataFrame([(2, 99)], "pk int, v int")
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    snap1 = resolve_snapshot(ref.path)
+    for p in high_files:  # same log entry, same bytes
+        assert p in snap1.files
+        assert os.path.getmtime(os.path.join(ref.path, p)) == mtimes[p]
+    assert (2, "a", 99) in _rows(ds.read(ref))
+
+
+def test_partition_pruned_delete_leaves_other_files_untouched(spark, ds, tmp_path):
+    ref = _ref(tmp_path, partition_by=["part"])
+    _seed(spark, ds, ref)
+    snap0 = resolve_snapshot(ref.path)
+    b_files = {
+        p for p, a in snap0.files.items()
+        if a["partitionValues"].get("part") == "b"
+    }
+    assert b_files
+    mtimes = {p: os.path.getmtime(os.path.join(ref.path, p)) for p in b_files}
+    ds.delete(ref, "part = 'a'")
+    snap1 = resolve_snapshot(ref.path)
+    for p in b_files:
+        assert p in snap1.files
+        assert os.path.getmtime(os.path.join(ref.path, p)) == mtimes[p]
+
+
+def test_concurrent_append_retries_and_wins(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    # simulate a concurrent writer claiming the next version mid-append
+    orig = ds._commit
+    fired = {}
+
+    def racing_commit(table, version, actions, operation):
+        if operation == "APPEND" and not fired.get("done"):
+            fired["done"] = True
+            orig(table, version, [], "RACER")
+        return orig(table, version, actions, operation)
+
+    ds._commit = racing_commit
+    try:
+        ds.append(
+            spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"), ref
+        )
+    finally:
+        ds._commit = orig
+    assert (9, "z", 90) in _rows(ds.read(ref))
+    assert [h["operation"] for h in ds.history(ref)][-2:] == ["RACER", "APPEND"]
+
+
+def test_concurrent_modification_aborts_read_modify_write(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    orig = ds._write_files
+
+    def racing_write(df, table, part_cols):
+        adds = orig(df, table, part_cols)
+        # another writer commits between this writer's read and commit
+        ds._commit(table, resolve_snapshot(table).version + 1, [], "RACER")
+        ds._write_files = orig
+        return adds
+
+    ds._write_files = racing_write
+    src = spark.createDataFrame([(1, 99)], "pk int, v int")
+    with pytest.raises(ConcurrentWriteException, match="advanced"):
+        ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+
+
+def test_vacuum_orphans_and_history_horizon(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    # orphan: a data file no commit references (crashed writer)
+    orphan = os.path.join(ref.path, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    deleted = ds.vacuum(TableRef(path=ref.path))
+    assert deleted == ["part-orphan.parquet"]
+    # history-dropping vacuum: overwrite then vacuum(keep_last=1)
+    ds.overwrite(
+        spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"), ref
+    )
+    deleted = ds.vacuum(TableRef(path=ref.path), keep_last=1)
+    assert deleted  # the pre-overwrite files are gone
+    assert _rows(ds.read(ref)) == [(9, "z", 90)]  # latest intact
+    with pytest.raises(Exception):  # time travel below the horizon fails
+        ds.read(TableRef(path=ref.path, options={"versionAsOf": "1"})).collect()
+
+
+def test_checkpoint_written_and_used(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    df = spark.createDataFrame([(0, "a", 0)], "pk int, part string, v int")
+    ds.append(df, ref)
+    for i in range(1, CHECKPOINT_INTERVAL + 1):
+        ds.append(
+            spark.createDataFrame([(i, "a", i)], "pk int, part string, v int"), ref
+        )
+    _, checkpoints = _list_log(ref.path)
+    assert checkpoints, "no checkpoint after CHECKPOINT_INTERVAL commits"
+    # snapshot resolved through the checkpoint equals full replay
+    snap = resolve_snapshot(ref.path)
+    assert sum(a["numRecords"] for a in snap.files.values()) == CHECKPOINT_INTERVAL + 1
+    assert ds.read(ref).count() == CHECKPOINT_INTERVAL + 1
+
+
+def test_commit_files_are_single_atomic_units(spark, ds, tmp_path):
+    """Every version is exactly one log file of JSON-line actions; a
+    re-commit of an existing version raises instead of overwriting."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    commits, _ = _list_log(ref.path)
+    assert [int(c.split(".")[0]) for c in commits] == [0, 1]
+    with open(os.path.join(ref.path, "_txlog", commits[-1])) as fh:
+        actions = [json.loads(line) for line in fh]
+    assert any("add" in a for a in actions)
+    assert any("commitInfo" in a for a in actions)
+    with pytest.raises(ConcurrentWriteException):
+        ds._commit(ref.path, 1, [], "DUP")
+
+
+# -- ETL integration --------------------------------------------------------
+def test_yaml_etl_job_against_txlog_target(spark, ds, tmp_path):
+    """The lifecycle runner drives a txlog path target end-to-end
+    (upsert operation) through init_etl_job."""
+    import yaml
+
+    from x_spark.plans.etl import init_etl_job
+
+    target = str(tmp_path / "etl_target")
+    _seed(spark, ds, TableRef(path=target), [(1, "a", 10), (2, "b", 20)])
+    spark.createDataFrame([(2, 99), (5, 50)], "pk int, v int").createOrReplaceTempView(
+        "txlog_src_view"
+    )
+    cfg = {
+        "version": 1,
+        "source": {"datasource": "parquet", "query": "SELECT * FROM txlog_src_view"},
+        "target": {
+            "datasource": "txlog",
+            "path": target,
+            "operation": "upsert",
+            "primary_key_column": ["pk"],
+            "update_column": ["v"],
+        },
+    }
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    job = init_etl_job(str(cfg_path), spark=spark)
+    job.run()
+    assert _rows(ds.read(TableRef(path=target))) == [
+        (1, "a", 10),
+        (2, "b", 99),
+        (5, None, 50),
+    ]

@@ -15,6 +15,10 @@ Our registry supports:
   S10 extension).
 - ``duckdb[:/path/db.duckdb]`` — embedded external-database connector
   (dimension tables / result publishing; Arrow interchange).
+- ``txlog``  — transaction-logged parquet tables: atomic versioned
+  commits, snapshot isolation, time travel, footer-stats file skipping
+  for MERGE/DELETE (the transactional mechanics the delta fallback
+  emulates observably; see x_spark/sources/txlog.py).
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from x_spark.errors import DataSourceException
 from x_spark.sources.base import BaseDataSource
 from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
 from x_spark.sources.files import FileDataSource
+from x_spark.sources.txlog import TxLogDataSource
 
 try:  # delta-spark is optional; gate the import (no pip installs here)
     from x_spark.sources.delta import DeltaDataSource  # noqa: F401
@@ -36,6 +41,7 @@ except ImportError:  # pragma: no cover - environment-dependent
 _REGISTRY: dict[str, type[BaseDataSource]] = {
     "parquet": ParquetCatalogDataSource,
     "file": FileDataSource,
+    "txlog": TxLogDataSource,
 }
 if _HAS_DELTA:  # pragma: no cover
     _REGISTRY["delta"] = DeltaDataSource

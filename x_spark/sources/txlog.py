@@ -1,0 +1,642 @@
+"""Transaction-logged parquet tables ("txlog"): atomic commits,
+snapshot isolation, time travel, file-level data skipping.
+
+The reference's entire storage layer is Delta
+(reference ``datasource/delta.py:5`` imports ``delta.tables``;
+``etl/overwrite.py:56-70`` relies on replaceWhere). delta-spark cannot
+be installed in this environment, so the parquet connector emulates
+Delta's *observable* semantics (proven by
+``tests/test_delta_conformance.py``). This module goes one level
+deeper and implements the transactional *mechanics* themselves, in the
+shape of the public Delta transaction-log protocol (versioned JSON
+action files; add/remove file actions) without any Delta code:
+
+- **Atomic commits** — a table version is exactly one JSON file in
+  ``<table>/_txlog/``, created with ``O_CREAT|O_EXCL``. A commit either
+  fully exists or doesn't; a crashed writer leaves only orphaned data
+  files (cleaned by :meth:`TxLogDataSource.vacuum`), never a
+  half-visible table state. Contrast the parquet connector's staged
+  rewrite, where overwrite is a window of missing data.
+- **Snapshot isolation** — a read resolves the live file set from the
+  log once; concurrent commits never shift a running query's input.
+- **Time travel** — ``TableRef(path=p, options={"versionAsOf": "3"})``.
+- **File-level operations** — append only adds files; MERGE/DELETE
+  rewrite only files whose footer min/max statistics (collected at
+  write time via pyarrow) or partition values can contain affected
+  rows — the data-skipping behavior that makes MERGE sub-linear in
+  table size. Untouched files are never read or written.
+- **Optimistic concurrency** — version-file collision means another
+  writer won; appends (commutative) re-resolve and retry, while
+  read-modify-write commits abort with
+  :class:`ConcurrentWriteException`.
+
+Scale notes (100 TB): log replay is O(commits) JSON files; a
+checkpoint (full live-set snapshot) is written every
+``CHECKPOINT_INTERVAL`` commits and readers replay only the suffix.
+Filesystem ops use ``os``/``shutil`` (single-node container); on a
+cluster they map 1:1 onto the object-store/Hadoop FS API — the commit
+primitive (create-exclusive) is exactly what object stores offer as
+put-if-absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructType
+
+from x_spark.errors import DataSourceException
+from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
+
+LOG_DIR = "_txlog"
+CHECKPOINT_INTERVAL = 20
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentWriteException(DataSourceException):
+    """Another writer committed the version this transaction targeted
+    and the operation is not commutative (read-modify-write)."""
+
+
+# ---------------------------------------------------------------------------
+# snapshot model
+
+
+class Snapshot:
+    """Resolved table state at one version: schema, partitioning, and
+    the live file set (relative path -> add-action dict)."""
+
+    def __init__(self, version: int, schema_json: str, partition_cols: list[str],
+                 files: dict[str, dict]):
+        self.version = version
+        self.schema_json = schema_json
+        self.partition_cols = partition_cols
+        self.files = files
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def _version_of(fname: str) -> int:
+    return int(fname.split(".", 1)[0])
+
+
+def _list_log(table: str) -> tuple[list[str], list[str]]:
+    """(commit files, checkpoint files), each sorted by version."""
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return [], []
+    commits, checkpoints = [], []
+    for f in os.listdir(d):
+        if f.endswith(".checkpoint.json"):
+            checkpoints.append(f)
+        elif f.endswith(".json"):
+            commits.append(f)
+    return sorted(commits, key=_version_of), sorted(checkpoints, key=_version_of)
+
+
+def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
+    """Replay the log up to ``version`` (default: latest). Starts from
+    the newest checkpoint at or below the target so replay cost is
+    bounded by CHECKPOINT_INTERVAL, not table age."""
+    commits, checkpoints = _list_log(table)
+    if not commits:
+        return None
+    target = _version_of(commits[-1]) if version is None else version
+    if version is not None and all(_version_of(c) != version for c in commits):
+        raise DataSourceException(
+            f"version {version} does not exist for txlog table {table!r}"
+        )
+    files: dict[str, dict] = {}
+    schema_json: str | None = None
+    part_cols: list[str] = []
+    start = 0
+    usable = [c for c in checkpoints if _version_of(c) <= target]
+    if usable:
+        with open(os.path.join(_log_path(table), usable[-1])) as fh:
+            ck = json.load(fh)
+        schema_json = ck["schemaJson"]
+        part_cols = ck["partitionColumns"]
+        files = {a["path"]: a for a in ck["adds"]}
+        start = _version_of(usable[-1]) + 1
+    for fname in commits:
+        v = _version_of(fname)
+        if v < start or v > target:
+            continue
+        with open(os.path.join(_log_path(table), fname)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_json = action["metaData"]["schemaJson"]
+                    part_cols = action["metaData"]["partitionColumns"]
+                elif "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+    if schema_json is None:
+        raise DataSourceException(f"txlog table {table!r} has no metaData action")
+    return Snapshot(target, schema_json, part_cols, files)
+
+
+# ---------------------------------------------------------------------------
+# connector
+
+
+class TxLogDataSource(BaseDataSource):
+    format_name = "txlog"
+
+    # -- addressing ----------------------------------------------------
+    @staticmethod
+    def _table_path(ref: TableRef) -> str:
+        if not ref.is_path:
+            raise DataSourceException(
+                "txlog tables are addressed by path (TableRef(path=...)); "
+                "catalog-name addressing needs a metastore entry the log "
+                "itself replaces"
+            )
+        return ref.path  # type: ignore[return-value]
+
+    def table_exists(self, ref: TableRef) -> bool:
+        if not ref.is_path:
+            return False
+        commits, _ = _list_log(ref.path)  # type: ignore[arg-type]
+        return bool(commits)
+
+    def partition_columns(self, ref: TableRef) -> list[str]:
+        snap = resolve_snapshot(self._table_path(ref))
+        return snap.partition_cols if snap else list(ref.partition_by)
+
+    # -- reads ---------------------------------------------------------
+    def read(self, ref: TableRef) -> DataFrame:
+        """Snapshot read; ``ref.options['versionAsOf']`` time-travels."""
+        table = self._table_path(ref)
+        version = ref.options.get("versionAsOf")
+        snap = resolve_snapshot(table, int(version) if version is not None else None)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        return self._read_snapshot(table, snap)
+
+    def _read_snapshot(self, table: str, snap: Snapshot,
+                       paths: list[str] | None = None) -> DataFrame:
+        """DataFrame over ``paths`` (default: all live files) of a
+        snapshot. ``basePath`` keeps hive-style partition columns."""
+        rel = sorted(snap.files) if paths is None else paths
+        if not rel:
+            return self.spark.createDataFrame([], snap.schema)
+        full = [os.path.join(table, p) for p in rel]
+        df = (
+            self.spark.read.schema(snap.schema)
+            .option("basePath", table)
+            .parquet(*full)
+        )
+        return df.select(*[f.name for f in snap.schema.fields])
+
+    # -- commit machinery ----------------------------------------------
+    def _commit(self, table: str, expected_version: int, actions: list[dict],
+                operation: str) -> int:
+        """Write version ``expected_version`` atomically; raises
+        ConcurrentWriteException if that version already exists."""
+        d = _log_path(table)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{expected_version:020d}.json")
+        payload = "".join(
+            json.dumps(a, default=str) + "\n"
+            for a in actions + [{"commitInfo": {"operation": operation}}]
+        )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise ConcurrentWriteException(
+                f"version {expected_version} of {table!r} was committed "
+                f"concurrently (operation {operation})"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        self._maybe_checkpoint(table, expected_version)
+        return expected_version
+
+    def _maybe_checkpoint(self, table: str, version: int) -> None:
+        if version == 0 or version % CHECKPOINT_INTERVAL != 0:
+            return
+        snap = resolve_snapshot(table, version)
+        ck = {
+            "version": version,
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_cols,
+            "adds": [snap.files[p] for p in sorted(snap.files)],
+        }
+        path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh, default=str)
+        os.replace(tmp, path)  # atomic publish
+
+    def _latest_version(self, table: str) -> int | None:
+        commits, _ = _list_log(table)
+        return _version_of(commits[-1]) if commits else None
+
+    # -- data-file writing ---------------------------------------------
+    def _write_files(self, df: DataFrame, table: str,
+                     part_cols: list[str]) -> list[dict]:
+        """Materialize ``df`` as immutable parquet files inside the
+        table directory (staged under a unique name, then moved — the
+        files are invisible until an add action commits them). Returns
+        add-actions with footer row counts and per-column min/max."""
+        staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+        adds: list[dict] = []
+        try:
+            for root, _dirs, names in os.walk(staging):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, name)
+                    relpart = os.path.relpath(root, staging)
+                    part_values = self._parse_partition_values(relpart, part_cols)
+                    fname = f"part-{uuid.uuid4().hex}.parquet"
+                    rel = fname if relpart == "." else os.path.join(relpart, fname)
+                    dst = os.path.join(table, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    num_rows, stats = self._footer_stats(src)
+                    shutil.move(src, dst)
+                    adds.append(
+                        {
+                            "path": rel,
+                            "partitionValues": part_values,
+                            "numRecords": num_rows,
+                            "stats": stats,
+                        }
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    @staticmethod
+    def _parse_partition_values(relpart: str, part_cols: list[str]) -> dict:
+        values: dict[str, str | None] = {}
+        if relpart == ".":
+            return values
+        from urllib.parse import unquote
+
+        for seg in relpart.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                values[k] = None if v == HIVE_NULL else unquote(v)
+        return {c: values.get(c) for c in part_cols}
+
+    @staticmethod
+    def _footer_stats(path: str) -> tuple[int, dict]:
+        """(row count, {minValues, maxValues}) from the parquet footer —
+        collected once at write time, used for merge/delete file
+        skipping. Non-primitive and statless columns are omitted
+        (consumers treat a missing bound as 'could match')."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested: no row-level skipping
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return md.num_rows, {"minValues": mins, "maxValues": maxs}
+
+    # -- operations ----------------------------------------------------
+    def create(self, ref: TableRef, schema: StructType,
+               partition_by: list[str] | None = None) -> None:
+        """Commit version 0: metaData only (an empty table)."""
+        table = self._table_path(ref)
+        if self.table_exists(ref):
+            raise DataSourceException(f"txlog table {table!r} already exists")
+        os.makedirs(table, exist_ok=True)
+        meta = {
+            "metaData": {
+                "schemaJson": schema.json(),
+                "partitionColumns": partition_by or list(ref.partition_by),
+            }
+        }
+        self._commit(table, 0, [meta], "CREATE")
+
+    def append(self, df: DataFrame, ref: TableRef) -> None:
+        """Add-only commit. On version collision the append re-resolves
+        and retries — blind adds commute with any concurrent commit."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            self.create(ref, df.schema)
+            snap = resolve_snapshot(table)
+        df = df.select(*[f.name for f in snap.schema.fields])  # by-name, like Delta
+        adds = self._write_files(df, table, snap.partition_cols)
+        actions = [{"add": a} for a in adds]
+        for _ in range(10):
+            try:
+                self._commit(table, (self._latest_version(table) or 0) + 1,
+                             actions, "APPEND")
+                return
+            except ConcurrentWriteException:
+                continue
+        raise ConcurrentWriteException(
+            f"append to {table!r} lost 10 straight version races"
+        )
+
+    def overwrite(self, df: DataFrame, ref: TableRef,
+                  replace_where: str | None = None) -> None:
+        """Full overwrite, or Delta replaceWhere: source rows violating
+        the predicate abort; target rows where it is TRUE are replaced,
+        FALSE or NULL survive. Partition-only predicates touch only
+        matching partitions' files (data skipping); general predicates
+        rewrite files that may hold surviving rows."""
+        table = self._table_path(ref)
+        if not self.table_exists(ref):
+            self.create(ref, df.schema)
+        snap = resolve_snapshot(table)
+        base = snap.version
+        df = df.select(*[f.name for f in snap.schema.fields])
+        if replace_where in (None, "", "1=1"):
+            adds = self._write_files(df, table, snap.partition_cols)
+            actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+            actions += [{"add": a} for a in adds]
+            # RMW commit: a concurrent append's files are not in the
+            # remove set, so replacing "the table" requires the snapshot
+            # to still be the latest version
+            self._commit(table, self._expect_unchanged(table, base), actions,
+                         "OVERWRITE")
+            return
+        pred = F.coalesce(F.expr(replace_where), F.lit(False))
+        checked = df.filter(
+            pred
+            | F.raise_error(
+                F.lit(f"source rows violate replaceWhere predicate {replace_where!r}")
+            ).cast("boolean")
+        )
+        candidates = self._files_matching_predicate(table, snap, replace_where)
+        survivors = self._read_snapshot(table, snap, candidates).filter(~pred)
+        new_data = survivors.unionByName(checked)
+        adds = self._write_files(new_data, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in candidates]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "OVERWRITE_WHERE")
+
+    def overwrite_dynamic(self, df: DataFrame, ref: TableRef) -> None:
+        """Replace exactly the partitions present in ``df`` (whole table
+        when unpartitioned): remove those partitions' files, add the new
+        ones, one atomic commit. Untouched partitions' files are never
+        read or written."""
+        table = self._table_path(ref)
+        if not self.table_exists(ref):
+            self.create(ref, df.schema)
+        snap = resolve_snapshot(table)
+        base = snap.version
+        if not snap.partition_cols:
+            self.overwrite(df, ref)
+            return
+        df = df.select(*[f.name for f in snap.schema.fields])
+        def render(v):
+            # match hive dir encoding: booleans lowercase, rest via str()
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return str(v).lower()
+            return str(v)
+
+        incoming = {
+            tuple(render(row[c]) for c in snap.partition_cols)
+            for row in df.select(*snap.partition_cols).distinct().collect()
+        }
+        removes = [
+            rel
+            for rel in sorted(snap.files)
+            if tuple(
+                (snap.files[rel].get("partitionValues") or {}).get(c)
+                for c in snap.partition_cols
+            )
+            in incoming
+        ]
+        adds = self._write_files(df, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in removes]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "OVERWRITE_DYNAMIC")
+
+    def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec) -> None:
+        """Join-based MERGE over ONLY the files whose primary-key
+        min/max range overlaps the source's (footer stats collected at
+        write time) — Delta MERGE's data-skipping shape. Pruned files
+        are never read; matched/inserted rows land in new files."""
+        from x_spark.operators.merge import merge_frames
+
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        base = snap.version
+        candidates = self._files_overlapping_keys(df, snap, spec.primary_key_columns[0])
+        target_slice = self._read_snapshot(table, snap, candidates)
+        result = merge_frames(target_slice, df, spec)
+        adds = self._write_files(result, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in candidates]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions, "MERGE")
+
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        """ANSI DELETE: drop rows where the predicate is TRUE; FALSE or
+        NULL survive. Partition-only predicates rewrite only matching
+        partitions' files."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        base = snap.version
+        candidates = self._files_matching_predicate(table, snap, predicate)
+        survivors = self._read_snapshot(table, snap, candidates).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        adds = self._write_files(survivors, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in candidates]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
+
+    def truncate(self, ref: TableRef) -> None:
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            return
+        actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+        self._commit(table, snap.version + 1, actions, "TRUNCATE")
+
+    def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
+        """Compaction commit: logically a no-op (remove small files, add
+        their coalesced rewrite atomically)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        adds = self._write_files(
+            df.select(*[f.name for f in snap.schema.fields]), table,
+            snap.partition_cols,
+        )
+        actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, snap.version), actions,
+                     "COMPACT")
+
+    def vacuum(self, ref: TableRef, keep_last: int | None = None) -> list[str]:
+        """Physically delete data files no longer reachable.
+
+        Default (``keep_last=None``): remove only ORPHANS — files no
+        log version references (crashed writers) — so every historical
+        version stays time-travelable. ``keep_last=N`` additionally
+        drops files referenced only by versions older than the last N
+        (time travel below that horizon then fails with a missing-file
+        error, as documented). Returns the deleted relative paths."""
+        table = self._table_path(ref)
+        latest = self._latest_version(table)
+        if latest is None:
+            return []
+        commits, _ = _list_log(table)
+        if keep_last is None:
+            horizon_versions = [_version_of(c) for c in commits]
+        else:
+            horizon_versions = [
+                v for v in (_version_of(c) for c in commits)
+                if v > latest - keep_last
+            ] or [latest]
+        referenced: set[str] = set()
+        for v in horizon_versions:
+            snap = resolve_snapshot(table, v)
+            referenced.update(snap.files)
+        deleted: list[str] = []
+        for root, dirs, names in os.walk(table):
+            dirs[:] = [
+                d for d in dirs
+                if d != LOG_DIR and not d.startswith("_staging-")
+            ]
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), table)
+                if rel not in referenced:
+                    os.remove(os.path.join(root, name))
+                    deleted.append(rel)
+        return sorted(deleted)
+
+    def history(self, ref: TableRef) -> list[dict]:
+        """(version, operation) for every commit — DESCRIBE HISTORY."""
+        table = self._table_path(ref)
+        commits, _ = _list_log(table)
+        out = []
+        for fname in commits:
+            op = None
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        op = action["commitInfo"].get("operation")
+            out.append({"version": _version_of(fname), "operation": op})
+        return out
+
+    # -- pruning -------------------------------------------------------
+    def _expect_unchanged(self, table: str, base_version: int) -> int:
+        """Target version for a read-modify-write commit; aborts if the
+        snapshot the writer read is no longer the latest."""
+        latest = self._latest_version(table)
+        if latest != base_version:
+            raise ConcurrentWriteException(
+                f"table {table!r} advanced from v{base_version} to v{latest} "
+                "during a read-modify-write operation"
+            )
+        return base_version + 1
+
+    def _files_overlapping_keys(self, src: DataFrame, snap: Snapshot,
+                                key: str) -> list[str]:
+        """Files whose footer min/max range on ``key`` (the leading
+        merge primary-key column) overlaps the source's key range —
+        read-free data skipping; a pruned file provably holds no row a
+        source key can match. Missing stats => candidate (safe)."""
+        row = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:
+            return []  # empty source: no file can match
+        keep = []
+        for rel in sorted(snap.files):
+            st = snap.files[rel].get("stats") or {}
+            fmin = (st.get("minValues") or {}).get(key)
+            fmax = (st.get("maxValues") or {}).get(key)
+            if fmin is None or fmax is None:
+                keep.append(rel)
+                continue
+            try:
+                # footer stats round-trip through JSON (ints/floats/strs
+                # survive; dates become strings) — coerce the source
+                # bounds into the stats' type before comparing
+                disjoint = type(fmin)(str(hi)) < fmin or type(fmax)(str(lo)) > fmax
+            except (TypeError, ValueError):
+                keep.append(rel)
+                continue
+            if not disjoint:
+                keep.append(rel)
+        return keep
+
+    def _files_matching_predicate(self, table: str, snap: Snapshot,
+                                  predicate: str) -> list[str]:
+        """Files that may hold rows where ``predicate`` is TRUE. When
+        the predicate resolves against partition columns alone, files
+        of non-matching partitions are pruned (their rows all evaluate
+        FALSE/NULL and survive untouched); otherwise every file is a
+        candidate."""
+        if not snap.partition_cols:
+            return sorted(snap.files)
+        rels = sorted(snap.files)
+        if not rels:
+            return []
+        by_name = {f.name: f for f in snap.schema.fields}
+        part_fields = [by_name[c] for c in snap.partition_cols]
+        rows = [
+            tuple(
+                (snap.files[rel].get("partitionValues") or {}).get(c)
+                for c in snap.partition_cols
+            )
+            for rel in rels
+        ]
+        # partition values travel as strings in the log: build a string
+        # frame, cast to the declared types, evaluate the predicate
+        # once per file's partition tuple (metadata scale)
+        str_schema = ", ".join(f"{c} string" for c in snap.partition_cols)
+        typed = self.spark.createDataFrame(rows, str_schema).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in part_fields
+            ]
+        )
+        try:
+            flags = typed.withColumn(
+                "_match", F.coalesce(F.expr(predicate), F.lit(False))
+            ).collect()
+        except Exception:
+            # predicate references non-partition columns: no pruning
+            return rels
+        return [rel for rel, row in zip(rels, flags) if row["_match"]]
