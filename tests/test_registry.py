@@ -40,9 +40,10 @@ FAMILY_REPRESENTATIVES = [
     "embedding_near_dups",
     "dup_components",
     "ann_topk_bucketed",
-    "ann_topk_ivf",
     "ann_topk_pandas",
     "text_statistics",
+    "repetition_profile",       # Gopher-style repetition quality signals
+    "benchmark_contamination",  # eval-set n-gram decontamination
     "language_profile",
     "quality_histogram",
     "token_topk",               # token counting
@@ -50,7 +51,6 @@ FAMILY_REPRESENTATIVES = [
     "corpus_splits",            # deterministic sampling
     "multimodal_features",
     "multimodal_frames",
-    "approx_distinct_users",    # HLL sketch (rows-only)
     "curation_pipeline",
     "duckdb_dim_roundtrip",      # external-DB connector round trip
     "stream_tumbling_profile",

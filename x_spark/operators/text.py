@@ -128,3 +128,141 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the canonical md5 fingerprint (whitespace/punct/case
     insensitive) used for exact near-duplicate grouping."""
     return df.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append repetition-based quality signals (the Gopher-rules
+    family: heavily self-repeating documents are low-value training
+    data):
+
+    dup_line_fraction    1 - distinct lines / lines
+    dup_token_fraction   1 - distinct tokens / tokens
+    max_2gram_run        occurrence count of the most frequent token
+                         2-gram (1 = no repetition)
+
+    All three are single-projection JVM array expressions — the
+    most-frequent-2-gram count is the longest equal-adjacent run of the
+    SORTED 2-gram array, folded in one ``aggregate`` pass (no explode,
+    no shuffle; runs at scan speed). Ratios are single divisions of
+    integer counts: bit-deterministic across engines.
+    """
+    t = F.col(text_col)
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> length(x) > 0)")
+    tokens = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
+    )
+    out = (
+        df.withColumn("_lines", lines)
+        .withColumn("_tokens", tokens)
+        .withColumn(
+            "dup_line_fraction",
+            F.when(
+                F.size("_lines") > 0,
+                1.0
+                - F.size(F.array_distinct("_lines")).cast("double")
+                / F.size("_lines"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_token_fraction",
+            F.when(
+                F.size("_tokens") > 0,
+                1.0
+                - F.size(F.array_distinct("_tokens")).cast("double")
+                / F.size("_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_grams",
+            F.expr(
+                "CASE WHEN size(_tokens) >= 2 THEN array_sort(transform("
+                "sequence(1, size(_tokens) - 1), "
+                "i -> concat(element_at(_tokens, i), ' ', element_at(_tokens, i + 1))"
+                ")) ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "max_2gram_run",
+            # fold over the sorted grams: (prev, current run, best run)
+            F.expr(
+                "CASE WHEN size(_grams) = 0 THEN 0L ELSE aggregate(_grams, "
+                "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+                "(acc, g) -> named_struct("
+                "'prev', g, "
+                "'run', CASE WHEN acc.prev IS NOT NULL AND acc.prev = g "
+                "THEN acc.run + 1 ELSE 1L END, "
+                "'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL "
+                "AND acc.prev = g THEN acc.run + 1 ELSE 1L END)), "
+                "acc -> acc.best) END"
+            ),
+        )
+        .drop("_lines", "_tokens", "_grams")
+    )
+    return out
+
+
+CONTAM_NGRAM = 5  # token n-gram width for contamination overlap
+
+
+def with_ngram_hashes(
+    df: DataFrame, text_col: str = "text", n: int = CONTAM_NGRAM,
+    out_col: str = "gram_hashes",
+) -> DataFrame:
+    """Append ``out_col``: distinct 32-bit hashes of the lowercased
+    token ``n``-grams — the unit of benchmark-contamination overlap.
+
+    Tokens are materialized in their own projection first: inlining the
+    split/filter into the per-gram lambda would recompute it for every
+    gram (the same pitfall :func:`with_simhash` documents)."""
+    from x_spark.functions.portable import hash32_sql
+
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
+    grams = (
+        f"CASE WHEN size(_cc_toks) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(_cc_toks) - {n} + 1), "
+        f"i -> {hash32_sql(f'array_join(slice(_cc_toks, i, {n}), chr(32))')}"
+        f")) ELSE array() END"
+    )
+    return (
+        df.withColumn("_cc_toks", F.expr(toks))
+        .withColumn(out_col, F.expr(grams))
+        .drop("_cc_toks")
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    n: int = CONTAM_NGRAM,
+) -> DataFrame:
+    """Flag training documents sharing >= ``min_shared`` distinct token
+    n-grams with any benchmark/eval document — the decontamination step
+    every LLM training pipeline runs before training.
+
+    Shape: both sides explode to (id, ngram_hash) and meet in a
+    hash-equi join — candidate volume is bounded by true n-gram
+    collisions, never |corpus| x |benchmark|. The benchmark side is
+    small by nature (eval sets), so Catalyst/AQE broadcasts it; the
+    corpus side streams through map-side. One groupBy on the matched
+    (train, eval) pair counts shared n-grams. At 100 TB the benchmark
+    hash set is a broadcast bloom/exact set — same plan shape.
+
+    Returns (train_id, eval_id, shared_ngrams) for flagged pairs.
+    """
+    c = with_ngram_hashes(corpus, text_col, n).select(
+        F.col(id_col).alias("train_id"),
+        F.explode("gram_hashes").alias("gh"),
+    )
+    b = with_ngram_hashes(benchmark, text_col, n).select(
+        F.col(id_col).alias("eval_id"),
+        F.explode("gram_hashes").alias("gh"),
+    )
+    return (
+        c.join(b, "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

@@ -96,6 +96,80 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-rules family): duplicate
+# line/token fractions and the most-frequent-2-gram occurrence count.
+# Single-projection JVM array folds — scan speed at any scale; the
+# max-2-gram count folds the SORTED gram array instead of exploding.
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round("dup_line_fraction", 6).alias("dup_line_fraction"),
+        F.round("dup_token_fraction", 6).alias("dup_token_fraction"),
+        "max_2gram_run",
+    )
+
+
+ORACLE_REPETITION_PROFILE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ln,
+         regexp_extract_all(lower(text), '\S+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+    THEN list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1]))
+    ELSE [] END) AS g
+  FROM toks
+), runs AS (
+  SELECT doc_id, max(c) AS max_run
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN len(ln) > 0
+            THEN round(1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln), 6)
+            ELSE 0.0 END AS dup_line_fraction,
+       CASE WHEN len(tk) > 0
+            THEN round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+            ELSE 0.0 END AS dup_token_fraction,
+       CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_2gram_run
+FROM toks t LEFT JOIN runs r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: training docs sharing >= min_shared distinct
+# token n-grams with any eval-set doc (eval set: doc_id % 97 = 0). The
+# hash-equi join meets on true n-gram collisions only — never
+# |corpus| x |benchmark|; the benchmark side broadcasts (eval sets are
+# small by nature). n=3 fits the synthetic corpus's tiny vocabulary;
+# real pipelines run the operator's default (CONTAM_NGRAM=5).
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return X.contamination_check(corpus, bench, min_shared=2, n=3)
+
+
+ORACLE_BENCHMARK_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1),
+         i -> cast(concat('0x', substr(md5(array_to_string(tk[i:i+2], ' ')),1,8)) as bigint))
+    ELSE [] END)) AS gh
+  FROM toks
+), c AS (SELECT doc_id AS train_id, gh FROM g WHERE doc_id % 97 <> 0),
+   b AS (SELECT doc_id AS eval_id, gh FROM g WHERE doc_id % 97 = 0)
+SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM c JOIN b USING (gh)
+GROUP BY train_id, eval_id
+HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID: marker-word argmax vs the labeled lang column.
 def q_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.language_id(_docs(spark, sf_dir))
@@ -691,6 +765,8 @@ PIPELINE_QUERIES = {
     "dup_components": q_dup_components,
     "corpus_splits": q_corpus_splits,
     "text_statistics": q_text_statistics,
+    "repetition_profile": q_repetition_profile,
+    "benchmark_contamination": q_benchmark_contamination,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
     "exact_dedup": q_exact_dedup,
@@ -712,6 +788,8 @@ PIPELINE_ORACLES = {
     "dup_components": _dup_components_oracle(),
     "corpus_splits": ORACLE_CORPUS_SPLITS,
     "text_statistics": ORACLE_TEXT_STATISTICS,
+    "repetition_profile": ORACLE_REPETITION_PROFILE,
+    "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
     "exact_dedup": ORACLE_EXACT_DEDUP,

@@ -33,6 +33,11 @@ _ALL_QUERIES = {
 _TAIL = [
     "ann_topk_bruteforce",     # exact top-k: ann_topk_pandas hash-checks the same
                                # result; bucketed+ivf cover the approximate family
+    "ann_topk_ivf",            # rows-only by design (data-dependent codebook): a
+                               # driver row adds no hash signal; pytest + bench
+                               # recall@10 carry its evidence
+    "approx_distinct_users",   # rows-only by design (HLL estimates are
+                               # engine-specific): same reasoning
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
