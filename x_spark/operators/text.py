@@ -204,30 +204,39 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 CONTAM_NGRAM = 5  # token n-gram width for contamination overlap
 
 
-def with_ngram_hashes(
-    df: DataFrame, text_col: str = "text", n: int = CONTAM_NGRAM,
-    out_col: str = "gram_hashes",
+def ngram_hash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = CONTAM_NGRAM,
 ) -> DataFrame:
-    """Append ``out_col``: distinct 32-bit hashes of the lowercased
-    token ``n``-grams — the unit of benchmark-contamination overlap.
+    """(id, gram_hashes) where ``gram_hashes`` holds the distinct
+    32-bit hashes of the lowercased token ``n``-grams — the unit of
+    benchmark-contamination overlap.
 
-    Tokens are materialized in their own projection first: inlining the
-    split/filter into the per-gram lambda would recompute it for every
-    gram (the same pitfall :func:`with_simhash` documents)."""
-    from x_spark.functions.portable import hash32_sql
+    The tokenized frame is PERSISTED before the gram lambda runs:
+    Catalyst's project collapse would otherwise re-inline the
+    regex split into every per-gram evaluation — measured 10x+ slower
+    (the same pitfall ``dedup._sketch_table`` documents; the persist is
+    the barrier). Size: id + ~tokens per row, same class as the
+    minhash sketch table."""
+    from x_spark.functions.portable import MINHASH_PRIME, hash32_sql
 
+    # ONE md5 per token (not per gram): the gram hash is a polynomial
+    # roll over the 32-bit token hashes — multiplier < 2^20 keeps every
+    # product < 2^52 (ANSI-safe, exact in DuckDB bigint math):
+    #   g = fold(h_i..h_{i+n-1}: acc -> (acc * 1000003 + h) % P)
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
+    tok_hashes = f"transform({toks}, t -> {hash32_sql('t')})"
+    toks_df = df.select(
+        F.col(id_col).alias(id_col), F.expr(tok_hashes).alias("_cc_th")
+    ).persist()
     grams = (
-        f"CASE WHEN size(_cc_toks) >= {n} THEN array_distinct(transform("
-        f"sequence(1, size(_cc_toks) - {n} + 1), "
-        f"i -> {hash32_sql(f'array_join(slice(_cc_toks, i, {n}), chr(32))')}"
+        f"CASE WHEN size(_cc_th) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(_cc_th) - {n} + 1), "
+        f"i -> aggregate(slice(_cc_th, i, {n}), 0L, "
+        f"(acc, h) -> (acc * 1000003L + h) % {MINHASH_PRIME}L)"
         f")) ELSE array() END"
     )
-    return (
-        df.withColumn("_cc_toks", F.expr(toks))
-        .withColumn(out_col, F.expr(grams))
-        .drop("_cc_toks")
-    )
+    return toks_df.withColumn("gram_hashes", F.expr(grams)).drop("_cc_th")
 
 
 def contamination_check(
@@ -252,11 +261,11 @@ def contamination_check(
 
     Returns (train_id, eval_id, shared_ngrams) for flagged pairs.
     """
-    c = with_ngram_hashes(corpus, text_col, n).select(
+    c = ngram_hash_table(corpus, id_col, text_col, n).select(
         F.col(id_col).alias("train_id"),
         F.explode("gram_hashes").alias("gh"),
     )
-    b = with_ngram_hashes(benchmark, text_col, n).select(
+    b = ngram_hash_table(benchmark, id_col, text_col, n).select(
         F.col(id_col).alias("eval_id"),
         F.explode("gram_hashes").alias("gh"),
     )

@@ -153,11 +153,18 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BENCHMARK_CONTAMINATION = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '\S+'),
+                        t -> cast(concat('0x', substr(md5(t),1,8)) as bigint)) AS th
+  FROM documents
 ), g AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
-    THEN list_transform(range(1, len(tk) - 1),
-         i -> cast(concat('0x', substr(md5(array_to_string(tk[i:i+2], ' ')),1,8)) as bigint))
+  -- gram hash = polynomial roll over token hashes, unrolled for n=3,
+  -- mirroring Spark's aggregate fold step-for-step (mod after each
+  -- multiply-add; every intermediate < 2^52)
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(th) >= 3
+    THEN list_transform(range(1, len(th) - 1),
+         i -> ((((th[i] % 4294967291) * 1000003 + th[i+1]) % 4294967291)
+               * 1000003 + th[i+2]) % 4294967291)
     ELSE [] END)) AS gh
   FROM toks
 ), c AS (SELECT doc_id AS train_id, gh FROM g WHERE doc_id % 97 <> 0),
