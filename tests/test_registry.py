@@ -44,8 +44,8 @@ FAMILY_REPRESENTATIVES = [
     "text_statistics",
     "repetition_profile",       # Gopher-style repetition quality signals
     "benchmark_contamination",  # eval-set n-gram decontamination
+    "document_chunks",          # overlapping token-window chunking
     "language_profile",
-    "quality_histogram",
     "token_topk",               # token counting
     "token_fingerprints",       # rolling-hash fingerprints
     "corpus_splits",            # deterministic sampling

@@ -45,6 +45,37 @@ def test_repetition_signals_on_constructed_docs(spark):
     assert out[4]["max_2gram_run"] == 0
 
 
+def test_chunking_windows_and_overlap(spark):
+    from x_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(1, 31))  # 30 tokens
+    docs = _df(spark, [(1, toks), (2, "a b c"), (3, "")])
+    out = chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1, 9, 17, 25 (stride 8); last chunk has 6 tokens
+    assert [(r.start_token, r.n_chunk_tokens) for r in by_doc[1]] == [
+        (1, 10), (9, 10), (17, 10), (25, 6),
+    ]
+    assert by_doc[1][0].chunk_text.startswith("t1 t2 ")
+    # consecutive chunks share exactly `overlap` tokens
+    a = by_doc[1][0].chunk_text.split()
+    b = by_doc[1][1].chunk_text.split()
+    assert a[-2:] == b[:2]
+    # short doc: single chunk; empty doc: no chunks
+    assert [(r.start_token, r.n_chunk_tokens) for r in by_doc[2]] == [(1, 3)]
+    assert 3 not in by_doc
+    # a trailing start adding <= overlap new tokens is suppressed:
+    # 26 tokens, chunk 10/overlap 2 -> starts 1, 9, 17 (25 would add 2)
+    short = _df(spark, [(9, " ".join(f"x{i}" for i in range(26)))])
+    st = sorted(
+        r.start_token
+        for r in chunk_documents(short, chunk_tokens=10, overlap=2).collect()
+    )
+    assert st == [1, 9, 17]
+
+
 def test_contamination_flags_only_true_overlaps(spark):
     bench = _df(spark, [(100, "the quick brown fox jumps over the lazy dog")])
     corpus = _df(

@@ -287,6 +287,50 @@ def test_commit_files_are_single_atomic_units(spark, ds, tmp_path):
         ds._commit(ref.path, 1, [], "DUP")
 
 
+def test_change_data_feed(spark, ds, tmp_path):
+    """changes(from, to) yields row-level inserts/deletes per commit;
+    an update (MERGE rewrite) decomposes into delete + insert."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)                                   # v1: 3 inserts
+    ds.append(
+        spark.createDataFrame([(4, "b", 40)], "pk int, part string, v int"), ref
+    )                                                       # v2: 1 insert
+    src = spark.createDataFrame([(1, 99)], "pk int, v int")
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"]))            # v3: rewrite
+    cdf = ds.changes(ref, from_version=1)
+    rows = {
+        (r.pk, r.part, r.v, r._change_type, r._commit_version)
+        for r in cdf.collect()
+    }
+    assert (4, "b", 40, "insert", 2) in rows
+    assert (1, "a", 10, "delete", 3) in rows  # old image out
+    assert (1, "a", 99, "insert", 3) in rows  # new image in
+    # file-skipped rows (pk outside the merge range, other files) never
+    # appear as changes
+    assert not any(r[0] == 4 and r[4] == 3 and r[3] == "delete" for r in rows)
+    # empty interval -> empty frame with the CDF schema
+    empty = ds.changes(ref, from_version=3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_cli_txlog_commands(spark, ds, tmp_path, capsys):
+    from x_spark.cli import main
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    ds.delete(ref, "pk = 1")
+    assert main(["history", ref.path]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE" in out and "APPEND" in out and "DELETE" in out
+    assert main(["show", ref.path, "--version", "1"]) == 0
+    assert "|1  |a   |10 |" in capsys.readouterr().out  # pk=1 visible at v1
+    assert main(["changes", ref.path, "--from-version", "1"]) == 0
+    assert "delete" in capsys.readouterr().out
+    assert main(["vacuum", ref.path]) == 0
+    assert "deleted 0 file(s)" in capsys.readouterr().out
+
+
 # -- ETL integration --------------------------------------------------------
 def test_yaml_etl_job_against_txlog_target(spark, ds, tmp_path):
     """The lifecycle runner drives a txlog path target end-to-end

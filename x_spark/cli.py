@@ -63,6 +63,29 @@ def build_parser() -> argparse.ArgumentParser:
     comp.add_argument("target", help="catalog table name or path=<dir>")
     comp.add_argument("--datasource", default="parquet")
     comp.add_argument("--target-files", type=int, default=None)
+
+    hist = sub.add_parser("history", help="txlog table commit history")
+    hist.add_argument("path", help="txlog table directory")
+
+    show = sub.add_parser("show", help="read a txlog table (optionally time-traveled)")
+    show.add_argument("path", help="txlog table directory")
+    show.add_argument("--version", type=int, default=None, help="versionAsOf")
+    show.add_argument("--limit", type=int, default=20)
+
+    changes = sub.add_parser(
+        "changes", help="txlog change data feed between two versions"
+    )
+    changes.add_argument("path", help="txlog table directory")
+    changes.add_argument("--from-version", type=int, required=True)
+    changes.add_argument("--to-version", type=int, default=None)
+    changes.add_argument("--limit", type=int, default=20)
+
+    vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
+    vac.add_argument("path", help="txlog table directory")
+    vac.add_argument(
+        "--keep-last", type=int, default=None,
+        help="also drop files only reachable from versions older than the last N",
+    )
     return parser
 
 
@@ -136,6 +159,33 @@ def main(argv: list[str] | None = None) -> int:
             ref = TableRef(table=args.target)
         n = ds.compact(ref, args.target_files)
         print(f"compacted to {n} file(s)")
+        return 0
+
+    if args.command in ("history", "show", "changes", "vacuum"):
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        if args.command == "history":
+            for h in ds.history(TableRef(path=args.path)):
+                print(f"v{h['version']:>6} {h['operation']}")
+            return 0
+        if args.command == "show":
+            opts = (
+                {"versionAsOf": str(args.version)} if args.version is not None else {}
+            )
+            ds.read(TableRef(path=args.path, options=opts)).show(
+                args.limit, truncate=False
+            )
+            return 0
+        if args.command == "changes":
+            ds.changes(
+                TableRef(path=args.path), args.from_version, args.to_version
+            ).show(args.limit, truncate=False)
+            return 0
+        deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last)
+        print(f"deleted {len(deleted)} file(s)")
         return 0
 
     return 2

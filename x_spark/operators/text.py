@@ -201,6 +201,49 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Explode documents into overlapping fixed-token-window chunks —
+    the pretraining/RAG chunking step. One row per chunk:
+    (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+
+    Window starts step by ``chunk_tokens - overlap``; a trailing start
+    whose window would add <= ``overlap`` new tokens is dropped (it
+    would be fully contained in the previous chunk), except the first.
+    Pure array expressions + one explode — no shuffle, no Python; row
+    expansion is bounded by ~n_tokens/stride per document.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
+    starts = (
+        f"CASE WHEN size(_ck_toks) = 0 THEN array() ELSE "
+        f"filter(sequence(1, size(_ck_toks), {stride}), "
+        f"s -> s = 1 OR s <= size(_ck_toks) - {overlap}) END"
+    )
+    return (
+        df.withColumn("_ck_toks", F.expr(toks))
+        .withColumn("start_token", F.explode(F.expr(starts)))
+        .select(
+            id_col,
+            ((F.col("start_token") - 1) / F.lit(stride)).cast("bigint").alias("chunk_id"),
+            F.col("start_token").cast("bigint"),
+            F.expr(f"size(slice(_ck_toks, start_token, {chunk_tokens}))")
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.expr(
+                f"array_join(slice(_ck_toks, start_token, {chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
 CONTAM_NGRAM = 5  # token n-gram width for contamination overlap
 
 

@@ -177,6 +177,34 @@ HAVING count(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# Document chunking: overlapping fixed-token windows (pretraining/RAG
+# prep). chunk=16/overlap=4 fits the ~50-token synthetic docs; real
+# corpora run the operator defaults (256/32).
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    )
+
+
+ORACLE_DOCUMENT_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+), starts AS (
+  SELECT doc_id, tk, unnest(CASE WHEN len(tk) = 0 THEN []
+    ELSE list_filter(range(1, len(tk) + 1, 12),
+                     s -> s = 1 OR s <= len(tk) - 4) END) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 12 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(tk[s:s+15]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(tk[s:s+15], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID: marker-word argmax vs the labeled lang column.
 def q_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.language_id(_docs(spark, sf_dir))
@@ -774,6 +802,7 @@ PIPELINE_QUERIES = {
     "text_statistics": q_text_statistics,
     "repetition_profile": q_repetition_profile,
     "benchmark_contamination": q_benchmark_contamination,
+    "document_chunks": q_document_chunks,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
     "exact_dedup": q_exact_dedup,
@@ -797,6 +826,7 @@ PIPELINE_ORACLES = {
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "repetition_profile": ORACLE_REPETITION_PROFILE,
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
+    "document_chunks": ORACLE_DOCUMENT_CHUNKS,
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
     "exact_dedup": ORACLE_EXACT_DEDUP,

@@ -38,6 +38,8 @@ _TAIL = [
                                # recall@10 carry its evidence
     "approx_distinct_users",   # rows-only by design (HLL estimates are
                                # engine-specific): same reasoning
+    "quality_histogram",       # quality-score formula also driver-checked
+                               # through curation_pipeline's first stage
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative

@@ -544,6 +544,60 @@ class TxLogDataSource(BaseDataSource):
                     deleted.append(rel)
         return sorted(deleted)
 
+    def changes(self, ref: TableRef, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Change data feed: row-level changes between two versions
+        (exclusive ``from_version``, inclusive ``to_version``; default
+        latest), as the table schema plus ``_change_type``
+        ('insert' | 'delete') and ``_commit_version``.
+
+        File-granular and read-bounded: only files added or removed in
+        the interval are read — an incremental consumer of an
+        append-mostly table reads exactly the new data, never the
+        table. An updated row appears as a delete (old image) plus an
+        insert (new image), the MERGE-rewrite decomposition."""
+        table = self._table_path(ref)
+        latest = self._latest_version(table)
+        if latest is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        to_version = latest if to_version is None else to_version
+        base = resolve_snapshot(table, from_version)
+        commits, _ = _list_log(table)
+        live = dict(base.files)
+        out: DataFrame | None = None
+        for fname in commits:
+            v = _version_of(fname)
+            if v <= from_version or v > to_version:
+                continue
+            added: list[str] = []
+            removed: list[str] = []
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "add" in action:
+                        live[action["add"]["path"]] = action["add"]
+                        added.append(action["add"]["path"])
+                    elif "remove" in action:
+                        # only files that were live count as deletes
+                        if live.pop(action["remove"]["path"], None) is not None:
+                            removed.append(action["remove"]["path"])
+            snap_like = Snapshot(v, base.schema_json, base.partition_cols, live)
+            for paths, kind in ((added, "insert"), (removed, "delete")):
+                if not paths:
+                    continue
+                part = self._read_snapshot(table, snap_like, paths).select(
+                    "*",
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(v).cast("bigint").alias("_commit_version"),
+                )
+                out = part if out is None else out.unionByName(part)
+        if out is None:
+            schema = base.schema.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
+            return self.spark.createDataFrame([], schema)
+        return out
+
     def history(self, ref: TableRef) -> list[dict]:
         """(version, operation) for every commit — DESCRIBE HISTORY."""
         table = self._table_path(ref)
