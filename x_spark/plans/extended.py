@@ -766,6 +766,188 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q13 flavor: order-count distribution. LEFT OUTER join customer
+# -> (filtered) orders, per-customer count, then a histogram over the
+# counts — two aggregations, the outer join keeps zero-order customers.
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 flavor: top supplier(s) by quarterly revenue — max-of-
+# aggregate without a self-join: one agg then a rank-1 window (ties all
+# kept, like Q15's = max subquery).
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn(
+        "rnk", F.rank().over(W.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rnk") == 1)
+    sup = _t(spark, sf_dir, "supplier")
+    return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 flavor: revenue from small-quantity lineitems — correlated
+# per-part average decorrelated into an agg + join (what Catalyst's
+# subquery decorrelation produces); one shuffle on l_partkey.
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.ap_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 flavor: dominant suppliers — suppliers shipping more than
+# 20% of some part's total shipped quantity. Correlated-aggregate
+# semi-join decorrelated: per-(part, supplier) sums joined to per-part
+# totals, then a semi-join back to supplier.
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    by_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    by_p = li.groupBy(F.col("l_partkey").alias("tp_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        by_ps.join(by_p, by_ps.l_partkey == F.col("tp_partkey"))
+        .filter(F.col("supp_qty") > 0.2 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.join(
+        dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1
+  FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+  JOIN (SELECT l_partkey AS tp_partkey, sum(l_quantity) AS part_qty
+        FROM lineitem GROUP BY l_partkey) p
+    ON ps.l_partkey = p.tp_partkey
+  WHERE ps.supp_qty > 0.2 * p.part_qty AND ps.l_suppkey = s.s_suppkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 flavor: wealthy idle customers — above the positive-balance
+# average (scalar subquery) with no URGENT orders (NOT EXISTS over a
+# filtered side -> anti join), grouped by market segment.
+def q_wealthy_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(dsum("c_acctbal"), 6).alias("totacctbal"),
+    )
+
+
+ORACLE_WEALTHY_IDLE_CUSTOMERS = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 6) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 EXTENDED_QUERIES = {
     "part_value_concentration": q_part_value_concentration,
     "supplier_diversity": q_supplier_diversity,
@@ -785,10 +967,14 @@ EXTENDED_QUERIES = {
     "token_fingerprints": q_token_fingerprints,
     "scd2_customer": q_scd2_customer,
     "range_click_context": q_range_click_context,
-    # overflow: past the driver's 50-entry window by design (the salted
-    # result is definitionally identical to a plain groupBy, which IS
-    # its oracle — local parity + bench cover it)
     "salted_event_totals": q_salted_event_totals,
+    # TPC-H decorrelation flavors (registry tail: join+agg families
+    # already driver-checked; these widen local coverage + bench)
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "dominant_suppliers": q_dominant_suppliers,
+    "wealthy_idle_customers": q_wealthy_idle_customers,
 }
 
 EXTENDED_ORACLES = {
@@ -812,4 +998,9 @@ EXTENDED_ORACLES = {
     "quantity_percentiles": ORACLE_QUANTITY_PERCENTILES,
     "weekly_revenue_wow": ORACLE_WEEKLY_REVENUE_WOW,
     "token_fingerprints": ORACLE_TOKEN_FINGERPRINTS,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "wealthy_idle_customers": ORACLE_WEALTHY_IDLE_CUSTOMERS,
 }

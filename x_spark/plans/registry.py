@@ -40,6 +40,13 @@ _TAIL = [
                                # engine-specific): same reasoning
     "quality_histogram",       # quality-score formula also driver-checked
                                # through curation_pipeline's first stage
+    # TPC-H decorrelation flavors — join+agg/semi-anti/scalar-subquery
+    # families are all represented in the head already
+    "order_count_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    "dominant_suppliers",
+    "wealthy_idle_customers",
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
