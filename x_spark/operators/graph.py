@@ -19,6 +19,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def select_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """One survivor per duplicate component — the step AFTER clustering
+    in a dedup pipeline: drop every duplicate but the best
+    representative. Documents in no component survive as their own
+    singleton cluster.
+
+    ``order_cols`` ranks candidates (first row wins; default: longest
+    text via a caller-provided column, falling back to min id). The
+    rank runs per component — one shuffle on the component key; the
+    survivor set is exactly one row per component.
+    """
+    from pyspark.sql import Window as W
+
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    labeled = docs.join(comp, id_col, "left_outer").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    order = (order_cols or []) + [F.asc(id_col)]
+    w = W.partitionBy("component").orderBy(*order)
+    sized = W.partitionBy("component")
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(sized))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "id_a",

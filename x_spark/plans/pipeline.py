@@ -467,6 +467,66 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: one representative per duplicate cluster
+    (longest text wins, ties by min doc_id); non-duplicated docs
+    survive as singletons. The end-to-end dedup story:
+    pairs -> components -> survivors."""
+    from x_spark.operators.graph import connected_components, select_survivors
+
+    docs = _docs_aug_near(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs)
+    survivors = select_survivors(
+        docs.withColumn("n_chars_calc", F.length("text")),
+        labels,
+        order_cols=[F.desc("n_chars_calc")],
+    )
+    return survivors.select(
+        "component",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars_calc").cast("bigint").alias("survivor_chars"),
+    )
+
+
+def _dedup_survivors_oracle() -> str:
+    ngram = _ngram_oracle()
+    return f"""
+WITH RECURSIVE sp AS ({ngram}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, concat(text, ' xtra') FROM documents WHERE doc_id % 10 = 0
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         length(d.text) AS n_chars_calc
+  FROM aug d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       doc_id AS survivor_id,
+       CAST(n_chars_calc AS BIGINT) AS survivor_chars
+FROM labeled
+QUALIFY row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars_calc DESC, doc_id) = 1
+"""
+
+
 def _dup_components_oracle() -> str:
     ngram = _ngram_oracle()
     return f"""
@@ -798,6 +858,7 @@ PIPELINE_QUERIES = {
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
+    "dedup_survivors": q_dedup_survivors,
     "corpus_splits": q_corpus_splits,
     "text_statistics": q_text_statistics,
     "repetition_profile": q_repetition_profile,
@@ -822,6 +883,7 @@ PIPELINE_ORACLES = {
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),
+    "dedup_survivors": _dedup_survivors_oracle(),
     "corpus_splits": ORACLE_CORPUS_SPLITS,
     "text_statistics": ORACLE_TEXT_STATISTICS,
     "repetition_profile": ORACLE_REPETITION_PROFILE,

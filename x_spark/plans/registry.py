@@ -47,6 +47,9 @@ _TAIL = [
     "small_quantity_revenue",
     "dominant_suppliers",
     "wealthy_idle_customers",
+    "dedup_survivors",         # survivor selection: the component stage is
+                               # driver-checked via dup_components; local
+                               # parity hash-checks the full recursive oracle
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
