@@ -177,13 +177,43 @@ class TxLogDataSource(BaseDataSource):
 
     # -- reads ---------------------------------------------------------
     def read(self, ref: TableRef) -> DataFrame:
-        """Snapshot read; ``ref.options['versionAsOf']`` time-travels."""
+        """Snapshot read. Time travel via ``ref.options``:
+        ``versionAsOf`` (exact version) or ``timestampAsOf`` (latest
+        version whose commit file mtime is <= the given ISO timestamp /
+        epoch seconds, Delta's resolution rule)."""
         table = self._table_path(ref)
         version = ref.options.get("versionAsOf")
+        if version is None and "timestampAsOf" in ref.options:
+            version = self._version_at_timestamp(
+                table, ref.options["timestampAsOf"]
+            )
         snap = resolve_snapshot(table, int(version) if version is not None else None)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
         return self._read_snapshot(table, snap)
+
+    @staticmethod
+    def _version_at_timestamp(table: str, ts) -> int:
+        """Latest committed version at or before ``ts`` (ISO-8601
+        string or epoch seconds). Commit time is the log file's mtime —
+        single-writer-commit makes it monotone per version."""
+        import datetime
+
+        if isinstance(ts, (int, float)):
+            epoch = float(ts)
+        else:
+            epoch = datetime.datetime.fromisoformat(str(ts)).timestamp()
+        commits, _ = _list_log(table)
+        best = None
+        for fname in commits:
+            mtime = os.path.getmtime(os.path.join(_log_path(table), fname))
+            if mtime <= epoch:
+                best = _version_of(fname)
+        if best is None:
+            raise DataSourceException(
+                f"no commit of {table!r} at or before timestamp {ts!r}"
+            )
+        return best
 
     def _read_snapshot(self, table: str, snap: Snapshot,
                        paths: list[str] | None = None) -> DataFrame:
