@@ -287,6 +287,34 @@ def test_commit_files_are_single_atomic_units(spark, ds, tmp_path):
         ds._commit(ref.path, 1, [], "DUP")
 
 
+def test_clustering_tightens_file_skipping(spark, ds, tmp_path):
+    """After cluster(pk), a single-key merge must prune to ~one file;
+    before clustering (round-robin appends interleave the key space)
+    every file is a candidate."""
+    ref = _ref(tmp_path)
+    # two appends in scrambled key order, so every written file spans
+    # (roughly) the whole key space and range pruning has nothing to cut
+    evens = sorted(range(0, 100, 2), key=lambda i: (i * 37) % 100)
+    odds = sorted(range(1, 100, 2), key=lambda i: (i * 37) % 100)
+    _seed(spark, ds, ref, [(i, "a", i) for i in evens])
+    _seed(spark, ds, ref, [(i, "a", i) for i in odds])
+    snap = resolve_snapshot(ref.path)
+    src = spark.createDataFrame([(3, 999)], "pk int, v int")
+    before = len(ds._files_overlapping_keys(src, snap, "pk"))
+    assert before >= len(snap.files) // 2  # scrambled files barely prune
+    n = ds.cluster(TableRef(path=ref.path), ["pk"], target_files=4)
+    assert n == 4
+    snap2 = resolve_snapshot(ref.path)
+    after = len(ds._files_overlapping_keys(src, snap2, "pk"))
+    assert after < len(snap2.files)  # pruned to the narrow-range file(s)
+    assert after <= 2
+    # logically a no-op
+    rows = _rows(ds.read(ref))
+    assert len(rows) == 100 and (3, "a", 3) in rows
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    assert (3, "a", 999) in _rows(ds.read(ref))
+
+
 def test_change_data_feed(spark, ds, tmp_path):
     """changes(from, to) yields row-level inserts/deletes per commit;
     an update (MERGE rewrite) decomposes into delete + insert."""

@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     changes.add_argument("--to-version", type=int, default=None)
     changes.add_argument("--limit", type=int, default=20)
 
+    clus = sub.add_parser(
+        "cluster", help="rewrite a txlog table range-clustered on key columns"
+    )
+    clus.add_argument("path", help="txlog table directory")
+    clus.add_argument("--by", required=True, help="comma-separated cluster columns")
+    clus.add_argument("--target-files", type=int, default=None)
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -161,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted to {n} file(s)")
         return 0
 
-    if args.command in ("history", "show", "changes", "vacuum"):
+    if args.command in ("history", "show", "changes", "vacuum", "cluster"):
         from x_spark.session import get_session
         from x_spark.sources import init_datasource
         from x_spark.sources.base import TableRef
@@ -183,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
             ds.changes(
                 TableRef(path=args.path), args.from_version, args.to_version
             ).show(args.limit, truncate=False)
+            return 0
+        if args.command == "cluster":
+            n = ds.cluster(
+                TableRef(path=args.path),
+                [c.strip() for c in args.by.split(",") if c.strip()],
+                args.target_files,
+            )
+            print(f"clustered into {n} file(s)")
             return 0
         deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last)
         print(f"deleted {len(deleted)} file(s)")
