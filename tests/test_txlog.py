@@ -359,6 +359,31 @@ def test_cli_txlog_commands(spark, ds, tmp_path, capsys):
     assert "deleted 0 file(s)" in capsys.readouterr().out
 
 
+def test_catalog_name_addressing(spark, ds, tmp_path):
+    """TableRef(table=name) resolves through the warehouse names file:
+    creating ops allocate a directory; reads on unknown names raise."""
+    import uuid as _uuid
+
+    name = f"txname_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    with pytest.raises(DataSourceException, match="unknown txlog table"):
+        ds.read(ref)
+    assert not ds.table_exists(ref)
+    df = spark.createDataFrame([(1, 10)], "pk int, v int")
+    ds.append(df, ref)
+    assert ds.table_exists(ref)
+    assert _rows(ds.read(ref)) == [(1, 10)]
+    ds.merge(
+        spark.createDataFrame([(1, 99)], "pk int, v int"),
+        ref,
+        MergeSpec(["pk"], ["v"]),
+    )
+    assert _rows(ds.read(ref)) == [(1, 99)]
+    # same name from a second connector instance resolves identically
+    ds2 = init_datasource("txlog", spark)
+    assert _rows(ds2.read(TableRef(table=name))) == [(1, 99)]
+
+
 # -- ETL integration --------------------------------------------------------
 def test_yaml_etl_job_against_txlog_target(spark, ds, tmp_path):
     """The lifecycle runner drives a txlog path target end-to-end

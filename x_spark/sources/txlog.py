@@ -155,20 +155,48 @@ class TxLogDataSource(BaseDataSource):
     format_name = "txlog"
 
     # -- addressing ----------------------------------------------------
-    @staticmethod
-    def _table_path(ref: TableRef) -> str:
-        if not ref.is_path:
-            raise DataSourceException(
-                "txlog tables are addressed by path (TableRef(path=...)); "
-                "catalog-name addressing needs a metastore entry the log "
-                "itself replaces"
-            )
-        return ref.path  # type: ignore[return-value]
+    def _names_file(self) -> str:
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "file:/tmp/x_spark-warehouse"
+        )
+        root = warehouse.removeprefix("file:")
+        return os.path.join(root, "_txlog_names.json")
+
+    def _resolve_name(self, name: str, create: bool = False) -> str:
+        """Catalog-name addressing: a warehouse-level names file maps
+        table names to txlog directories (the metastore analogue — the
+        log itself replaces everything else a metastore holds). New
+        names allocate ``<warehouse>/txlog/<name>``; the mapping file
+        is republished atomically via rename."""
+        nf = self._names_file()
+        names: dict[str, str] = {}
+        if os.path.isfile(nf):
+            with open(nf) as fh:
+                names = json.load(fh)
+        if name in names:
+            return names[name]
+        if not create:
+            raise DataSourceException(f"unknown txlog table name {name!r}")
+        path = os.path.join(os.path.dirname(nf), "txlog", name)
+        names[name] = path
+        os.makedirs(os.path.dirname(nf), exist_ok=True)
+        tmp = nf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(names, fh)
+        os.replace(tmp, nf)
+        return path
+
+    def _table_path(self, ref: TableRef, create: bool = False) -> str:
+        if ref.is_path:
+            return ref.path  # type: ignore[return-value]
+        return self._resolve_name(ref.table, create)  # type: ignore[arg-type]
 
     def table_exists(self, ref: TableRef) -> bool:
-        if not ref.is_path:
+        try:
+            path = self._table_path(ref)
+        except DataSourceException:
             return False
-        commits, _ = _list_log(ref.path)  # type: ignore[arg-type]
+        commits, _ = _list_log(path)
         return bool(commits)
 
     def partition_columns(self, ref: TableRef) -> list[str]:
@@ -360,7 +388,7 @@ class TxLogDataSource(BaseDataSource):
     def create(self, ref: TableRef, schema: StructType,
                partition_by: list[str] | None = None) -> None:
         """Commit version 0: metaData only (an empty table)."""
-        table = self._table_path(ref)
+        table = self._table_path(ref, create=True)
         if self.table_exists(ref):
             raise DataSourceException(f"txlog table {table!r} already exists")
         os.makedirs(table, exist_ok=True)
@@ -375,7 +403,7 @@ class TxLogDataSource(BaseDataSource):
     def append(self, df: DataFrame, ref: TableRef) -> None:
         """Add-only commit. On version collision the append re-resolves
         and retries — blind adds commute with any concurrent commit."""
-        table = self._table_path(ref)
+        table = self._table_path(ref, create=True)
         snap = resolve_snapshot(table)
         if snap is None:
             self.create(ref, df.schema)
@@ -401,7 +429,7 @@ class TxLogDataSource(BaseDataSource):
         FALSE or NULL survive. Partition-only predicates touch only
         matching partitions' files (data skipping); general predicates
         rewrite files that may hold surviving rows."""
-        table = self._table_path(ref)
+        table = self._table_path(ref, create=True)
         if not self.table_exists(ref):
             self.create(ref, df.schema)
         snap = resolve_snapshot(table)
@@ -438,7 +466,7 @@ class TxLogDataSource(BaseDataSource):
         when unpartitioned): remove those partitions' files, add the new
         ones, one atomic commit. Untouched partitions' files are never
         read or written."""
-        table = self._table_path(ref)
+        table = self._table_path(ref, create=True)
         if not self.table_exists(ref):
             self.create(ref, df.schema)
         snap = resolve_snapshot(table)
