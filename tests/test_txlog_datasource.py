@@ -1,0 +1,116 @@
+"""Spark Python DataSource over txlog tables (format("txlog")):
+batch + version travel + partition-filter file pruning + streaming
+micro-batches along the version axis.
+"""
+
+import pytest
+
+from x_spark.errors import DataSourceException
+from x_spark.sources import init_datasource
+from x_spark.sources.base import TableRef
+from x_spark.sources.txlog_datasource import TxLogBatchReader, TxLogSparkDataSource
+
+
+@pytest.fixture()
+def ds(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxLogSparkDataSource)
+    return init_datasource("txlog", spark)
+
+
+def _seed(spark, ds, ref, rows):
+    ds.append(spark.createDataFrame(rows, "pk int, part string, v int"), ref)
+
+
+def test_batch_read_and_version_travel(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"), partition_by=["part"])
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20)])
+    _seed(spark, ds, ref, [(3, "a", 30)])
+    df = spark.read.format("txlog").option("path", ref.path).load()
+    assert sorted(map(tuple, df.collect())) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30),
+    ]
+    v1 = (
+        spark.read.format("txlog")
+        .option("path", ref.path)
+        .option("versionAsOf", 1)
+        .load()
+    )
+    assert v1.count() == 2
+    # connector read and datasource read agree
+    assert sorted(map(tuple, ds.read(ref).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_partition_filter_prunes_files(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"), partition_by=["part"])
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20), (3, None, 30)])
+    df = spark.read.format("txlog").option("path", ref.path).load()
+    assert sorted(map(tuple, df.filter("part = 'a'").collect())) == [(1, "a", 10)]
+    assert sorted(map(tuple, df.filter("part IS NULL").collect())) == [(3, None, 30)]
+    # prune really happens at the file level: reader sees 1 partition
+    from x_spark.sources.txlog import resolve_snapshot
+
+    snap = resolve_snapshot(ref.path)
+    reader = TxLogBatchReader(ref.path, snap.schema, None)
+
+    class EqualTo:
+        def __init__(self, attribute, value):
+            self.attribute = attribute
+            self.value = value
+
+    reader.pushFilters([EqualTo(("part",), "a")])
+    parts = reader.partitions()
+    assert len(parts) == 1
+    assert all(p.partition_values.get("part") == "a" for p in parts)
+
+
+def test_streaming_reads_appends_as_microbatches(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"))
+    _seed(spark, ds, ref, [(1, "a", 10)])
+    _seed(spark, ds, ref, [(2, "b", 20)])
+    sdf = spark.readStream.format("txlog").option("path", ref.path).load()
+    q = (
+        sdf.writeStream.format("memory").queryName("txlog_stream_t")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(map(tuple, spark.table("txlog_stream_t").collect())) == [
+        (1, "a", 10), (2, "b", 20),
+    ]
+
+
+def test_streaming_aborts_on_rewrites_unless_ignore_changes(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"))
+    _seed(spark, ds, ref, [(1, "a", 10)])
+    ds.delete(ref, "pk = 1")
+    sdf = spark.readStream.format("txlog").option("path", ref.path).load()
+    q = (
+        sdf.writeStream.format("memory").queryName("txlog_stream_x")
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="append-only|STREAM_FAILED"):
+        q.awaitTermination()
+    # with ignoreChanges the re-added (post-delete) files stream through
+    sdf2 = (
+        spark.readStream.format("txlog")
+        .option("path", ref.path)
+        .option("ignoreChanges", "true")
+        .load()
+    )
+    q2 = (
+        sdf2.writeStream.format("memory").queryName("txlog_stream_y")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert (1, "a", 10) in {tuple(r) for r in spark.table("txlog_stream_y").collect()}
+
+
+def test_missing_path_or_table_raise(spark, ds, tmp_path):
+    with pytest.raises(Exception, match="requires option 'path'|PYTHON_DATA_SOURCE"):
+        spark.read.format("txlog").load().collect()
+    with pytest.raises(Exception, match="does not exist|PYTHON_DATA_SOURCE"):
+        spark.read.format("txlog").option(
+            "path", str(tmp_path / "nope")
+        ).load().collect()

@@ -25,6 +25,9 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Parquet dynamic partition overwrite — the Spark-native equivalent of
     # Delta's replaceWhere for partition-scoped overwrite (SURVEY §2.2 W2).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # the txlog Python DataSource implements pushFilters(); Spark
+    # refuses to initialize such readers unless pushdown is enabled
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -1,0 +1,228 @@
+"""Spark Python DataSource for txlog tables: native
+``spark.read.format("txlog")`` and ``spark.readStream.format("txlog")``.
+
+Built on Spark 4's Python DataSource API (SPARK-44076) — the idiomatic
+way to surface a custom table format to every Spark consumer (SQL,
+DataFrames, Structured Streaming) without JVM code:
+
+- **Batch reads** resolve a snapshot once (same isolation guarantee as
+  the connector), expose ONE input partition per live data file, and
+  ship Arrow record batches zero-copy from the parquet reader.
+- **Filter pushdown** (``pushFilters``): equality filters on partition
+  columns prune files before any is opened; all other filters are
+  returned to Spark to evaluate (footer-stat skipping for
+  non-partition columns stays on the connector's merge/delete paths).
+- **Streaming reads** treat the transaction log as the offset axis —
+  an offset IS a version number. Each micro-batch reads the files
+  ADDED in ``(start_version, end_version]``; append-only tables stream
+  exactly their inserts (the CDF insert stream). Commits that remove
+  files (merge/delete/overwrite rewrites) abort by default, matching
+  streaming-source semantics for non-append tables; pass
+  ``ignoreChanges=true`` to stream the re-added file contents instead.
+
+Usage::
+
+    spark.dataSource.register(TxLogSparkDataSource)
+    spark.read.format("txlog").option("path", p).load()
+    spark.read.format("txlog").option("path", p).option("versionAsOf", 3).load()
+    spark.readStream.format("txlog").option("path", p).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from x_spark.errors import DataSourceException
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, table: str, rel: str, partition_values: dict):
+        self.table = table
+        self.rel = rel
+        self.partition_values = partition_values
+
+
+def _read_file_batches(table: str, rel: str, partition_values: dict, schema):
+    """Arrow record batches for one data file, with hive partition
+    columns re-attached as constant columns in declared schema order."""
+    import pyarrow as pa
+    import pyarrow.compute  # noqa: F401
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    pf = pq.ParquetFile(os.path.join(table, rel))
+    for batch in pf.iter_batches():
+        cols = []
+        for field in arrow_schema:
+            if field.name in batch.schema.names:
+                cols.append(batch.column(field.name).cast(field.type))
+            else:
+                v = partition_values.get(field.name)
+                str_arr = pa.array([v] * batch.num_rows, type=pa.string())
+                cols.append(str_arr.cast(field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
+class TxLogBatchReader(DataSourceReader):
+    def __init__(self, table: str, schema, version):
+        from x_spark.sources.txlog import resolve_snapshot
+
+        self.table = table
+        self.schema = schema
+        snap = resolve_snapshot(table, version)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        self.snap = snap
+        self._pruned: set[str] | None = None
+
+    def pushFilters(self, filters):
+        """Prune files by EqualTo/IsNull on partition columns; every
+        filter is also returned to Spark (we prune, Spark still
+        evaluates — required for correctness on partial pruning)."""
+        part_cols = set(self.snap.partition_cols)
+        constraints: dict[str, object] = {}
+        for f in filters:
+            name = type(f).__name__
+            col = getattr(f, "attribute", None)
+            col = col[0] if isinstance(col, (list, tuple)) else col
+            if name == "EqualTo" and col in part_cols:
+                constraints[col] = str(f.value)
+            elif name == "IsNull" and col in part_cols:
+                constraints[col] = None
+        if constraints:
+            keep = set()
+            for rel, add in self.snap.files.items():
+                pv = add.get("partitionValues") or {}
+                if all(pv.get(c) == v for c, v in constraints.items()):
+                    keep.add(rel)
+            self._pruned = keep
+        return filters  # Spark re-evaluates everything
+
+    def partitions(self):
+        rels = sorted(
+            self.snap.files if self._pruned is None else self._pruned
+        )
+        return [
+            _FilePartition(
+                self.table, rel, self.snap.files[rel].get("partitionValues") or {}
+            )
+            for rel in rels
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_batches(
+            partition.table, partition.rel, partition.partition_values, self.schema
+        )
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    """Versions are offsets: micro-batch (start, end] reads the files
+    those commits added."""
+
+    def __init__(self, table: str, schema, options):
+        from x_spark.sources.txlog import resolve_snapshot
+
+        self.table = table
+        self.schema = schema
+        self.ignore_changes = str(options.get("ignoreChanges", "false")).lower() == "true"
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        start = options.get("startingVersion")
+        self._initial = int(start) if start is not None else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        from x_spark.sources.txlog import _list_log, _version_of
+
+        commits, _ = _list_log(self.table)
+        return {"version": _version_of(commits[-1]) if commits else 0}
+
+    def partitions(self, start: dict, end: dict):
+        from x_spark.sources.txlog import _list_log, _log_path, _version_of
+
+        commits, _ = _list_log(self.table)
+        parts = []
+        for fname in commits:
+            v = _version_of(fname)
+            if v <= start["version"] or v > end["version"]:
+                continue
+            with open(os.path.join(_log_path(self.table), fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "remove" in action and not self.ignore_changes:
+                        raise DataSourceException(
+                            f"txlog stream over {self.table!r}: version {v} "
+                            "rewrites data (merge/delete/overwrite); streaming "
+                            "supports append-only tables — set "
+                            "ignoreChanges=true to stream re-added files"
+                        )
+                    if "add" in action:
+                        parts.append(
+                            _FilePartition(
+                                self.table,
+                                action["add"]["path"],
+                                action["add"].get("partitionValues") or {},
+                            )
+                        )
+        return parts or [None]  # Spark requires >=1 partition per batch
+
+    def read(self, partition):
+        if partition is None:
+            return iter(())
+        return _read_file_batches(
+            partition.table, partition.rel, partition.partition_values, self.schema
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class TxLogSparkDataSource(DataSource):
+    """``format("txlog")`` — options: ``path`` (required),
+    ``versionAsOf`` (batch), ``startingVersion``/``ignoreChanges``
+    (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def _table(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise DataSourceException("txlog datasource requires option 'path'")
+        return path
+
+    def schema(self):
+        from x_spark.sources.txlog import resolve_snapshot
+
+        snap = resolve_snapshot(self._table())
+        if snap is None:
+            raise DataSourceException(
+                f"txlog table {self._table()!r} does not exist"
+            )
+        return snap.schema
+
+    def reader(self, schema) -> TxLogBatchReader:
+        v = self.options.get("versionAsOf")
+        return TxLogBatchReader(
+            self._table(), schema, int(v) if v is not None else None
+        )
+
+    def streamReader(self, schema) -> TxLogStreamReader:
+        return TxLogStreamReader(self._table(), schema, self.options)
