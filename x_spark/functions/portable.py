@@ -102,3 +102,18 @@ def fingerprint(col: Column | str) -> Column:
     """
     col = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""))
+
+
+def umicros(col: Column | str) -> Column:
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ.
+
+    Spark's ``unix_micros`` rejects ``TIMESTAMP_NTZ`` inputs
+    (DATATYPE_MISMATCH since 4.x); every engine session pins
+    ``spark.sql.session.timeZone=UTC`` (see ``x_spark.session``), so
+    casting NTZ to TIMESTAMP is exact and the cast is a no-op for
+    already-zoned timestamps.
+
+    DuckDB: ``epoch_us(x)``
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(col.cast("timestamp"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from x_spark.functions.portable import umicros
+
 
 def range_join(
     left: DataFrame,
@@ -56,7 +58,7 @@ def range_join(
 
     l2 = left.select(
         *[F.col(c) for c in left.columns],
-        F.unix_micros(F.col(left_ts)).alias("__lus"),
+        umicros(F.col(left_ts)).alias("__lus"),
     ).withColumn(
         "__bucket",
         F.explode(
@@ -68,7 +70,7 @@ def range_join(
     )
     r2 = right.select(
         *[F.col(c).alias(f"{c}_r") for c in right.columns],
-        F.unix_micros(F.col(right_ts)).alias("__rus"),
+        umicros(F.col(right_ts)).alias("__rus"),
     ).withColumn("__bucket", F.floor(F.col("__rus") / F.lit(width_us)))
     on = [l2[k] == r2[f"{k}_r"] for k in key_cols] + [l2["__bucket"] == r2["__bucket"]]
     joined = l2.join(r2, reduce_and(on)).filter(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from x_spark.functions.portable import MINHASH_PRIME
+from x_spark.functions.portable import MINHASH_PRIME, umicros
 from x_spark.operators.temporal import as_of_join
 from x_spark.session import load_table
 
@@ -47,7 +47,7 @@ def q_asof_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (
-            (F.unix_micros("ts") - F.unix_micros("asof_ts")) / F.lit(1000000.0)
+            (umicros("ts") - umicros("asof_ts")) / F.lit(1000000.0)
         ).alias("gap_sec"),
         F.round(F.col("value_asof").cast("double"), 6).alias("purchase_value"),
     )
@@ -584,7 +584,7 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(dsum("o_totalprice").alias("revenue"))
     daily = daily.withColumn(
-        "day_num", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("bigint")
+        "day_num", (umicros("day") / F.lit(86_400_000_000)).cast("bigint")
     )
     w = W.orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(

@@ -79,9 +79,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # Spark 4.1+ reads TIMESTAMP(NANOS) natively as NTZ; the
+            # session timezone is pinned UTC, so this cast is exact and
+            # keeps `ts` usable for watermarks/unix_micros (both reject
+            # TIMESTAMP_NTZ).
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

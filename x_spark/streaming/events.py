@@ -34,6 +34,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from x_spark.functions.portable import umicros
+
 from x_spark.operators.merge import MergeSpec  # re-exported spec type
 
 _MEM_COUNTER = itertools.count()
@@ -65,8 +67,13 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(src)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        # Spark 4.1+ reads TIMESTAMP(NANOS) as NTZ; session TZ is UTC,
+        # so the cast is exact — watermarks require zoned TIMESTAMP.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -148,7 +155,7 @@ def session_profile(
         .select(
             "user_id",
             "n_events",
-            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start")))
+            (umicros(F.col("w.end")) - umicros(F.col("w.start")))
             .alias("dur_us"),
         )
     )
@@ -211,7 +218,7 @@ def stream_stream_click_purchase(
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
-        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000.0)).alias(
+        ((umicros("p_ts") - umicros("c_ts")) / F.lit(1000000.0)).alias(
             "gap_sec"
         ),
     )
