@@ -417,3 +417,51 @@ def test_yaml_etl_job_against_txlog_target(spark, ds, tmp_path):
         (2, "b", 99),
         (5, None, 50),
     ]
+
+
+def _overlap_count(snap, col, value):
+    """How many files' footer [min,max] on ``col`` contain ``value``."""
+    n = 0
+    for rel in snap.files:
+        st = snap.files[rel].get("stats") or {}
+        lo = (st.get("minValues") or {}).get(col)
+        hi = (st.get("maxValues") or {}).get(col)
+        if lo is None or hi is None or (lo <= value <= hi):
+            n += 1
+    return n
+
+
+def test_zorder_prunes_on_every_clustered_column(spark, ds, tmp_path):
+    """Lexicographic clustering on (x, y) gives narrow per-file ranges
+    only for x — every file spans ~the full y range, so a y-predicate
+    cannot skip. Z-order interleaves both, so a point predicate on y
+    alone overlaps only ~sqrt(n_files) files."""
+    ref = _ref(tmp_path)
+    grid = [(x, y, x * 32 + y) for x in range(32) for y in range(32)]
+    scrambled = sorted(grid, key=lambda t: (t[2] * 193) % 1024)
+    df = spark.createDataFrame(scrambled, "x int, y int, v int")
+    ds.create(TableRef(path=ref.path), df.schema)
+    ds.append(df.repartition(4), TableRef(path=ref.path))
+
+    ds.cluster(TableRef(path=ref.path), ["x", "y"], target_files=16,
+               strategy="range")
+    lex = resolve_snapshot(ref.path)
+    assert len(lex.files) == 16
+    # x leads the sort: x-predicates prune hard...
+    assert _overlap_count(lex, "x", 7) <= 3
+    # ...but y-ranges are full-width in (almost) every file
+    assert _overlap_count(lex, "y", 7) >= 12
+
+    ds.cluster(TableRef(path=ref.path), ["x", "y"], target_files=16,
+               strategy="zorder")
+    zed = resolve_snapshot(ref.path)
+    assert len(zed.files) == 16
+    # Morton layout: BOTH columns get narrow per-file ranges —
+    # a 16-file z-layout of a square grid is ~a 4x4 tile grid
+    assert _overlap_count(zed, "x", 7) <= 8
+    assert _overlap_count(zed, "y", 7) <= 8
+    # logically a no-op
+    assert _rows(ds.read(ref)) == sorted(grid)
+    # unknown strategy is a typed error
+    with pytest.raises(DataSourceException):
+        ds.cluster(TableRef(path=ref.path), ["x"], strategy="hilbert")

@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     clus.add_argument("path", help="txlog table directory")
     clus.add_argument("--by", required=True, help="comma-separated cluster columns")
     clus.add_argument("--target-files", type=int, default=None)
+    clus.add_argument(
+        "--strategy", choices=("range", "zorder"), default="range",
+        help="range = lexicographic sort (leading column prunes); "
+        "zorder = bit-interleaved Morton order (every column prunes)",
+    )
 
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
@@ -196,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                 TableRef(path=args.path),
                 [c.strip() for c in args.by.split(",") if c.strip()],
                 args.target_files,
+                strategy=args.strategy,
             )
             print(f"clustered into {n} file(s)")
             return 0

@@ -1,0 +1,92 @@
+"""Multi-column Z-order (Morton-order) clustering expression.
+
+``zorder_value(df, cols)`` returns a bigint Column that interleaves the
+bits of the given columns so that sorting by it co-locates rows that
+are close in EVERY dimension at once. Lexicographic range clustering
+(``repartitionByRange(a, b)``) gives tight per-file min/max ranges
+only for the leading column; a Z-order layout gives each file a narrow
+range in *all* clustered columns, so parquet footer min/max stats
+prune files for predicates on any clustered column — the OPTIMIZE
+... ZORDER BY analogue (Delta OSS implements the same idea via
+range-partition IDs; reference has no layout management at all).
+
+Spark-first: everything below is built-in column expressions (one
+bounded ``collect()`` for per-column min/max — 2 scalars per column),
+so the z-value computation stays inside whole-stage codegen; the
+interleave is a sum of shift/mask terms over 16-bit normalized keys.
+
+Normalization per column dtype:
+- numeric/date/timestamp: min/max-scaled to [0, 65535]. Linear
+  scaling preserves order exactly; equal-width buckets are fine for
+  layout purposes (skew only makes some z-cells denser, never breaks
+  pruning correctness, since pruning reads the REAL column stats).
+- string: order-preserving 4-byte prefix integer (big-endian byte
+  value of the first 4 characters), then min/max-scaled. Preserves
+  lexicographic order of the prefix; collisions beyond 4 chars only
+  coarsen locality.
+
+NULLs map to bucket 0 (sorts first, like NULLS FIRST).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BITS = 16
+_MAX = (1 << _BITS) - 1
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _prefix_int(col: Column) -> Column:
+    """Order-preserving integer of a string's first 4 bytes."""
+    out = F.lit(0).cast("bigint")
+    for i in range(1, 5):
+        byte = F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0))
+        out = out * F.lit(256) + byte.cast("bigint")
+    return out
+
+
+def _as_orderable_double(col: Column, dtype: str) -> Column:
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return col.cast("double")
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        # session TZ is pinned UTC — exact (see functions.portable.umicros)
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if dtype == "string":
+        return _prefix_int(col).cast("double")
+    raise ValueError(f"zorder: unsupported column type {dtype!r}")
+
+
+def zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """Build the interleaved z-value Column for ``df[cols]``.
+
+    One tiny job computes per-column min/max (2×len(cols) scalars to
+    the driver — metadata-bounded, scale-safe); the returned Column is
+    pure built-in expressions evaluated at write time.
+    """
+    dtypes = dict(df.dtypes)
+    ordered = {c: _as_orderable_double(F.col(c), dtypes[c]) for c in cols}
+    stats = df.agg(
+        *[F.min(e).alias(f"mn_{c}") for c, e in ordered.items()],
+        *[F.max(e).alias(f"mx_{c}") for c, e in ordered.items()],
+    ).head()
+
+    buckets: list[Column] = []
+    for c, e in ordered.items():
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            buckets.append(F.lit(0).cast("bigint"))
+            continue
+        scaled = (e - F.lit(float(mn))) / F.lit(float(mx) - float(mn)) * F.lit(_MAX)
+        b = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(_MAX)))
+        buckets.append(F.coalesce(b.cast("bigint"), F.lit(0).cast("bigint")))
+
+    n = len(buckets)
+    z = F.lit(0).cast("bigint")
+    for bit in range(_BITS):
+        for i, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i
+            ).cast("bigint")
+    return z

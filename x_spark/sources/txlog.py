@@ -563,14 +563,22 @@ class TxLogDataSource(BaseDataSource):
                      "COMPACT")
 
     def cluster(self, ref: TableRef, cluster_by: list[str],
-                target_files: int | None = None) -> int:
+                target_files: int | None = None,
+                strategy: str = "range") -> int:
         """Layout management (the OPTIMIZE ... ZORDER analogue): rewrite
         the table range-partitioned and sorted on ``cluster_by``, one
         atomic commit. Afterwards each file covers a narrow key range,
         so the footer min/max stats actually prune — MERGE/DELETE on a
         clustered key touch ~1/n_files of the data instead of all of
         it (proven by ``test_txlog.py::test_clustering_tightens_
-        file_skipping``). Logically a no-op, like compact."""
+        file_skipping``). Logically a no-op, like compact.
+
+        ``strategy="range"`` (default) sorts lexicographically — tight
+        file ranges for the LEADING column. ``strategy="zorder"``
+        interleaves the bits of all ``cluster_by`` columns (Morton
+        order, ``x_spark.operators.zorder``) so every clustered column
+        gets narrow per-file ranges — predicates on the second/third
+        column prune too."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
@@ -578,10 +586,25 @@ class TxLogDataSource(BaseDataSource):
         df = self._read_snapshot(table, snap)
         if target_files is None:
             target_files = max(1, len(snap.files))
-        cols = [F.col(c) for c in cluster_by]
-        clustered = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
-            *cols
-        )
+        if strategy == "zorder":
+            from x_spark.operators.zorder import zorder_value
+
+            zv = zorder_value(df, cluster_by)
+            clustered = (
+                df.withColumn("__zv", zv)
+                .repartitionByRange(target_files, F.col("__zv"))
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
+        elif strategy == "range":
+            cols = [F.col(c) for c in cluster_by]
+            clustered = df.repartitionByRange(
+                target_files, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            raise DataSourceException(
+                f"cluster strategy {strategy!r} not in ('range', 'zorder')"
+            )
         adds = self._write_files(
             clustered.select(*[f.name for f in snap.schema.fields]), table,
             snap.partition_cols,
