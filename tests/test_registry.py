@@ -47,10 +47,10 @@ FAMILY_REPRESENTATIVES = [
     "document_chunks",          # overlapping token-window chunking
     "language_profile",
     "token_topk",               # token counting
-    "token_fingerprints",       # rolling-hash fingerprints
+    "bm25_search",              # keyword search (inverted-index BM25)
+    "pii_scan",                 # PII detection + redaction audit
     "corpus_splits",            # deterministic sampling
     "multimodal_features",
-    "multimodal_frames",
     "curation_pipeline",
     "duckdb_dim_roundtrip",      # external-DB connector round trip
     "stream_tumbling_profile",

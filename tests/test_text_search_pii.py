@@ -1,0 +1,66 @@
+"""Unit behavior of the BM25 and PII operators (oracle parity covers
+the registry queries; these pin operator-level semantics)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from x_spark.operators.pii import PII_PATTERNS, pii_counts, redact
+from x_spark.operators.text_search import bm25_topk, tokenize
+
+
+def test_bm25_matches_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat"), (3, "bird"), (4, "dog dog bird")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=4).collect()}
+    # N=4, df(cat)=2, dl = [2,3,1,3], avgdl = 9/4
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def sat(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.25))
+    assert out[1] == round(idf * sat(1, 2), 6)
+    assert out[2] == round(idf * sat(3, 3), 6)
+    assert 3 not in out and 4 not in out  # no "cat" -> no score row
+    # tf saturation: tf=3 scores higher, but sublinearly (< 3x)
+    assert out[1] < out[2] < 3 * out[1]
+
+
+def test_bm25_rank_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(5)], "doc_id bigint, text string"
+    )
+    rows = bm25_topk(docs, ["same"], k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2]  # tie -> doc_id order
+
+
+def test_tokenize_drops_empty(spark):
+    docs = spark.createDataFrame([(1, "  A  b  ")], "doc_id bigint, text string")
+    toks = [r.token for r in tokenize(docs).collect()]
+    assert toks == ["a", "b"]
+
+
+def test_pii_counts_and_redact_complete(spark):
+    text = ("reach me at jane.doe+x@corp.example.org or +1 555-123-4567; "
+            "server 10.0.42.7 logged 2 hits")
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = df.select(
+        *[c.alias(n) for n, c in pii_counts("text").items()]
+    ).head()
+    assert (counts.email, counts.phone, counts.ipv4) == (1, 1, 1)
+    red = df.select(redact("text").alias("r")).head().r
+    assert "[EMAIL]" in red and "[PHONE]" in red and "[IP]" in red
+    residual = df.select(
+        *[c.alias(n) for n, c in pii_counts(redact("text")).items()]
+    ).head()
+    assert residual.email == residual.phone == residual.ipv4 == 0
+    # plain text untouched
+    clean = spark.createDataFrame([("no pii here 12",)], "text string")
+    assert clean.select(redact("text").alias("r")).head().r == "no pii here 12"
+
+
+def test_pii_patterns_re2_compatible():
+    """Patterns must stay RE2-safe (no backrefs/lookaround) so the
+    DuckDB oracle and RE2-based scanners accept them verbatim."""
+    for pat, _ in PII_PATTERNS.values():
+        assert "(?<" not in pat and "(?=" not in pat and "\\1" not in pat

@@ -1,0 +1,131 @@
+"""Keyword search over the documents corpus: TF-IDF / BM25 ranking.
+
+Extension beyond the reference (it has no text-retrieval operators):
+the inverted-index formulation expressed as DataFrame ops —
+
+    tokens  = explode(split(lower(text)))          -- posting list
+    tf      = groupBy(doc, term).count()           -- term frequency
+    df_t    = groupBy(term).countDistinct(doc)     -- document frequency
+    score   = sum_t idf(df_t) * saturation(tf, dl) -- BM25
+
+Everything is built-in JVM expressions; corpus stats (N, avg doc
+length) ride along as a broadcast single-row frame instead of a
+driver collect, so the whole plan stays declarative and Catalyst can
+pipeline the posting-list scan with the scoring join.
+
+Scale: the posting-list explode shuffles |tokens| rows once per query
+batch. At 100 TB you materialize ``tokens``/``tf`` ONCE as a bucketed
+table on ``token`` (the inverted index) and every query becomes a
+broadcast-filter + partial-agg over n_terms posting lists — the same
+plan below minus the tokenize scan. Scores use doubles and round to
+6dp; ordering ties break on doc_id so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Posting rows (doc_id, token): lowercase, whitespace-split.
+
+    DuckDB: ``unnest(string_split_regex(lower(text), '\\s+'))``.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25.
+
+    idf(t)    = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   (Robertson)
+    score(d)  = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    All inputs to the per-term expression are exact integers (tf, df,
+    dl, N, total_len), so both engines evaluate the identical IEEE
+    double expression; the final per-doc sum is rounded to 6dp before
+    ranking (decouples the hash compare from term summation order).
+    """
+    toks = tokenize(docs, id_col, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    hits = toks.filter(F.col("token").isin(query_terms))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dft = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("dft"))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
+    idf = F.log((n - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5)) + F.lit(1.0))
+    sat = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_oracle_sql(query_terms: list[str], k: int = 10,
+                    k1: float = K1, b: float = B) -> str:
+    """DuckDB equivalent of :func:`bm25_topk` on the ``documents``
+    view — identical expression tree so doubles match bit-for-bit."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+hits AS (SELECT * FROM toks WHERE token IN ({terms})),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY doc_id, token),
+dft AS (SELECT token, count(DISTINCT doc_id) AS dft FROM hits GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((cast(n_docs AS double) - dft + 0.5) / (dft + 0.5) + 1.0)
+           * (tf * ({k1} + 1.0)
+              / (tf + {k1} * ((1.0 - {b}) + {b} * dl
+                 / (cast(total_len AS double) / cast(n_docs AS double)))))
+         ), 6) AS bm25
+  FROM tf
+  JOIN dft USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25,
+       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""

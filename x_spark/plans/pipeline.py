@@ -852,7 +852,102 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Keyword search: BM25 top-k over the documents corpus (inverted-index
+# formulation — x_spark.operators.text_search). "dup" is the corpus's
+# one rare token, so the idf spread is real, not degenerate.
+_BM25_TERMS = ["dup", "vector", "spark"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.text_search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=15)
+
+
+def _bm25_oracle() -> str:
+    from x_spark.operators.text_search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=15)
+
+
+# ---------------------------------------------------------------------------
+# PII audit: the synthetic corpus carries no natural PII, so the query
+# injects deterministic emails/phones/IPs (mirrored in the oracle) and
+# audits detection + redaction completeness per source.
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" mail user"), did, F.lit("@example.com ok")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" call +1 555-123-4567 now")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                "text",
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 254).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.pii import scan_documents
+
+    return scan_documents(_pii_augmented(spark, sf_dir))
+
+
+ORACLE_PII_SCAN = r"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN doc_id % 7 = 0 THEN text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+           WHEN doc_id % 5 = 0 THEN text || ' call +1 555-123-4567 now'
+           WHEN doc_id % 3 = 0 THEN text || ' from 192.168.' || CAST(doc_id % 254 AS VARCHAR) || '.7 up'
+           ELSE text
+         END AS text
+  FROM documents
+),
+counted AS (
+  SELECT source,
+         length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+         length(regexp_extract_all(text, '\+?[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{4}')) AS c_phone,
+         length(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS c_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{4}', '[PHONE]', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS red
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c_email + c_phone + c_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(c_email) AS BIGINT) AS n_email,
+       CAST(sum(c_phone) AS BIGINT) AS n_phone,
+       CAST(sum(c_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(
+           length(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + length(regexp_extract_all(red, '\+?[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{4}'))
+         + length(regexp_extract_all(red, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+       ) AS BIGINT) AS residual_after_redact
+FROM counted
+GROUP BY source
+"""
+
+
 PIPELINE_QUERIES = {
+    "bm25_search": q_bm25_search,
+    "pii_scan": q_pii_scan,
     "multimodal_frames": q_multimodal_frames,
     "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
     "ann_topk_pandas": q_ann_topk_pandas,
@@ -878,6 +973,8 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLES = {
+    "bm25_search": _bm25_oracle(),
+    "pii_scan": ORACLE_PII_SCAN,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,

@@ -31,6 +31,10 @@ _ALL_QUERIES = {
 # flavors of join+agg / topk / grouping-set shapes). Tail queries still
 # run in bench.py and in the local oracle-parity suite.
 _TAIL = [
+    "multimodal_frames",       # mapInPandas binary+metadata plumbing is
+                               # driver-checked via multimodal_features
+    "token_fingerprints",      # rolling-hash n-gram machinery is
+                               # driver-checked via benchmark_contamination
     "ann_topk_bruteforce",     # exact top-k: ann_topk_pandas hash-checks the same
                                # result; bucketed+ivf cover the approximate family
     "ann_topk_ivf",            # rows-only by design (data-dependent codebook): a
