@@ -152,3 +152,21 @@ def test_ivf_recall_at_reduced_probe_budget(spark, emb):
     assert r_ivf >= r_sign - 0.05
     assert r_ivf > 0.2  # sanity floor: far above the 3/16 random baseline
     exact.unpersist()
+
+
+def test_distributed_bruteforce_matches_broadcast(spark):
+    """The cartesian (large-query-set) path returns the identical
+    top-k as the broadcast path."""
+    from x_spark.operators.similarity import brute_force_topk
+    from x_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    a = brute_force_topk(emb, queries, k=5).collect()
+    b = brute_force_topk(
+        emb, queries.repartition(4), k=5, broadcast_queries=False
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0

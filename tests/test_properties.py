@@ -187,3 +187,29 @@ def test_range_join_matches_model(spark, lrows, rrows):
         if lk == rk and lt - 4 <= rt < lt
     )
     assert got == expect
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    from x_spark.operators.sampling import priority_sample
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    s1 = {r.k for r in priority_sample(df, "w", 200, "k").collect()}
+    s2 = {r.k for r in priority_sample(df.repartition(7), "w", 200, "k").collect()}
+    assert s1 == s2 and len(s1) == 200  # partitioning-independent
+    heavy = sum(1 for k in s1 if k % 2 == 0)
+    assert heavy > 140  # 10x weight must dominate (expected ~180/200)
+
+
+def test_mix_corpus_hits_quota_exactly(spark):
+    from x_spark.operators.sampling import mix_corpus
+
+    rows = [(i, "a" if i < 600 else ("b" if i < 900 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k bigint, src string")
+    out = mix_corpus(df, "src", {"a": 0.5, "b": 0.3, "c": 0.2}, "k")
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # scarcest source: c has 100 rows / 0.2 -> T = 500
+    assert got == {"a": 250, "b": 150, "c": 100}
+    # deterministic under repartitioning
+    out2 = mix_corpus(df.repartition(13), "src", {"a": 0.5, "b": 0.3, "c": 0.2}, "k")
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in out2.collect())

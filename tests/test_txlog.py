@@ -465,3 +465,70 @@ def test_zorder_prunes_on_every_clustered_column(spark, ds, tmp_path):
     # unknown strategy is a typed error
     with pytest.raises(DataSourceException):
         ds.cluster(TableRef(path=ref.path), ["x"], strategy="hilbert")
+
+
+def test_concurrent_appenders_no_lost_updates(spark, ds, tmp_path):
+    """N threads race appends against one table: every batch must land
+    (appends commute and retry on version collision), the log must be a
+    gap-free version chain, and no rows may be lost or duplicated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ref = _ref(tmp_path)
+    schema_df = spark.createDataFrame([], "writer int, seq int, v int")
+    ds.create(TableRef(path=ref.path), schema_df.schema)
+
+    n_writers, n_batches = 4, 3
+
+    def work(writer):
+        for seq in range(n_batches):
+            df = spark.createDataFrame(
+                [(writer, seq, writer * 100 + seq)], "writer int, seq int, v int"
+            )
+            ds.append(df, TableRef(path=ref.path))
+        return writer
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        assert sorted(ex.map(work, range(n_writers))) == list(range(n_writers))
+
+    rows = _rows(ds.read(ref))
+    assert len(rows) == n_writers * n_batches
+    assert rows == sorted(
+        (w, s, w * 100 + s) for w in range(n_writers) for s in range(n_batches)
+    )
+    # gap-free version chain: create + one commit per append
+    versions = [v["version"] for v in ds.history(TableRef(path=ref.path))]
+    assert sorted(versions) == list(range(n_writers * n_batches + 1))
+
+
+def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
+    """A MERGE that loses a version race to a concurrent append must
+    abort with ConcurrentWriteException (RMW cannot silently drop the
+    interleaved append), leaving the table at the append's state."""
+    import threading
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)  # pk 1..3
+    src = spark.createDataFrame([(1, 999)], "pk int, v int")
+
+    orig_commit = ds._commit
+    release = threading.Event()
+
+    def stalling_commit(table, expected_version, actions, op):
+        if op == "MERGE" and not release.is_set():
+            # interleave an append while the merge is between read and
+            # commit — the classic RMW race
+            release.set()
+            ds.append(
+                spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"),
+                TableRef(path=ref.path),
+            )
+        return orig_commit(table, expected_version, actions, op)
+
+    ds._commit = stalling_commit
+    try:
+        with pytest.raises(ConcurrentWriteException):
+            ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    finally:
+        ds._commit = orig_commit
+    rows = _rows(ds.read(ref))
+    assert (9, "z", 90) in rows and (1, "a", 10) in rows  # append won, merge rolled back

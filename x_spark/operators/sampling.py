@@ -68,3 +68,83 @@ def hash_split(
     # hash residue from rounding goes to the last (sorted) split
     last = sorted(weights)[-1]
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``n``
+    rows where a row's inclusion probability is proportional to its
+    weight (Efraimidis-Spiridakis A-Res, the exponential-race form).
+
+    Each row draws u ~ Uniform(0,1) from its key hash (reproducible
+    across partitionings) and races with arrival time -ln(u)/w, which
+    is Exp(w)-distributed — the n SMALLEST arrival times win, and
+    heavier rows draw systematically earlier arrivals. One global
+    top-n (Spark plans TakeOrdered: per-partition partial top-n, no
+    full sort shuffle).
+
+    DuckDB: ``-ln((hash32 + 0.5)/4294967296.0) / w`` with the
+    identical hash — see the registry oracle. Ties break by key.
+    """
+    col = F.col(key_col).cast("string")
+    u = (hash32(col) + F.lit(0.5)) / F.lit(4294967296.0)
+    prio = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__prio", prio)
+        .orderBy(F.asc("__prio"), F.asc(key_col))
+        .limit(n)
+        .drop("__prio")
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    proportions: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic corpus mixing: subsample so the kept rows follow
+    the target per-source ``proportions`` exactly (the training-data
+    mixing step — e.g. 50% web, 30% code, 20% books).
+
+    The achievable total is T = min_s floor-free(count_s / prop_s)
+    (the scarcest source binds); each source keeps its
+    floor(prop_s * T) lowest-hash rows, so the result is reproducible
+    and incrementally stable. Sources outside ``proportions`` drop.
+
+    Plan: tiny per-source count agg joined back broadcast; per-source
+    rank is one window (shuffle on source — at 100 TB replace the
+    row_number window with a per-source hash-threshold binary search if
+    source cardinality is tiny and rows are huge; semantics identical).
+    """
+    prop = None
+    for value, p in sorted(proportions.items()):
+        lit = F.lit(float(p))
+        prop = F.when(F.col(source_col) == value, lit) if prop is None \
+            else prop.when(F.col(source_col) == value, lit)
+    prop = prop.otherwise(F.lit(None))
+
+    tagged = df.withColumn("__p", prop).filter(F.col("__p").isNotNull())
+    counts = tagged.groupBy(source_col, "__p").agg(F.count("*").alias("__cnt"))
+    total = counts.agg(
+        F.min(F.col("__cnt").cast("double") / F.col("__p")).alias("__t")
+    )
+    quota = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.floor(F.col("__p") * F.col("__t")).cast("bigint").alias("__quota"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(source_col).orderBy(
+        _bucket(key_col), F.col(key_col)
+    )
+    ranked = tagged.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__p", "__rk", "__quota")
+    )

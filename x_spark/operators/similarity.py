@@ -110,14 +110,22 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbours per query vector.
 
-    Plan shape: queries are broadcast (small set), corpus is scanned
-    once; per-query ranking is a window over the query partition —
-    shuffle bounded by |queries| * |corpus| score rows before the
-    window's partial top-k pushdown (AQE). For large query sets,
-    chunk the query side.
+    Plan shape with ``broadcast_queries=True`` (default — the common
+    case of a bounded query set): queries are broadcast, corpus is
+    scanned once; per-query ranking is a window over the query
+    partition — shuffle bounded by |queries| * |corpus| score rows
+    before the window's partial top-k pushdown (AQE).
+
+    ``broadcast_queries=False`` is the LARGE-query-set path: a
+    partitioned cartesian product (each task scores one
+    query-partition x corpus-partition block), so neither side ever
+    has to fit in one executor — |Q| x |C| work is inherent to exact
+    search, but the memory ceiling is gone. Identical results
+    (``tests/test_ivf.py``).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -125,7 +133,8 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
     from pyspark.sql import Window as W
 
-    scored = F.broadcast(q).crossJoin(c).select(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = q_side.crossJoin(c).select(
         "query_id",
         "cand_id",
         cosine("qvec", "cvec").alias("cos_sim"),

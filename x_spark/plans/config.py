@@ -114,7 +114,9 @@ class JobConfig:
 
     def validate(self) -> None:
         src, tgt = self.source, self.target
-        op = (tgt.operation or "").lower()
+        # YAML happily yields non-string scalars (true, 1) for
+        # operation — a typed config error, never an AttributeError
+        op = tgt.operation.lower() if isinstance(tgt.operation, str) else ""
         if src is not None and src.query is None and src.table is None and src.path is None:
             raise JobConfigException("source requires one of query/table/path")
         if op not in VALID_OPERATIONS:

@@ -948,7 +948,300 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion batch — the remaining canonical query shapes, adapted
+# to the driver schema (no partsupp/commitdate/shipmode/container
+# columns; each adaptation keeps the original's PLAN shape, which is
+# what exercises the engine). All tail entries: their join/agg families
+# are driver-checked by head queries.
+
+
+# Q4 shape: EXISTS-decorrelated semi join + priority histogram.
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+ORACLE_PRIORITY_ORDER_COUNTS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# Q7 shape: bilateral trade — supplier nation x customer nation flows,
+# either direction between two named nations, grouped by year.
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1, n2 = "FRANCE", "GERMANY"
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return flows.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.round(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue")
+    )
+
+
+ORACLE_BILATERAL_TRADE = """
+SELECT n_s.n_name AS supp_nation,
+       n_c.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+WHERE (n_s.n_name = 'FRANCE' AND n_c.n_name = 'GERMANY')
+   OR (n_s.n_name = 'GERMANY' AND n_c.n_name = 'FRANCE')
+GROUP BY 1, 2, 3
+"""
+
+
+# Q9 shape: product profit by supplier nation x year; supply cost is
+# adapted to a retail-price fraction (no partsupp table).
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity") * 0.08
+            ).alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.round(dsum("amount"), 6).alias("sum_profit")
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * l_quantity * 0.08
+                      AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+"""
+
+
+# Q12 shape: delay buckets x CASE-split priority counts (shipmode is
+# adapted to ship-delay buckets; the plan shape — join + CASE sums —
+# is Q12's).
+def q_late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay_days = F.floor(
+        (umicros("l_shipdate") - umicros("o_orderdate"))
+        / F.lit(86_400_000_000)
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.when(delay_days >= 90, "90+")
+        .when(delay_days >= 60, "60-89")
+        .when(delay_days >= 30, "30-59")
+        .otherwise("0-29")
+        .alias("delay_bucket"),
+        "o_orderpriority",
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("delay_bucket").agg(
+        F.sum(urgent.cast("int")).cast("bigint").alias("high_line_count"),
+        F.sum((~urgent).cast("int")).cast("bigint").alias("low_line_count"),
+    )
+
+
+ORACLE_LATE_LINE_PRIORITY_MIX = """
+WITH j AS (
+  SELECT CASE
+           WHEN floor(epoch_us(l_shipdate - o_orderdate) / 86400000000) >= 90 THEN '90+'
+           WHEN floor(epoch_us(l_shipdate - o_orderdate) / 86400000000) >= 60 THEN '60-89'
+           WHEN floor(epoch_us(l_shipdate - o_orderdate) / 86400000000) >= 30 THEN '30-59'
+           ELSE '0-29'
+         END AS delay_bucket,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM j GROUP BY delay_bucket
+"""
+
+
+# Q14 shape: conditional revenue share per month (promo share).
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * dsum(promo) / dsum(rev), 6
+            ).alias("promo_share_pct"),
+            F.round(dsum(rev), 4).alias("total_revenue"),
+        )
+        .withColumn("month", F.date_format("month", "yyyy-MM"))
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                                   ELSE CAST(0.0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share_pct,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# Q18 shape: large-volume orders — HAVING-filtered agg as a semi-join
+# filter, then customer enrichment and top-N.
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 120.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_LARGE_VOLUME_ORDERS = """
+SELECT c_name, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120.0) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# Q19 shape: disjunction-of-conjunction brackets pushed into one join.
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1.0, 20.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10.0, 30.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & (F.col("p_size").between(10, 40))
+            & (F.col("l_quantity").between(20.0, 40.0))
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_BRACKETED_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20.0 AND 40.0)
+"""
+
+
 EXTENDED_QUERIES = {
+    "priority_order_counts": q_priority_order_counts,
+    "bilateral_trade": q_bilateral_trade,
+    "product_profit": q_product_profit,
+    "late_line_priority_mix": q_late_line_priority_mix,
+    "promo_revenue_share": q_promo_revenue_share,
+    "large_volume_orders": q_large_volume_orders,
+    "bracketed_revenue": q_bracketed_revenue,
     "part_value_concentration": q_part_value_concentration,
     "supplier_diversity": q_supplier_diversity,
     "approx_distinct_users": q_approx_distinct_users,
@@ -978,6 +1271,13 @@ EXTENDED_QUERIES = {
 }
 
 EXTENDED_ORACLES = {
+    "priority_order_counts": ORACLE_PRIORITY_ORDER_COUNTS,
+    "bilateral_trade": ORACLE_BILATERAL_TRADE,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "late_line_priority_mix": ORACLE_LATE_LINE_PRIORITY_MIX,
+    "promo_revenue_share": ORACLE_PROMO_REVENUE_SHARE,
+    "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
+    "bracketed_revenue": ORACLE_BRACKETED_REVENUE,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "part_value_concentration": ORACLE_PART_VALUE_CONCENTRATION,
     "supplier_diversity": ORACLE_SUPPLIER_DIVERSITY,

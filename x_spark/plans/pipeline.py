@@ -945,9 +945,75 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus mixing + weighted sampling (training-data mixing step).
+_MIX_PROPS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sampling import mix_corpus
+
+    kept = mix_corpus(_docs(spark, sf_dir), "lang", _MIX_PROPS, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+    )
+
+
+ORACLE_CORPUS_MIXTURE = """
+WITH props(lang, p) AS (
+  VALUES ('en', 0.5), ('de', 0.2), ('es', 0.15), ('fr', 0.1), ('zh', 0.05)
+),
+tagged AS (
+  SELECT d.doc_id, d.lang, CAST(p AS DOUBLE) AS p
+  FROM documents d JOIN props USING (lang)
+),
+counts AS (SELECT lang, p, count(*) AS cnt FROM tagged GROUP BY lang, p),
+total AS (SELECT min(CAST(cnt AS DOUBLE) / p) AS t FROM counts),
+quota AS (
+  SELECT lang, CAST(floor(p * t) AS BIGINT) AS q
+  FROM counts CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000,
+                    doc_id
+         ) AS rk
+  FROM tagged
+),
+kept AS (SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang) WHERE rk <= q)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS docid_sum
+FROM kept GROUP BY lang
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        _docs(spark, sf_dir), "n_chars", 50, "doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS prio
+  FROM documents
+) ORDER BY prio, doc_id LIMIT 50
+"""
+
+
 PIPELINE_QUERIES = {
     "bm25_search": q_bm25_search,
     "pii_scan": q_pii_scan,
+    "corpus_mixture": q_corpus_mixture,
+    "weighted_sample": q_weighted_sample,
     "multimodal_frames": q_multimodal_frames,
     "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
     "ann_topk_pandas": q_ann_topk_pandas,
@@ -975,6 +1041,8 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLES = {
     "bm25_search": _bm25_oracle(),
     "pii_scan": ORACLE_PII_SCAN,
+    "corpus_mixture": ORACLE_CORPUS_MIXTURE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,

@@ -35,6 +35,19 @@ _TAIL = [
                                # driver-checked via multimodal_features
     "token_fingerprints",      # rolling-hash n-gram machinery is
                                # driver-checked via benchmark_contamination
+    "corpus_mixture",          # deterministic-sampling family: corpus_splits
+                               # holds the head slot; locally hash-checked
+    "weighted_sample",         # same family (priority sampling)
+    # TPC-H completion batch (Q4/Q7/Q9/Q12/Q14/Q18/Q19 shapes) — every
+    # plan family (semi join, multi-join agg, CASE sums, HAVING semi
+    # join, disjunctive pushdown) is head-represented already
+    "priority_order_counts",
+    "bilateral_trade",
+    "product_profit",
+    "late_line_priority_mix",
+    "promo_revenue_share",
+    "large_volume_orders",
+    "bracketed_revenue",
     "ann_topk_bruteforce",     # exact top-k: ann_topk_pandas hash-checks the same
                                # result; bucketed+ivf cover the approximate family
     "ann_topk_ivf",            # rows-only by design (data-dependent codebook): a
