@@ -2,14 +2,18 @@
 
 ``entry(spark)`` — flagship query (pricing summary aggregation battery)
 on sf0.001.
-``queries()`` — 57 queries covering every implemented operator from
+``queries()`` — 81 queries covering every implemented operator from
 SURVEY.md §2 plus the LLM-data-pipeline extensions (dedup families,
-ANN, text analysis, multimodal, streaming incl. stream-stream join and
-stateful ops, temporal joins, SCD2, sampling, graph components), as
-(spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL per query. Sole intentional
-omission: approx_distinct_users (HLL estimates are engine-specific),
-which takes the rows-only check.
+ANN, text analysis, BM25 search, PII audit, corpus mixing/sampling,
+multimodal, streaming incl. stream-stream join and stateful ops,
+temporal joins, SCD2, graph components, TPC-H shape battery), as
+(spark, sf_dir) -> DataFrame callables. The first 50 entries — the
+driver-checked window — hold one representative per operator family
+(see x_spark/plans/registry.py).
+``oracle_sql()`` — matching DuckDB SQL per query. Intentional
+omissions (rows-only checks): approx_distinct_users (HLL estimates
+are engine-specific) and ann_topk_ivf (data-dependent trained
+codebook).
 """
 
 from __future__ import annotations

@@ -105,3 +105,50 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bm25_is_equi_join_and_prunes_columns(spark, sf_dir):
+    """The inverted-index formulation must stay equi-join shaped (no
+    cartesian between posting lists) and read only doc_id+text."""
+    plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    doc_scan = [ln for ln in plan.splitlines() if "documents.parquet" in ln]
+    assert doc_scan and all("lang" not in ln and "source" not in ln for ln in doc_scan)
+
+
+def test_pii_scan_single_pass(spark, sf_dir):
+    """PII audit is one scan + one agg: no joins, no shuffles beyond
+    the final group-by exchange."""
+    plan = _plan(QUERIES["pii_scan"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange (+AQE read)
+
+
+def test_blamed_suppliers_expand_free(spark, sf_dir):
+    """Q21 flavor must keep the two-level distinct aggregation — a
+    multi-countDistinct Expand doubles every lineitem row through the
+    shuffle (ROADMAP invariant; measured 2x on Spark 4.1)."""
+    plan = _plan(QUERIES["blamed_suppliers"](spark, sf_dir))
+    assert "Expand" not in plan
+
+
+def test_distributed_bruteforce_no_forced_broadcast(spark, sf_dir):
+    """broadcast_queries=False removes the broadcast HINT so Catalyst
+    can stream both sides: with auto-broadcast disabled (simulating a
+    query side too big to fit) the plan must degrade to a partitioned
+    cartesian, never an OOM-bound BroadcastExchange; with the hint
+    (default path) it must stay a broadcast."""
+    from x_spark.operators.similarity import brute_force_topk
+    from x_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(20)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(brute_force_topk(emb, q, k=3, broadcast_queries=False))
+        assert "CartesianProduct" in plan and "BroadcastExchange" not in plan
+        hinted = _plan(brute_force_topk(emb, q, k=3))
+        assert "BroadcastExchange" in hinted  # explicit hint still wins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

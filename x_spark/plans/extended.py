@@ -445,14 +445,21 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     One lineitem aggregation + one orderkey-equi join replaces the two
     semi/anti self-joins; the oracle keeps the canonical correlated
     form, proving the rewrite's equivalence on every run.
+
+    The two distinct counts are computed as a TWO-LEVEL aggregation
+    (distinct (order, supplier) pairs first, then plain count/sum) —
+    two multi-child countDistincts in one agg would plan an Expand
+    that doubles every lineitem row through the shuffle (same trap as
+    approx+exact distinct, ROADMAP invariants; measured 2x).
     """
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_sup"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_sup"),
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sup"),
+        F.sum("has_r").cast("bigint").alias("n_r_sup"),
     )
     blamed = (
         li.filter(F.col("l_returnflag") == "R")
