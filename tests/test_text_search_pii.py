@@ -64,3 +64,29 @@ def test_pii_patterns_re2_compatible():
     DuckDB oracle and RE2-based scanners accept them verbatim."""
     for pat, _ in PII_PATTERNS.values():
         assert "(?<" not in pat and "(?=" not in pat and "\\1" not in pat
+
+
+def test_indexed_bm25_matches_direct_and_prunes_buckets(spark, tmp_path):
+    """The materialized inverted index returns the identical top-k as
+    the direct scan, and the query-term filter prunes tf buckets
+    (SelectedBucketsCount in the scan node)."""
+    from x_spark.operators.text_search import (
+        bm25_topk, bm25_topk_indexed, build_inverted_index,
+    )
+    from x_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["dup", "vector", "spark"]
+    try:
+        build_inverted_index(docs, "ii_test", n_buckets=8)
+        direct = bm25_topk(docs, terms, k=15).collect()
+        indexed = bm25_topk_indexed(spark, "ii_test", terms, k=15).collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, indexed))
+        plan = (
+            bm25_topk_indexed(spark, "ii_test", terms, k=15)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SelectedBucketsCount" in plan
+    finally:
+        for t in ("ii_test_tf", "ii_test_dl", "ii_test_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

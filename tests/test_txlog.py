@@ -513,7 +513,7 @@ def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
     orig_commit = ds._commit
     release = threading.Event()
 
-    def stalling_commit(table, expected_version, actions, op):
+    def stalling_commit(table, expected_version, actions, op, **kw):
         if op == "MERGE" and not release.is_set():
             # interleave an append while the merge is between read and
             # commit — the classic RMW race
@@ -522,7 +522,7 @@ def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
                 spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"),
                 TableRef(path=ref.path),
             )
-        return orig_commit(table, expected_version, actions, op)
+        return orig_commit(table, expected_version, actions, op, **kw)
 
     ds._commit = stalling_commit
     try:
@@ -532,3 +532,55 @@ def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
         ds._commit = orig_commit
     rows = _rows(ds.read(ref))
     assert (9, "z", 90) in rows and (1, "a", 10) in rows  # append won, merge rolled back
+
+
+def test_exactly_once_streaming_upsert(spark, ds, tmp_path):
+    """foreachBatch into txlog with txn stamps: a real AvailableNow
+    stream lands every event exactly once, and a REPLAYED epoch (the
+    at-least-once delivery case after a restart) is a no-op — no
+    duplicate rows, no extra commit."""
+    from pyspark.sql import functions as F
+
+    from x_spark.streaming.events import (
+        chunked_events_dir, read_events_stream, txlog_exactly_once_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ref = TableRef(path=str(tmp_path / "acc"))
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    ds.create(ref, spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, value double").schema)
+
+    src_dir = chunked_events_dir(spark, sf, n_chunks=3)
+    stream = read_events_stream(spark, sf, path=src_dir, max_files_per_trigger=1)
+    handler = txlog_exactly_once_upsert(
+        ds, ref,
+        MergeSpec(["event_id"], ["user_id", "value"],
+                  insert_when_not_matched=True),
+        app_id="t_exactly_once",
+    )
+    replayed = []
+
+    def handle(batch_df, batch_id):
+        batch = batch_df.select("event_id", "user_id", "value")
+        handler(batch, batch_id)
+        replayed.append((batch, batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+
+    n_total = events.count()
+    assert ds.read(ref).count() == n_total
+    versions_before = len(ds.history(ref))
+    # simulate the restart-replay: re-deliver every epoch
+    for batch, batch_id in replayed:
+        handler(batch, batch_id)
+    assert ds.read(ref).count() == n_total           # no duplicates
+    assert len(ds.history(ref)) == versions_before   # no extra commits
+    assert ds.last_txn_version(ref, "t_exactly_once") == len(replayed) - 1
+    assert ds.last_txn_version(ref, "other_app") == -1

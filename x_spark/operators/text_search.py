@@ -129,3 +129,89 @@ FROM scored
 QUALIFY rank <= {k}
 ORDER BY rank
 """
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    name_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the inverted index as catalog tables — the at-rest
+    form of :func:`bm25_topk` for corpora queried repeatedly:
+
+    - ``{prefix}_tf``    (doc_id, token, tf), BUCKETED by token and
+      sorted within buckets: an IN-list of query terms prunes to
+      ~n_terms/n_buckets of the files (visible as
+      ``SelectedBucketsCount`` in the scan node), and any token-equi
+      join is shuffle-free on the bucketed side.
+    - ``{prefix}_dl``    (doc_id, dl) document lengths.
+    - ``{prefix}_stats`` single row (n_docs, total_len).
+
+    Build cost is one tokenize pass + two aggregations, paid once;
+    every subsequent query skips the corpus scan entirely. At 100 TB
+    the tf table is the only large artifact and it shards by token —
+    exactly the posting-list layout a search engine keeps.
+    """
+    toks = tokenize(docs, id_col, text_col)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    (
+        tf.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .saveAsTable(f"{name_prefix}_tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl.write.mode("overwrite").format("parquet").saveAsTable(f"{name_prefix}_dl")
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    stats.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{name_prefix}_stats"
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    name_prefix: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k over a materialized index (:func:`build_inverted_index`)
+    — no corpus scan: the bucketed tf table is filtered to the query
+    terms (bucket pruning), df(t) falls out of the pruned posting
+    lists (tf holds one row per (doc, token)), and scoring is the same
+    expression tree as :func:`bm25_topk`, so results are identical.
+    """
+    from pyspark.sql import Window as W
+
+    tf = spark.table(f"{name_prefix}_tf").filter(
+        F.col("token").isin(query_terms)
+    )
+    dl = spark.table(f"{name_prefix}_dl")
+    stats = spark.table(f"{name_prefix}_stats")
+    dft = tf.groupBy("token").agg(F.count("*").alias("dft"))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
+    idf = F.log((n - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5)) + F.lit(1.0))
+    sat = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

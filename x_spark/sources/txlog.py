@@ -260,15 +260,24 @@ class TxLogDataSource(BaseDataSource):
 
     # -- commit machinery ----------------------------------------------
     def _commit(self, table: str, expected_version: int, actions: list[dict],
-                operation: str) -> int:
+                operation: str, txn: tuple[str, int] | None = None) -> int:
         """Write version ``expected_version`` atomically; raises
-        ConcurrentWriteException if that version already exists."""
+        ConcurrentWriteException if that version already exists.
+
+        ``txn=(app_id, txn_version)`` stamps the commit with an
+        application transaction id (Delta's txnAppId/txnVersion
+        idempotent-writes pattern): :meth:`last_txn_version` reads it
+        back so a replayed writer can skip work it already committed.
+        """
         d = _log_path(table)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{expected_version:020d}.json")
+        info: dict = {"operation": operation}
+        if txn is not None:
+            info["txn"] = {"appId": txn[0], "version": int(txn[1])}
         payload = "".join(
             json.dumps(a, default=str) + "\n"
-            for a in actions + [{"commitInfo": {"operation": operation}}]
+            for a in actions + [{"commitInfo": info}]
         )
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -502,11 +511,15 @@ class TxLogDataSource(BaseDataSource):
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "OVERWRITE_DYNAMIC")
 
-    def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec) -> None:
+    def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec,
+              txn: tuple[str, int] | None = None) -> None:
         """Join-based MERGE over ONLY the files whose primary-key
         min/max range overlaps the source's (footer stats collected at
         write time) — Delta MERGE's data-skipping shape. Pruned files
-        are never read; matched/inserted rows land in new files."""
+        are never read; matched/inserted rows land in new files.
+
+        ``txn`` stamps the commit for idempotent replay (see
+        :meth:`last_txn_version`)."""
         from x_spark.operators.merge import merge_frames
 
         table = self._table_path(ref)
@@ -520,7 +533,30 @@ class TxLogDataSource(BaseDataSource):
         adds = self._write_files(result, table, snap.partition_cols)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
-        self._commit(table, self._expect_unchanged(table, base), actions, "MERGE")
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "MERGE", txn=txn)
+
+    def last_txn_version(self, ref: TableRef, app_id: str) -> int:
+        """Highest committed transaction version for ``app_id``
+        (-1 if none) — the read side of the txnAppId/txnVersion
+        idempotent-writes pattern: a replayed writer (a restarted
+        streaming query re-running a foreachBatch epoch) checks this
+        before writing and skips batches it already committed.
+
+        Like Delta, the guarantee spans the retained log: ``vacuum``
+        with ``keep_last`` that drops a commit drops its txn stamp.
+        """
+        table = self._table_path(ref)
+        commits, _ = _list_log(table)
+        latest = -1
+        for fname in commits:
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    info = action.get("commitInfo")
+                    if info and info.get("txn", {}).get("appId") == app_id:
+                        latest = max(latest, int(info["txn"]["version"]))
+        return latest
 
     def delete(self, ref: TableRef, predicate: str) -> None:
         """ANSI DELETE: drop rows where the predicate is TRUE; FALSE or

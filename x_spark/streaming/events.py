@@ -463,3 +463,27 @@ def streaming_upsert_totals(
     out = result.localCheckpoint(eager=True)
     shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def txlog_exactly_once_upsert(ds, ref, spec: MergeSpec, app_id: str):
+    """foreachBatch handler with EXACTLY-ONCE writes into a txlog
+    table — the Delta txnAppId/txnVersion pattern on the native
+    connector: every micro-batch MERGE commits atomically WITH its
+    epoch id stamped in the transaction log, and a replayed epoch
+    (restarted query re-delivering a batch foreachBatch already
+    processed — Spark's sink contract is at-least-once) is detected
+    via :meth:`last_txn_version` and skipped. Failure windows:
+
+    - crash BEFORE the commit file lands -> nothing written, replay
+      re-runs the merge (same result, it never committed);
+    - crash AFTER the commit -> replay sees the stamp and no-ops.
+
+    The check+stamp are one atomic O_EXCL commit, so duplicates cannot
+    slip between them. Pass the returned function to ``foreachBatch``.
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= ds.last_txn_version(ref, app_id):
+            return  # replayed epoch, already durable
+        ds.merge(batch_df, ref, spec, txn=(app_id, int(batch_id)))
+
+    return handle
