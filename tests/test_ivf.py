@@ -170,3 +170,41 @@ def test_distributed_bruteforce_matches_broadcast(spark):
     key = lambda r: (r.query_id, r.rank)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """IVF-PQ with exact re-rank: recall@10 within a whisker of plain
+    IVF at the same probe budget (same candidate pool; ADC only risks
+    dropping true neighbours from the rerank pool), deterministic
+    across partitionings, and every returned score is EXACT cosine."""
+    from x_spark.operators.pq import encode_pq, pq_topk, train_pq
+    from x_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, recall_at_k, train_codebook,
+    )
+    from x_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 23 == 0)
+    ivf_book = train_codebook(emb, n_centroids=8, n_iters=3)
+    pq_books = train_pq(emb, ivf_book, m=4, ks=16, n_iters=4, sample=500)
+
+    exact = brute_force_topk(emb, queries, k=10)
+    ivf = ivf_topk(emb, queries, ivf_book, k=10, n_probe=3)
+    pq = pq_topk(emb, queries, ivf_book, pq_books, k=10, n_probe=3, rerank=160)
+
+    r_ivf = recall_at_k(ivf, exact, k=10)
+    r_pq = recall_at_k(pq, exact, k=10)
+    assert r_pq >= r_ivf - 0.05, (r_pq, r_ivf)
+
+    # determinism: encoding and search survive repartitioning
+    codes = encode_pq(emb.repartition(7), ivf_book, pq_books)
+    pq2 = pq_topk(emb, queries, ivf_book, pq_books, codes=codes,
+                  k=10, n_probe=3, rerank=160)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, pq2.collect()))
+
+    # returned scores are exact cosine (match brute force where ids agree)
+    ex = {(r.query_id, r.cand_id): r.cos_sim for r in exact.collect()}
+    for r in pq.collect():
+        if (r.query_id, r.cand_id) in ex:
+            assert abs(ex[(r.query_id, r.cand_id)] - r.cos_sim) < 1e-9

@@ -584,3 +584,34 @@ def test_exactly_once_streaming_upsert(spark, ds, tmp_path):
     assert len(ds.history(ref)) == versions_before   # no extra commits
     assert ds.last_txn_version(ref, "t_exactly_once") == len(replayed) - 1
     assert ds.last_txn_version(ref, "other_app") == -1
+
+
+def test_merge_schema_append_widens_atomically(spark, ds, tmp_path):
+    """mergeSchema append: new columns widen the table in the SAME
+    commit as the data; old files read back with NULL for the new
+    column; df-side missing columns fill NULL; time travel still sees
+    the old schema; plain append stays strict."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    wide = spark.createDataFrame(
+        [(0, "z", 0, "dropped")], "pk int, part string, v int, note string"
+    )
+    # strict append selects by name: the extra column is not written
+    ds.append(wide, ref)
+    assert ds.read(ref).columns == ["pk", "part", "v"]
+    wide = spark.createDataFrame(
+        [(4, "c", 40, "hello")], "pk int, part string, v int, note string"
+    )
+    ds.append(wide, ref, merge_schema=True)
+    rows = _rows(ds.read(ref))
+    assert (4, "c", 40, "hello") in rows
+    assert (1, "a", 10, None) in rows  # old files surface NULL
+    # df missing old AND new columns: NULL-filled
+    narrow = spark.createDataFrame([(5, 50)], "pk int, v int")
+    ds.append(narrow, ref, merge_schema=True)
+    assert (5, None, 50, None) in _rows(ds.read(ref))
+    # schema+data travel in one commit: time travel to v1 (before the
+    # widening append) still shows the narrow schema
+    v1 = TableRef(path=ref.path, options={"versionAsOf": "1"})
+    assert ds.read(v1).columns == ["pk", "part", "v"]
+    assert ds.read(ref).columns == ["pk", "part", "v", "note"]

@@ -409,17 +409,47 @@ class TxLogDataSource(BaseDataSource):
         }
         self._commit(table, 0, [meta], "CREATE")
 
-    def append(self, df: DataFrame, ref: TableRef) -> None:
+    def append(self, df: DataFrame, ref: TableRef,
+               merge_schema: bool = False) -> None:
         """Add-only commit. On version collision the append re-resolves
-        and retries — blind adds commute with any concurrent commit."""
+        and retries — blind adds commute with any concurrent commit.
+
+        ``merge_schema=True`` is Delta's mergeSchema append: columns in
+        ``df`` missing from the table widen the schema (one metaData
+        action in the same atomic commit — schema and data can never
+        diverge), and columns the table has but ``df`` lacks fill with
+        NULL. Old files are untouched; the pinned-schema reader
+        surfaces the new column as NULL for their rows. Without the
+        flag, a schema mismatch stays a hard error."""
         table = self._table_path(ref, create=True)
         snap = resolve_snapshot(table)
         if snap is None:
             self.create(ref, df.schema)
             snap = resolve_snapshot(table)
-        df = df.select(*[f.name for f in snap.schema.fields])  # by-name, like Delta
+        write_schema = snap.schema
+        actions: list[dict] = []
+        if merge_schema:
+            existing = {f.name for f in snap.schema.fields}
+            new_fields = [f for f in df.schema.fields if f.name not in existing]
+            if new_fields:
+                write_schema = StructType(
+                    list(snap.schema.fields) + new_fields
+                )
+                actions.append({
+                    "metaData": {
+                        "schemaJson": write_schema.json(),
+                        "partitionColumns": snap.partition_cols,
+                    }
+                })
+            df = df.select(*[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in write_schema.fields
+            ])
+        else:
+            df = df.select(*[f.name for f in snap.schema.fields])  # by-name, like Delta
         adds = self._write_files(df, table, snap.partition_cols)
-        actions = [{"add": a} for a in adds]
+        actions += [{"add": a} for a in adds]
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
