@@ -116,6 +116,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> dict:
             "corpus_fraction": round(2 / 8, 3),
         },
     }
+    from x_spark.operators import pq as PQ
+
+    pq_books = PQ.train_pq(corpus, codebook, m=8, ks=16, n_iters=4)
+    report["ivf_pq_16c_3probe_rerank400"] = {
+        "recall": round(
+            S.recall_at_k(
+                PQ.pq_topk(
+                    corpus, queries, codebook, pq_books,
+                    k=10, n_probe=3, rerank=400,
+                ),
+                exact,
+            ),
+            3,
+        ),
+        # ADC scans codes (m bytes/vec) over the probed fraction; raw
+        # vectors are read only for the rerank pool
+        "corpus_fraction": round(3 / 16, 3),
+    }
     exact.unpersist()
     return report
 

@@ -90,6 +90,8 @@ def priority_sample(
     DuckDB: ``-ln((hash32 + 0.5)/4294967296.0) / w`` with the
     identical hash — see the registry oracle. Ties break by key.
     """
+    if n <= 0:
+        raise ValueError("priority_sample requires n >= 1")
     col = F.col(key_col).cast("string")
     u = (hash32(col) + F.lit(0.5)) / F.lit(4294967296.0)
     prio = -F.log(u) / F.col(weight_col).cast("double")
@@ -121,6 +123,8 @@ def mix_corpus(
     row_number window with a per-source hash-threshold binary search if
     source cardinality is tiny and rows are huge; semantics identical).
     """
+    if not proportions:
+        raise ValueError("mix_corpus requires at least one source proportion")
     prop = None
     for value, p in sorted(proportions.items()):
         lit = F.lit(float(p))
