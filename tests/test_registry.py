@@ -57,7 +57,7 @@ FAMILY_REPRESENTATIVES = [
     "stream_session_profile",
     "stream_upsert_totals",
     "stream_stateful_user_stats",
-    "stream_user_stats_agg",
+    "stream_dedup_events",      # dropDuplicatesWithinWatermark
     "stream_stream_join",
     "salted_event_totals",      # skew-mitigating salted two-stage agg
 ]

@@ -38,6 +38,11 @@ _TAIL = [
     "corpus_mixture",          # deterministic-sampling family: corpus_splits
                                # holds the head slot; locally hash-checked
     "weighted_sample",         # same family (priority sampling)
+    "stream_user_stats_agg",   # hash-checks the IDENTICAL oracle as
+                               # stream_stateful_user_stats (the two
+                               # implementations must agree) — zero
+                               # marginal driver signal; still local +
+                               # bench checked
     # TPC-H completion batch (Q4/Q7/Q9/Q12/Q14/Q18/Q19 shapes) — every
     # plan family (semi join, multi-join agg, CASE sums, HAVING semi
     # join, disjunctive pushdown) is head-represented already

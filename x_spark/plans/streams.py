@@ -179,8 +179,43 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``:
+    the input is doubled (every event arrives twice — the at-least-once
+    ingestion case), the operator keeps the first arrival per event_id,
+    and state evicts once the watermark passes (bounded by horizon x
+    arrival rate, not stream length). Emitted rows are batch-aggregated
+    so the oracle is a plain GROUP BY over the original table."""
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    out = run_to_memory(deduped, "append", shuffle_partitions=8)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_STREAM_DEDUP_EVENTS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
 STREAM_QUERIES = {
     "stream_stream_join": q_stream_stream_join,
+    "stream_dedup_events": q_stream_dedup_events,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_user_stats_agg": q_stream_user_stats_agg,
     "stream_tumbling_profile": q_stream_tumbling_profile,
@@ -190,6 +225,7 @@ STREAM_QUERIES = {
 
 STREAM_ORACLES = {
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_dedup_events": ORACLE_STREAM_DEDUP_EVENTS,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
     # same oracle: the built-in agg must match the custom-state operator
     "stream_user_stats_agg": ORACLE_STREAM_STATEFUL_USER_STATS,
