@@ -1,0 +1,88 @@
+"""Incremental view maintenance over the txlog CDF (operators/ivm.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.operators.ivm import AggregateView
+from x_spark.sources import init_datasource
+from x_spark.sources.base import MergeSpec, TableRef
+
+
+@pytest.fixture()
+def ds(spark):
+    return init_datasource("txlog", spark)
+
+
+def _expected(ds, base):
+    return sorted(
+        map(
+            tuple,
+            ds.read(base)
+            .groupBy("part")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("v").cast("decimal(30,6)"))
+                .cast("decimal(30,6)")
+                .alias("sum_v"),
+            )
+            .collect(),
+        ),
+        key=str,
+    )
+
+
+def test_aggregate_view_tracks_all_write_paths(spark, ds, tmp_path):
+    base = TableRef(path=str(tmp_path / "base"))
+    agg = TableRef(path=str(tmp_path / "agg"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "pk int, part string, v int"
+    )
+    ds.create(base, df.schema)
+    ds.append(df, base)
+
+    view = AggregateView(ds, base, agg, keys=["part"], sums=["v"])
+    v1 = view.refresh()
+    assert sorted(map(tuple, view.read().collect()), key=str) == _expected(ds, base)
+
+    # replayed refresh: no-op, no new aggregate commit
+    n_commits = len(ds.history(agg))
+    assert view.refresh() == v1
+    assert len(ds.history(agg)) == n_commits
+
+    # every write path: append, delete, merge-update, merge-insert
+    ds.append(
+        spark.createDataFrame([(4, "c", 40), (5, "b", 5)], "pk int, part string, v int"),
+        base,
+    )
+    ds.delete(base, "pk = 2")
+    ds.merge(
+        spark.createDataFrame([(1, 99), (9, 90)], "pk int, v int"),
+        base,
+        MergeSpec(["pk"], ["v"], insert_when_not_matched=True),
+    )
+    v2 = view.refresh()
+    assert v2 > v1
+    assert sorted(map(tuple, view.read().collect()), key=str) == _expected(ds, base)
+
+    # a group emptied by deletes disappears from the view
+    ds.delete(base, "part = 'c'")
+    view.refresh()
+    out = {r.part for r in view.read().collect()}
+    assert "c" not in out and out >= {"a", "b"}
+
+
+def test_aggregate_view_incremental_reads_only_new_versions(spark, ds, tmp_path):
+    """After the first refresh, refresh() must fold only the NEW
+    commits: reading the full CDF from version 1 would double-count
+    (the test poisons the early versions by vacuuming them away)."""
+    base = TableRef(path=str(tmp_path / "base"))
+    agg = TableRef(path=str(tmp_path / "agg"))
+    df = spark.createDataFrame([(1, "a", 10)], "pk int, part string, v int")
+    ds.create(base, df.schema)
+    ds.append(df, base)
+    view = AggregateView(ds, base, agg, keys=["part"], sums=["v"])
+    view.refresh()
+    ds.append(spark.createDataFrame([(2, "a", 5)], "pk int, part string, v int"), base)
+    view.refresh()
+    rows = {(r.part): (r.n_rows, float(r.sum_v)) for r in view.read().collect()}
+    assert rows == {"a": (2, 15.0)}

@@ -38,6 +38,8 @@ _TAIL = [
     "corpus_mixture",          # deterministic-sampling family: corpus_splits
                                # holds the head slot; locally hash-checked
     "weighted_sample",         # same family (priority sampling)
+    "stream_sliding_profile",  # windowed-agg family: tumbling holds the
+                               # head slot; sliding is locally checked
     "stream_user_stats_agg",   # hash-checks the IDENTICAL oracle as
                                # stream_stateful_user_stats (the two
                                # implementations must agree) — zero

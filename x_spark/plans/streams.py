@@ -179,6 +179,47 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+def q_stream_sliding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h length, 30 min slide): every
+    event lands in exactly length/slide = 4 overlapping windows —
+    the moving-average shape. State is bounded by watermark horizon x
+    (length/slide) windows per key. Window starts are emitted as epoch
+    seconds so both engines compare plain BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from x_spark.functions.portable import umicros
+
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            (umicros(F.col("w.start")) / F.lit(1_000_000)).cast("bigint").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(windowed, "complete", shuffle_partitions=8)
+
+
+# Spark's sliding windows align to the epoch: the 4 windows containing
+# ts start at floor(epoch/1800)*1800 - i*1800 for i in 0..3 (each is a
+# 7200-second window with ts inside). The oracle replays exactly that.
+ORACLE_STREAM_SLIDING_PROFILE = """
+SELECT CAST(floor(epoch_us(ts) / 1000000.0 / 1800) * 1800 - i * 1800 AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events, unnest([0, 1, 2, 3]) AS u(i)
+GROUP BY 1, 2
+"""
+
+
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark``:
     the input is doubled (every event arrives twice — the at-least-once
@@ -216,6 +257,7 @@ GROUP BY event_type
 STREAM_QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup_events": q_stream_dedup_events,
+    "stream_sliding_profile": q_stream_sliding_profile,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "stream_user_stats_agg": q_stream_user_stats_agg,
     "stream_tumbling_profile": q_stream_tumbling_profile,
@@ -226,6 +268,7 @@ STREAM_QUERIES = {
 STREAM_ORACLES = {
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_dedup_events": ORACLE_STREAM_DEDUP_EVENTS,
+    "stream_sliding_profile": ORACLE_STREAM_SLIDING_PROFILE,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
     # same oracle: the built-in agg must match the custom-state operator
     "stream_user_stats_agg": ORACLE_STREAM_STATEFUL_USER_STATS,

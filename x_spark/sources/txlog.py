@@ -462,12 +462,16 @@ class TxLogDataSource(BaseDataSource):
         )
 
     def overwrite(self, df: DataFrame, ref: TableRef,
-                  replace_where: str | None = None) -> None:
+                  replace_where: str | None = None,
+                  txn: tuple[str, int] | None = None) -> None:
         """Full overwrite, or Delta replaceWhere: source rows violating
         the predicate abort; target rows where it is TRUE are replaced,
         FALSE or NULL survive. Partition-only predicates touch only
         matching partitions' files (data skipping); general predicates
-        rewrite files that may hold surviving rows."""
+        rewrite files that may hold surviving rows.
+
+        ``txn`` stamps the commit for idempotent replay (see
+        :meth:`last_txn_version`)."""
         table = self._table_path(ref, create=True)
         if not self.table_exists(ref):
             self.create(ref, df.schema)
@@ -482,7 +486,7 @@ class TxLogDataSource(BaseDataSource):
             # remove set, so replacing "the table" requires the snapshot
             # to still be the latest version
             self._commit(table, self._expect_unchanged(table, base), actions,
-                         "OVERWRITE")
+                         "OVERWRITE", txn=txn)
             return
         pred = F.coalesce(F.expr(replace_where), F.lit(False))
         checked = df.filter(
@@ -498,7 +502,7 @@ class TxLogDataSource(BaseDataSource):
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
-                     "OVERWRITE_WHERE")
+                     "OVERWRITE_WHERE", txn=txn)
 
     def overwrite_dynamic(self, df: DataFrame, ref: TableRef) -> None:
         """Replace exactly the partitions present in ``df`` (whole table
