@@ -86,3 +86,49 @@ def test_aggregate_view_incremental_reads_only_new_versions(spark, ds, tmp_path)
     view.refresh()
     rows = {(r.part): (r.n_rows, float(r.sum_v)) for r in view.read().collect()}
     assert rows == {"a": (2, 15.0)}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.tuples(st.integers(0, 3), st.integers(-5, 5)),
+                           min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.integers(0, 3)),
+        st.tuples(st.just("refresh"), st.none()),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_ops)
+def test_aggregate_view_matches_recompute_under_random_ops(
+    spark, ds, tmp_path_factory, ops
+):
+    """State-machine property: interleave appends/deletes with
+    refreshes at arbitrary points; after a final refresh the view must
+    equal a from-scratch recompute of the base table."""
+    tmp_path = tmp_path_factory.mktemp("ivm")
+    base = TableRef(path=str(tmp_path / "base"))
+    agg = TableRef(path=str(tmp_path / "agg"))
+    seed_pk = 1000  # distinct pk space per appended row
+    schema = "pk int, part string, v int"
+    ds.create(base, spark.createDataFrame([], schema).schema)
+    view = AggregateView(ds, base, agg, keys=["part"], sums=["v"])
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [
+                (seed_pk + i, f"p{k}", v) for i, (k, v) in enumerate(arg)
+            ]
+            seed_pk += len(rows)
+            ds.append(spark.createDataFrame(rows, schema), base)
+        elif kind == "delete":
+            ds.delete(base, f"part = 'p{arg}'")
+        else:
+            view.refresh()
+    view.refresh()
+    assert sorted(map(tuple, view.read().collect()), key=str) == _expected(ds, base)

@@ -79,3 +79,11 @@ def test_every_query_has_oracle_or_documented_exception():
 def test_registry_consistent():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) == len(set(QUERIES))
+
+
+def test_driver_window_is_fully_hash_checkable():
+    """Every driver-checked entry must have an oracle — a rows-only
+    query in the head wastes a hash-check slot."""
+    head = list(QUERIES)[:DRIVER_CHECKED_PREFIX]
+    no_oracle = [n for n in head if n not in ORACLES]
+    assert not no_oracle, f"rows-only queries in the driver window: {no_oracle}"
