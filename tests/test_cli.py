@@ -123,3 +123,35 @@ target:
     assert merge.startswith("MERGE INTO cli_tgt AS TGT")
     assert "WHEN MATCHED THEN UPDATE SET TGT.c1 = SRC.c1, TGT.pk1 = SRC.pk1" in merge
     assert "WHEN NOT MATCHED THEN INSERT (c1, pk1) VALUES (SRC.c1, SRC.pk1)" in merge
+
+
+def test_cli_ivm_refresh(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    base = TableRef(path=str(tmp_path / "base"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "pk int, part string, v int"
+    )
+    ds.create(base, df.schema)
+    ds.append(df, base)
+    agg_path = str(tmp_path / "agg")
+    args = ["ivm", base.path, agg_path, "--keys", "part", "--sums", "v"]
+    assert main(args) == 0
+    assert "current through base version 1" in capsys.readouterr().out
+    rows = {
+        r.part: (r.n_rows, float(r.sum_v))
+        for r in ds.read(TableRef(path=agg_path)).collect()
+    }
+    assert rows == {"a": (1, 10.0), "b": (1, 20.0)}
+    # incremental second run picks up only the new append
+    ds.append(
+        spark.createDataFrame([(3, "a", 5)], "pk int, part string, v int"), base
+    )
+    assert main(args) == 0
+    rows = {
+        r.part: (r.n_rows, float(r.sum_v))
+        for r in ds.read(TableRef(path=agg_path)).collect()
+    }
+    assert rows == {"a": (2, 15.0), "b": (1, 20.0)}

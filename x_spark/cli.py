@@ -92,6 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
         "zorder = bit-interleaved Morton order (every column prunes)",
     )
 
+    ivm = sub.add_parser(
+        "ivm", help="incrementally refresh a materialized aggregate "
+        "from a txlog base table's change feed"
+    )
+    ivm.add_argument("base", help="base txlog table directory")
+    ivm.add_argument("agg", help="aggregate txlog table directory")
+    ivm.add_argument("--keys", required=True, help="comma-separated group keys")
+    ivm.add_argument(
+        "--sums", default="", help="comma-separated numeric columns to sum"
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -171,6 +182,24 @@ def main(argv: list[str] | None = None) -> int:
             ref = TableRef(table=args.target)
         n = ds.compact(ref, args.target_files)
         print(f"compacted to {n} file(s)")
+        return 0
+
+    if args.command == "ivm":
+        from x_spark.operators.ivm import AggregateView
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        view = AggregateView(
+            ds,
+            TableRef(path=args.base),
+            TableRef(path=args.agg),
+            keys=[c.strip() for c in args.keys.split(",") if c.strip()],
+            sums=[c.strip() for c in args.sums.split(",") if c.strip()],
+        )
+        v = view.refresh()
+        print(f"aggregate current through base version {v}")
         return 0
 
     if args.command in ("history", "show", "changes", "vacuum", "cluster"):
