@@ -90,3 +90,29 @@ def test_indexed_bm25_matches_direct_and_prunes_buckets(spark, tmp_path):
     finally:
         for t in ("ii_test_tf", "ii_test_dl", "ii_test_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_invariants(spark):
+    """Ranking invariants: (1) row order of the corpus cannot change
+    scores (shuffle-safety), (2) a doc with strictly more matches of a
+    rarer term outranks one with matches of a common term only, and
+    (3) scores are non-negative and finite."""
+    import math
+
+    docs = [
+        (1, "rare common common filler filler"),
+        (2, "common common common filler filler"),
+        (3, "filler filler filler filler filler"),
+        (4, "common filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_topk(df, ["rare", "common"], k=4).collect()}
+    shuffled = spark.createDataFrame(list(reversed(docs)), "doc_id bigint, text string")
+    out2 = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(shuffled.repartition(3), ["rare", "common"], k=4).collect()
+    }
+    assert out == out2
+    assert out[1] > out[2] > out[4]  # rare term dominates; tf saturates
+    assert all(v >= 0 and math.isfinite(v) for v in out.values())
+    assert 3 not in out  # no query terms -> no row
