@@ -1,9 +1,20 @@
 """Benchmark harness: every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "runs": N}
+Prints ONE JSON line on stdout:
+  {"metric": "total_query_battery_sec", "value": <total sec>,
+   "unit": "sec", "sf": <sf>, "runs": N, "detail": "BENCH_DETAIL.json",
+   "queries": {short_name: sec, ...}, "ann": {...recall@10...}}
+
+The capture window for that line is bounded (the grading driver keeps
+the last 2000 bytes of stdout — BENCH_r02 lost its head past that
+limit), and 83 full query names + timings exceed it, so the stdout
+line abbreviates query names via the mechanical per-segment map
+``SEGMENT_ABBREV`` below (e.g. ``stream_upsert_totals`` ->
+``st_ups_tot``).  The FULL payload — full names, the abbreviation
+map, per-run samples, ANN recall detail — is written to
+``BENCH_DETAIL.json`` next to this script and mirrored on stderr.
+BASELINE.md §14 carries the same mapping.
 
 Per-query time is the median of $SPARK_GRAFT_BENCH_RUNS (default 3)
 collect() wall-clocks after one warm-up pass of the whole battery
@@ -19,6 +30,43 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+
+# Mechanical per-segment abbreviation for the bounded stdout line.
+# Applied to each "_"-separated segment of a query name; segments not
+# listed pass through unchanged. Full names live in BENCH_DETAIL.json.
+SEGMENT_ABBREV = {
+    "stream": "st", "customer": "cust", "customers": "custs",
+    "revenue": "rev", "supplier": "supp", "suppliers": "supps",
+    "quantity": "qty", "distinct": "dist", "priority": "prio",
+    "profile": "prof", "shipment": "shipmt", "benchmark": "bm",
+    "statistics": "stats", "fingerprints": "fps", "components": "comps",
+    "concentration": "conc", "contamination": "contam",
+    "bruteforce": "bf", "multimodal": "mm", "language": "lang",
+    "percentiles": "pctl", "repetition": "rep", "document": "doc",
+    "embedding": "emb", "stateful": "stf", "orders": "ords",
+    "order": "ord", "purchase": "purch", "survivors": "surv",
+    "distribution": "distr", "histogram": "hist", "diversity": "divr",
+    "tumbling": "tumb", "sliding": "slid", "session": "sess",
+    "weighted": "wtd", "wealthy": "wlth", "product": "prod",
+    "pricing": "price", "summary": "summ", "segment": "seg",
+    "features": "feat", "catalog": "cat", "report": "rpt",
+    "presence": "pres", "roster": "rost", "battery": "batt",
+    "function": "fn", "scalar": "scal", "forecast": "fcst",
+    "rolling": "roll", "shipping": "shp", "totals": "tot",
+    "events": "evs", "event": "ev", "balance": "bal",
+    "search": "srch", "mixture": "mix", "curation": "cur",
+    "pipeline": "pipe", "volume": "vol", "market": "mkt",
+    "effect": "eff", "jaccard": "jac", "salted": "salt",
+    "without": "wo", "dominant": "dom", "bilateral": "bilat",
+    "bracketed": "brkt", "context": "ctx", "upsert": "ups",
+    "hourly": "hr", "weekly": "wk", "quality": "qual",
+    "sample": "smpl", "chunks": "chnk", "lineitem": "li",
+    "roundtrip": "rt", "priciest": "top",
+}
+
+
+def short_name(name: str) -> str:
+    return "_".join(SEGMENT_ABBREV.get(s, s) for s in name.split("_"))
 
 
 def build_session(cpus: str) -> SparkSession:
@@ -71,17 +119,50 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    payload = {
+    recall = ann_recall_report(spark, sf_dir) if not only else {}
+
+    # Full-fidelity payload: file + stderr (unbounded channels).
+    detail = {
         "metric": "total_query_battery_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs": runs,
+        "ann_recall_at_10": recall,
+        "name_abbrev": {n: short_name(n) for n in names},
     }
-    if not only:
-        payload["ann_recall_at_10"] = ann_recall_report(spark, sf_dir)
-    print(json.dumps(payload))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # Bounded stdout: ONE compact line, abbreviated names, <2000 bytes.
+    compact_ann = {
+        k: [v["recall"], v["corpus_fraction"]] for k, v in recall.items()
+    }
+    payload = {
+        "metric": "total_query_battery_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs": runs,
+        "detail": "BENCH_DETAIL.json",
+        "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) + len(json.dumps(compact_ann, separators=(",", ":"))) + 9 < 1950:
+        payload["ann"] = compact_ann
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1990:  # last-resort guard: never emit an unparseable tail
+        payload.pop("ann", None)
+        payload["queries"] = dict(
+            sorted(payload["queries"].items(), key=lambda kv: -kv[1])[:40]
+        )
+        payload["queries_truncated_see_detail"] = True
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
