@@ -213,3 +213,19 @@ def test_mix_corpus_hits_quota_exactly(spark):
     # deterministic under repartitioning
     out2 = mix_corpus(df.repartition(13), "src", {"a": 0.5, "b": 0.3, "c": 0.2}, "k")
     assert sorted(r.k for r in out.collect()) == sorted(r.k for r in out2.collect())
+
+
+def test_priority_sample_rejects_bad_weights(spark):
+    """Zero, negative, and NULL weights silently skew the race
+    (+Inf priority excludes, negative sorts first, NULL drops) —
+    they must raise instead."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from x_spark.operators.sampling import priority_sample
+
+    for bad in (0.0, -2.0, None):
+        rows = [(1, 5.0), (2, bad), (3, 1.0)]
+        df = spark.createDataFrame(rows, "k bigint, w double")
+        with pytest.raises(Exception, match="must be finite and > 0"):
+            priority_sample(df, "w", 2, "k").collect()

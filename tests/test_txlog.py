@@ -615,3 +615,106 @@ def test_merge_schema_append_widens_atomically(spark, ds, tmp_path):
     v1 = TableRef(path=ref.path, options={"versionAsOf": "1"})
     assert ds.read(v1).columns == ["pk", "part", "v"]
     assert ds.read(ref).columns == ["pk", "part", "v", "note"]
+
+
+def test_concurrent_schema_evolving_appends_keep_both_columns(spark, ds, tmp_path):
+    """Two schema-evolving appends racing: metaData actions do NOT
+    commute (log replay keeps the last), so the loser must recompute
+    its merged schema against the fresh snapshot before retrying —
+    neither new column may silently disappear."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    with_b = spark.createDataFrame(
+        [(10, "a", 1, "bee")], "pk int, part string, v int, col_b string"
+    )
+    with_c = spark.createDataFrame(
+        [(11, "a", 2, 3.5)], "pk int, part string, v int, col_c double"
+    )
+
+    orig_commit = ds._commit
+    fired = []
+
+    def racy_commit(table, expected_version, actions, op, **kw):
+        if op == "APPEND" and not fired and any("metaData" in a for a in actions):
+            # interleave the OTHER schema-evolving append between this
+            # one's snapshot resolve and its commit
+            fired.append(True)
+            ds._commit = orig_commit
+            ds.append(with_c, TableRef(path=ref.path), merge_schema=True)
+            ds._commit = racy_commit
+        return orig_commit(table, expected_version, actions, op, **kw)
+
+    ds._commit = racy_commit
+    try:
+        ds.append(with_b, ref, merge_schema=True)
+    finally:
+        ds._commit = orig_commit
+
+    out = ds.read(ref)
+    assert set(out.columns) == {"pk", "part", "v", "col_b", "col_c"}
+    rows = _rows(out.select("pk", "col_b", "col_c"))
+    assert (10, "bee", None) in rows and (11, None, 3.5) in rows
+
+
+def test_merge_schema_rejects_type_change(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    retyped = spark.createDataFrame([(7, "a", "nope")], "pk int, part string, v string")
+    with pytest.raises(DataSourceException, match="cannot change column 'v'"):
+        ds.append(retyped, ref, merge_schema=True)
+
+
+def test_txn_replay_detected_inside_commit(spark, ds, tmp_path):
+    """The SetTransaction conflict check: a commit stamped with an
+    appId txn version <= one already durable aborts INSIDE the commit
+    path — the zombie-writer window between the last_txn_version fast
+    path and the commit is closed."""
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    spec = MergeSpec(["pk"], ["v"], insert_when_not_matched=True)
+
+    ds.merge(spark.createDataFrame([(1, 111)], "pk int, v int"), ref,
+             spec, txn=("app", 5))
+    before = _rows(ds.read(ref))
+
+    # same txn version -> replay, must abort (no double apply)
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.merge(spark.createDataFrame([(1, 222)], "pk int, v int"), ref,
+                 spec, txn=("app", 5))
+    # older txn version -> also a replay
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.merge(spark.createDataFrame([(1, 333)], "pk int, v int"), ref,
+                 spec, txn=("app", 4))
+    assert _rows(ds.read(ref)) == before
+
+    # next version proceeds; a different appId is independent
+    ds.merge(spark.createDataFrame([(1, 444)], "pk int, v int"), ref,
+             spec, txn=("app", 6))
+    ds.merge(spark.createDataFrame([(2, 555)], "pk int, v int"), ref,
+             spec, txn=("other", 0))
+    rows = dict((r[0], r[2]) for r in _rows(ds.read(ref)))
+    assert rows[1] == 444 and rows[2] == 555
+
+
+def test_txn_stamps_carried_through_checkpoints(spark, ds, tmp_path):
+    """Txn stamps survive into checkpoint ``txns`` maps, so
+    last_txn_version scans only the post-checkpoint suffix and the
+    guarantee would survive commit-file retention."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    df = spark.createDataFrame([(1, "a", 0)], "pk int, part string, v int")
+    # cross a checkpoint boundary with stamped commits
+    for i in range(CHECKPOINT_INTERVAL + 3):
+        ds.overwrite(df, ref, txn=("stream", i))
+    table = ds._table_path(ref)
+    _, checkpoints = _list_log(table)
+    assert checkpoints, "expected a checkpoint past CHECKPOINT_INTERVAL commits"
+    with open(os.path.join(table, "_txlog", checkpoints[-1])) as fh:
+        ck = json.load(fh)
+    assert ck["txns"]["stream"] >= 0
+    assert ds.last_txn_version(ref, "stream") == CHECKPOINT_INTERVAL + 2
+    assert ds.last_txn_version(ref, "absent") == -1
+    # upto: state as of an older version excludes later stamps
+    assert ds._txn_stamps(table, upto=4)["stream"] < CHECKPOINT_INTERVAL + 2

@@ -29,3 +29,22 @@ def test_zorder_value_constant_and_unsupported(spark):
     assert {r.z for r in vals} == {0}
     with pytest.raises(ValueError):
         zorder_value(df, ["arr"])
+
+
+def test_zorder_value_four_plus_columns_stay_nonnegative(spark):
+    """4 clustered columns at 16 bits/col would write bit 63 (the
+    bigint sign) and 5+ would wrap shifts mod 64 — bits/col must cap
+    at floor(63/n) so extreme rows never go negative and order across
+    the extremes is preserved."""
+    rows = [
+        (0, 0, 0, 0, 0),
+        (1_000_000, 1_000_000, 1_000_000, 1_000_000, 1_000_000),
+        (500_000, 500_000, 500_000, 500_000, 500_000),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int, e int")
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        out = df.withColumn("z", zorder_value(df, cols)).collect()
+        zs = {r.a: r.z for r in out}
+        assert all(r.z >= 0 for r in out), f"negative z with {len(cols)} cols"
+        # all-min < mid < all-max corner ordering must survive the cap
+        assert zs[0] < zs[500_000] < zs[1_000_000]

@@ -89,12 +89,27 @@ def priority_sample(
 
     DuckDB: ``-ln((hash32 + 0.5)/4294967296.0) / w`` with the
     identical hash — see the registry oracle. Ties break by key.
+
+    Weights must be finite and > 0: a zero weight would yield +Inf
+    priority (silent exclusion), a negative one a negative priority
+    that sorts FIRST (always included), and NULL a NULL priority —
+    all of which silently skew the sample, so they raise instead
+    (checked executor-side, no extra pass).
     """
     if n <= 0:
         raise ValueError("priority_sample requires n >= 1")
     col = F.col(key_col).cast("string")
     u = (hash32(col) + F.lit(0.5)) / F.lit(4294967296.0)
-    prio = -F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    w_checked = F.when(
+        w.isNull() | (w <= 0.0) | F.isnan(w) | (w == float("inf")),
+        F.raise_error(F.concat(
+            F.lit(f"priority_sample: weight column {weight_col!r} must be "
+                  "finite and > 0, got "),
+            F.coalesce(w.cast("string"), F.lit("NULL")),
+        )).cast("double"),
+    ).otherwise(w)
+    prio = -F.log(u) / w_checked
     return (
         df.withColumn("__prio", prio)
         .orderBy(F.asc("__prio"), F.asc(key_col))

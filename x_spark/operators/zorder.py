@@ -72,19 +72,28 @@ def zorder_value(df: DataFrame, cols: list[str]) -> Column:
         *[F.max(e).alias(f"mx_{c}") for c, e in ordered.items()],
     ).head()
 
+    # The interleaved value must stay inside the non-negative bigint
+    # range: the highest bit written is (bits-1)*n + (n-1) = bits*n - 1,
+    # which must be <= 62 (bit 63 is the sign; shifts >= 64 wrap mod 64
+    # in the JVM and would scramble the interleave entirely). With the
+    # default 16 bits that caps out at 3 columns; wider clusterings
+    # trade per-column resolution for dimensionality.
+    n = len(cols)
+    bits = min(_BITS, 63 // n)
+    vmax = (1 << bits) - 1
+
     buckets: list[Column] = []
     for c, e in ordered.items():
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         if mn is None or mx is None or mx == mn:
             buckets.append(F.lit(0).cast("bigint"))
             continue
-        scaled = (e - F.lit(float(mn))) / F.lit(float(mx) - float(mn)) * F.lit(_MAX)
-        b = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(_MAX)))
+        scaled = (e - F.lit(float(mn))) / F.lit(float(mx) - float(mn)) * F.lit(vmax)
+        b = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(vmax)))
         buckets.append(F.coalesce(b.cast("bigint"), F.lit(0).cast("bigint")))
 
-    n = len(buckets)
     z = F.lit(0).cast("bigint")
-    for bit in range(_BITS):
+    for bit in range(bits):
         for i, b in enumerate(buckets):
             z = z + F.shiftleft(
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i

@@ -62,6 +62,13 @@ class ConcurrentWriteException(DataSourceException):
     and the operation is not commutative (read-modify-write)."""
 
 
+class TxnAlreadyCommittedException(ConcurrentWriteException):
+    """A commit stamped with the same ``txnAppId`` and a transaction
+    version >= the incoming one is already durable — the write being
+    attempted is a replay (Delta's SetTransaction conflict). The caller
+    should treat the work as done, not retry."""
+
+
 # ---------------------------------------------------------------------------
 # snapshot model
 
@@ -268,9 +275,28 @@ class TxLogDataSource(BaseDataSource):
         application transaction id (Delta's txnAppId/txnVersion
         idempotent-writes pattern): :meth:`last_txn_version` reads it
         back so a replayed writer can skip work it already committed.
+
+        The stamp is also VERIFIED here, inside the commit path
+        (Delta's SetTransaction conflict check): if a commit with the
+        same appId and version >= the incoming one already landed —
+        including one that landed after the caller resolved its
+        snapshot — :class:`TxnAlreadyCommittedException` is raised
+        instead of double-applying the batch. The check scans the log
+        state below ``expected_version``; any commit landing after the
+        scan necessarily takes ``expected_version`` itself, which makes
+        this commit's O_EXCL create fail — so check+stamp stay atomic
+        with respect to the version race.
         """
         d = _log_path(table)
         os.makedirs(d, exist_ok=True)
+        if txn is not None:
+            durable = self._txn_stamps(table, upto=expected_version - 1)
+            if durable.get(txn[0], -1) >= int(txn[1]):
+                raise TxnAlreadyCommittedException(
+                    f"txn appId={txn[0]!r} version {txn[1]} already "
+                    f"committed to {table!r} (latest stamp "
+                    f"{durable[txn[0]]}) — replay detected"
+                )
         path = os.path.join(d, f"{expected_version:020d}.json")
         info: dict = {"operation": operation}
         if txn is not None:
@@ -291,6 +317,41 @@ class TxLogDataSource(BaseDataSource):
         self._maybe_checkpoint(table, expected_version)
         return expected_version
 
+    def _txn_stamps(self, table: str, upto: int | None = None) -> dict[str, int]:
+        """appId -> highest committed txn version, at log state
+        ``upto`` (default: latest). Starts from the newest checkpoint
+        at or below ``upto`` that carries a ``txns`` map and scans only
+        the commit files after it, so per-call cost is bounded by
+        CHECKPOINT_INTERVAL, not table age. Checkpoints carry the map
+        forward, so stamps survive any future commit-file retention."""
+        commits, checkpoints = _list_log(table)
+        stamps: dict[str, int] = {}
+        start = 0
+        usable = [
+            c for c in checkpoints
+            if upto is None or _version_of(c) <= upto
+        ]
+        for ck_name in reversed(usable):
+            with open(os.path.join(_log_path(table), ck_name)) as fh:
+                ck = json.load(fh)
+            if "txns" in ck:  # pre-txns checkpoints: fall through, full scan
+                stamps = {k: int(v) for k, v in ck["txns"].items()}
+                start = _version_of(ck_name) + 1
+                break
+        for fname in commits:
+            v = _version_of(fname)
+            if v < start or (upto is not None and v > upto):
+                continue
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    info = json.loads(line).get("commitInfo")
+                    if info and "txn" in info:
+                        t = info["txn"]
+                        stamps[t["appId"]] = max(
+                            stamps.get(t["appId"], -1), int(t["version"])
+                        )
+        return stamps
+
     def _maybe_checkpoint(self, table: str, version: int) -> None:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
             return
@@ -300,6 +361,7 @@ class TxLogDataSource(BaseDataSource):
             "schemaJson": snap.schema_json,
             "partitionColumns": snap.partition_cols,
             "adds": [snap.files[p] for p in sorted(snap.files)],
+            "txns": self._txn_stamps(table, upto=version),
         }
         path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -426,36 +488,64 @@ class TxLogDataSource(BaseDataSource):
         if snap is None:
             self.create(ref, df.schema)
             snap = resolve_snapshot(table)
-        write_schema = snap.schema
-        actions: list[dict] = []
-        if merge_schema:
-            existing = {f.name for f in snap.schema.fields}
+
+        def schema_actions(current: Snapshot) -> list[dict]:
+            """metaData action widening ``current`` with df's new
+            columns ([] when nothing to widen)."""
+            existing = {f.name: f.dataType for f in current.schema.fields}
+            for f in df.schema.fields:
+                if f.name in existing and f.dataType != existing[f.name]:
+                    raise DataSourceException(
+                        f"mergeSchema cannot change column {f.name!r} from "
+                        f"{existing[f.name].simpleString()} to "
+                        f"{f.dataType.simpleString()}"
+                    )
             new_fields = [f for f in df.schema.fields if f.name not in existing]
-            if new_fields:
-                write_schema = StructType(
-                    list(snap.schema.fields) + new_fields
+            if not new_fields:
+                return []
+            merged = StructType(list(current.schema.fields) + new_fields)
+            return [{
+                "metaData": {
+                    "schemaJson": merged.json(),
+                    "partitionColumns": current.partition_cols,
+                }
+            }]
+
+        if merge_schema:
+            meta_actions = schema_actions(snap)
+            if meta_actions:
+                write_schema = StructType.fromJson(
+                    json.loads(meta_actions[0]["metaData"]["schemaJson"])
                 )
-                actions.append({
-                    "metaData": {
-                        "schemaJson": write_schema.json(),
-                        "partitionColumns": snap.partition_cols,
-                    }
-                })
+            else:
+                write_schema = snap.schema
             df = df.select(*[
                 F.col(f.name) if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in write_schema.fields
             ])
         else:
+            meta_actions = []
             df = df.select(*[f.name for f in snap.schema.fields])  # by-name, like Delta
         adds = self._write_files(df, table, snap.partition_cols)
-        actions += [{"add": a} for a in adds]
+        add_actions = [{"add": a} for a in adds]
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
-                             actions, "APPEND")
+                             meta_actions + add_actions, "APPEND")
                 return
             except ConcurrentWriteException:
+                # Blind adds commute with any concurrent commit, but a
+                # metaData action does NOT (log replay keeps only the
+                # last one — re-committing a stale merged schema would
+                # silently drop a column a concurrent schema-evolving
+                # append just added). Recompute the merge against the
+                # fresh snapshot before retrying. Data files written
+                # above stay valid: the pinned-schema reader fills
+                # columns missing from a file with NULL.
+                if merge_schema:
+                    fresh = resolve_snapshot(table)
+                    meta_actions = schema_actions(fresh)
                 continue
         raise ConcurrentWriteException(
             f"append to {table!r} lost 10 straight version races"
@@ -577,20 +667,16 @@ class TxLogDataSource(BaseDataSource):
         streaming query re-running a foreachBatch epoch) checks this
         before writing and skips batches it already committed.
 
-        Like Delta, the guarantee spans the retained log: ``vacuum``
-        with ``keep_last`` that drops a commit drops its txn stamp.
+        Stamps are carried forward through checkpoint ``txns`` maps, so
+        the lookup scans at most CHECKPOINT_INTERVAL commit files and
+        the guarantee survives commit-file retention.
+
+        This read-side check is the cheap fast path; the authoritative
+        check lives INSIDE :meth:`_commit` (SetTransaction conflict),
+        which a concurrent commit cannot slip past.
         """
         table = self._table_path(ref)
-        commits, _ = _list_log(table)
-        latest = -1
-        for fname in commits:
-            with open(os.path.join(_log_path(table), fname)) as fh:
-                for line in fh:
-                    action = json.loads(line)
-                    info = action.get("commitInfo")
-                    if info and info.get("txn", {}).get("appId") == app_id:
-                        latest = max(latest, int(info["txn"]["version"]))
-        return latest
+        return self._txn_stamps(table).get(app_id, -1)
 
     def delete(self, ref: TableRef, predicate: str) -> None:
         """ANSI DELETE: drop rows where the predicate is TRUE; FALSE or

@@ -478,12 +478,25 @@ def txlog_exactly_once_upsert(ds, ref, spec: MergeSpec, app_id: str):
       re-runs the merge (same result, it never committed);
     - crash AFTER the commit -> replay sees the stamp and no-ops.
 
-    The check+stamp are one atomic O_EXCL commit, so duplicates cannot
-    slip between them. Pass the returned function to ``foreachBatch``.
+    The ``last_txn_version`` probe below is only the cheap fast path —
+    it alone cannot stop a zombie instance that passes the check while
+    another instance's commit is in flight. The authoritative guard is
+    INSIDE the commit: ``_commit`` re-verifies the appId stamp against
+    the log state below the version it claims (Delta's SetTransaction
+    conflict check), and the O_EXCL version-file create means no other
+    commit can slip between that check and the stamp. A detected
+    replay surfaces as TxnAlreadyCommittedException, which this
+    handler swallows (the batch is already durable). Pass the returned
+    function to ``foreachBatch``.
     """
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= ds.last_txn_version(ref, app_id):
-            return  # replayed epoch, already durable
-        ds.merge(batch_df, ref, spec, txn=(app_id, int(batch_id)))
+            return  # replayed epoch, already durable (fast path)
+        try:
+            ds.merge(batch_df, ref, spec, txn=(app_id, int(batch_id)))
+        except TxnAlreadyCommittedException:
+            return  # lost the race to an overlapping instance — durable
 
     return handle
