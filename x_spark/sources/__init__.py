@@ -8,9 +8,10 @@ Our registry supports:
   environments without delta-spark); implements the full write/merge
   surface with Spark-native equivalents.
 - ``delta``   — real Delta Lake connector, available only when the
-  ``delta-spark`` package is importable; otherwise falls back to the
-  parquet implementation (documented divergence — the observable
-  semantics of every operation are identical).
+  ``delta-spark`` package is importable; otherwise resolves to the
+  txlog transactional connector, which executes the same transactional
+  semantics (atomic commits, replaceWhere, MERGE file-skipping, time
+  travel) against its own Delta-protocol-shaped log.
 - ``file``    — read-only path scans for parquet/csv/json (SURVEY §2.1
   S10 extension).
 - ``duckdb[:/path/db.duckdb]`` — embedded external-database connector
@@ -29,7 +30,7 @@ from x_spark.errors import DataSourceException
 from x_spark.sources.base import BaseDataSource
 from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
 from x_spark.sources.files import FileDataSource
-from x_spark.sources.txlog import TxLogDataSource
+from x_spark.sources.txlog import DeltaFallbackDataSource, TxLogDataSource
 
 try:  # delta-spark is optional; gate the import (no pip installs here)
     from x_spark.sources.delta import DeltaDataSource  # noqa: F401
@@ -46,9 +47,13 @@ _REGISTRY: dict[str, type[BaseDataSource]] = {
 if _HAS_DELTA:  # pragma: no cover
     _REGISTRY["delta"] = DeltaDataSource
 else:
-    # Delta configs still run: parquet catalog tables provide the same
-    # observable op semantics (append/overwrite/update/upsert/truncate).
-    _REGISTRY["delta"] = ParquetCatalogDataSource
+    # Delta configs still run — against the txlog transactional store,
+    # which implements Delta's MECHANICS (atomic versioned commits,
+    # snapshot isolation, replaceWhere, MERGE file-skipping, time
+    # travel), not just its observable op results. Table names that
+    # pre-exist in the Spark catalog keep routing there (no split-brain
+    # shadow tables); see txlog.DeltaFallbackDataSource.
+    _REGISTRY["delta"] = DeltaFallbackDataSource
 
 
 def init_datasource(source_type: str, spark: SparkSession) -> BaseDataSource:

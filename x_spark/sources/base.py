@@ -178,11 +178,17 @@ class BaseDataSource(ABC):
         self.spark = spark
 
     # -- reads ---------------------------------------------------------
+    def _execute_statement(self, stmt: str) -> DataFrame:
+        """Execute one SQL statement. Connectors whose tables live
+        outside the Spark catalog (txlog) override this to resolve
+        their own table names first."""
+        return self.spark.sql(stmt)
+
     def sql(self, query: str) -> DataFrame:
         """Run one atomic Spark SQL statement (datasource/delta.py:30-41)."""
         if ";" in query.rstrip().rstrip(";"):
             raise ValueError("sql() accepts a single atomic statement (no ';')")
-        return self.spark.sql(query)
+        return self._execute_statement(query)
 
     def sql_script(self, script: str) -> DataFrame | None:
         """Run a ';'-separated SQL script sequentially; returns the last
@@ -192,7 +198,7 @@ class BaseDataSource(ABC):
         reference (datasource/delta.py:30-41)."""
         result: DataFrame | None = None
         for stmt in split_sql_statements(script):
-            result = self.spark.sql(stmt)
+            result = self._execute_statement(stmt)
         return result
 
     @abstractmethod

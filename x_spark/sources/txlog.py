@@ -97,6 +97,24 @@ def _version_of(fname: str) -> int:
     return int(fname.split(".", 1)[0])
 
 
+def _conform(df: DataFrame, schema: StructType) -> DataFrame:
+    """Resolve a write's columns against the table schema by NAME with
+    Delta's assignment cast (a NULL-typed ``null as c`` literal or a
+    compatible numeric narrows/widens; a missing column is a hard
+    error via the unresolved reference)."""
+    return df.select(*[
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields
+    ])
+
+
+def _normalize_ident(ident: str) -> str:
+    """``` `db` . `tbl` ``` -> ``db.tbl`` (strip backticks/whitespace)."""
+    import re
+
+    parts = re.findall(r"`[^`]+`|[A-Za-z_]\w*", ident)
+    return ".".join(p[1:-1] if p.startswith("`") else p for p in parts)
+
+
 def _list_log(table: str) -> tuple[list[str], list[str]]:
     """(commit files, checkpoint files), each sorted by version."""
     d = _log_path(table)
@@ -197,6 +215,108 @@ class TxLogDataSource(BaseDataSource):
         if ref.is_path:
             return ref.path  # type: ignore[return-value]
         return self._resolve_name(ref.table, create)  # type: ignore[arg-type]
+
+    def _known_names(self) -> dict[str, str]:
+        nf = self._names_file()
+        if os.path.isfile(nf):
+            with open(nf) as fh:
+                return json.load(fh)
+        return {}
+
+    def drop_table(self, ref: TableRef, if_exists: bool = True) -> None:
+        """Remove a txlog table: unregister the catalog name (atomic
+        names-file republish) and delete the table directory."""
+        if ref.is_path:
+            if os.path.isdir(ref.path):  # type: ignore[arg-type]
+                shutil.rmtree(ref.path)  # type: ignore[arg-type]
+            elif not if_exists:
+                raise DataSourceException(f"no txlog table at {ref.path!r}")
+            return
+        names = self._known_names()
+        if ref.table not in names:
+            if if_exists:
+                return
+            raise DataSourceException(f"unknown txlog table name {ref.table!r}")
+        path = names.pop(ref.table)  # type: ignore[arg-type]
+        nf = self._names_file()
+        tmp = nf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(names, fh)
+        os.replace(tmp, nf)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    # -- SQL over catalog-named txlog tables ---------------------------
+    # txlog tables live outside the Spark catalog (the names file is
+    # the metastore analogue), so the reference's pass-through SQL
+    # surface (source `query`, pre/post_sql hooks like `truncate table
+    # t` — etl/parent.py:137-138,180-181) needs name resolution here:
+    # table-maintenance statements dispatch to the native ops, and
+    # queries get known names rewritten to snapshot-backed temp views.
+    def _execute_statement(self, stmt: str) -> DataFrame:
+        handled = self._dispatch_statement(stmt)
+        if handled is not None:
+            return handled
+        return self.spark.sql(self._rewrite_query(stmt))
+
+    def _dispatch_statement(self, stmt: str) -> DataFrame | None:
+        """Route TRUNCATE/DROP/DELETE targeting a known txlog name to
+        the transactional ops; None = not ours, pass to spark.sql."""
+        import re
+
+        ident = r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)"
+        done = self.spark.createDataFrame([], "result string")
+        m = re.fullmatch(rf"\s*truncate\s+table\s+{ident}\s*", stmt, re.I)
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.truncate(TableRef(table=_normalize_ident(m.group(1))))
+            return done
+        m = re.fullmatch(
+            rf"\s*drop\s+table\s+(if\s+exists\s+)?{ident}\s*", stmt, re.I
+        )
+        if m and _normalize_ident(m.group(2)) in self._known_names():
+            self.drop_table(TableRef(table=_normalize_ident(m.group(2))),
+                            if_exists=bool(m.group(1)))
+            return done
+        m = re.fullmatch(
+            rf"\s*delete\s+from\s+{ident}(?:\s+where\s+(.*?))?\s*", stmt,
+            re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            ref = TableRef(table=_normalize_ident(m.group(1)))
+            self.delete(ref, m.group(2) or "TRUE")
+            return done
+        return None
+
+    def _rewrite_query(self, stmt: str) -> str:
+        """Replace known txlog table names (outside single-quoted
+        string literals) with snapshot-backed temp views. Views are
+        mangled (``__txlog_<name>``) so they never shadow same-named
+        Spark catalog tables for other sessions' SQL."""
+        import re
+
+        names = [n for n in self._known_names()
+                 if self.table_exists(TableRef(table=n))]
+        if not names:
+            return stmt
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        for name in sorted(names, key=len, reverse=True):
+            pattern = re.compile(
+                r"(?<![\w.`])"
+                + r"\s*\.\s*".join(
+                    rf"(?:`{re.escape(p)}`|{re.escape(p)})"
+                    for p in name.split(".")
+                )
+                + r"(?![\w.`])"
+            )
+            view = "__txlog_" + re.sub(r"\W", "_", name)
+            replaced = False
+            for i in range(0, len(segments), 2):  # even = outside literals
+                if pattern.search(segments[i]):
+                    segments[i] = pattern.sub(view, segments[i])
+                    replaced = True
+            if replaced:
+                self.read(TableRef(table=name)).createOrReplaceTempView(view)
+        return "".join(segments)
 
     def table_exists(self, ref: TableRef) -> bool:
         try:
@@ -526,7 +646,7 @@ class TxLogDataSource(BaseDataSource):
             ])
         else:
             meta_actions = []
-            df = df.select(*[f.name for f in snap.schema.fields])  # by-name, like Delta
+            df = _conform(df, snap.schema)  # by-name + assignment cast, like Delta
         adds = self._write_files(df, table, snap.partition_cols)
         add_actions = [{"add": a} for a in adds]
         for _ in range(10):
@@ -567,7 +687,7 @@ class TxLogDataSource(BaseDataSource):
             self.create(ref, df.schema)
         snap = resolve_snapshot(table)
         base = snap.version
-        df = df.select(*[f.name for f in snap.schema.fields])
+        df = _conform(df, snap.schema)
         if replace_where in (None, "", "1=1"):
             adds = self._write_files(df, table, snap.partition_cols)
             actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
@@ -607,7 +727,7 @@ class TxLogDataSource(BaseDataSource):
         if not snap.partition_cols:
             self.overwrite(df, ref)
             return
-        df = df.select(*[f.name for f in snap.schema.fields])
+        df = _conform(df, snap.schema)
         def render(v):
             # match hive dir encoding: booleans lowercase, rest via str()
             if v is None:
@@ -961,3 +1081,96 @@ class TxLogDataSource(BaseDataSource):
             # predicate references non-partition columns: no pruning
             return rels
         return [rel for rel, row in zip(rels, flags) if row["_match"]]
+
+
+# ---------------------------------------------------------------------------
+# delta resolution without delta-spark
+
+
+class DeltaFallbackDataSource(TxLogDataSource):
+    """What ``init_datasource("delta", ...)`` returns when delta-spark
+    is not importable: the txlog transactional store, deferring to the
+    Spark catalog for table NAMES that already exist there.
+
+    The deferral mirrors Delta-on-Databricks reality (Delta tables live
+    in the metastore) and prevents split-brain: a config targeting a
+    pre-existing catalog table must keep writing that table, not grow a
+    shadow txlog table under the same name. New names (in neither
+    catalog) and all path refs get full transactional semantics.
+    """
+
+    format_name = "delta"
+
+    def _catalog_delegate(self, ref: TableRef):
+        if (
+            not ref.is_path
+            and ref.table not in self._known_names()
+            and self.spark.catalog.tableExists(ref.table)  # type: ignore[arg-type]
+        ):
+            from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
+
+            return ParquetCatalogDataSource(self.spark)
+        return None
+
+    def read(self, ref: TableRef) -> DataFrame:
+        d = self._catalog_delegate(ref)
+        return d.read(ref) if d else super().read(ref)
+
+    def append(self, df: DataFrame, ref: TableRef, **kw) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.append(df, ref)
+        else:
+            super().append(df, ref, **kw)
+
+    def overwrite(self, df: DataFrame, ref: TableRef,
+                  replace_where: str | None = None, **kw) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.overwrite(df, ref, replace_where)
+        else:
+            super().overwrite(df, ref, replace_where, **kw)
+
+    def overwrite_dynamic(self, df: DataFrame, ref: TableRef) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.overwrite_dynamic(df, ref)
+        else:
+            super().overwrite_dynamic(df, ref)
+
+    def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec, **kw) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.merge(df, ref, spec)
+        else:
+            super().merge(df, ref, spec, **kw)
+
+    def truncate(self, ref: TableRef) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.truncate(ref)
+        else:
+            super().truncate(ref)
+
+    def delete(self, ref: TableRef, predicate: str) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d.delete(ref, predicate)
+        else:
+            super().delete(ref, predicate)
+
+    def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            d._compact_rewrite(df, ref)
+        else:
+            super()._compact_rewrite(df, ref)
+
+    def partition_columns(self, ref: TableRef) -> list[str]:
+        d = self._catalog_delegate(ref)
+        return d.partition_columns(ref) if d else super().partition_columns(ref)
+
+    def table_exists(self, ref: TableRef) -> bool:
+        if self._catalog_delegate(ref) is not None:
+            return True
+        return super().table_exists(ref)
