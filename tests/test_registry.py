@@ -9,20 +9,19 @@ must not overflow as queries are added.
 from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
 
 # one representative per operator family that MUST be driver-checked
+# Rotation history: late_shipment_priority, top_orders_per_segment,
+# distinct_suppliers_parts, nation_presence, quantity_by_status_pivot
+# and above_avg_balance were head-checked green in r01+r02 and rotated
+# to the tail in round 3 so never-checked flavors get driver rows —
+# cumulative coverage only grows.
 FAMILY_REPRESENTATIVES = [
     "pricing_summary",          # groupBy+agg battery (A1-A4)
-    "late_shipment_priority",   # join + conditional agg
     "top_customers",            # topk / ORDER-LIMIT
-    "top_orders_per_segment",   # window rank
-    "distinct_suppliers_parts", # distinct
     "quantity_cube",            # cube/rollup grouping sets
     "quantity_percentiles",     # percentile aggs
-    "nation_presence",          # union/intersect/except
-    "quantity_by_status_pivot", # pivot
     "part_catalog_report",      # projections/casts/null handling
     "merge_upsert_effect",      # MERGE
     "recon_lineitem",           # recon pipeline + tolerance compare
-    "above_avg_balance",        # scalar subquery
     "scalar_function_battery",  # scalar function library
     "json_props_stats",         # JSON functions
     "blamed_suppliers",         # exists / not-exists decorrelation
@@ -60,6 +59,13 @@ FAMILY_REPRESENTATIVES = [
     "stream_dedup_events",      # dropDuplicatesWithinWatermark
     "stream_stream_join",
     "salted_event_totals",      # skew-mitigating salted two-stage agg
+    # round-3 promotions (never driver-checked before)
+    "token_fingerprints",       # rolling-hash document fingerprints
+    "corpus_mixture",           # proportional corpus mixing
+    "weighted_sample",          # weighted priority sampling
+    "stream_sliding_profile",   # sliding event-time windows
+    "dedup_survivors",          # per-component survivor selection
+    "stream_upsert_totals_txlog",  # exactly-once txlog streaming upsert
 ]
 
 

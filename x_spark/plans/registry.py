@@ -30,16 +30,29 @@ _ALL_QUERIES = {
 # queries whose family is already represented earlier (extra TPC-H
 # flavors of join+agg / topk / grouping-set shapes). Tail queries still
 # run in bench.py and in the local oracle-parity suite.
+#
+# Round-3 rotation: the head window ROTATES so cumulative driver-checked
+# coverage grows — six queries green in BOTH r01 and r02 whose families
+# have multiple green representatives moved to the tail
+# (late_shipment_priority, top_orders_per_segment,
+# distinct_suppliers_parts, nation_presence, quantity_by_status_pivot,
+# above_avg_balance), freeing head slots for never-driver-checked
+# flavors (token_fingerprints, corpus_mixture, weighted_sample,
+# stream_sliding_profile, dedup_survivors) and the new exactly-once
+# stream_upsert_totals_txlog.
 _TAIL = [
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
-    "token_fingerprints",      # rolling-hash n-gram machinery is
-                               # driver-checked via benchmark_contamination
-    "corpus_mixture",          # deterministic-sampling family: corpus_splits
-                               # holds the head slot; locally hash-checked
-    "weighted_sample",         # same family (priority sampling)
-    "stream_sliding_profile",  # windowed-agg family: tumbling holds the
-                               # head slot; sliding is locally checked
+    "late_shipment_priority",  # join+cond agg: green r01+r02; family held
+                               # by pricing_summary/recon_lineitem/market_share
+    "top_orders_per_segment",  # window rank: green r01+r02; window family
+                               # held by rolling_revenue/customer_value_tiles
+    "distinct_suppliers_parts",  # distinct: green r01+r02; exact_dedup +
+                               # quantity_cube keep the family checked
+    "nation_presence",         # set ops: green r01+r02
+    "quantity_by_status_pivot",  # pivot: green r01+r02; grouping-set family
+                               # held by quantity_cube
+    "above_avg_balance",       # scalar subquery: green r01+r02
     "stream_user_stats_agg",   # hash-checks the IDENTICAL oracle as
                                # stream_stateful_user_stats (the two
                                # implementations must agree) — zero
@@ -71,9 +84,6 @@ _TAIL = [
     "small_quantity_revenue",
     "dominant_suppliers",
     "wealthy_idle_customers",
-    "dedup_survivors",         # survivor selection: the component stage is
-                               # driver-checked via dup_components; local
-                               # parity hash-checks the full recursive oracle
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative

@@ -89,7 +89,18 @@ FROM per GROUP BY user_id
 
 
 def q_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streaming_upsert_totals(spark, sf_dir)
+    # in-memory accumulator: the MERGE-per-microbatch shape without
+    # store I/O (the benched baseline for the streaming-upsert plan)
+    return streaming_upsert_totals(spark, sf_dir, accumulator="memory")
+
+
+def q_stream_upsert_totals_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production shape: state in a txlog table, every micro-batch MERGE
+    # committed atomically WITH its epoch id (exactly-once under
+    # at-least-once foreachBatch replay). Costs ~0.4s/microbatch more
+    # than the memory variant — that is the durable-commit price, not
+    # plan overhead (profiled: stats probe + candidate read + commit).
+    return streaming_upsert_totals(spark, sf_dir, accumulator="txlog")
 
 
 ORACLE_STREAM_UPSERT_TOTALS = """
@@ -263,6 +274,7 @@ STREAM_QUERIES = {
     "stream_tumbling_profile": q_stream_tumbling_profile,
     "stream_session_profile": q_stream_session_profile,
     "stream_upsert_totals": q_stream_upsert_totals,
+    "stream_upsert_totals_txlog": q_stream_upsert_totals_txlog,
 }
 
 STREAM_ORACLES = {
@@ -275,4 +287,6 @@ STREAM_ORACLES = {
     "stream_tumbling_profile": ORACLE_STREAM_TUMBLING_PROFILE,
     "stream_session_profile": ORACLE_STREAM_SESSION_PROFILE,
     "stream_upsert_totals": ORACLE_STREAM_UPSERT_TOTALS,
+    # same oracle: exactly-once txlog state must match the memory path
+    "stream_upsert_totals_txlog": ORACLE_STREAM_UPSERT_TOTALS,
 }
