@@ -30,6 +30,20 @@ def test_codebook_training_is_deterministic(emb):
     assert a == b  # stable across partitionings (DECIMAL accumulation)
 
 
+def test_codebook_default_scales_sqrt_n(emb):
+    """n_centroids=None sizes the codebook as round(sqrt(n)) clamped to
+    [4, max_centroids] — selectivity grows with the corpus instead of
+    freezing at a demo constant."""
+    import math
+
+    n = emb.count()
+    cb = train_codebook(emb, n_iters=1)
+    assert len(cb) == max(4, min(128, round(math.sqrt(n))))
+    tiny = emb.limit(6)
+    assert len(train_codebook(tiny, n_iters=1)) == 4
+    assert len(train_codebook(emb, n_iters=1, max_centroids=5)) == 5
+
+
 def test_ivf_probing_all_clusters_is_exact(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)

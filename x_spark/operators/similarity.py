@@ -241,11 +241,22 @@ def train_codebook(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_iters: int = 5,
+    max_centroids: int = 128,
 ) -> list[list[float]]:
     """Deterministic spherical k-means codebook (Lloyd's, fixed
     iteration count) for IVF coarse quantization.
+
+    ``n_centroids=None`` (default) scales the codebook with the corpus:
+    ``round(sqrt(n))`` clamped to [4, max_centroids] — the standard IVF
+    sizing rule, so probe selectivity keeps improving as the corpus
+    grows instead of freezing at a demo-scale constant. The
+    ``max_centroids`` cap bounds the inline JVM expression the
+    assignment builds (n_centroids x dim literals); past it, assign
+    with the Arrow/numpy path (:func:`x_spark.operators.pq.encode_pq`
+    broadcasts the codebook into a mapInPandas matmul) rather than
+    growing the expression.
 
     - init: the ``n_centroids`` vectors with smallest md5(id) — a
       deterministic pseudo-random draw, stable across partitionings
@@ -264,6 +275,8 @@ def train_codebook(
     unit = corpus.select(
         F.col(id_col).alias("cid"), _unit_expr(vec_col).alias("v")
     ).persist()
+    if n_centroids is None:
+        n_centroids = max(4, min(max_centroids, round(math.sqrt(unit.count()))))
     init_rows = (
         unit.orderBy(F.md5(F.col("cid").cast("string"))).limit(n_centroids).collect()
     )

@@ -646,6 +646,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(cb_path):
             codebook = S.load_codebook(spark, cb_path)
         else:
+            # pinned at 16 centroids for timing continuity with the
+            # frozen baseline; the sqrt(n)-scaled default and the
+            # IVF-PQ operating points are measured in bench.py's
+            # ann_recall_report (recall 0.8 @ 10% raw at sf0.1)
             codebook = S.train_codebook(corpus, n_centroids=16, n_iters=5)
             S.save_codebook(spark, codebook, cb_path)
         _IVF_CODEBOOK_CACHE[key] = codebook
