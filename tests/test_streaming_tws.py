@@ -1,11 +1,14 @@
-"""transformWithStateInPandas variant of the custom-state operator
-(ROADMAP round-2 gap 2).
+"""transformWithStateInPandas variant of the custom-state operator.
 
-The API's Python worker requires ``google.protobuf`` (state-server
-protocol), which this container lacks — the suite SKIPS in that case
-and runs live wherever protobuf is available, mirroring the
-delta-spark gating policy (``test_delta_conformance.py`` proves the
-fallback; this file proves the API path when the environment allows).
+FORMALLY DESCOPED in this environment (round 3): the API's Python
+worker requires ``google.protobuf`` (state-server protocol), which is
+absent here — a filesystem sweep finds no protobuf runtime or wheel to
+vendor, and network installs are unavailable. The operator
+(``streaming/events.stateful_user_stats_tws``) stays implemented and
+this suite runs live wherever protobuf exists; the supported
+custom-state path in this environment is ``applyInPandasWithState``
+(``stream_stateful_user_stats``), with the built-in-agg twin
+(``stream_user_stats_agg``) as the recommended production shape.
 """
 
 import pytest

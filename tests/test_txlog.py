@@ -243,13 +243,18 @@ def test_vacuum_orphans_and_history_horizon(spark, ds, tmp_path):
     orphan = os.path.join(ref.path, "part-orphan.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"not really parquet")
-    deleted = ds.vacuum(TableRef(path=ref.path))
+    # retention guard on: a fresh unreferenced file is NOT deleted (it
+    # could belong to an in-flight commit)
+    assert ds.vacuum(TableRef(path=ref.path)) == []
+    assert os.path.exists(orphan)
+    # min_age_sec=0: offline maintenance, delete immediately
+    deleted = ds.vacuum(TableRef(path=ref.path), min_age_sec=0)
     assert deleted == ["part-orphan.parquet"]
     # history-dropping vacuum: overwrite then vacuum(keep_last=1)
     ds.overwrite(
         spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"), ref
     )
-    deleted = ds.vacuum(TableRef(path=ref.path), keep_last=1)
+    deleted = ds.vacuum(TableRef(path=ref.path), keep_last=1, min_age_sec=0)
     assert deleted  # the pre-overwrite files are gone
     assert _rows(ds.read(ref)) == [(9, "z", 90)]  # latest intact
     with pytest.raises(Exception):  # time travel below the horizon fails

@@ -137,3 +137,185 @@ def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
 
     with pytest.raises(DataSourceException, match="no commit"):
         ds.read(at(base - 1))
+
+
+# -- checkpoint compaction & vacuum under contention -------------------------
+def _replay_without_checkpoints(table: str):
+    """Snapshot file set from a pure commit-file replay (checkpoints
+    temporarily hidden), to prove checkpoint-assisted resolution is a
+    pure optimization."""
+    import os
+
+    from x_spark.sources.txlog import resolve_snapshot
+
+    log = os.path.join(table, "_txlog")
+    hidden = []
+    for f in sorted(os.listdir(log)):
+        if f.endswith(".checkpoint.json"):
+            src = os.path.join(log, f)
+            os.rename(src, src + ".hidden")
+            hidden.append(src)
+    try:
+        return resolve_snapshot(table)
+    finally:
+        for src in hidden:
+            os.rename(src + ".hidden", src)
+
+
+def test_checkpoint_compaction_under_concurrent_appends(
+    spark, tmp_path, monkeypatch
+):
+    """Checkpoints written while appenders race must neither lose
+    commits nor double-apply: the version chain stays gap-free, every
+    appended row is present exactly once, and a checkpoint-assisted
+    snapshot equals the pure commit-file replay."""
+    import os
+    import threading
+
+    from x_spark.sources import txlog as txmod
+    from x_spark.sources.txlog import resolve_snapshot
+
+    monkeypatch.setattr(txmod, "CHECKPOINT_INTERVAL", 5)
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "ckpt_race"))
+    ds.append(spark.createDataFrame([(0, -1)], "writer int, seq int"), ref)
+
+    n_writers, n_appends = 4, 8
+    errors = []
+
+    def appender(w):
+        try:
+            for i in range(n_appends):
+                ds.append(
+                    spark.createDataFrame([(w, i)], "writer int, seq int"), ref
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(1, n_writers + 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # gap-free version chain
+    log = os.path.join(ref.path, "_txlog")
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(log)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+    )
+    assert versions == list(range(len(versions)))
+    # checkpoints were actually written mid-race
+    checkpoints = [f for f in os.listdir(log) if f.endswith(".checkpoint.json")]
+    assert checkpoints, "no checkpoint written despite interval=5"
+    # zero lost updates: every (writer, seq) exactly once
+    rows = sorted(map(tuple, ds.read(ref).collect()))
+    expect = sorted([(0, -1)] + [(w, i) for w in range(1, n_writers + 1)
+                                 for i in range(n_appends)])
+    assert rows == expect
+    # checkpoint-assisted resolve == pure replay (same live file set)
+    with_ck = resolve_snapshot(ref.path)
+    without_ck = _replay_without_checkpoints(ref.path)
+    assert with_ck.version == without_ck.version
+    assert with_ck.files.keys() == without_ck.files.keys()
+
+
+def test_vacuum_retention_protects_inflight_commit_files(spark, tmp_path):
+    """A data file moved into place before its commit lands looks
+    unreferenced; default vacuum must leave it alone (retention guard),
+    while min_age_sec=0 (offline maintenance) removes it."""
+    import os
+    import shutil
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "vac_inflight"))
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)
+    live = next(iter(ds.read(ref).inputFiles()))
+    inflight = os.path.join(ref.path, "part-inflight.parquet")
+    shutil.copyfile(live.removeprefix("file:"), inflight)
+
+    assert ds.vacuum(ref) == []          # young unreferenced file survives
+    assert os.path.exists(inflight)
+    assert ds.vacuum(ref, min_age_sec=0) == ["part-inflight.parquet"]
+    assert not os.path.exists(inflight)
+
+
+def test_vacuum_with_retention_never_loses_data_under_concurrent_appends(
+    spark, tmp_path
+):
+    """Vacuum loops racing live appenders: with the default retention
+    guard no committed row may disappear and every version stays
+    readable afterwards."""
+    import threading
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "vac_race"))
+    ds.append(spark.createDataFrame([(0, -1)], "writer int, seq int"), ref)
+    stop = threading.Event()
+    errors = []
+
+    def vacuumer():
+        while not stop.is_set():
+            try:
+                deleted = ds.vacuum(ref)
+                assert deleted == [], f"retention guard deleted {deleted}"
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    def appender(w):
+        try:
+            for i in range(6):
+                ds.append(
+                    spark.createDataFrame([(w, i)], "writer int, seq int"), ref
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    writers = [threading.Thread(target=appender, args=(w,)) for w in (1, 2)]
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    vt.join()
+    assert not errors, errors
+    rows = sorted(map(tuple, ds.read(ref).collect()))
+    assert rows == sorted([(0, -1)] + [(w, i) for w in (1, 2) for i in range(6)])
+    # every historical version still resolves (vacuum default keeps all)
+    from x_spark.sources.txlog import resolve_snapshot
+
+    latest = resolve_snapshot(ref.path).version
+    for v in range(latest + 1):
+        ds.read(TableRef(path=ref.path, options={"versionAsOf": str(v)})).collect()
+
+
+def test_vacuum_respects_checkpoint_horizon(spark, tmp_path, monkeypatch):
+    """keep_last vacuum after checkpoints: recent versions (including
+    checkpoint-resolved reads) stay intact, older time travel fails
+    with the documented missing-file error."""
+    import pytest as _pytest
+
+    from x_spark.sources import txlog as txmod
+
+    monkeypatch.setattr(txmod, "CHECKPOINT_INTERVAL", 5)
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "vac_horizon"))
+    for i in range(12):
+        ds.overwrite(spark.createDataFrame([(i, i * 10)], "pk int, v int"), ref)
+    ds.vacuum(ref, keep_last=3, min_age_sec=0)
+    from x_spark.sources.txlog import resolve_snapshot
+
+    latest = resolve_snapshot(ref.path).version
+    for v in range(latest - 2, latest + 1):
+        got = ds.read(
+            TableRef(path=ref.path, options={"versionAsOf": str(v)})
+        ).collect()
+        assert len(got) == 1
+    with _pytest.raises(Exception):
+        ds.read(
+            TableRef(path=ref.path, options={"versionAsOf": str(latest - 5)})
+        ).collect()

@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--keep-last", type=int, default=None,
         help="also drop files only reachable from versions older than the last N",
     )
+    vac.add_argument(
+        "--min-age-sec", type=float, default=600.0,
+        help="retention guard: only delete unreferenced files older than "
+        "this (protects in-flight commits; 0 = offline maintenance)",
+    )
     return parser
 
 
@@ -234,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"clustered into {n} file(s)")
             return 0
-        deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last)
+        deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last,
+                            min_age_sec=args.min_age_sec)
         print(f"deleted {len(deleted)} file(s)")
         return 0
 

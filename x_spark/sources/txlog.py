@@ -891,7 +891,8 @@ class TxLogDataSource(BaseDataSource):
                      "CLUSTER")
         return len(adds)
 
-    def vacuum(self, ref: TableRef, keep_last: int | None = None) -> list[str]:
+    def vacuum(self, ref: TableRef, keep_last: int | None = None,
+               min_age_sec: float = 600.0) -> list[str]:
         """Physically delete data files no longer reachable.
 
         Default (``keep_last=None``): remove only ORPHANS — files no
@@ -899,7 +900,17 @@ class TxLogDataSource(BaseDataSource):
         version stays time-travelable. ``keep_last=N`` additionally
         drops files referenced only by versions older than the last N
         (time travel below that horizon then fails with a missing-file
-        error, as documented). Returns the deleted relative paths."""
+        error, as documented). Returns the deleted relative paths.
+
+        ``min_age_sec`` is the concurrency guard (Delta's VACUUM
+        retention): a writer moves data files into place BEFORE its
+        commit file lands, so a file that merely LOOKS unreferenced may
+        belong to an in-flight commit. Only unreferenced files older
+        than ``min_age_sec`` are deleted — age must exceed the longest
+        plausible write-to-commit window. 0 is safe only when no writer
+        is running (tests, offline maintenance)."""
+        import time as _time
+
         table = self._table_path(ref)
         latest = self._latest_version(table)
         if latest is None:
@@ -917,6 +928,7 @@ class TxLogDataSource(BaseDataSource):
             snap = resolve_snapshot(table, v)
             referenced.update(snap.files)
         deleted: list[str] = []
+        cutoff = _time.time() - min_age_sec
         for root, dirs, names in os.walk(table):
             dirs[:] = [
                 d for d in dirs
@@ -925,10 +937,17 @@ class TxLogDataSource(BaseDataSource):
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(os.path.join(root, name), table)
-                if rel not in referenced:
-                    os.remove(os.path.join(root, name))
-                    deleted.append(rel)
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight commit's file
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue  # another vacuum won the race
+                deleted.append(rel)
         return sorted(deleted)
 
     def changes(self, ref: TableRef, from_version: int,
