@@ -856,6 +856,44 @@ GROUP BY n_name
 """
 
 
+# Same round trip through the JDBC connector (Derby embedded — the
+# cluster-grade external-DB path: executor-side cursors + partitioned
+# range read back). Same oracle shape: the trip must be lossless.
+def q_jdbc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='xs_jdbc_')}/db;create=true"
+    ds = init_datasource(url, spark)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    ds.append(sup, TableRef(table="supplier_dim"))
+    # read back as a PARTITIONED parallel scan (4 range queries on the
+    # key — the 100 TB ingest shape for an indexed source table)
+    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    back = ds.read(TableRef(table="supplier_dim", options={
+        "partitionColumn": "s_suppkey", "lowerBound": "0",
+        "upperBound": str(int(hi) + 1), "numPartitions": "4",
+    }))
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_JDBC_DIM_ROUNDTRIP = ORACLE_DUCKDB_DIM_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Keyword search: BM25 top-k over the documents corpus (inverted-index
 # formulation — x_spark.operators.text_search). "dup" is the corpus's
@@ -1020,6 +1058,7 @@ PIPELINE_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "multimodal_frames": q_multimodal_frames,
     "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
+    "jdbc_dim_roundtrip": q_jdbc_dim_roundtrip,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1049,6 +1088,7 @@ PIPELINE_ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
+    "jdbc_dim_roundtrip": ORACLE_JDBC_DIM_ROUNDTRIP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

@@ -84,6 +84,8 @@ _TAIL = [
     "small_quantity_revenue",
     "dominant_suppliers",
     "wealthy_idle_customers",
+    "jdbc_dim_roundtrip",      # external-DB family: duckdb_dim_roundtrip holds
+                               # the head slot; locally hash-checked end-to-end
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative

@@ -16,6 +16,9 @@ Our registry supports:
   S10 extension).
 - ``duckdb[:/path/db.duckdb]`` — embedded external-database connector
   (dimension tables / result publishing; Arrow interchange).
+- ``jdbc:<url>`` — Spark's real JDBC source (executor-side cursors,
+  predicate pushdown, partitioned range reads); Derby's embedded
+  driver ships with Spark so the connector is live in this container.
 - ``txlog``  — transaction-logged parquet tables: atomic versioned
   commits, snapshot isolation, time travel, footer-stats file skipping
   for MERGE/DELETE (the transactional mechanics the delta fallback
@@ -67,10 +70,14 @@ def init_datasource(source_type: str, spark: SparkSession) -> BaseDataSource:
 
         _, _, database = raw.partition(":")  # path keeps its case
         return DuckDBDataSource(spark, database)
+    if source_type.startswith("jdbc:"):
+        from x_spark.sources.jdbc import JdbcDataSource
+
+        return JdbcDataSource(spark, raw)  # the type IS the JDBC url
     cls = _REGISTRY.get(source_type)
     if cls is None:
         raise DataSourceException(
             f"Unknown datasource type {source_type!r}; expected one of "
-            f"{sorted(_REGISTRY) + ['duckdb[:/path]']}"
+            f"{sorted(_REGISTRY) + ['duckdb[:/path]', 'jdbc:<url>']}"
         )
     return cls(spark)
