@@ -103,3 +103,94 @@ def test_contamination_counts_distinct_ngrams_once(spark):
     assert len(hits) == 1
     # doc 1 holds 6 distinct 5-grams, only those matching bench count
     assert hits[0].shared_ngrams == 1  # bench has exactly one 5-gram
+
+
+# -- corpus line dedup (C4 boilerplate rule) ---------------------------------
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    from x_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncommon footer\n\nrare line"),
+            (2, "unique beta\ncommon footer"),
+            (3, "common footer"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1 holds the global first occurrence of the footer; blank kept
+    assert out[1]["clean_text"] == "unique alpha\ncommon footer\n\nrare line"
+    assert out[1]["n_removed"] == 0
+    # later occurrences dropped
+    assert out[2]["clean_text"] == "unique beta"
+    assert out[2]["n_removed"] == 1
+    # a doc that is ALL boilerplate survives with empty text
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 1)
+
+
+def test_line_dedup_threshold(spark):
+    from x_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "pair line"), (2, "pair line")], "doc_id bigint, text string"
+    )
+    # min_count=3: a line must occur 3+ times to count as boilerplate
+    out = {r["doc_id"]: r["clean_text"] for r in line_dedup(docs, min_count=3).collect()}
+    assert out == {1: "pair line", 2: "pair line"}
+
+
+def test_line_dedup_normalizes_case_and_whitespace(spark):
+    from x_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Common Footer"), (2, "  common footer  ")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_kept"] == 1  # first occurrence, original casing kept
+    assert out[1]["clean_text"] == "Common Footer"
+    assert out[2]["n_kept"] == 0
+
+
+# -- sequence packing --------------------------------------------------------
+def test_prefix_offsets_match_global_cumsum_any_bucketing(spark):
+    from pyspark.sql import Window, functions as F
+
+    from x_spark.operators.packing import token_prefix_offsets
+
+    docs = spark.createDataFrame(
+        [(i * 7 + 3, " ".join(["tok"] * (i % 5 + 1))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    expect = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(
+                F.sum(F.expr(r"regexp_count(text, '\\S+')")).over(w), F.lit(0)
+            ).alias("start_offset"),
+        ).collect()
+    )
+    for n_buckets in (1, 3, 32, 1000):
+        got = sorted(
+            (r["doc_id"], r["start_offset"])
+            for r in token_prefix_offsets(docs, n_buckets=n_buckets).collect()
+        )
+        assert got == expect, f"n_buckets={n_buckets}"
+
+
+def test_pack_sequences_straddles_boundaries(spark):
+    from x_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["t"] * 6)), (2, " ".join(["t"] * 6)), (3, "t")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, capacity=8).collect()}
+    # doc 1: tokens 0-5 -> seq 0; doc 2: tokens 6-11 straddles 0/1
+    assert (rows[1]["first_seq"], rows[1]["last_seq"], rows[1]["n_seqs"]) == (0, 0, 1)
+    assert (rows[2]["first_seq"], rows[2]["last_seq"], rows[2]["n_seqs"]) == (0, 1, 2)
+    assert (rows[3]["first_seq"], rows[3]["last_seq"]) == (1, 1)
+    assert rows[3]["start_offset"] == 12

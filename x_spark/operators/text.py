@@ -318,3 +318,69 @@ def contamination_check(
         .agg(F.count("*").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 boilerplate rule): a
+    normalized line occurring ``min_count``+ times across the corpus is
+    boilerplate — every occurrence is dropped except the global FIRST
+    (smallest ``(doc_id, pos)``); rarer lines and blank lines always
+    survive. Returns one row per input document:
+    ``(id, clean_text, n_kept, n_removed)`` — a document whose every
+    line is dropped survives with empty text.
+
+    Plan shape (100 TB): explode lines -> hash-groupBy the normalized
+    line (one shuffle, map-side partial counts) -> join occurrences
+    back on the line key -> re-assemble per document (one shuffle on
+    the doc id). No driver materialization; boilerplate heavy-hitters
+    make the join key skewed — AQE skew-join splits those partitions.
+    """
+    order_key = F.col(id_col) * F.lit(1_000_000) + F.col("pos")  # pos < 1e6
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower("line")))
+    occ = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(order_key).alias("first_key"),
+        )
+    )
+    kept = lines.join(occ, "norm", "left").filter(
+        (F.col("norm") == "")
+        | (F.col("n_occ") < min_count)
+        | (order_key == F.col("first_key"))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"),
+            F.count("*").alias("n_kept"),
+        )
+        .select(
+            id_col,
+            F.expr("array_join(transform(ls, s -> s.line), '\n')").alias("clean_text"),
+            "n_kept",
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

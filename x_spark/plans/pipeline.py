@@ -895,6 +895,90 @@ ORACLE_JDBC_DIM_ROUNDTRIP = ORACLE_DUCKDB_DIM_ROUNDTRIP
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4 boilerplate rule). The synthetic docs are
+# single-line, so the query appends deterministic boilerplate lines (a
+# footer on every doc, a promo line on every third) — mirrored in the
+# oracle; the operator must keep each boilerplate line only at its
+# global first occurrence while every original line survives.
+def q_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to premium updates"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nlimited time offer today"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = X.line_dedup(docs, min_count=2)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_sig"), "n_kept", "n_removed"
+    )
+
+
+ORACLE_LINE_DEDUP_BOILERPLATE = """
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, chr(10), 'subscribe to premium updates',
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(chr(10), 'limited time offer today')
+                     ELSE '' END) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line, trim(lower(ls[i])) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)
+), occ AS (
+  SELECT norm, count(*) AS n_occ, min(doc_id * 1000000 + pos) AS first_key
+  FROM l WHERE norm <> '' GROUP BY norm
+), kept AS (
+  SELECT l.* FROM l LEFT JOIN occ USING (norm)
+  WHERE norm = '' OR n_occ < 2 OR doc_id * 1000000 + pos = first_key
+)
+SELECT a.doc_id,
+       md5(coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')) AS clean_sig,
+       CAST(count(k.pos) AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM l WHERE l.doc_id = a.doc_id) - count(k.pos)
+            AS BIGINT) AS n_removed
+FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+GROUP BY a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-slice): every document's span
+# of fixed-capacity training sequences, from a DISTRIBUTED two-stage
+# prefix sum of token counts (never a single-partition global window —
+# x_spark/operators/packing.py). The oracle is the plain global cumsum.
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=256)
+
+
+ORACLE_SEQUENCE_PACKING = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 256) AS BIGINT) AS first_seq,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 256) AS BIGINT)
+         AS last_seq,
+       CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 256)
+            - floor(start_offset / 256) + 1 AS BIGINT) AS n_seqs
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
 # Keyword search: BM25 top-k over the documents corpus (inverted-index
 # formulation — x_spark.operators.text_search). "dup" is the corpus's
 # one rare token, so the idf spread is real, not degenerate.
@@ -1059,6 +1143,8 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
     "jdbc_dim_roundtrip": q_jdbc_dim_roundtrip,
+    "line_dedup_boilerplate": q_line_dedup_boilerplate,
+    "sequence_packing": q_sequence_packing,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1089,6 +1175,8 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
     "jdbc_dim_roundtrip": ORACLE_JDBC_DIM_ROUNDTRIP,
+    "line_dedup_boilerplate": ORACLE_LINE_DEDUP_BOILERPLATE,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

@@ -86,6 +86,10 @@ _TAIL = [
     "wealthy_idle_customers",
     "jdbc_dim_roundtrip",      # external-DB family: duckdb_dim_roundtrip holds
                                # the head slot; locally hash-checked end-to-end
+    "line_dedup_boilerplate",  # corpus dedup family (exact_dedup holds the
+                               # head slot); rotate into the head next round
+    "sequence_packing",        # chunking/token family (document_chunks holds
+                               # the head slot); rotate into the head next round
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
