@@ -139,8 +139,10 @@ def main() -> None:
     print(json.dumps(detail), file=sys.stderr)
 
     # Bounded stdout: ONE compact line, abbreviated names, <2000 bytes.
+    # ann entry: [recall@10, raw-rows fraction read] per operating point
     compact_ann = {
-        k: [v["recall"], v["corpus_fraction"]] for k, v in recall.items()
+        k: [v["recall"], v.get("raw_fraction", v.get("corpus_fraction"))]
+        for k, v in recall.items()
     }
     payload = {
         "metric": "total_query_battery_sec",
