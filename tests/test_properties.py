@@ -229,3 +229,65 @@ def test_priority_sample_rejects_bad_weights(spark):
         df = spark.createDataFrame(rows, "k bigint, w double")
         with pytest.raises(Exception, match="must be finite and > 0"):
             priority_sample(df, "w", 2, "k").collect()
+
+
+# -- round-3 operator invariants ---------------------------------------------
+def test_line_dedup_is_idempotent(spark):
+    """Deduping an already-deduped corpus changes nothing: after the
+    first pass every surviving normalized line occurs at most once."""
+    from x_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nbeta"),
+            (2, "shared footer\ngamma\nshared footer"),
+            (3, "delta\nshared footer"),
+        ],
+        "doc_id bigint, text string",
+    )
+    once = line_dedup(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = line_dedup(once).select("doc_id", "clean_text", "n_removed")
+    rows = {r["doc_id"]: r for r in twice.collect()}
+    assert all(r["n_removed"] == 0 for r in rows.values()), rows
+    got_once = {r["doc_id"]: r["text"] for r in once.collect()}
+    got_twice = {k: r["clean_text"] for k, r in rows.items()}
+    assert got_once == got_twice
+
+
+def test_sequence_packing_conserves_tokens_and_tiles(spark):
+    """Offsets tile the token stream exactly: sorted by doc_id, each
+    start_offset equals the previous doc's start+count, and the final
+    end equals the corpus token total."""
+    from x_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ((i * 13) % 9 + 1))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["start_offset"], r["n_tokens"])
+        for r in pack_sequences(docs, capacity=32, n_buckets=5).collect()
+    )
+    expect_off = 0
+    for _, off, n in rows:
+        assert off == expect_off
+        expect_off += n
+    assert expect_off == sum(n for _, _, n in rows)
+
+
+def test_prefix_offsets_plan_has_no_single_partition_exchange(spark):
+    """The distributed prefix sum must never plan a global
+    single-partition sort/exchange — that is exactly the scale bug the
+    two-stage scan exists to avoid."""
+    from x_spark.operators.packing import token_prefix_offsets
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id bigint, text string"
+    )
+    plan = (
+        token_prefix_offsets(docs, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
