@@ -194,3 +194,56 @@ def test_pack_sequences_straddles_boundaries(spark):
     assert (rows[2]["first_seq"], rows[2]["last_seq"], rows[2]["n_seqs"]) == (0, 1, 2)
     assert (rows[3]["first_seq"], rows[3]["last_seq"]) == (1, 1)
     assert rows[3]["start_offset"] == 12
+
+
+# -- bloom-prefiltered decontamination ---------------------------------------
+def test_contamination_bloom_identical_to_exact(spark, sf_dir):
+    """The Bloom prefilter must not change the answer (false positives
+    die in the exact join) and must actually prune the gram stream."""
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.text import (
+        bloom_might_contain,
+        build_gram_bloom,
+        contamination_check,
+        contamination_check_bloom,
+        ngram_hash_table,
+    )
+    from x_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(
+        map(tuple, contamination_check(corpus, bench, min_shared=2, n=3).collect())
+    )
+    bloomed = sorted(
+        map(tuple, contamination_check_bloom(corpus, bench, min_shared=2, n=3).collect())
+    )
+    assert bloomed == exact
+    assert exact  # non-vacuous
+
+    # selectivity: the filter passes a strict subset of corpus grams
+    b_grams = ngram_hash_table(bench, n=3).select(F.explode("gram_hashes").alias("gh"))
+    words = build_gram_bloom(b_grams)
+    c_grams = ngram_hash_table(corpus, n=3).select(
+        F.explode("gram_hashes").alias("gh")
+    ).persist()
+    total = c_grams.count()
+    passed = c_grams.filter(bloom_might_contain("gh", words)).count()
+    c_grams.unpersist()
+    assert passed < total, (passed, total)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every member gram must pass the filter — Bloom guarantees no
+    false negatives by construction; this pins the bit math."""
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.text import bloom_might_contain, build_gram_bloom
+
+    grams = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % 4294967291).alias("gh")
+    )
+    words = build_gram_bloom(grams)
+    assert grams.filter(~bloom_might_contain("gh", words)).count() == 0

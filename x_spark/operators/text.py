@@ -320,6 +320,94 @@ def contamination_check(
     )
 
 
+BLOOM_BITS = 1 << 16  # 65536 bits = 1024 longs (inline-literal friendly)
+BLOOM_PROBES = ((999983, 7), (999979, 13), (999961, 29), (999959, 43))
+
+
+def _bloom_positions(gh_expr: str, m_bits: int) -> list[str]:
+    """k probe positions for a gram hash (< 2^32): affine probes with
+    odd multipliers < 2^20 keep every product < 2^52 (exact in bigint
+    math on both engines)."""
+    return [
+        f"(({gh_expr} * {a}L + {b}L) % {m_bits}L)" for a, b in BLOOM_PROBES
+    ]
+
+
+def build_gram_bloom(
+    grams: DataFrame, gh_col: str = "gh", m_bits: int = BLOOM_BITS
+) -> list[int]:
+    """Bloom filter over a gram-hash column, built DISTRIBUTED: each
+    probe position becomes (word index, bit), bit_or-aggregated per
+    word — one shuffle of at most ``m_bits/64`` groups; the driver
+    collects only the filter itself (``m_bits/64`` longs — 8 KB at the
+    default size). The words list is the broadcastable artifact."""
+    pos_union = ", ".join(_bloom_positions(gh_col, m_bits))
+    bits = (
+        grams.select(F.explode(F.expr(f"array({pos_union})")).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in bits:
+        words[r["widx"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(
+    gh_expr: str, words: list[int], m_bits: int = BLOOM_BITS
+):
+    """Column predicate: all k probe bits set in the broadcast filter.
+    The words array rides the plan as a literal (8 KB default) — pure
+    JVM bit math inside whole-stage codegen, no Python round trip."""
+    lits = ", ".join(f"{w}L" for w in words)
+    checks = [
+        f"(element_at(array({lits}), cast({p} / 64 as int) + 1) "
+        f"& shiftleft(1L, cast({p} % 64 as int))) != 0"
+        for p in _bloom_positions(gh_expr, m_bits)
+    ]
+    return F.expr(" AND ".join(checks))
+
+
+def contamination_check_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    n: int = CONTAM_NGRAM,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """:func:`contamination_check` with a Bloom pre-filter — the
+    100 TB shape spelled out: the benchmark's gram hashes build a
+    Bloom filter (8 KB, broadcast as a plan literal), the corpus gram
+    stream drops non-members BEFORE the shuffle, and the exact
+    hash-equi join runs only on survivors. False positives are killed
+    by the exact join, so the result is IDENTICAL to the exact path
+    (same oracle); what changes is shuffle volume — corpus grams that
+    cannot match never leave their map task."""
+    b_grams = ngram_hash_table(benchmark, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_id"), F.explode("gram_hashes").alias("gh")
+    ).persist()
+    words = build_gram_bloom(b_grams, "gh", m_bits)
+    c = (
+        ngram_hash_table(corpus, id_col, text_col, n)
+        .select(F.col(id_col).alias("train_id"), F.explode("gram_hashes").alias("gh"))
+        .filter(bloom_might_contain("gh", words, m_bits))
+    )
+    out = (
+        c.join(b_grams, "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+    return out
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -895,6 +895,21 @@ ORACLE_JDBC_DIM_ROUNDTRIP = ORACLE_DUCKDB_DIM_ROUNDTRIP
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: result-identical to
+# benchmark_contamination (the exact join kills Bloom false positives)
+# so it shares the oracle; the plan drops non-member corpus grams
+# BEFORE the shuffle via an 8 KB broadcast filter literal.
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return X.contamination_check_bloom(corpus, bench, min_shared=2, n=3)
+
+
+ORACLE_CONTAMINATION_BLOOM = ORACLE_BENCHMARK_CONTAMINATION
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level line dedup (C4 boilerplate rule). The synthetic docs are
 # single-line, so the query appends deterministic boilerplate lines (a
 # footer on every doc, a promo line on every third) — mirrored in the
@@ -1143,6 +1158,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "duckdb_dim_roundtrip": q_duckdb_dim_roundtrip,
     "jdbc_dim_roundtrip": q_jdbc_dim_roundtrip,
+    "contamination_bloom": q_contamination_bloom,
     "line_dedup_boilerplate": q_line_dedup_boilerplate,
     "sequence_packing": q_sequence_packing,
     "ann_topk_pandas": q_ann_topk_pandas,
@@ -1175,6 +1191,7 @@ PIPELINE_ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "duckdb_dim_roundtrip": ORACLE_DUCKDB_DIM_ROUNDTRIP,
     "jdbc_dim_roundtrip": ORACLE_JDBC_DIM_ROUNDTRIP,
+    "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
     "line_dedup_boilerplate": ORACLE_LINE_DEDUP_BOILERPLATE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,

@@ -86,6 +86,9 @@ _TAIL = [
     "wealthy_idle_customers",
     "jdbc_dim_roundtrip",      # external-DB family: duckdb_dim_roundtrip holds
                                # the head slot; locally hash-checked end-to-end
+    "contamination_bloom",     # result-identical to benchmark_contamination
+                               # (head slot) — the Bloom prefilter changes the
+                               # plan, not the answer; locally hash-checked
     "line_dedup_boilerplate",  # corpus dedup family (exact_dedup holds the
                                # head slot); rotate into the head next round
     "sequence_packing",        # chunking/token family (document_chunks holds
