@@ -190,3 +190,54 @@ def test_sql_resolves_connector_table_names(spark, ds):
     ds.sql(f"truncate table {name}")
     assert ds.read(ref).count() == 0
     _drop(ds, ref)
+
+
+def test_sql_rewrites_qualified_column_references(spark, ds):
+    """Unaliased table-qualified columns must resolve after the name
+    rewrite (`t.col FROM t` — both occurrences rewrite together)."""
+    if not hasattr(ds, "drop_table"):  # pragma: no cover - live-delta env
+        pytest.skip("txlog name rewrite only")
+    name = f"conf_qual_{uuid.uuid4().hex[:8]}"
+    ref = _mk_table(spark, ds, name, "k int, v int", [(1, 10), (2, 20)])
+    got = sorted(
+        tuple(r)
+        for r in ds.sql(f"SELECT {name}.k, {name}.v FROM {name} WHERE {name}.k = 2").collect()
+    )
+    assert got == [(2, 20)]
+    _drop(ds, ref)
+
+
+def test_temp_view_does_not_hijack_transactional_target(spark, ds):
+    """A session temp view named like a write target must NOT reroute
+    delta writes to the catalog connector — only persistent catalog
+    tables defer."""
+    if not hasattr(ds, "drop_table"):  # pragma: no cover - live-delta env
+        pytest.skip("fallback-resolution behavior")
+    name = f"conf_tv_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([(99, "view")], "k int, v string").createOrReplaceTempView(name)
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, "txn")], "k int, v string"), ref)
+    # the write landed transactionally, not in the view
+    assert _rows(ds, ref) == [(1, "txn")]
+    assert [tuple(r) for r in spark.table(name).collect()] == [(99, "view")]
+    spark.catalog.dropTempView(name)
+    _drop(ds, ref)
+
+
+def test_catalog_routed_write_rejects_transactional_options(spark, ds):
+    """A transactional-only kwarg (merge_schema/txn) must raise, not be
+    silently dropped, when the name routes to the catalog connector."""
+    if not hasattr(ds, "_reject_kwargs"):  # pragma: no cover - live-delta env
+        pytest.skip("fallback-resolution behavior")
+    from x_spark.errors import DataSourceException
+
+    name = "conf_kwargs_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame([(1, 1)], "k int, v int").write.saveAsTable(name)
+    with pytest.raises(DataSourceException, match="transactional-store"):
+        ds.append(
+            spark.createDataFrame([(2, 2, 3)], "k int, v int, w int"),
+            TableRef(table=name),
+            merge_schema=True,
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -247,3 +247,22 @@ def test_bloom_has_no_false_negatives(spark):
     )
     words = build_gram_bloom(grams)
     assert grams.filter(~bloom_might_contain("gh", words)).count() == 0
+
+
+def test_bloom_false_positive_rate_is_bloom_grade(spark):
+    """Probes must not collapse to a low-bit residue check: with ~3k
+    members in a 65536-bit filter (k=4), non-member FPR should be well
+    under 1% (an affine-mod-2^16 bug measured ~6%)."""
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.text import bloom_might_contain, build_gram_bloom
+
+    members = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % 4294967291).alias("gh")
+    )
+    words = build_gram_bloom(members)
+    non_members = spark.range(3000, 23000).select(
+        ((F.col("id") * 2654435761) % 4294967291).alias("gh")
+    )
+    fp = non_members.filter(bloom_might_contain("gh", words)).count()
+    assert fp / 20000 < 0.01, fp

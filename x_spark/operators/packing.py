@@ -42,9 +42,13 @@ def token_prefix_offsets(
     exclusive prefix sum of token counts in ``id`` order — computed
     with the two-stage distributed scan described in the module
     docstring (never a single-partition global window)."""
+    # persist: the token-count scan otherwise re-executes for the
+    # min/max agg, the bucket-totals collect, AND the final join (the
+    # same recomputation pitfall ngram_hash_table documents); the
+    # cached frame is (id, long) — a fraction of the corpus
     toks = df.select(
         F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
-    )
+    ).persist()
     lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:
         return toks.withColumn("start_offset", F.lit(0).cast("bigint"))

@@ -325,11 +325,15 @@ BLOOM_PROBES = ((999983, 7), (999979, 13), (999961, 29), (999959, 43))
 
 
 def _bloom_positions(gh_expr: str, m_bits: int) -> list[str]:
-    """k probe positions for a gram hash (< 2^32): affine probes with
-    odd multipliers < 2^20 keep every product < 2^52 (exact in bigint
-    math on both engines)."""
+    """k probe positions for a gram hash (< 2^32): affine probes
+    reduced mod a PRIME (2^32-5) before the final mod-m — an affine map
+    straight into a power-of-two m would preserve the hash's low bits,
+    making all k probes functions of gh % m (measured ~27x the ideal
+    false-positive rate). Multipliers < 2^20 keep every product < 2^52
+    (exact in bigint math on both engines)."""
     return [
-        f"(({gh_expr} * {a}L + {b}L) % {m_bits}L)" for a, b in BLOOM_PROBES
+        f"((({gh_expr} * {a}L + {b}L) % 4294967291L) % {m_bits}L)"
+        for a, b in BLOOM_PROBES
     ]
 
 
@@ -390,9 +394,13 @@ def contamination_check_bloom(
     by the exact join, so the result is IDENTICAL to the exact path
     (same oracle); what changes is shuffle volume — corpus grams that
     cannot match never leave their map task."""
+    # localCheckpoint (not persist): materializes once for both the
+    # filter build and the join, and the blocks are released by the
+    # ContextCleaner when the frame goes out of scope — repeated calls
+    # don't accumulate pinned storage the way persist() would
     b_grams = ngram_hash_table(benchmark, id_col, text_col, n).select(
         F.col(id_col).alias("eval_id"), F.explode("gram_hashes").alias("gh")
-    ).persist()
+    ).localCheckpoint(eager=True)
     words = build_gram_bloom(b_grams, "gh", m_bits)
     c = (
         ngram_hash_table(corpus, id_col, text_col, n)

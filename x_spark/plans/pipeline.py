@@ -859,18 +859,27 @@ GROUP BY n_name
 # Same round trip through the JDBC connector (Derby embedded — the
 # cluster-grade external-DB path: executor-side cursors + partitioned
 # range read back). Same oracle shape: the trip must be lossless.
+# ONE database per process (embedded Derby keeps opened databases
+# booted in the JVM until shutdown); the write is a full overwrite so
+# repeated invocations (bench warmup + timed runs) stay idempotent.
+_JDBC_DB_CACHE: dict[str, str] = {}
+
+
 def q_jdbc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from x_spark.sources import init_datasource
     from x_spark.sources.base import TableRef
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='xs_jdbc_')}/db;create=true"
+    url = _JDBC_DB_CACHE.setdefault(
+        os.path.realpath(sf_dir),
+        f"jdbc:derby:{tempfile.mkdtemp(prefix='xs_jdbc_')}/db;create=true",
+    )
     ds = init_datasource(url, spark)
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    ds.append(sup, TableRef(table="supplier_dim"))
+    ds.overwrite(sup, TableRef(table="supplier_dim"))
     # read back as a PARTITIONED parallel scan (4 range queries on the
     # key — the 100 TB ingest shape for an indexed source table)
     hi = sup.agg(F.max("s_suppkey")).first()[0]

@@ -300,13 +300,18 @@ class TxLogDataSource(BaseDataSource):
             return stmt
         segments = re.split(r"('(?:[^']|'')*')", stmt)
         for name in sorted(names, key=len, reverse=True):
+            # lookahead allows a following '.' so column-qualifier uses
+            # (`orders.o_custkey`) rewrite consistently with the FROM
+            # occurrence; the lookbehind still blocks matching a SUFFIX
+            # of a longer dotted name (longest-first ordering handles
+            # registered prefix/suffix overlaps)
             pattern = re.compile(
                 r"(?<![\w.`])"
                 + r"\s*\.\s*".join(
                     rf"(?:`{re.escape(p)}`|{re.escape(p)})"
                     for p in name.split(".")
                 )
-                + r"(?![\w.`])"
+                + r"(?![\w`])"
             )
             view = "__txlog_" + re.sub(r"\W", "_", name)
             replaced = False
@@ -520,6 +525,11 @@ class TxLogDataSource(BaseDataSource):
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     num_rows, stats = self._footer_stats(src)
                     shutil.move(src, dst)
+                    # vacuum's retention guard measures age by mtime;
+                    # a move preserves the STAGING-write mtime, so a
+                    # long-running write could look old the moment it
+                    # publishes — restamp so age = time-since-publish
+                    os.utime(dst)
                     adds.append(
                         {
                             "path": rel,
@@ -1121,23 +1131,39 @@ class DeltaFallbackDataSource(TxLogDataSource):
     format_name = "delta"
 
     def _catalog_delegate(self, ref: TableRef):
-        if (
-            not ref.is_path
-            and ref.table not in self._known_names()
-            and self.spark.catalog.tableExists(ref.table)  # type: ignore[arg-type]
-        ):
-            from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
+        if ref.is_path or ref.table in self._known_names():
+            return None
+        # PERSISTENT catalog tables only: tableExists also answers True
+        # for session temp views, and a temp view must not hijack a
+        # transactional write target (a query helper registering a view
+        # named like a table would silently reroute delta writes)
+        try:
+            t = self.spark.catalog.getTable(ref.table)  # type: ignore[arg-type]
+        except Exception:
+            return None
+        if (t.tableType or "").upper() == "TEMPORARY" or t.isTemporary:
+            return None
+        from x_spark.sources.parquet_catalog import ParquetCatalogDataSource
 
-            return ParquetCatalogDataSource(self.spark)
-        return None
+        return ParquetCatalogDataSource(self.spark)
 
     def read(self, ref: TableRef) -> DataFrame:
         d = self._catalog_delegate(ref)
         return d.read(ref) if d else super().read(ref)
 
+    @staticmethod
+    def _reject_kwargs(op: str, kw: dict) -> None:
+        if kw:
+            raise DataSourceException(
+                f"{op} option(s) {sorted(kw)} are transactional-store "
+                "features; this table name routes to the Spark catalog "
+                "connector which does not support them"
+            )
+
     def append(self, df: DataFrame, ref: TableRef, **kw) -> None:
         d = self._catalog_delegate(ref)
         if d:
+            self._reject_kwargs("append", kw)
             d.append(df, ref)
         else:
             super().append(df, ref, **kw)
@@ -1146,6 +1172,7 @@ class DeltaFallbackDataSource(TxLogDataSource):
                   replace_where: str | None = None, **kw) -> None:
         d = self._catalog_delegate(ref)
         if d:
+            self._reject_kwargs("overwrite", kw)
             d.overwrite(df, ref, replace_where)
         else:
             super().overwrite(df, ref, replace_where, **kw)
@@ -1160,6 +1187,7 @@ class DeltaFallbackDataSource(TxLogDataSource):
     def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec, **kw) -> None:
         d = self._catalog_delegate(ref)
         if d:
+            self._reject_kwargs("merge", kw)
             d.merge(df, ref, spec)
         else:
             super().merge(df, ref, spec, **kw)
