@@ -176,3 +176,25 @@ def test_yaml_lifecycle_parquet_to_jdbc(spark, tmp_path):
     ds = init_datasource(url, spark)
     assert ds.read(TableRef(table="published")).count() == 1
     assert ds.table_exists(TableRef(table="audit"))
+
+
+def test_dsv2_catalog_pushes_aggregates_into_the_database(spark, ds):
+    """register_catalog exposes the DB as a DSv2 catalog: a GROUP BY
+    over it must show PushedAggregates/PushedGroupByExpressions in the
+    scan (the database computes the aggregate; Spark reads one row per
+    group) and match the V1-path result."""
+    ref = TableRef(table="t_pushagg")
+    ds.append(
+        spark.createDataFrame([(i % 5, i) for i in range(100)], "g int, v int"), ref
+    )
+    cat = ds.register_catalog("derbytest")
+    df = spark.table(f"{cat}.APP.T_PUSHAGG")
+    agg = df.groupBy("g").agg(F.sum("v").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates: [SUM(v)]" in plan, plan
+    assert "PushedGroupByExpressions: [g]" in plan, plan
+    via_v1 = sorted(
+        tuple(r)
+        for r in ds.read(ref).groupBy("g").agg(F.sum("v").alias("s")).collect()
+    )
+    assert sorted(tuple(r) for r in agg.collect()) == via_v1

@@ -77,6 +77,28 @@ class JdbcDataSource(BaseDataSource):
                     "derby.system.home", tempfile.gettempdir()
                 )
 
+    def register_catalog(self, name: str, pushdown: bool = True) -> str:
+        """Expose this database as a Spark DSv2 catalog
+        (``JDBCTableCatalog``): ``spark.table(f"{name}.<SCHEMA>.<TBL>")``
+        plans V2 scans where GROUP BY aggregates, LIMIT, and filters
+        push INTO the database (``PushedAggregates`` /
+        ``PushedGroupByExpressions`` in the plan) — Spark reads one row
+        per group instead of the table. The V1 ``read()`` path pushes
+        filters only; this is the knob for aggregation-heavy dim
+        queries. Derby note: unquoted identifiers store uppercase, so
+        the qualified name is e.g. ``{name}.APP.T_AGG``."""
+        base = f"spark.sql.catalog.{name}"
+        self.spark.conf.set(
+            base,
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+        )
+        self.spark.conf.set(base + ".url", self.url)
+        self.spark.conf.set(base + ".driver", self.driver)
+        if pushdown:
+            self.spark.conf.set(base + ".pushDownAggregate", "true")
+            self.spark.conf.set(base + ".pushDownLimit", "true")
+        return name
+
     # -- plumbing ------------------------------------------------------
     def _reader(self, **opts):
         r = (
