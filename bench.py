@@ -35,14 +35,14 @@ from pyspark.sql import SparkSession
 # Applied to each "_"-separated segment of a query name; segments not
 # listed pass through unchanged. Full names live in BENCH_DETAIL.json.
 SEGMENT_ABBREV = {
-    "stream": "st", "customer": "cust", "customers": "custs",
-    "revenue": "rev", "supplier": "supp", "suppliers": "supps",
+    "stream": "st", "customer": "cst", "customers": "csts",
+    "revenue": "rev", "supplier": "sup", "suppliers": "sups",
     "quantity": "qty", "distinct": "dist", "priority": "prio",
-    "profile": "prof", "shipment": "shipmt", "benchmark": "bm",
-    "statistics": "stats", "fingerprints": "fps", "components": "comps",
-    "concentration": "conc", "contamination": "contam",
+    "profile": "prf", "shipment": "shipmt", "benchmark": "bm",
+    "statistics": "stat", "fingerprints": "fps", "components": "comps",
+    "concentration": "conc", "contamination": "ctm",
     "bruteforce": "bf", "multimodal": "mm", "language": "lang",
-    "percentiles": "pctl", "repetition": "rep", "document": "doc",
+    "percentiles": "pct", "repetition": "rep", "document": "doc",
     "embedding": "emb", "stateful": "stf", "orders": "ords",
     "order": "ord", "purchase": "purch", "survivors": "surv",
     "distribution": "distr", "histogram": "hist", "diversity": "divr",
@@ -61,7 +61,10 @@ SEGMENT_ABBREV = {
     "bracketed": "brkt", "context": "ctx", "upsert": "ups",
     "hourly": "hr", "weekly": "wk", "quality": "qual",
     "sample": "smpl", "chunks": "chnk", "lineitem": "li",
-    "roundtrip": "rt", "priciest": "top",
+    "roundtrip": "rt", "priciest": "top", "classifier": "clf",
+    "distance": "dst", "dups": "dup", "near": "nr", "edit": "ed",
+    "boilerplate": "bp", "sequence": "seq", "packing": "pack",
+    "minhash": "mh", "simhash": "sh", "ngram": "ng",
 }
 
 

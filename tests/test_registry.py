@@ -26,7 +26,6 @@ FAMILY_REPRESENTATIVES = [
     "json_props_stats",         # JSON functions
     "blamed_suppliers",         # exists / not-exists decorrelation
     "market_share",             # multi-join share-of-total
-    "rolling_revenue",          # window frames
     "weekly_revenue_wow",       # lag / time-series deltas
     "customer_value_tiles",     # ntile/percent_rank/cume_dist
     "asof_purchase_gap",        # as-of join
@@ -45,7 +44,6 @@ FAMILY_REPRESENTATIVES = [
     "benchmark_contamination",  # eval-set n-gram decontamination
     "document_chunks",          # overlapping token-window chunking
     "language_profile",
-    "token_topk",               # token counting
     "bm25_search",              # keyword search (inverted-index BM25)
     "pii_scan",                 # PII detection + redaction audit
     "corpus_splits",            # deterministic sampling
@@ -66,6 +64,9 @@ FAMILY_REPRESENTATIVES = [
     "stream_sliding_profile",   # sliding event-time windows
     "dedup_survivors",          # per-component survivor selection
     "stream_upsert_totals_txlog",  # exactly-once txlog streaming upsert
+    # second r3 swap (token_topk / rolling_revenue rotated out)
+    "line_dedup_boilerplate",   # C4 boilerplate line dedup
+    "sequence_packing",         # token prefix-sum sequence packing
 ]
 
 

@@ -349,6 +349,60 @@ def ngram_jaccard_pairs(
     )
 
 
+EDIT_PREFIX = 400  # bounded DP work per candidate pair
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 16,
+    prefix: int = EDIT_PREFIX,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Levenshtein verification of LSH candidate pairs — the
+    character-level complement to the shingle-set Jaccard verifier
+    (catches small in-place edits that barely move set overlap).
+
+    Scale design (the DP is O(len_a * len_b) — never run it wide open):
+
+    1. only bucket-collision candidates are scored, never all pairs;
+    2. a length-band prefilter drops pairs before any DP —
+       ``|len_a - len_b| > max_dist`` alone proves dist > max_dist
+       (each unmatched length unit costs >= 1 edit);
+    3. the DP itself is threshold-bounded (3-arg ``F.levenshtein``:
+       banded DP, O(len * max_dist), early-exit -1 past the bound)
+       over a bounded prefix per document.
+
+    Both engines compare the same ASCII corpus; note DuckDB's
+    ``levenshtein`` counts bytes while Spark counts codepoints —
+    identical on ASCII, diverges on multibyte text (the oracle
+    documents this; on non-ASCII corpora normalize first).
+    """
+    cands = minhash_candidate_pairs(df, id_col, text_col, max_bucket_size).select(
+        "id_a", "id_b"
+    )
+    txt = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix).alias("t")
+    )
+    ta = txt.select(F.col(id_col).alias("id_a"), F.col("t").alias("t_a"))
+    tb = txt.select(F.col(id_col).alias("id_b"), F.col("t").alias("t_b"))
+    dist = F.levenshtein("t_a", "t_b", max_dist).cast("bigint")
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("t_a") - F.length("t_b")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            F.length("t_a").cast("bigint").alias("len_a"),
+            F.length("t_b").cast("bigint").alias("len_b"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
     """Keep one deterministic representative (min id) per key group —
     the distributed hash-groupBy exact dedup. One shuffle on the key."""

@@ -415,6 +415,73 @@ WHERE {inter} / {union} >= 0.5
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates: threshold-bounded
+# Levenshtein with a length-band prefilter — the character-level
+# complement to the shingle-set Jaccard verifier.
+def q_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.edit_distance_pairs(_docs_aug_near(spark, sf_dir), max_dist=16)
+
+
+def _edit_distance_oracle() -> str:
+    # DuckDB levenshtein counts bytes, Spark counts codepoints —
+    # identical here because the corpus is pure ASCII (asserted at
+    # generation; non-ASCII corpora must normalize first).
+    return f"""{_minhash_common_ctes()},
+txt AS (
+  SELECT doc_id, substr(text, 1, {D.EDIT_PREFIX}) AS t FROM docs_aug
+)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       CAST(length(a.t) AS BIGINT) AS len_a,
+       CAST(length(b.t) AS BIGINT) AS len_b
+FROM pairs p
+JOIN txt a ON a.doc_id = p.id_a
+JOIN txt b ON b.doc_id = p.id_b
+WHERE abs(length(a.t) - length(b.t)) <= 16
+  AND levenshtein(a.t, b.t) <= 16
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier scoring (fastText-style inference):
+# hashed-unigram tf -> broadcast weight vector -> per-doc dot product.
+# Integer weights keep the scores exact in both engines.
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators import classifier as C
+
+    docs = _docs(spark, sf_dir)
+    feats = C.hashed_features(docs)
+    weights = C.pseudo_weights(spark)
+    return (
+        C.linear_scores(feats, weights)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(tok),1,8)) as bigint) % 4096 AS bucket,
+         count(*) AS tf
+  FROM toks GROUP BY doc_id, 2
+), w AS (
+  SELECT bucket,
+         (cast(concat('0x', substr(md5(cast(bucket AS VARCHAR)),1,8)) as bigint) % 2001) - 1000 AS weight
+  FROM (SELECT unnest(range(4096)) AS bucket)
+)
+SELECT f.doc_id, CAST(sum(f.tf * w.weight) AS BIGINT) AS score
+FROM feats f JOIN w USING (bucket)
+GROUP BY f.doc_id
+ORDER BY score DESC, f.doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus splitting: per-language stratified sampling +
 # content-hash train/val/test assignment, summarized per (lang, split).
 def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1252,8 @@ PIPELINE_QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "edit_distance_dups": q_edit_distance_dups,
+    "quality_classifier": q_quality_classifier,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1218,6 +1287,8 @@ PIPELINE_ORACLES = {
     "minhash_near_dups": _minhash_oracle(),
     "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "ngram_jaccard_dups": _ngram_oracle(),
+    "edit_distance_dups": _edit_distance_oracle(),
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "ann_topk_bruteforce": ORACLE_ANN_TOPK_BRUTEFORCE,
     "ann_topk_bucketed": ORACLE_ANN_TOPK_BUCKETED,

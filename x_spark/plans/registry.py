@@ -39,7 +39,9 @@ _ALL_QUERIES = {
 # above_avg_balance), freeing head slots for never-driver-checked
 # flavors (token_fingerprints, corpus_mixture, weighted_sample,
 # stream_sliding_profile, dedup_survivors) and the new exactly-once
-# stream_upsert_totals_txlog.
+# stream_upsert_totals_txlog. Second r3 swap: token_topk +
+# rolling_revenue (also green r01+r02, families still head-covered)
+# out; line_dedup_boilerplate + sequence_packing in.
 _TAIL = [
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
@@ -89,10 +91,16 @@ _TAIL = [
     "contamination_bloom",     # result-identical to benchmark_contamination
                                # (head slot) — the Bloom prefilter changes the
                                # plan, not the answer; locally hash-checked
-    "line_dedup_boilerplate",  # corpus dedup family (exact_dedup holds the
-                               # head slot); rotate into the head next round
-    "sequence_packing",        # chunking/token family (document_chunks holds
-                               # the head slot); rotate into the head next round
+    "edit_distance_dups",      # candidate-verify family: ngram_jaccard_dups
+                               # holds the head slot; rotate into the head
+                               # next round (locally hash-checked)
+    "quality_classifier",      # hashed-feature linear scoring; quality family
+                               # held by curation_pipeline + text_statistics;
+                               # rotate into the head next round
+    "token_topk",              # token counting: green r01+r02; family held by
+                               # token_fingerprints + text_statistics in head
+    "rolling_revenue",         # window frames: green r01+r02; window family
+                               # held by weekly_revenue_wow + customer_value_tiles
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
