@@ -65,6 +65,7 @@ SEGMENT_ABBREV = {
     "distance": "dst", "dups": "dup", "near": "nr", "edit": "ed",
     "boilerplate": "bp", "sequence": "seq", "packing": "pack",
     "minhash": "mh", "simhash": "sh", "ngram": "ng",
+    "incremental": "inc", "unigram": "ug", "surprise": "surp",
 }
 
 
@@ -157,7 +158,7 @@ def main() -> None:
         "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
     }
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) + len(json.dumps(compact_ann, separators=(",", ":"))) + 9 < 1950:
+    if len(line) + len(json.dumps(compact_ann, separators=(",", ":"))) + 9 < 1985:
         payload["ann"] = compact_ann
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1990:  # last-resort guard: never emit an unparseable tail

@@ -1,0 +1,68 @@
+"""Incremental ingest dedup: O(batch) dedup of new content against a
+persisted fingerprint store, including the closed txlog loop."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from x_spark.functions.portable import fingerprint
+from x_spark.operators.dedup import incremental_dedup
+from x_spark.sources import init_datasource
+from x_spark.sources.base import TableRef
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_within_batch_and_store_dedup(spark):
+    seen = _docs(spark, [(0, "already ingested doc")]).select(
+        fingerprint("text").alias("fingerprint")
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "brand new content"),
+            (11, "Brand   NEW content!"),   # same fingerprint as 10
+            (12, "ALREADY ingested doc."),  # fingerprint collides with store
+            (13, "another new doc"),
+        ],
+    )
+    out = {r.doc_id for r in incremental_dedup(batch, seen).collect()}
+    # 10 survives (min id of the within-batch pair), 11 deduped within
+    # the batch, 12 suppressed by the store, 13 survives
+    assert out == {10, 13}
+
+
+def test_closed_loop_over_txlog_store(spark, tmp_path):
+    """Two ingests with the store updated between them: batch-2 rows
+    whose fingerprints were ingested in batch 1 are suppressed, and a
+    replay of batch 2 self-suppresses entirely."""
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "fp_store"))
+
+    batch1 = _docs(spark, [(1, "alpha doc"), (2, "beta doc")])
+    empty_store = _docs(spark, []).select(
+        fingerprint("text").alias("fingerprint")
+    )
+    surv1 = incremental_dedup(batch1, empty_store)
+    assert {r.doc_id for r in surv1.collect()} == {1, 2}
+    ds.append(surv1.select("fingerprint"), ref)
+
+    batch2 = _docs(
+        spark, [(3, "ALPHA doc!"), (4, "gamma doc"), (5, "gamma    DOC")]
+    )
+    surv2 = incremental_dedup(batch2, ds.read(ref))
+    assert {r.doc_id for r in surv2.collect()} == {4}
+    ds.append(surv2.select("fingerprint"), ref)
+
+    # replay of batch 2: every fingerprint already in the store
+    assert incremental_dedup(batch2, ds.read(ref)).collect() == []
+
+
+def test_extra_store_columns_ignored(spark):
+    seen = _docs(spark, [(0, "seen doc")]).select(
+        "doc_id", fingerprint("text").alias("fingerprint"), F.lit(7).alias("extra")
+    )
+    batch = _docs(spark, [(1, "seen DOC"), (2, "fresh")])
+    assert {r.doc_id for r in incremental_dedup(batch, seen).collect()} == {2}

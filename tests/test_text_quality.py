@@ -6,6 +6,8 @@ The registry queries exercise these on the synthetic documents table
 constructed documents where every signal is non-vacuous.
 """
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -266,3 +268,23 @@ def test_bloom_false_positive_rate_is_bloom_grade(spark):
     )
     fp = non_members.filter(bloom_might_contain("gh", words)).count()
     assert fp / 20000 < 0.01, fp
+
+
+def test_unigram_logprob_manual(spark):
+    from x_spark.operators.text import unigram_logprob
+
+    # corpus: "a a a b" -> cnt(a)=3, cnt(b)=1, total=4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    ln, total = math.log, 4.0
+    # decimal(30,6) per-token quantization of -ln(cnt), then /n + ln(total)
+    q = lambda x: round(x, 6)
+    exp1 = round(3 * q(-ln(3.0)) / 3 + ln(total), 6)
+    exp2 = round(1 * q(-ln(1.0)) / 1 + ln(total), 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+    assert abs(out[1].cross_entropy - exp1) < 1e-9
+    assert abs(out[2].cross_entropy - exp2) < 1e-9
+    # rare-token doc is more "surprising" than the common-token doc
+    assert out[2].cross_entropy > out[1].cross_entropy

@@ -30,7 +30,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from x_spark.functions.portable import MINHASH_PRIME, hash32_sql
+from x_spark.functions.portable import MINHASH_PRIME, fingerprint, hash32_sql
 
 logger = logging.getLogger(__name__)
 
@@ -410,3 +410,36 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
         df.groupBy(*key_cols)
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against the already-ingested corpus
+    WITHOUT rescanning the corpus: keep one representative (min id)
+    per canonical fingerprint within the batch, then anti-join against
+    the persisted fingerprint store.
+
+    The continuous-ingestion shape at 100 TB: re-running whole-corpus
+    dedup per ingest is O(corpus); instead the pipeline maintains a
+    fingerprint-only store (32 hex chars + id per ingested doc —
+    a tiny fraction of corpus bytes), and each ingest costs O(batch)
+    plus one shuffle on the fingerprint. The store-side join key is a
+    hash, so it is uniformly distributed — no skew. Close the loop by
+    appending the survivors' fingerprints to the store in the same
+    transactional commit as the batch itself (txlog/Delta append);
+    replays then self-suppress, since a replayed batch's fingerprints
+    are already in the store.
+
+    ``seen_fingerprints`` needs a ``fingerprint`` column (extra
+    columns ignored). Returns surviving ``(id, fingerprint)`` rows —
+    new, deduplicated content only.
+    """
+    fps = batch.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+    within = fps.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return within.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    ).select(id_col, "fingerprint")

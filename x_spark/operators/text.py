@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from x_spark.functions.portable import fingerprint, token_count
+from x_spark.functions.portable import fingerprint, token_count, tokens
 
 # Marker words per language for the n-gram/stopword language heuristic.
 # Word-boundary regexes are RE2/Java-regex compatible (portable to the
@@ -128,6 +128,56 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the canonical md5 fingerprint (whitespace/punct/case
     insensitive) used for exact near-duplicate grouping."""
     return df.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram-LM cross-entropy — the perplexity-filter
+    shape of CCNet-style pipelines, with the corpus itself as the
+    language model (docs full of rare tokens score high = surprising;
+    stopword-heavy prose scores low).
+
+    score(d) = -avg_{t in d} ln p(t),  p(t) = cnt(t) / total_tokens
+             = avg(-ln cnt(t)) + ln(total)
+
+    Distributed shape: one ``groupBy(token)`` builds the vocabulary
+    (Heaps'-law sublinear in corpus size — but still corpus-scaled, so
+    it is NOT broadcast; the join shuffles on the token key, where each
+    occurrence matches exactly one vocab row, so hot tokens inflate
+    partitions, not fan-out — AQE skew split handles the rest), then
+    one ``groupBy(doc)``. The vocab is persisted: it feeds both the
+    totals scalar and the scoring join.
+
+    Exactness across engines: per-token ``-ln(cnt)`` is cast to
+    DECIMAL(30,6) and summed exactly (engine-independent, no
+    float-summation-order drift); the single final division + ln(total)
+    runs on identical doubles. Mirrored literally in the DuckDB oracle.
+
+    Returns ``(id_col, n_tokens, cross_entropy)``.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
+    totals = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                (-F.log(F.col("cnt").cast("double"))).cast("decimal(30,6)")
+            ).alias("sum_neg_ln"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("sum_neg_ln").cast("double") / F.col("n_tokens")
+            + F.log(F.col("total").cast("double")),
+            6,
+        ).alias("cross_entropy"),
+    )
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -280,6 +280,43 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.filter(F.col("group_size") > 1).select("fp", "doc_id", "group_size")
 
 
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: a new batch (with exact-dup noise) against
+# the fingerprint store of the already-ingested half of the corpus —
+# O(batch) per ingest, never O(corpus).
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.functions.portable import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = _docs_aug_exact(spark, sf_dir)
+    return D.incremental_dedup(batch, seen)
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH batch AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, concat(' ', upper(text), '  ') FROM documents WHERE doc_id % 7 = 0
+), fps AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM batch
+), seen AS (
+  SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 0
+), within AS (
+  SELECT fingerprint, min(doc_id) AS doc_id FROM fps GROUP BY fingerprint
+)
+SELECT w.doc_id, w.fingerprint
+FROM within w
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = w.fingerprint)
+"""
+
+
 ORACLE_EXACT_DEDUP = """
 WITH docs_aug AS (
   SELECT doc_id, text FROM documents
@@ -439,6 +476,36 @@ JOIN txt a ON a.doc_id = p.id_a
 JOIN txt b ON b.doc_id = p.id_b
 WHERE abs(length(a.t) - length(b.t)) <= 16
   AND levenshtein(a.t, b.t) <= 16
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy scoring (the CCNet perplexity-filter shape,
+# with the corpus itself as the LM). DECIMAL-exact per-token sums, one
+# final double division mirrored literally in the oracle.
+def q_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.unigram_logprob(_docs(spark, sf_dir))
+
+
+ORACLE_UNIGRAM_SURPRISE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS total FROM vocab
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CAST(-ln(CAST(cnt AS DOUBLE)) AS DECIMAL(30,6))) AS sum_neg_ln
+  FROM toks t JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(sum_neg_ln AS DOUBLE) / n_tokens
+             + ln(CAST(total AS DOUBLE)), 6) AS cross_entropy
+FROM per_doc, tot
 """
 
 
@@ -1249,11 +1316,13 @@ PIPELINE_QUERIES = {
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
     "exact_dedup": q_exact_dedup,
+    "incremental_dedup": q_incremental_dedup,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "edit_distance_dups": q_edit_distance_dups,
     "quality_classifier": q_quality_classifier,
+    "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_bucketed": q_ann_topk_bucketed,
@@ -1284,11 +1353,13 @@ PIPELINE_ORACLES = {
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
     "exact_dedup": ORACLE_EXACT_DEDUP,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "minhash_near_dups": _minhash_oracle(),
     "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "ngram_jaccard_dups": _ngram_oracle(),
     "edit_distance_dups": _edit_distance_oracle(),
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "ann_topk_bruteforce": ORACLE_ANN_TOPK_BRUTEFORCE,
     "ann_topk_bucketed": ORACLE_ANN_TOPK_BUCKETED,

@@ -94,9 +94,15 @@ _TAIL = [
     "edit_distance_dups",      # candidate-verify family: ngram_jaccard_dups
                                # holds the head slot; rotate into the head
                                # next round (locally hash-checked)
+    "incremental_dedup",       # ingest-vs-store anti-join dedup: exact_dedup
+                               # (fingerprint family) holds the head slot;
+                               # rotation candidate next round
     "quality_classifier",      # hashed-feature linear scoring; quality family
                                # held by curation_pipeline + text_statistics;
                                # rotate into the head next round
+    "unigram_surprise",        # unigram-LM cross-entropy (perplexity-filter
+                               # shape); quality family as above; rotation
+                               # candidate next round
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
     "rolling_revenue",         # window frames: green r01+r02; window family
