@@ -66,6 +66,7 @@ SEGMENT_ABBREV = {
     "boilerplate": "bp", "sequence": "seq", "packing": "pack",
     "minhash": "mh", "simhash": "sh", "ngram": "ng",
     "incremental": "inc", "unigram": "ug", "surprise": "surp",
+    "cross": "x", "spans": "sp",
 }
 
 
@@ -112,8 +113,13 @@ def main() -> None:
     for name in names:
         # isolate queries: drop persisted intermediates from prior
         # queries so a 50+-query session doesn't degrade into storage
-        # eviction / GC pressure (measured 2-3x inflation without this)
+        # eviction / GC pressure (measured 2-3x inflation without this).
+        # clearCache only covers SQL-cached relations; localCheckpoint
+        # blocks (iterative operators) live in the block manager and
+        # need the explicit persistent-RDD sweep.
         spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -288,3 +288,24 @@ def test_unigram_logprob_manual(spark):
     assert abs(out[2].cross_entropy - exp2) < 1e-9
     # rare-token doc is more "surprising" than the common-token doc
     assert out[2].cross_entropy > out[1].cross_entropy
+
+
+def test_cross_doc_spans_detects_shared_span(spark):
+    from x_spark.operators.text import cross_doc_ngram_spans
+
+    span = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, span + " tail-a unique-a"),
+            (2, "head-b " + span + " tail-b"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_ngram_spans(docs, n=8).collect()}
+    # the 8-token span is the only gram shared between docs 1 and 2
+    assert out[1].shared_grams == 1 and out[2].shared_grams == 1
+    assert out[1].max_span_docs == 2 and out[2].max_span_docs == 2
+    assert out[3].shared_grams == 0 and out[3].max_span_docs == 0
+    # doc 1: 10 tokens -> 3 distinct 8-grams; doc 3: 9 tokens -> 2
+    assert out[1].total_grams == 3 and out[3].total_grams == 2

@@ -19,6 +19,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _tracked_ckpt(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus the id of the persistent
+    RDD it registered, so superseded rounds can be freed
+    deterministically. Checkpoint blocks are NOT covered by
+    ``spark.catalog.clearCache()`` and otherwise linger until the JVM
+    garbage-collects the RDD handle — in a long session (a 90-query
+    bench, a multi-job pipeline) dozens of stale label generations
+    accumulate in the block manager and degrade every later job
+    (measured: the components queries ran 2x slower late in a bench
+    session before this cleanup)."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=True)
+    new = [k for k in sc._jsc.getPersistentRDDs().keySet() if k not in before]
+    # len != 1 means a concurrent job registered blocks too — don't
+    # guess, just skip deterministic cleanup for this round
+    return out, (new[0] if len(new) == 1 else None)
+
+
+def _free_ckpt(df: DataFrame, rdd_id) -> None:
+    if rdd_id is None:
+        return
+    j = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
+    if j is not None:
+        j.unpersist()
+
+
 def select_survivors(
     docs: DataFrame,
     components: DataFrame,
@@ -69,31 +96,37 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
-        edges = (
+        edges, edges_id = _tracked_ckpt(
             e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         labels = edges.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("component")
         )
-        prev_sum = None
+        prev_sum, prev_id = None, None
         for _ in range(max_iterations):
             neighbor_labels = edges.join(
                 labels, edges["b"] == labels["node"], "inner"
             ).select(edges["a"].alias("node"), F.col("component"))
-            labels = (
+            labels, new_id = _tracked_ckpt(
                 labels.unionByName(neighbor_labels)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
             )
+            # the new checkpoint is materialized (eager) and its blocks
+            # are independent of the previous round's — free them now
+            _free_ckpt(labels, prev_id)
+            prev_id = new_id
             # labels only ever decrease, so an unchanged sum IS the
             # fixpoint — one scalar agg per round, no compare join
             cur_sum = labels.agg(F.sum("component")).first()[0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        _free_ckpt(edges, edges_id)
+        # the final labels checkpoint stays alive for the caller; it is
+        # freed when the JVM collects the handle (or by an explicit
+        # block-manager sweep, as bench.py does between queries)
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)

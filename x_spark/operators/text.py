@@ -332,6 +332,60 @@ def ngram_hash_table(
     return toks_df.withColumn("gram_hashes", F.expr(grams)).drop("_cc_th")
 
 
+def cross_doc_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-internal repeated-span signal — the distributed
+    approximation of ExactSubstr dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): token ``n``-grams
+    occurring in >= ``min_docs`` DISTINCT documents mark boilerplate /
+    templated spans that document-level MinHash misses when they are
+    pasted into otherwise-distinct documents.
+
+    Shape: per-doc distinct gram hashes (one scan, persisted), one
+    ``groupBy(gram)`` doc-frequency count, one hash-equi join back —
+    never doc x doc. The gram key is a hash: uniform, no skew beyond
+    genuinely-hot boilerplate grams, which is exactly the signal.
+
+    Returns per doc: ``total_grams`` (distinct n-grams),
+    ``shared_grams`` (how many also appear in other docs — the
+    span-dup mass to cut or down-weight), ``max_span_docs`` (doc
+    frequency of its hottest gram; 0 when nothing is shared).
+    """
+    grams = ngram_hash_table(df, id_col, text_col, n=n).persist()
+    exploded = grams.select(F.col(id_col), F.explode("gram_hashes").alias("gh"))
+    # gram_hashes is distinct-per-doc, so count(*) == distinct docs
+    hot = (
+        exploded.groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    per_doc = (
+        exploded.join(hot, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("shared"),
+            F.max("n_docs").alias("max_docs"),
+        )
+    )
+    return (
+        grams.select(
+            F.col(id_col), F.size("gram_hashes").cast("bigint").alias("total_grams")
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "total_grams",
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared_grams"),
+            F.coalesce(F.col("max_docs"), F.lit(0)).cast("bigint").alias("max_span_docs"),
+        )
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

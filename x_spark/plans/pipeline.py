@@ -177,6 +177,52 @@ HAVING count(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (ExactSubstr-style corpus-
+# internal span dedup signal) over the near-dup-augmented corpus.
+_SPAN_N = 8
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.cross_doc_ngram_spans(_docs_aug_near(spark, sf_dir), n=_SPAN_N)
+
+
+def _cross_doc_spans_oracle(n: int = _SPAN_N) -> str:
+    # unrolled polynomial roll over token hashes, mirroring Spark's
+    # aggregate fold step-for-step (mod after each multiply-add)
+    poly = f"(th[i] % {P.MINHASH_PRIME})"
+    for k in range(1, n):
+        poly = f"(({poly} * 1000003 + th[i+{k}]) % {P.MINHASH_PRIME})"
+    grams = (
+        f"list_distinct(CASE WHEN len(th) >= {n} "
+        f"THEN list_transform(range(1, len(th) - {n - 2}), i -> {poly}) "
+        f"ELSE [] END)"
+    )
+    return rf"""
+WITH docs_aug AS ({_AUG_NEAR_SQL}),
+toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '\S+'),
+                        t -> cast(concat('0x', substr(md5(t),1,8)) as bigint)) AS th
+  FROM docs_aug
+), g AS (
+  SELECT doc_id, unnest({grams}) AS gh FROM toks
+), tot AS (
+  SELECT doc_id, CAST(len({grams}) AS BIGINT) AS total_grams FROM toks
+), hot AS (
+  SELECT gh, count(*) AS n_docs FROM g GROUP BY gh HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams,
+         CAST(max(n_docs) AS BIGINT) AS max_span_docs
+  FROM g JOIN hot USING (gh) GROUP BY doc_id
+)
+SELECT t.doc_id, t.total_grams,
+       COALESCE(p.shared_grams, 0) AS shared_grams,
+       COALESCE(p.max_span_docs, 0) AS max_span_docs
+FROM tot t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document chunking: overlapping fixed-token windows (pretraining/RAG
 # prep). chunk=16/overlap=4 fits the ~50-token synthetic docs; real
 # corpora run the operator defaults (256/32).
@@ -1313,6 +1359,7 @@ PIPELINE_QUERIES = {
     "repetition_profile": q_repetition_profile,
     "benchmark_contamination": q_benchmark_contamination,
     "document_chunks": q_document_chunks,
+    "cross_doc_spans": q_cross_doc_spans,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
     "exact_dedup": q_exact_dedup,
@@ -1350,6 +1397,7 @@ PIPELINE_ORACLES = {
     "repetition_profile": ORACLE_REPETITION_PROFILE,
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
     "document_chunks": ORACLE_DOCUMENT_CHUNKS,
+    "cross_doc_spans": _cross_doc_spans_oracle(),
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
     "exact_dedup": ORACLE_EXACT_DEDUP,

@@ -103,6 +103,9 @@ _TAIL = [
     "unigram_surprise",        # unigram-LM cross-entropy (perplexity-filter
                                # shape); quality family as above; rotation
                                # candidate next round
+    "cross_doc_spans",         # ExactSubstr-style repeated-span signal;
+                               # gram-hash family held by benchmark_contamination
+                               # in the head; rotation candidate next round
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
     "rolling_revenue",         # window frames: green r01+r02; window family
