@@ -66,3 +66,55 @@ def test_extra_store_columns_ignored(spark):
     )
     batch = _docs(spark, [(1, "seen DOC"), (2, "fresh")])
     assert {r.doc_id for r in incremental_dedup(batch, seen).collect()} == {2}
+
+
+# ---------------------------------------------------------------------------
+# Property: incremental_dedup matches the brute-force set model for any
+# batch/store combination.
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "Alpha!", " beta ", "delta"])
+_texts = st.lists(_words, min_size=1, max_size=3).map(" ".join)
+
+
+@st.composite
+def _dedup_case(draw):
+    batch = draw(st.lists(_texts, min_size=0, max_size=8))
+    store = draw(st.lists(_texts, min_size=0, max_size=4))
+    return batch, store
+
+
+def _canon(text):
+    import re
+
+    return re.sub(r"[^a-z0-9]", "", text.lower())
+
+
+@_SETTINGS
+@given(_dedup_case())
+def test_incremental_dedup_matches_set_model(spark, case):
+    batch_texts, store_texts = case
+    batch = _docs(spark, list(enumerate(batch_texts)))
+    store = _docs(
+        spark, [(1000 + i, t) for i, t in enumerate(store_texts)]
+    ).select(fingerprint("text").alias("fingerprint"))
+
+    got = {r.doc_id for r in incremental_dedup(batch, store).collect()}
+
+    seen_canon = {_canon(t) for t in store_texts}
+    first_by_canon = {}
+    for i, t in enumerate(batch_texts):
+        first_by_canon.setdefault(_canon(t), i)
+    expect = {
+        i
+        for c, i in first_by_canon.items()
+        if c not in seen_canon
+    }
+    assert got == expect

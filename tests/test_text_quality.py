@@ -309,3 +309,50 @@ def test_cross_doc_spans_detects_shared_span(spark):
     assert out[3].shared_grams == 0 and out[3].max_span_docs == 0
     # doc 1: 10 tokens -> 3 distinct 8-grams; doc 3: 9 tokens -> 2
     assert out[1].total_grams == 3 and out[3].total_grams == 2
+
+
+# ---------------------------------------------------------------------------
+# Property: cross_doc_ngram_spans matches a brute-force Python model.
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_XSETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_xwords = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_xtexts = st.lists(_xwords, min_size=1, max_size=7).map(" ".join)
+
+
+@_XSETTINGS
+@given(st.lists(_xtexts, min_size=1, max_size=6))
+def test_cross_doc_spans_matches_model(spark, texts):
+    from x_spark.operators.text import cross_doc_ngram_spans
+
+    n = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.total_grams, r.shared_grams, r.max_span_docs)
+        for r in cross_doc_ngram_spans(docs, n=n).collect()
+    }
+
+    grams = {
+        i: {
+            tuple(toks[j : j + n])
+            for toks in [t.lower().split()]
+            for j in range(len(toks) - n + 1)
+        }
+        for i, t in enumerate(texts)
+    }
+    from collections import Counter
+
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    expect = {}
+    for i, gs in grams.items():
+        hot = [df_count[g] for g in gs if df_count[g] >= 2]
+        expect[i] = (len(gs), len(hot), max(hot, default=0))
+    assert got == expect
