@@ -155,3 +155,35 @@ def test_cli_ivm_refresh(tmp_path, spark, capsys):
         for r in ds.read(TableRef(path=agg_path)).collect()
     }
     assert rows == {"a": (2, 15.0), "b": (1, 20.0)}
+
+
+def test_cli_dedup_incremental_roundtrip(tmp_path, spark, capsys):
+    store = str(tmp_path / "fp_store")
+    b1 = str(tmp_path / "batch1")
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "ALPHA   doc!"), (3, "beta doc")],
+        "doc_id bigint, text string",
+    ).write.parquet(b1)
+    out1 = str(tmp_path / "out1")
+    assert main(["dedup", b1, "--store", store, "--update-store", "--out", out1]) == 0
+    assert "2 of 3 rows survive" in capsys.readouterr().out
+    kept = {r.doc_id for r in spark.read.parquet(out1).collect()}
+    assert kept == {1, 3}
+
+    # second batch replaying batch-1 content plus one new doc
+    b2 = str(tmp_path / "batch2")
+    spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc")], "doc_id bigint, text string"
+    ).write.parquet(b2)
+    assert main(["dedup", b2, "--store", store, "--update-store"]) == 0
+    assert "1 of 2 rows survive" in capsys.readouterr().out
+
+
+def test_cli_dedup_batch_only(tmp_path, spark, capsys):
+    b = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "other")],
+        "doc_id bigint, text string",
+    ).write.parquet(b)
+    assert main(["dedup", b]) == 0
+    assert "2 of 3 rows survive" in capsys.readouterr().out

@@ -103,6 +103,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--sums", default="", help="comma-separated numeric columns to sum"
     )
 
+    ded = sub.add_parser(
+        "dedup",
+        help="dedup a document table (exact fingerprints, optionally "
+        "incremental against a txlog fingerprint store)",
+    )
+    ded.add_argument("source", help="parquet path (file or directory) of the batch")
+    ded.add_argument("--id-col", default="doc_id")
+    ded.add_argument("--text-col", default="text")
+    ded.add_argument(
+        "--store",
+        default=None,
+        help="txlog fingerprint-store directory: survivors are checked "
+        "against it (incremental mode) instead of only within the batch",
+    )
+    ded.add_argument(
+        "--update-store",
+        action="store_true",
+        help="append the survivors' fingerprints to --store (atomic "
+        "txlog commit), so replayed batches self-suppress",
+    )
+    ded.add_argument(
+        "--out", default=None, help="write surviving rows as parquet here"
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -187,6 +211,52 @@ def main(argv: list[str] | None = None) -> int:
             ref = TableRef(table=args.target)
         n = ds.compact(ref, args.target_files)
         print(f"compacted to {n} file(s)")
+        return 0
+
+    if args.command == "dedup":
+        from pyspark.sql import functions as F
+
+        from x_spark.functions.portable import fingerprint
+        from x_spark.operators.dedup import incremental_dedup
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        spark = get_session()
+        batch = spark.read.parquet(args.source)
+        if args.store:
+            ds = init_datasource("txlog", spark)
+            ref = TableRef(path=args.store)
+            if ds.table_exists(ref):
+                seen = ds.read(ref)
+            else:
+                ds.create(
+                    ref,
+                    batch.select(
+                        fingerprint(args.text_col).alias("fingerprint")
+                    ).schema,
+                )
+                seen = ds.read(ref)
+        else:
+            seen = batch.limit(0).select(
+                fingerprint(args.text_col).alias("fingerprint")
+            )
+        survivors = incremental_dedup(
+            batch, seen, id_col=args.id_col, text_col=args.text_col
+        ).persist()
+        kept = survivors.count()
+        total = batch.count()
+        print(f"{kept} of {total} rows survive dedup")
+        if args.out:
+            (
+                batch.join(
+                    survivors.select(args.id_col), args.id_col, "left_semi"
+                ).write.mode("overwrite").parquet(args.out)
+            )
+            print(f"survivor rows written to {args.out}")
+        if args.store and args.update_store:
+            ds.append(survivors.select("fingerprint"), ref)
+            print(f"fingerprint store updated: {args.store}")
         return 0
 
     if args.command == "ivm":
