@@ -108,6 +108,11 @@ def main() -> None:
     # warm-up pass (not timed): triggers JVM JIT, codegen, file listing
     for name in names:
         QUERIES[name](spark, sf_dir).collect()
+        # same isolation as the timed loop — without it the warm-up
+        # itself accumulates 90+ queries of persisted intermediates
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -118,3 +118,18 @@ def test_incremental_dedup_matches_set_model(spark, case):
         if c not in seen_canon
     }
     assert got == expect
+
+
+def test_null_text_rows_are_suppressible(spark):
+    """NULL text canonicalizes to '' before fingerprinting — otherwise
+    the NULL fingerprint slips through the anti-join on every replay."""
+    batch = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content")], "doc_id bigint, text string"
+    )
+    empty = _docs(spark, []).select(fingerprint("text").alias("fingerprint"))
+    surv1 = incremental_dedup(batch, empty)
+    rows1 = {r.doc_id for r in surv1.collect()}
+    # NULL and '' share the canonical fingerprint: one representative
+    assert rows1 == {1, 3}
+    # replay against a store holding those fingerprints: fully suppressed
+    assert incremental_dedup(batch, surv1.select("fingerprint")).collect() == []

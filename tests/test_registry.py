@@ -26,6 +26,7 @@ FAMILY_REPRESENTATIVES = [
     "json_props_stats",         # JSON functions
     "blamed_suppliers",         # exists / not-exists decorrelation
     "market_share",             # multi-join share-of-total
+    "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
     "weekly_revenue_wow",       # lag / time-series deltas
     "customer_value_tiles",     # ntile/percent_rank/cume_dist
     "asof_purchase_gap",        # as-of join
@@ -52,7 +53,6 @@ FAMILY_REPRESENTATIVES = [
     "duckdb_dim_roundtrip",      # external-DB connector round trip
     "stream_tumbling_profile",
     "stream_session_profile",
-    "stream_upsert_totals",
     "stream_stateful_user_stats",
     "stream_dedup_events",      # dropDuplicatesWithinWatermark
     "stream_stream_join",
@@ -64,7 +64,8 @@ FAMILY_REPRESENTATIVES = [
     "stream_sliding_profile",   # sliding event-time windows
     "dedup_survivors",          # per-component survivor selection
     "stream_upsert_totals_txlog",  # exactly-once txlog streaming upsert
-    # second r3 swap (token_topk / rolling_revenue rotated out)
+    # second r3 swap (token_topk / stream_upsert_totals rotated out;
+    # rolling_revenue kept — only RANGE-frame query in the battery)
     "line_dedup_boilerplate",   # C4 boilerplate line dedup
     "sequence_packing",         # token prefix-sum sequence packing
 ]

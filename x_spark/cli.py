@@ -222,21 +222,29 @@ def main(argv: list[str] | None = None) -> int:
         from x_spark.sources import init_datasource
         from x_spark.sources.base import TableRef
 
+        if args.update_store and not args.store:
+            raise JobConfigException("--update-store requires --store")
         spark = get_session()
         batch = spark.read.parquet(args.source)
+        fp_schema = batch.select(
+            fingerprint(args.text_col).alias("fingerprint")
+        ).schema
         if args.store:
             ds = init_datasource("txlog", spark)
             ref = TableRef(path=args.store)
             if ds.table_exists(ref):
                 seen = ds.read(ref)
-            else:
-                ds.create(
-                    ref,
-                    batch.select(
-                        fingerprint(args.text_col).alias("fingerprint")
-                    ).schema,
-                )
+            elif args.update_store:
+                # creating the store is a write — only do it when the
+                # caller asked to write (a typo'd --store on a
+                # count-only run must not materialize an empty store)
+                ds.create(ref, fp_schema)
                 seen = ds.read(ref)
+            else:
+                raise JobConfigException(
+                    f"fingerprint store {args.store!r} does not exist "
+                    "(pass --update-store to create it)"
+                )
         else:
             seen = batch.limit(0).select(
                 fingerprint(args.text_col).alias("fingerprint")
@@ -257,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.store and args.update_store:
             ds.append(survivors.select("fingerprint"), ref)
             print(f"fingerprint store updated: {args.store}")
+        survivors.unpersist()
         return 0
 
     if args.command == "ivm":

@@ -78,9 +78,18 @@ def linear_scores(
 
     The weight vector is broadcast (models are small; the corpus is
     not) — the only shuffle is the final per-doc sum, partially
-    aggregated map-side."""
+    aggregated map-side. The join is LEFT with weight coalesced to 0:
+    trained models are sparse (only non-zero buckets stored), and an
+    inner join would silently drop documents whose tokens all hash to
+    unweighted buckets instead of scoring them 0. Documents with no
+    tokens at all have no feature rows and therefore no score row —
+    left-join scores back onto the corpus if every doc needs one."""
     return (
-        feats.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("weight"), F.lit(0))
+            ).alias("score")
+        )
     )

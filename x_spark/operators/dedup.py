@@ -436,9 +436,15 @@ def incremental_dedup(
 
     ``seen_fingerprints`` needs a ``fingerprint`` column (extra
     columns ignored). Returns surviving ``(id, fingerprint)`` rows —
-    new, deduplicated content only.
+    new, deduplicated content only. NULL text canonicalizes to the
+    empty string BEFORE fingerprinting: a NULL fingerprint would slip
+    through the anti-join forever (SQL NULL never equals NULL), making
+    NULL-text rows un-suppressible replays.
     """
-    fps = batch.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+    fps = batch.select(
+        F.col(id_col),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
+    )
     within = fps.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return within.join(
         seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"

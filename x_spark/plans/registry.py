@@ -40,8 +40,12 @@ _ALL_QUERIES = {
 # flavors (token_fingerprints, corpus_mixture, weighted_sample,
 # stream_sliding_profile, dedup_survivors) and the new exactly-once
 # stream_upsert_totals_txlog. Second r3 swap: token_topk +
-# rolling_revenue (also green r01+r02, families still head-covered)
-# out; line_dedup_boilerplate + sequence_packing in.
+# stream_upsert_totals (both green r01+r02, families still
+# head-covered: token_fingerprints; the txlog upsert variant checks the
+# same oracle) out; line_dedup_boilerplate + sequence_packing in.
+# rolling_revenue stays in the head: it is the only RANGE-frame
+# (rangeBetween) query — demoting it would leave frame specs
+# driver-unchecked.
 _TAIL = [
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
@@ -108,8 +112,9 @@ _TAIL = [
                                # in the head; rotation candidate next round
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
-    "rolling_revenue",         # window frames: green r01+r02; window family
-                               # held by weekly_revenue_wow + customer_value_tiles
+    "stream_upsert_totals",    # foreachBatch upsert: green r01+r02; family held
+                               # by stream_upsert_totals_txlog (head), which
+                               # hash-checks the same oracle
     "shipping_priority",       # join+agg+topk: late_shipment_priority, top_customers
     "customers_without_orders",  # anti join: blamed_suppliers covers exists/not-exists
     "local_supplier_volume",   # multi-join agg: market_share is the 5-way representative
