@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship query (pricing summary aggregation battery)
 on sf0.001.
-``queries()`` — 93 queries covering every implemented operator from
+``queries()`` — 94 queries covering every implemented operator from
 SURVEY.md §2 plus the LLM-data-pipeline extensions (dedup families,
 ANN, text analysis, BM25 search, PII audit, corpus mixing/sampling,
 multimodal, streaming incl. stream-stream join and stateful ops,

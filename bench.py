@@ -66,7 +66,7 @@ SEGMENT_ABBREV = {
     "boilerplate": "bp", "sequence": "seq", "packing": "pack",
     "minhash": "mh", "simhash": "sh", "ngram": "ng",
     "incremental": "inc", "unigram": "ug", "surprise": "surp",
-    "cross": "x", "spans": "sp",
+    "cross": "x", "spans": "sp", "semantic": "sem",
 }
 
 

@@ -757,6 +757,65 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.999
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al.): semantic dedup over embeddings — cosine
+# near-dup pairs -> connected components -> one survivor per semantic
+# cluster (min id), singletons kept. Pure composition of the tested
+# ε-join + components + survivor-selection operators.
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.graph import connected_components, select_survivors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    pairs = S.embedding_near_dup_pairs(aug, threshold=0.999)
+    labels = connected_components(pairs)
+    survivors = select_survivors(aug, labels, id_col="vec_id")
+    return survivors.select(
+        "component",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("vec_id").alias("survivor_id"),
+        F.col("label").cast("bigint").alias("survivor_label"),
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_SURVIVORS = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[], label FROM embeddings WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1])))), 6) AS cos_sim
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+), sp AS (
+  SELECT id_a, id_b FROM scored WHERE cos_sim >= 0.999
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM sp
+  UNION
+  SELECT id_b, id_a FROM sp
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+), labeled AS (
+  SELECT g.vec_id, coalesce(c.component, g.vec_id) AS component, g.label
+  FROM aug g LEFT JOIN comp c ON g.vec_id = c.node
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(vec_id) AS survivor_id,
+       CAST(arg_min(label, vec_id) AS BIGINT) AS survivor_label
+FROM labeled GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (exact baseline).
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1371,6 +1430,7 @@ PIPELINE_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
+    "semantic_dedup_survivors": q_semantic_dedup_survivors,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_bucketed": q_ann_topk_bucketed,
     "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: data-dependent codebook
@@ -1409,6 +1469,7 @@ PIPELINE_ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+    "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "ann_topk_bruteforce": ORACLE_ANN_TOPK_BRUTEFORCE,
     "ann_topk_bucketed": ORACLE_ANN_TOPK_BUCKETED,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,

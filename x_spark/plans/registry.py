@@ -107,6 +107,9 @@ _TAIL = [
     "unigram_surprise",        # unigram-LM cross-entropy (perplexity-filter
                                # shape); quality family as above; rotation
                                # candidate next round
+    "semantic_dedup_survivors",  # SemDeDup composition: embedding_near_dups +
+                               # dedup_survivors hold the head slots for both
+                               # halves; rotation candidate next round
     "cross_doc_spans",         # ExactSubstr-style repeated-span signal;
                                # gram-hash family held by benchmark_contamination
                                # in the head; rotation candidate next round
