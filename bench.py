@@ -67,6 +67,7 @@ SEGMENT_ABBREV = {
     "minhash": "mh", "simhash": "sh", "ngram": "ng",
     "incremental": "inc", "unigram": "ug", "surprise": "surp",
     "cross": "x", "spans": "sp", "semantic": "sem",
+    "similarity": "sim", "version": "ver",
 }
 
 

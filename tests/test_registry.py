@@ -20,11 +20,10 @@ FAMILY_REPRESENTATIVES = [
     "quantity_cube",            # cube/rollup grouping sets
     "quantity_percentiles",     # percentile aggs
     "part_catalog_report",      # projections/casts/null handling
-    "merge_upsert_effect",      # MERGE
+    "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
     "recon_lineitem",           # recon pipeline + tolerance compare
     "scalar_function_battery",  # scalar function library
     "json_props_stats",         # JSON functions
-    "blamed_suppliers",         # exists / not-exists decorrelation
     "market_share",             # multi-join share-of-total
     "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
     "weekly_revenue_wow",       # lag / time-series deltas
@@ -32,15 +31,9 @@ FAMILY_REPRESENTATIVES = [
     "asof_purchase_gap",        # as-of join
     "range_click_context",      # range join
     "scd2_customer",            # SCD2
-    "exact_dedup",
     "minhash_near_dups",
-    "simhash_near_dups",
-    "ngram_jaccard_dups",
     "embedding_near_dups",
-    "dup_components",
     "ann_topk_bucketed",
-    "ann_topk_pandas",
-    "text_statistics",
     "repetition_profile",       # Gopher-style repetition quality signals
     "benchmark_contamination",  # eval-set n-gram decontamination
     "document_chunks",          # overlapping token-window chunking
@@ -68,6 +61,17 @@ FAMILY_REPRESENTATIVES = [
     # rolling_revenue kept — only RANGE-frame query in the battery)
     "line_dedup_boilerplate",   # C4 boilerplate line dedup
     "sequence_packing",         # token prefix-sum sequence packing
+    # third r3 swap: late-round operators promoted for driver rows
+    # (demoted: ngram_jaccard_dups, exact_dedup, text_statistics,
+    # dup_components, simhash_near_dups, ann_topk_pandas — all green
+    # r01+r02 with their family still head-represented)
+    "edit_distance_dups",       # LSH-candidate edit-distance verification
+    "incremental_dedup",        # ingest-vs-fingerprint-store anti-join dedup
+    "quality_classifier",       # hashed-feature linear quality scoring
+    "unigram_surprise",         # unigram-LM cross-entropy (perplexity filter)
+    "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
+    "semantic_dedup_survivors",  # SemDeDup: embedding eps-join + components
+    "set_similarity_dups",      # exact prefix-filtered set-similarity join
 ]
 
 

@@ -723,3 +723,54 @@ def test_txn_stamps_carried_through_checkpoints(spark, ds, tmp_path):
     assert ds.last_txn_version(ref, "absent") == -1
     # upto: state as of an older version excludes later stamps
     assert ds._txn_stamps(table, upto=4)["stream"] < CHECKPOINT_INTERVAL + 2
+
+
+# -- semantic version diff --------------------------------------------------
+def test_semantic_diff_cancels_file_granular_rewrite_noise(spark, ds, tmp_path):
+    """MERGE rewrites whole files, so the raw CDF emits delete+insert
+    pairs for co-located untouched rows; the semantic diff must cancel
+    them and report ONLY the logical changes."""
+    ref = _ref(tmp_path)
+    # one file holding three rows -> updating pk=2 rewrites all three
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30)], "pk int, part string, v int"
+    ).coalesce(1)
+    ds.append(df, ref)
+    src = spark.createDataFrame([(2, "a", 99), (4, "b", 40)], "pk int, part string, v int")
+    spec = MergeSpec(["pk"], ["part", "v"], insert_when_not_matched=True)
+    ds.merge(src, ref, spec)
+    raw = ds.changes(ref, from_version=1)
+    # file-granular feed includes the untouched rows' rewrite pairs
+    assert raw.count() > 3
+    diff = {(r.pk, r.part, r.v): r.net for r in ds.semantic_diff(ref, 1).collect()}
+    assert diff == {
+        (2, "a", 20): -1,  # old image gone
+        (2, "a", 99): 1,   # new image
+        (4, "b", 40): 1,   # insert
+    }
+
+
+def test_semantic_diff_invisible_to_compaction_and_empty_on_noop(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    _seed(spark, ds, ref, [(4, "c", 40)])
+    v_before = resolve_snapshot(ref.path).version
+    ds.compact(TableRef(path=ref.path), target_files=1)
+    # compaction rewrote every file, yet the semantic diff is empty
+    assert ds.semantic_diff(ref, v_before).count() == 0
+    # and a diff over an empty interval is empty too
+    v_now = resolve_snapshot(ref.path).version
+    assert ds.semantic_diff(ref, v_now).count() == 0
+
+
+def test_semantic_diff_nets_duplicate_images(spark, ds, tmp_path):
+    """Multiset semantics: appending a row image that already exists
+    twice must show net +2 for that image, not a boolean change."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref, [(1, "a", 10)])
+    base = resolve_snapshot(ref.path).version
+    dup = spark.createDataFrame([(1, "a", 10), (1, "a", 10)], "pk int, part string, v int")
+    ds.append(dup, ref)
+    ds.delete(ref, "pk = 999")  # no-op delete: rewrites nothing
+    diff = ds.semantic_diff(ref, base).collect()
+    assert [(r.pk, r.part, r.v, r.net) for r in diff] == [(1, "a", 10, 2)]

@@ -30,7 +30,13 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from x_spark.functions.portable import MINHASH_PRIME, fingerprint, hash32_sql
+from x_spark.functions.portable import (
+    MINHASH_PRIME,
+    fingerprint,
+    hash32,
+    hash32_sql,
+    tokens,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -449,3 +455,95 @@ def incremental_dedup(
     return within.join(
         seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
     ).select(id_col, "fingerprint")
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering — every
+    pair with ``J >= num/den`` is returned with its exact overlap,
+    union and Jaccard; no pair is missed and no all-pairs product is
+    ever formed (AllPairs/PPJoin family: Bayardo et al., WWW'07;
+    Vernica, Carey & Li, SIGMOD'10 for the MapReduce decomposition).
+
+    Complements the MinHash path: LSH gives probabilistic recall with
+    tunable cost; this gives guaranteed-complete results for exact
+    thresholds (dedup audits, contamination certification).
+
+    How it stays sub-quadratic: order every doc's token set by GLOBAL
+    document frequency ascending (rarest first, ties by hash — a total
+    order). For ``J(a,b) >= t``, ``|a n b| >= ceil(t*max(|a|,|b|))``,
+    and the classic prefix lemma says the SMALLEST common token under
+    any total order must land in the first ``L - ceil(t*L) + 1``
+    tokens of BOTH docs. So an equi-join on prefix tokens alone
+    generates a complete candidate set — and because prefixes hold
+    each doc's RAREST tokens, bucket fan-out is inherently bounded
+    (stopwords never become join keys). A ``min*den >= num*max`` size
+    filter prunes impossible pairs before verification.
+
+    ``threshold`` is a rational ``(num, den)`` so every comparison —
+    prefix length, size filter, final verdict — is INTEGER arithmetic:
+    bit-identical in the DuckDB oracle, no float-epsilon edge at the
+    threshold boundary.
+
+    Shuffle ledger for 100 TB: (1) groupBy token-hash for document
+    frequency (uniform key), (2) join freq back (same key), (3) window
+    by doc id to rank within doc, (4) equi-join on prefix token-hash
+    (rare keys by construction), (5) verify join on doc ids. Exact
+    verification touches candidate pairs only.
+    """
+    num, den = threshold
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .select(F.col(id_col), hash32("tok").alias("h"))
+        .distinct()  # md5-collision fold, mirrored by list_distinct in the oracle
+    )
+    # ONE tokenization pass feeds frequency ranking AND verification
+    toks = toks.persist()
+    dfreq = toks.groupBy("h").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy(id_col).orderBy("dfreq", "h")
+    wsz = Window.partitionBy(id_col)
+    ranked = (
+        toks.join(dfreq, "h")
+        .select(
+            F.col(id_col),
+            F.col("h"),
+            F.row_number().over(w).alias("rnk"),
+            F.count("*").over(wsz).alias("sz"),
+        )
+    )
+    # ceil(num*L/den) in pure integers: (num*L + den - 1) div den
+    pref = ranked.filter(
+        F.col("rnk") <= F.col("sz") - F.expr(f"({num}*sz + {den-1}) div {den}") + 1
+    )
+    pa = pref.select(F.col(id_col).alias("id_a"), "h", F.col("sz").alias("sz_a"))
+    pb = pref.select(F.col(id_col).alias("id_b"), "h", F.col("sz").alias("sz_b"))
+    cands = (
+        pa.join(pb, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * den >= F.greatest("sz_a", "sz_b") * num
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    union = F.size("hs_a").cast("bigint") + F.size("hs_b").cast("bigint") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("overlap"),
+            union.alias("set_union"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("overlap") * den >= F.col("set_union") * num)
+    )

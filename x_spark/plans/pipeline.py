@@ -526,6 +526,37 @@ WHERE abs(length(a.t) - length(b.t)) <= 16
 
 
 # ---------------------------------------------------------------------------
+# EXACT set-similarity self-join (AllPairs/PPJoin family): guaranteed
+# complete at the threshold via frequency-ordered prefix filtering —
+# the certified-recall complement to the probabilistic MinHash path.
+# The oracle is the brute-force all-pairs ground truth (fine at
+# oracle scale; the Spark side never forms the cross product).
+def q_set_similarity_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.set_similarity_pairs(_docs_aug_near(spark, sf_dir), threshold=(1, 2))
+
+
+ORACLE_SET_SIMILARITY_DUPS = f"""
+WITH docs_aug AS ({_AUG_NEAR_SQL}),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(regexp_extract_all(lower(text), '\\S+'),
+                        t -> cast(concat('0x', substr(md5(t),1,8)) as bigint))) AS hset
+  FROM docs_aug
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(length(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS overlap,
+         CAST(length(a.hset) AS BIGINT) + CAST(length(b.hset) AS BIGINT)
+           - CAST(length(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS set_union
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, overlap, set_union,
+       round(overlap / set_union, 6) AS jaccard
+FROM pairs
+WHERE overlap * 2 >= set_union * 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM cross-entropy scoring (the CCNet perplexity-filter shape,
 # with the corpus itself as the LM). DECIMAL-exact per-token sums, one
 # final double division mirrored literally in the oracle.
@@ -1427,6 +1458,7 @@ PIPELINE_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "edit_distance_dups": q_edit_distance_dups,
+    "set_similarity_dups": q_set_similarity_dups,
     "quality_classifier": q_quality_classifier,
     "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1466,6 +1498,7 @@ PIPELINE_ORACLES = {
     "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
     "ngram_jaccard_dups": _ngram_oracle(),
     "edit_distance_dups": _edit_distance_oracle(),
+    "set_similarity_dups": ORACLE_SET_SIMILARITY_DUPS,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,

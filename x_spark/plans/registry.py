@@ -46,6 +46,22 @@ _ALL_QUERIES = {
 # rolling_revenue stays in the head: it is the only RANGE-frame
 # (rangeBetween) query — demoting it would leave frame specs
 # driver-unchecked.
+#
+# Third r3 swap (late-round additions, all locally hash-checked via
+# tests/test_oracle_parity.py, promoted so they get driver rows this
+# round): edit_distance_dups, incremental_dedup, quality_classifier,
+# unigram_surprise, cross_doc_spans, semantic_dedup_survivors in;
+# six twice-green (r01+r02) queries whose family keeps another head
+# representative out: ngram_jaccard_dups (candidate-verify slot goes
+# to edit_distance_dups), exact_dedup (fingerprint-dedup slot goes to
+# incremental_dedup, which subsumes the fingerprint groupBy),
+# text_statistics (quality family: quality_classifier +
+# unigram_surprise + repetition_profile + curation_pipeline),
+# dup_components (components family: dedup_survivors stays in head;
+# semantic_dedup_survivors re-runs the components kernel),
+# simhash_near_dups (near-dup family: minhash + embedding variants
+# stay), ann_topk_pandas (hash-identical to ann_topk_bruteforce;
+# ann_topk_bucketed keeps the ANN head slot).
 _TAIL = [
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
@@ -95,24 +111,34 @@ _TAIL = [
     "contamination_bloom",     # result-identical to benchmark_contamination
                                # (head slot) — the Bloom prefilter changes the
                                # plan, not the answer; locally hash-checked
-    "edit_distance_dups",      # candidate-verify family: ngram_jaccard_dups
-                               # holds the head slot; rotate into the head
-                               # next round (locally hash-checked)
-    "incremental_dedup",       # ingest-vs-store anti-join dedup: exact_dedup
-                               # (fingerprint family) holds the head slot;
-                               # rotation candidate next round
-    "quality_classifier",      # hashed-feature linear scoring; quality family
-                               # held by curation_pipeline + text_statistics;
-                               # rotate into the head next round
-    "unigram_surprise",        # unigram-LM cross-entropy (perplexity-filter
-                               # shape); quality family as above; rotation
-                               # candidate next round
-    "semantic_dedup_survivors",  # SemDeDup composition: embedding_near_dups +
-                               # dedup_survivors hold the head slots for both
-                               # halves; rotation candidate next round
-    "cross_doc_spans",         # ExactSubstr-style repeated-span signal;
-                               # gram-hash family held by benchmark_contamination
-                               # in the head; rotation candidate next round
+    "ngram_jaccard_dups",      # candidate-verify: green r01+r02; slot rotated
+                               # to edit_distance_dups (same LSH-candidate
+                               # verification family, different distance)
+    "exact_dedup",             # fingerprint dedup: green r01+r02; slot rotated
+                               # to incremental_dedup, which runs the same
+                               # fingerprint groupBy plus the store anti-join
+    "text_statistics",         # quality stats: green r01+r02; quality family
+                               # held by quality_classifier, unigram_surprise,
+                               # repetition_profile, curation_pipeline
+    "dup_components",          # components: green r01+r02; dedup_survivors
+                               # (head) runs the same iterative kernel;
+                               # semantic_dedup_survivors re-runs it too
+    "simhash_near_dups",       # near-dup: green r01+r02; minhash + embedding
+                               # variants keep the family head-checked
+    "ann_topk_pandas",         # exact top-k: green r01+r02; hash-identical to
+                               # ann_topk_bruteforce; ann_topk_bucketed keeps
+                               # the ANN head slot
+    "blamed_suppliers",        # exists/not-exists decorrelation: green r02;
+                               # anti-join family held by incremental_dedup
+                               # (left_anti, head) + customers_without_orders
+                               # locally; slot goes to set_similarity_dups
+                               # (exact prefix-filtered similarity join — a
+                               # brand-new family)
+    "merge_upsert_effect",     # merge algebra: green r01+r02; slot goes to
+                               # txlog_version_diff, which executes the SAME
+                               # merge semantics against the transactional
+                               # store plus DELETE plus the CDF snapshot diff
+                               # — a strictly stronger check of the family
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
     "stream_upsert_totals",    # foreachBatch upsert: green r01+r02; family held

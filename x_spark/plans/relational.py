@@ -589,6 +589,106 @@ GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# D6/W3 against the real transactional store, audited through the CDF:
+# build a txlog table (v1 append), run the SAME merge algebra as
+# merge_upsert_effect against it (v2), DELETE a nation (v3), then read
+# the semantic version diff — the multiset snapshot(v3)-snapshot(v1),
+# recovered from the file-granular change feed by canceling identical
+# rewrite pairs. The oracle recomputes both snapshots declaratively and
+# takes EXCEPT ALL both ways: if the store's merge/delete/CDF machinery
+# drops, duplicates or corrupts a single row image, the hash diverges.
+# (Reference parity: datasource/delta.py:104-148 MERGE semantics + CDF
+# read; this exercises them on the atomic-commit store end to end.)
+def q_txlog_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_version_diff_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "cust"))
+        base = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+        s0 = base.filter(F.col("c_custkey") % 3 == 0)
+        ds.create(ref, s0.schema)
+        ds.append(s0, ref)  # commit v1: the diff baseline
+        updates = s0.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        inserts = base.filter(F.col("c_custkey") % 30 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 0.25).alias("c_acctbal"),
+        )
+        # all non-pk columns are update columns: inserted rows then carry
+        # the full image (W4's NULL-insert quirk would otherwise leave
+        # non-set columns NULL — exercised by merge_upsert_effect; here
+        # the point is the store/CDF round trip of full rows)
+        spec = MergeSpec(
+            primary_key_columns=["c_custkey"],
+            update_columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+            insert_when_not_matched=True,
+            validate_unique_source_keys=False,  # disjoint by construction
+        )
+        ds.merge(updates.unionByName(inserts), ref, spec)  # v2
+        ds.delete(ref, "c_nationkey = 5")  # v3
+        diff = ds.semantic_diff(ref, from_version=1)
+        net_bal = F.col("c_acctbal").cast("decimal(30,6)") * F.col("net")
+        return (
+            diff.groupBy("c_mktsegment")
+            .agg(
+                F.sum(
+                    F.when(F.col("net") > 0, F.col("net")).otherwise(F.lit(0))
+                ).cast("bigint").alias("rows_added"),
+                F.sum(
+                    F.when(F.col("net") < 0, -F.col("net")).otherwise(F.lit(0))
+                ).cast("bigint").alias("rows_removed"),
+                F.sum(net_bal).cast("double").alias("bal_delta"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_TXLOG_VERSION_DIFF = """
+WITH s0 AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+), s1 AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM s0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_nationkey, c_mktsegment, c_acctbal + 0.25
+  FROM customer WHERE c_custkey % 30 = 0
+), s2 AS (
+  SELECT * FROM s1 WHERE c_nationkey IS DISTINCT FROM 5
+), diff AS (
+  SELECT c_mktsegment, c_acctbal, 1 AS net
+  FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s0)
+  UNION ALL
+  SELECT c_mktsegment, c_acctbal, -1 AS net
+  FROM (SELECT * FROM s0 EXCEPT ALL SELECT * FROM s2)
+)
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN net > 0 THEN net ELSE 0 END) AS BIGINT) AS rows_added,
+       CAST(sum(CASE WHEN net < 0 THEN -net ELSE 0 END) AS BIGINT) AS rows_removed,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6)) * net) AS DOUBLE) AS bal_delta
+FROM diff
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # X6/X7 recon as a query: lineitem vs a perturbed copy, 2-source compare
 # with delta/match columns (native tolerance expression).
 def q_recon_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,6 +846,7 @@ RELATIONAL_QUERIES = {
     "part_catalog_report": q_part_catalog_report,
     "event_hourly_profile": q_event_hourly_profile,
     "merge_upsert_effect": q_merge_upsert_effect,
+    "txlog_version_diff": q_txlog_version_diff,
     "recon_lineitem": q_recon_lineitem,
     "priciest_parts": q_priciest_parts,
     "above_avg_balance": q_above_avg_balance,
@@ -767,6 +868,7 @@ RELATIONAL_ORACLES = {
     "part_catalog_report": ORACLE_PART_CATALOG_REPORT,
     "event_hourly_profile": ORACLE_EVENT_HOURLY_PROFILE,
     "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
+    "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "recon_lineitem": ORACLE_RECON_LINEITEM,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
     "above_avg_balance": ORACLE_ABOVE_AVG_BALANCE,

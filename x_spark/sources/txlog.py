@@ -1014,6 +1014,39 @@ class TxLogDataSource(BaseDataSource):
             return self.spark.createDataFrame([], schema)
         return out
 
+    def semantic_diff(self, ref: TableRef, from_version: int,
+                      to_version: int | None = None) -> DataFrame:
+        """ROW-LEVEL snapshot diff between two versions: the multiset
+        difference ``snapshot(to) - snapshot(from)`` as one row per
+        distinct row image with a signed ``net`` count (+k appeared,
+        -k disappeared).
+
+        The raw change feed (:meth:`changes`) is file-granular — a
+        MERGE or DELETE that rewrites a file emits delete+insert pairs
+        for every UNTOUCHED row co-located in that file, so its row
+        set depends on physical layout. This operator cancels that
+        noise: group by the full row image and sum +1/-1 per
+        insert/delete — identical rewrite pairs net to zero, leaving
+        exactly the semantic difference, independent of file layout,
+        compaction, or Z-ordering in the interval. (Logical-no-op
+        commits like OPTIMIZE therefore contribute nothing.)
+
+        One distributed groupBy over only the files touched in the
+        interval — never a scan of either full snapshot; at 100 TB the
+        cost tracks the churn, not the table.
+        """
+        ch = self.changes(ref, from_version, to_version)
+        data_cols = [c for c in ch.columns
+                     if c not in ("_change_type", "_commit_version")]
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return (
+            ch.groupBy(*data_cols)
+            .agg(F.sum(sign).cast("bigint").alias("net"))
+            .filter(F.col("net") != 0)
+        )
+
     def history(self, ref: TableRef) -> list[dict]:
         """(version, operation) for every commit — DESCRIBE HISTORY."""
         table = self._table_path(ref)
