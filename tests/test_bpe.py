@@ -1,0 +1,169 @@
+"""BPE trainer: the distributed implementation must reproduce the
+classic single-machine algorithm EXACTLY — same merge sequence, same
+segmentation — because the merge table is a persisted artifact other
+systems consume.
+
+The reference implementation below is the textbook Sennrich'16 loop
+(word-frequency dict, weighted pair counts, greedy left-to-right
+merge), with the same deterministic tie-break (max count, then
+lexicographic pair).
+"""
+
+from collections import Counter
+
+from x_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_merges,
+    bpe_encode_pandas,
+    train_bpe,
+    word_freq_table,
+)
+
+
+# -- pure-Python reference --------------------------------------------------
+def _ref_word_freq(texts):
+    c = Counter()
+    for t in texts:
+        c.update(t.lower().split())
+    return c
+
+
+def _ref_merge_word(syms, a, b, fused):
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = fused
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_train(texts, n_merges, min_pair_freq=2):
+    wf = {
+        tuple(list(w) + [END_OF_WORD]): f for w, f in _ref_word_freq(texts).items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in wf.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        # max count, ties lexicographic (left, right)
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        fused = a + b
+        merges.append({"rank": rank, "left": a, "right": b,
+                       "merged": fused, "pair_freq": cnt})
+        wf = {
+            tuple(_ref_merge_word(list(s), a, b, fused)): f for s, f in wf.items()
+        }
+    return merges
+
+
+def _ref_segment(text, merges):
+    toks = []
+    for w in text.lower().split():
+        syms = list(w) + [END_OF_WORD]
+        for m in merges:
+            syms = _ref_merge_word(syms, m["left"], m["right"], m["merged"])
+        toks.extend(syms)
+    return toks
+
+
+CORPUS = [
+    "the lowest lower lowly low low low",
+    "newer newest new news knew",
+    "the newer the lower the better",
+    "low low lowest newest newest",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+
+
+def test_merge_sequence_matches_reference(spark):
+    got = train_bpe(_df(spark), n_merges=20)
+    want = _ref_train(CORPUS, 20)
+    assert got == want
+    # the corpus genuinely exercises multi-round merging
+    assert len(got) >= 8
+    # ranks are contiguous and pair_freq never increases out of order
+    assert [m["rank"] for m in got] == list(range(len(got)))
+
+
+def test_word_freq_truncation_is_deterministic(spark):
+    full = {r.word: r.freq for r in word_freq_table(_df(spark), max_words=None).collect()}
+    top3 = {r.word: r.freq for r in word_freq_table(_df(spark), max_words=3).collect()}
+    assert len(top3) == 3
+    # the cut keeps the heaviest words, ties by word
+    order = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert top3 == dict(order)
+
+
+def test_apply_merges_matches_reference_segmentation(spark):
+    merges = _ref_train(CORPUS, 12)
+    seg = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_merges(_df(spark), merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(CORPUS):
+        assert seg[i] == _ref_segment(t, merges), t
+
+
+def test_pandas_encoder_agrees_with_jvm_fold(spark):
+    merges = train_bpe(_df(spark), n_merges=12)
+    jvm = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_merges(_df(spark), merges).select("doc_id", "bpe_tokens").collect()
+    }
+    arrow = {r.doc_id: r.bpe_tokens for r in bpe_encode_pandas(_df(spark), merges).collect()}
+    assert jvm == arrow
+
+
+def test_min_pair_freq_stops_training(spark):
+    df = spark.createDataFrame([(0, "ab ab cd")], "doc_id bigint, text string")
+    # every pair occurs at most twice ("ab" twice, "cd" once)
+    merges = train_bpe(df, n_merges=50, min_pair_freq=3)
+    assert merges == []
+    merges2 = train_bpe(df, n_merges=50, min_pair_freq=2)
+    assert merges2 and all(m["pair_freq"] >= 2 for m in merges2)
+
+
+def test_consecutive_pair_merges_all_occurrences(spark):
+    """Regression: in ``a b a b`` BOTH (a,b) pairs must merge in one
+    round (a shared-delimiter string representation silently merged
+    only the first)."""
+    df = spark.createDataFrame(
+        [(0, "abab abab abab")], "doc_id bigint, text string"
+    )
+    merges = train_bpe(df, n_merges=1, min_pair_freq=1)
+    assert merges and (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+    # BOTH (a,b) occurrences per word counted: freq 3 words x 2 pairs
+    assert merges[0]["pair_freq"] == 6
+    # and after the merge the segmentation is ab,ab,</w> — pinned by
+    # exact agreement with the reference for further rounds
+    merges3 = train_bpe(df, n_merges=3, min_pair_freq=1)
+    assert merges3 == _ref_train(["abab abab abab"], 3, min_pair_freq=1)
+
+
+def test_replace_chain_encoder_agrees_with_fold(spark):
+    """apply_merges_str (the fast bulk path) must produce the exact
+    segmentation of the aggregate-fold path on every doc."""
+    from x_spark.operators.bpe import apply_merges_str
+
+    merges = _ref_train(CORPUS, 12)
+    fold = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_merges(_df(spark), merges).select("doc_id", "bpe_tokens").collect()
+    }
+    chain = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_merges_str(_df(spark), merges).select("doc_id", "bpe_tokens").collect()
+    }
+    assert fold == chain

@@ -23,7 +23,7 @@ FAMILY_REPRESENTATIVES = [
     "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
     "recon_lineitem",           # recon pipeline + tolerance compare
     "scalar_function_battery",  # scalar function library
-    "json_props_stats",         # JSON functions
+    "bpe_token_stats",          # BPE merge-table application (tokenizer)
     "market_share",             # multi-join share-of-total
     "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
     "weekly_revenue_wow",       # lag / time-series deltas
@@ -85,7 +85,11 @@ def test_every_query_has_oracle_or_documented_exception():
     no_oracle = {n for n in QUERIES if n not in ORACLES}
     # intentional rows-only checks (engine-specific estimates /
     # data-dependent trained codebook)
-    assert no_oracle <= {"approx_distinct_users", "ann_topk_ivf"}, no_oracle
+    assert no_oracle <= {
+        "approx_distinct_users",
+        "ann_topk_ivf",
+        "bpe_merge_table",
+    }, no_oracle
 
 
 def test_registry_consistent():

@@ -462,6 +462,8 @@ def set_similarity_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: tuple[int, int] = (1, 2),
+    element: str = "token",
+    ngram_n: int = 5,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join via prefix filtering — every
     pair with ``J >= num/den`` is returned with its exact overlap,
@@ -494,13 +496,53 @@ def set_similarity_pairs(
     by doc id to rank within doc, (4) equi-join on prefix token-hash
     (rare keys by construction), (5) verify join on doc ids. Exact
     verification touches candidate pairs only.
+
+    ``element`` picks the set domain: ``"token"`` (distinct lowercased
+    whitespace tokens — natural-vocabulary corpora), ``"shingle"``
+    (distinct char k-gram hashes of the text prefix, the
+    SHINGLE_K/SHINGLE_PREFIX sketch domain shared with the MinHash
+    path), or ``"ngram"`` (word ``ngram_n``-grams). CHOOSE BY
+    VOCABULARY DIVERSITY: prefix filtering prunes by putting each
+    set's globally-RAREST elements in the join key, so a tiny shared
+    vocabulary (template/boilerplate corpora — or this repo's 32-word
+    synthetic corpus) makes token sets near-identical across docs and
+    the candidate stage quadratic; word n-grams draw from the
+    vocabulary's n-th power and stay sparse on ANY corpus whose word
+    SEQUENCES differ (measured here: token elements -> 271M candidate
+    upper bound at sf0.1; 5-gram elements -> only genuine near-dups).
     """
     num, den = threshold
-    toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-        .select(F.col(id_col), hash32("tok").alias("h"))
-        .distinct()  # md5-collision fold, mirrored by list_distinct in the oracle
-    )
+    if element == "shingle":
+        toks = (
+            with_shingle_hashes(df, text_col)
+            .select(F.col(id_col), F.explode("shingle_hashes").alias("h"))
+            .distinct()
+        )
+    elif element == "ngram":
+        n = ngram_n
+        grams = (
+            f"CASE WHEN size(_tk) >= {n} THEN transform(sequence(1, size(_tk) - {n} + 1), "
+            f"i -> array_join(slice(_tk, i, {n}), ' ')) ELSE array() END"
+        )
+        toks = (
+            df.withColumn("_tk", tokens(text_col))
+            .select(F.col(id_col), F.explode(F.expr(grams)).alias("g"))
+            .select(F.col(id_col), hash32("g").alias("h"))
+            .distinct()
+        )
+    elif element == "token":
+        toks = (
+            df.select(
+                F.col(id_col),
+                F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+            )
+            .select(F.col(id_col), hash32("tok").alias("h"))
+            .distinct()  # md5-collision fold, mirrored in the oracle
+        )
+    else:
+        raise ValueError(
+            f"element must be 'token', 'shingle' or 'ngram', got {element!r}"
+        )
     # ONE tokenization pass feeds frequency ranking AND verification
     toks = toks.persist()
     dfreq = toks.groupBy("h").agg(F.count("*").alias("dfreq"))

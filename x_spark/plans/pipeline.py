@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from x_spark.functions import portable as P
+from x_spark.operators import bpe as B
 from x_spark.operators import dedup as D
 from x_spark.operators import similarity as S
 from x_spark.operators import text as X
@@ -531,17 +532,34 @@ WHERE abs(length(a.t) - length(b.t)) <= 16
 # the certified-recall complement to the probabilistic MinHash path.
 # The oracle is the brute-force all-pairs ground truth (fine at
 # oracle scale; the Spark side never forms the cross product).
+# Word-5-gram elements, not word tokens: the synthetic corpus draws
+# from a 32-word vocabulary, so word SETS are near-identical across
+# all docs (271M candidate pairs measured at sf0.1 — quadratic);
+# 5-gram sets draw from the vocabulary's 5th power, are essentially
+# unique per doc, and the true result is the engineered near-dup
+# pairs (see the operator docstring).
 def q_set_similarity_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.set_similarity_pairs(_docs_aug_near(spark, sf_dir), threshold=(1, 2))
+    return D.set_similarity_pairs(
+        _docs_aug_near(spark, sf_dir), threshold=(1, 2), element="ngram", ngram_n=5
+    )
 
 
 ORACLE_SET_SIMILARITY_DUPS = f"""
 WITH docs_aug AS ({_AUG_NEAR_SQL}),
-hs AS (
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM docs_aug
+), gr AS (
   SELECT doc_id,
-         list_distinct(list_transform(regexp_extract_all(lower(text), '\\S+'),
-                        t -> cast(concat('0x', substr(md5(t),1,8)) as bigint))) AS hset
-  FROM docs_aug
+         CASE WHEN len(t) >= 5
+              THEN list_transform(range(1, len(t) - 5 + 2),
+                     i -> array_to_string(t[i:i+4], ' '))
+              ELSE [] END AS grams
+  FROM tk
+), hs AS (
+  SELECT doc_id, list_distinct(list_transform(grams,
+           g -> cast(concat('0x', substr(md5(g),1,8)) as bigint))) AS hset
+  FROM gr
+  WHERE len(grams) > 0
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(length(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS overlap,
@@ -553,6 +571,77 @@ SELECT id_a, id_b, overlap, set_union,
        round(overlap / set_union, 6) AS jaccard
 FROM pairs
 WHERE overlap * 2 >= set_union * 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: training is inherently iterative (each merge depends
+# on post-merge counts — Sennrich'16), so the TRAINER query is
+# rows-only; the APPLICATION of a merge table is deterministic per
+# document and IS hash-checked, against an oracle that replays the
+# same merges as a chain of plain string replaces over a
+# separator-wrapped symbol string (identical greedy left-to-right
+# semantics — pinned in tests/test_bpe.py against a reference
+# implementation).
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = B.train_bpe(_docs(spark, sf_dir), n_merges=12, max_words=10_000)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+         for m in merges],
+        "rank int, left string, right string, merged string, pair_freq bigint",
+    )
+
+
+# First 12 merges trained on the sf0.01 corpus (deterministic; pinned
+# here as a FIXED vocabulary so the application query is a constant
+# function of its input — mirrored literally in the oracle).
+_BPE_FIXED_MERGES = [
+    {"rank": i, "left": a, "right": b, "merged": a + b}
+    for i, (a, b) in enumerate([
+        ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+        ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+        ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ])
+]
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("text", F.coalesce("text", F.lit("")))
+    seg = B.apply_merges_str(docs, _BPE_FIXED_MERGES)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).cast("bigint").alias(
+            "n_distinct_tokens"
+        ),
+    )
+
+
+def _bpe_oracle() -> str:
+    sep = "chr(31)"
+    expr = "s"
+    for m in _BPE_FIXED_MERGES:
+        pat = f"{sep}||'{m['left']}'||{sep}||{sep}||'{m['right']}'||{sep}"
+        rep = f"{sep}||'{m['merged']}'||{sep}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return rf"""
+WITH syms AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(coalesce(text, '')), '\S+'),
+           w -> regexp_replace(w, '(.)', {sep} || '\1' || {sep}, 'g')
+                || {sep} || '</w>' || {sep}) AS ws
+  FROM documents
+), merged AS (
+  SELECT doc_id, list_transform(ws, s -> {expr}) AS ws FROM syms
+), toks AS (
+  SELECT doc_id, flatten(list_transform(ws, s ->
+     string_split(substr(s, 2, length(s) - 2), {sep} || {sep}))) AS tk
+  FROM merged
+)
+SELECT doc_id,
+       CAST(length(tk) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens
+FROM toks
 """
 
 
@@ -1459,6 +1548,8 @@ PIPELINE_QUERIES = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "edit_distance_dups": q_edit_distance_dups,
     "set_similarity_dups": q_set_similarity_dups,
+    "bpe_token_stats": q_bpe_token_stats,
+    "bpe_merge_table": q_bpe_merge_table,  # rows-only: iterative trainer
     "quality_classifier": q_quality_classifier,
     "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1499,6 +1590,7 @@ PIPELINE_ORACLES = {
     "ngram_jaccard_dups": _ngram_oracle(),
     "edit_distance_dups": _edit_distance_oracle(),
     "set_similarity_dups": ORACLE_SET_SIMILARITY_DUPS,
+    "bpe_token_stats": _bpe_oracle(),
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,

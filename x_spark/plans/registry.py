@@ -139,6 +139,14 @@ _TAIL = [
                                # merge semantics against the transactional
                                # store plus DELETE plus the CDF snapshot diff
                                # — a strictly stronger check of the family
+    "bpe_merge_table",         # rows-only by design (iterative trainer —
+                               # each merge depends on post-merge counts);
+                               # evidence: exact-match tests vs a reference
+                               # implementation + the hash-checked
+                               # application query bpe_token_stats (head)
+    "json_props_stats",        # JSON functions: green r01+r02; slot goes to
+                               # bpe_token_stats (tokenizer application —
+                               # a brand-new family)
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
     "stream_upsert_totals",    # foreachBatch upsert: green r01+r02; family held
