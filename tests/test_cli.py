@@ -187,3 +187,51 @@ def test_cli_dedup_batch_only(tmp_path, spark, capsys):
     ).write.parquet(b)
     assert main(["dedup", b]) == 0
     assert "2 of 3 rows survive" in capsys.readouterr().out
+
+
+def test_cli_bpe_train_apply_roundtrip(tmp_path, spark, capsys):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    merges_path = str(tmp_path / "merges.json")
+    assert main(["bpe", "train", src, "--merges", merges_path,
+                 "--n-merges", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "merges written to" in out
+
+    import json
+
+    merges = json.load(open(merges_path))
+    assert merges and all(
+        set(m) == {"rank", "left", "right", "merged", "pair_freq"} for m in merges
+    )
+
+    seg_out = str(tmp_path / "seg")
+    assert main(["bpe", "apply", src, "--merges", merges_path,
+                 "--out", seg_out]) == 0
+    seg = {r.doc_id: r.bpe_tokens for r in spark.read.parquet(seg_out).collect()}
+    # the trained artifact round-trips: applying it in-process gives
+    # the same segmentation
+    from x_spark.operators.bpe import apply_merges_str
+
+    df = spark.read.parquet(src)
+    direct = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_merges_str(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    assert seg == direct
+
+
+def test_cli_bpe_requires_artifacts(tmp_path, spark):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(0, "x")], "doc_id bigint, text string").write.parquet(src)
+    import pytest
+
+    from x_spark.errors import JobConfigException
+
+    with pytest.raises(JobConfigException):
+        main(["bpe", "train", src])
+    with pytest.raises(JobConfigException):
+        main(["bpe", "apply", src, "--merges", str(tmp_path / "m.json")])

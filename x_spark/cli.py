@@ -127,6 +127,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None, help="write surviving rows as parquet here"
     )
 
+    bpe = sub.add_parser(
+        "bpe",
+        help="train a BPE merge table on a document table, or apply a "
+        "trained table to segment one",
+    )
+    bpe.add_argument("mode", choices=["train", "apply"])
+    bpe.add_argument("source", help="parquet path (file or directory)")
+    bpe.add_argument("--text-col", default="text")
+    bpe.add_argument("--id-col", default="doc_id")
+    bpe.add_argument(
+        "--merges", default=None,
+        help="merge-table JSON: written by train, read by apply",
+    )
+    bpe.add_argument("--n-merges", type=int, default=200)
+    bpe.add_argument(
+        "--max-words", type=int, default=50_000,
+        help="train on the heaviest N words (0 = no cap)",
+    )
+    bpe.add_argument(
+        "--out", default=None,
+        help="apply: write (id, bpe_tokens) parquet here",
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -266,6 +289,38 @@ def main(argv: list[str] | None = None) -> int:
             ds.append(survivors.select("fingerprint"), ref)
             print(f"fingerprint store updated: {args.store}")
         survivors.unpersist()
+        return 0
+
+    if args.command == "bpe":
+        import json as _json
+
+        from x_spark.operators.bpe import apply_merges_str, train_bpe
+        from x_spark.session import get_session
+
+        spark = get_session()
+        docs = spark.read.parquet(args.source)
+        if args.mode == "train":
+            if not args.merges:
+                raise JobConfigException("bpe train requires --merges OUT_PATH")
+            merges = train_bpe(
+                docs,
+                n_merges=args.n_merges,
+                text_col=args.text_col,
+                max_words=args.max_words or None,
+            )
+            with open(args.merges, "w", encoding="utf-8") as fh:
+                _json.dump(merges, fh, indent=1)
+            print(f"{len(merges)} merges written to {args.merges}")
+            return 0
+        if not args.merges or not args.out:
+            raise JobConfigException("bpe apply requires --merges and --out")
+        with open(args.merges, "r", encoding="utf-8") as fh:
+            merges = _json.load(fh)
+        seg = apply_merges_str(docs, merges, text_col=args.text_col)
+        seg.select(args.id_col, "bpe_tokens").write.mode("overwrite").parquet(
+            args.out
+        )
+        print(f"segmented table written to {args.out} ({len(merges)} merges)")
         return 0
 
     if args.command == "ivm":
