@@ -152,3 +152,38 @@ def test_distributed_bruteforce_no_forced_broadcast(spark, sf_dir):
         assert "BroadcastExchange" in hinted  # explicit hint still wins
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_set_similarity_join_is_equi_not_cartesian(spark, sf_dir):
+    """The prefix-filter candidate stage and the verification stage
+    must both plan as shuffle/broadcast HASH joins on keys — a
+    cartesian or nested-loop join means the prefix filter degenerated
+    to all-pairs."""
+    plan = _plan(QUERIES["set_similarity_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_diff_plan_is_one_aggregation_no_join(spark, tmp_path):
+    # the semantic diff is ONE aggregation over interval changes —
+    # never a join of two full snapshots (the registry query
+    # checkpoints its result, so introspect the operator directly)
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], "pk int, v int")
+    ds.append(df, ref)
+    ds.delete(ref, "pk = 1")
+    plan = _plan(ds.semantic_diff(ref, 1))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bpe_token_stats_is_scan_speed(spark, sf_dir):
+    """The fixed-merge segmentation is a single projection over the
+    scan — no join, no shuffle except the implicit collect."""
+    plan = _plan(QUERIES["bpe_token_stats"](spark, sf_dir))
+    for op in ("Join", "CartesianProduct", "Exchange"):
+        assert op not in plan, op
