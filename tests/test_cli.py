@@ -235,3 +235,13 @@ def test_cli_bpe_requires_artifacts(tmp_path, spark):
         main(["bpe", "train", src])
     with pytest.raises(JobConfigException):
         main(["bpe", "apply", src, "--merges", str(tmp_path / "m.json")])
+
+
+def test_cli_profile(tmp_path, spark, capsys):
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "k bigint, s string"
+    ).write.parquet(src)
+    assert main(["profile", src, "--columns", "k,s"]) == 0
+    out = capsys.readouterr().out
+    assert "null_count" in out and "n_distinct" in out

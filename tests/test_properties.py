@@ -291,3 +291,46 @@ def test_prefix_offsets_plan_has_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange SinglePartition" not in plan, plan
+
+
+# -- exact set-similarity join ----------------------------------------------
+# Property: the prefix-filtered join returns EXACTLY the brute-force
+# pair set at the threshold — no pair missed (the prefix lemma), none
+# extra (the verification stage). Random small corpora from a tiny
+# alphabet maximize boundary collisions.
+_words = st.sampled_from(["a", "b", "c", "ab", "x", "yz", "q"])
+_doc = st.lists(_words, min_size=0, max_size=6).map(" ".join)
+_thresholds = st.sampled_from([(1, 2), (1, 3), (2, 3), (3, 4), (1, 1)])
+
+
+@st.composite
+def setjoin_case(draw):
+    docs = draw(st.lists(_doc, min_size=2, max_size=8))
+    thr = draw(_thresholds)
+    return list(enumerate(docs)), thr
+
+
+@SETTINGS
+@given(setjoin_case())
+def test_set_similarity_matches_brute_force(spark, case):
+    import itertools
+
+    from x_spark.operators.dedup import set_similarity_pairs
+
+    rows, (num, den) = case
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter, union = len(sa & sb), len(sa | sb)
+        if inter * den >= union * num:
+            want[(a, b)] = (inter, union)
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): (r.overlap, r.set_union)
+        for r in set_similarity_pairs(df, threshold=(num, den)).collect()
+    }
+    assert got == want

@@ -19,7 +19,7 @@ FAMILY_REPRESENTATIVES = [
     "top_customers",            # topk / ORDER-LIMIT
     "quantity_cube",            # cube/rollup grouping sets
     "quantity_percentiles",     # percentile aggs
-    "part_catalog_report",      # projections/casts/null handling
+    "table_profile",            # per-column data-quality profile
     "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
     "recon_lineitem",           # recon pipeline + tolerance compare
     "scalar_function_battery",  # scalar function library

@@ -150,6 +150,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="apply: write (id, bpe_tokens) parquet here",
     )
 
+    prof = sub.add_parser(
+        "profile", help="per-column data-quality profile of a parquet table"
+    )
+    prof.add_argument("source", help="parquet path (file or directory)")
+    prof.add_argument(
+        "--columns", default=None, help="comma-separated subset (default: all)"
+    )
+    prof.add_argument(
+        "--approx", action="store_true",
+        help="approx_count_distinct instead of exact per-column distincts",
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -289,6 +301,21 @@ def main(argv: list[str] | None = None) -> int:
             ds.append(survivors.select("fingerprint"), ref)
             print(f"fingerprint store updated: {args.store}")
         survivors.unpersist()
+        return 0
+
+    if args.command == "profile":
+        from x_spark.operators.profile import profile_table
+        from x_spark.session import get_session
+
+        df = get_session().read.parquet(args.source)
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
+        )
+        profile_table(df, cols, exact_distinct=not args.approx).orderBy(
+            "col_name", "metric"
+        ).show(1000, truncate=False)
         return 0
 
     if args.command == "bpe":

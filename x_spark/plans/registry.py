@@ -147,6 +147,10 @@ _TAIL = [
     "json_props_stats",        # JSON functions: green r01+r02; slot goes to
                                # bpe_token_stats (tokenizer application —
                                # a brand-new family)
+    "part_catalog_report",     # projections/casts/null handling: green
+                               # r01+r02; casts/null handling also exercised
+                               # by scalar_function_battery (head); slot goes
+                               # to table_profile (data-profiling family)
     "token_topk",              # token counting: green r01+r02; family held by
                                # token_fingerprints + text_statistics in head
     "stream_upsert_totals",    # foreachBatch upsert: green r01+r02; family held

@@ -689,6 +689,55 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# Table profiling (data-quality primitive): per-column null counts,
+# exact distincts, numeric range + exact percentiles, string lengths —
+# one shared aggregation pass for everything except the per-column
+# exact distincts (which deliberately stay separate plans: multiple
+# countDistinct in one agg plans an Expand that duplicates every scan
+# row per aggregate — see operators/profile.py).
+_PROFILE_NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR_COLS = ["o_orderstatus"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import profile_table
+
+    prof = profile_table(
+        _t(spark, sf_dir, "orders"), _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    )
+    return prof.select("col_name", "metric", F.round("value", 6).alias("value"))
+
+
+def _table_profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, 'null_count' AS metric, "
+            f"round(CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE), 6) AS value "
+            f"FROM orders"
+        )
+        parts.append(
+            f"SELECT '{c}', 'n_distinct', round(CAST(count(DISTINCT {c}) AS DOUBLE), 6) FROM orders"
+        )
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), 6) FROM orders")
+        parts.append(f"SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), 6) FROM orders")
+        for q in (25, 50, 75):
+            parts.append(
+                f"SELECT '{c}', 'p{q}', "
+                f"round(quantile_cont(CAST({c} AS DOUBLE), {q / 100}), 6) FROM orders"
+            )
+    for c in _PROFILE_STR_COLS:
+        parts.append(
+            f"SELECT '{c}', 'avg_len', round(CAST(avg(length({c})) AS DOUBLE), 6) FROM orders"
+        )
+        parts.append(
+            f"SELECT '{c}', 'max_len', round(CAST(max(length({c})) AS DOUBLE), 6) FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # X6/X7 recon as a query: lineitem vs a perturbed copy, 2-source compare
 # with delta/match columns (native tolerance expression).
 def q_recon_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,6 +896,7 @@ RELATIONAL_QUERIES = {
     "event_hourly_profile": q_event_hourly_profile,
     "merge_upsert_effect": q_merge_upsert_effect,
     "txlog_version_diff": q_txlog_version_diff,
+    "table_profile": q_table_profile,
     "recon_lineitem": q_recon_lineitem,
     "priciest_parts": q_priciest_parts,
     "above_avg_balance": q_above_avg_balance,
@@ -869,6 +919,7 @@ RELATIONAL_ORACLES = {
     "event_hourly_profile": ORACLE_EVENT_HOURLY_PROFILE,
     "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
+    "table_profile": _table_profile_oracle(),
     "recon_lineitem": ORACLE_RECON_LINEITEM,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
     "above_avg_balance": ORACLE_ABOVE_AVG_BALANCE,
