@@ -84,6 +84,16 @@ def build_session(cpus: str) -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # ContextCleaner's periodic GC defaults to 30min — in a
+        # 40-minute 99-query battery stale broadcasts and shuffle
+        # state from hundreds of executions pile up before one cleanup
+        # runs (measured: late-battery queries inflate up to 3x vs
+        # isolation). Don't shorten the interval: the async cleanup
+        # then lands DURING whatever query is being timed (measured: a
+        # different query spiking 4x each run). Instead the query loop
+        # GCs explicitly in the untimed window and sleeps briefly so
+        # the cleaner drains before the stopwatch starts.
+        .config("spark.cleaner.periodicGC.interval", "30min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
@@ -106,26 +116,33 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = sorted(only.split(",")) if only else sorted(QUERIES)
 
-    # warm-up pass (not timed): triggers JVM JIT, codegen, file listing
-    for name in names:
-        QUERIES[name](spark, sf_dir).collect()
-        # same isolation as the timed loop — without it the warm-up
-        # itself accumulates 90+ queries of persisted intermediates
+    def sweep(i: int) -> None:
+        """Between-query isolation: drop persisted intermediates so a
+        99-query session doesn't degrade into storage eviction / GC
+        pressure (measured 2-3x inflation without this). clearCache
+        only covers SQL-cached relations; localCheckpoint blocks live
+        in the block manager and need the explicit persistent-RDD
+        sweep. Then force a driver GC and give ContextCleaner a
+        moment to drain: dereferenced broadcasts/shuffle state are
+        only reaped after a GC, an idle driver heap can go the whole
+        battery without one (measured: up to 3x late-battery
+        inflation), and letting the cleanup run asynchronously mid-
+        query is just as bad (measured: random 4x spikes). All of
+        this happens OUTSIDE the timed window."""
         spark.catalog.clearCache()
         for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             jrdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+
+    # warm-up pass (not timed): triggers JVM JIT, codegen, file listing
+    for i, name in enumerate(names):
+        QUERIES[name](spark, sf_dir).collect()
+        sweep(i)
 
     timings: dict[str, float] = {}
-    for name in names:
-        # isolate queries: drop persisted intermediates from prior
-        # queries so a 50+-query session doesn't degrade into storage
-        # eviction / GC pressure (measured 2-3x inflation without this).
-        # clearCache only covers SQL-cached relations; localCheckpoint
-        # blocks (iterative operators) live in the block manager and
-        # need the explicit persistent-RDD sweep.
-        spark.catalog.clearCache()
-        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            jrdd.unpersist()
+    for i, name in enumerate(names):
+        sweep(i)
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -242,6 +259,28 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> dict:
         ),
         "codes_fraction": round(8 / 16, 3),
         "raw_fraction": round(rr10 / n, 3),
+    }
+
+    # 2b) same budget with an OPQ rotation (Ge et al.): measures what
+    #     the learned subspace alignment buys at identical probe/rerank
+    R, books8_opq = PQ.train_opq(corpus, cb16, m=8, ks=256, n_iters=4,
+                                 opq_iters=4)
+    report["ivf_opq_8x256_8of16probe_rerank10pct"] = {
+        "recall": round(
+            S.recall_at_k(
+                PQ.pq_topk(corpus, queries, cb16, books8_opq,
+                           k=10, n_probe=8, rerank=rr10, rotation=R),
+                exact,
+            ),
+            3,
+        ),
+        "codes_fraction": round(8 / 16, 3),
+        "raw_fraction": round(rr10 / n, 3),
+        "train_mse_vs_pq": round(
+            PQ.opq_reconstruction_mse(corpus, cb16, books8_opq, rotation=R)
+            / max(PQ.opq_reconstruction_mse(corpus, cb16, books8), 1e-12),
+            3,
+        ),
     }
 
     # 3) IVF-PQ, 16x8-bit codes, full-ADC scan (codes only: 16B/vec vs

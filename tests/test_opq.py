@@ -1,0 +1,76 @@
+"""OPQ rotation: orthogonality, objective improvement over plain PQ,
+identity-rotation equivalence, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.operators import pq as PQ
+from x_spark.operators import similarity as S
+from x_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF_DIR, "embeddings").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    return S.train_codebook(emb, n_centroids=4, n_iters=4)
+
+
+def test_rotation_is_orthogonal_and_deterministic(emb, cb):
+    R1, books1 = PQ.train_opq(emb, cb, m=4, ks=8, opq_iters=3)
+    R2, books2 = PQ.train_opq(emb, cb, m=4, ks=8, opq_iters=3)
+    assert R1 == R2 and books1 == books2
+    R = np.array(R1)
+    assert np.allclose(R.T @ R, np.eye(R.shape[0]), atol=1e-9)
+
+
+def test_opq_does_not_worsen_reconstruction(emb, cb):
+    plain = PQ.train_pq(emb, cb, m=4, ks=8)
+    mse_plain = PQ.opq_reconstruction_mse(emb, cb, plain)
+    R, books = PQ.train_opq(emb, cb, m=4, ks=8, opq_iters=6)
+    mse_opq = PQ.opq_reconstruction_mse(emb, cb, books, rotation=R)
+    # OPQ optimizes exactly this quantity; the k-means refit uses a
+    # fixed iteration budget, so allow a hair of slack rather than
+    # asserting strict monotonicity
+    assert mse_opq <= mse_plain * 1.02, (mse_opq, mse_plain)
+
+
+def test_identity_rotation_matches_plain_pq(emb, cb):
+    books = PQ.train_pq(emb, cb, m=4, ks=8)
+    eye = np.eye(len(cb[0])).tolist()
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    plain = PQ.pq_topk(corpus, queries, cb, books, k=5, n_probe=2, rerank=20)
+    rotated = PQ.pq_topk(
+        corpus, queries, cb, books, k=5, n_probe=2, rerank=20, rotation=eye
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, rotated.collect()))
+
+
+def test_opq_end_to_end_recall_not_degraded(emb, cb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = S.brute_force_topk(corpus, queries, k=5)
+    plain_books = PQ.train_pq(emb, cb, m=4, ks=8)
+    R, opq_books = PQ.train_opq(emb, cb, m=4, ks=8, opq_iters=4)
+    r_plain = S.recall_at_k(
+        PQ.pq_topk(corpus, queries, cb, plain_books, k=5, n_probe=2, rerank=30), exact
+    )
+    r_opq = S.recall_at_k(
+        PQ.pq_topk(
+            corpus, queries, cb, opq_books, k=5, n_probe=2, rerank=30, rotation=R
+        ),
+        exact,
+    )
+    # same probe/rerank budget: the rotation must not cost recall
+    # (it can help; exact equality is common when rerank is generous)
+    assert r_opq >= r_plain - 0.05, (r_opq, r_plain)
