@@ -245,3 +245,19 @@ def test_cli_profile(tmp_path, spark, capsys):
     assert main(["profile", src, "--columns", "k,s"]) == 0
     out = capsys.readouterr().out
     assert "null_count" in out and "n_distinct" in out
+
+
+def test_cli_diff(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "t")
+    ds.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "pk int, v string"),
+        TableRef(path=path),
+    )
+    ds.delete(TableRef(path=path), "pk = 1")
+    assert main(["diff", path, "1"]) == 0
+    out = capsys.readouterr().out
+    assert "net" in out and "-1" in out

@@ -150,6 +150,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="apply: write (id, bpe_tokens) parquet here",
     )
 
+    diff = sub.add_parser(
+        "diff",
+        help="row-level semantic diff of a txlog table between two "
+        "versions (file-granular rewrite noise canceled)",
+    )
+    diff.add_argument("path", help="txlog table directory")
+    diff.add_argument("from_version", type=int)
+    diff.add_argument("to_version", type=int, nargs="?", default=None)
+    diff.add_argument("--limit", type=int, default=100)
+
     prof = sub.add_parser(
         "profile", help="per-column data-quality profile of a parquet table"
     )
@@ -366,6 +376,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         v = view.refresh()
         print(f"aggregate current through base version {v}")
+        return 0
+
+    if args.command == "diff":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        ds.semantic_diff(
+            TableRef(path=args.path), args.from_version, args.to_version
+        ).orderBy("net").show(args.limit, truncate=False)
         return 0
 
     if args.command in ("history", "show", "changes", "vacuum", "cluster"):
