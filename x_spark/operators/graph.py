@@ -86,9 +86,16 @@ def connected_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 20,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = min node id reachable (deterministic labeling)."""
+    component = min node id reachable (deterministic labeling).
+
+    ``pairs_distinct=True`` promises the input holds distinct pairs
+    with ``left < right`` (true for every candidate-pair generator in
+    this repo — they all end in an explicit distinct) and skips the
+    defensive dedup shuffle on the doubled edge list: the reversed
+    union of strictly-ordered distinct pairs cannot collide."""
     spark = pairs.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     # candidate-pair graphs are tiny relative to the corpus; per-round
@@ -96,10 +103,12 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
-        edges, edges_id = _tracked_ckpt(
-            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
+        doubled = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
+        if not pairs_distinct:
+            doubled = doubled.distinct()
+        edges, edges_id = _tracked_ckpt(doubled)
         labels = edges.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("component")
         )

@@ -763,7 +763,7 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x_spark.operators.graph import connected_components
 
     pairs = D.ngram_jaccard_pairs(_docs_aug_near(spark, sf_dir), threshold=0.5)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, pairs_distinct=True)
     return labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
 
 
@@ -776,7 +776,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_aug_near(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, pairs_distinct=True)
     survivors = select_survivors(
         docs.withColumn("n_chars_calc", F.length("text")),
         labels,
@@ -890,7 +890,7 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = emb.select("vec_id", "embedding", "label").unionByName(copies)
     pairs = S.embedding_near_dup_pairs(aug, threshold=0.999)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, pairs_distinct=True)
     survivors = select_survivors(aug, labels, id_col="vec_id")
     return survivors.select(
         "component",
