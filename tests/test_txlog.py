@@ -467,9 +467,10 @@ def test_zorder_prunes_on_every_clustered_column(spark, ds, tmp_path):
     assert _overlap_count(zed, "y", 7) <= 8
     # logically a no-op
     assert _rows(ds.read(ref)) == sorted(grid)
-    # unknown strategy is a typed error
+    # unknown strategy is a typed error ("hilbert" graduated to a real
+    # strategy — see tests/test_hilbert.py)
     with pytest.raises(DataSourceException):
-        ds.cluster(TableRef(path=ref.path), ["x"], strategy="hilbert")
+        ds.cluster(TableRef(path=ref.path), ["x"], strategy="peano")
 
 
 def test_concurrent_appenders_no_lost_updates(spark, ds, tmp_path):

@@ -87,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     clus.add_argument("--by", required=True, help="comma-separated cluster columns")
     clus.add_argument("--target-files", type=int, default=None)
     clus.add_argument(
-        "--strategy", choices=("range", "zorder"), default="range",
+        "--strategy", choices=("range", "zorder", "hilbert"), default="range",
         help="range = lexicographic sort (leading column prunes); "
         "zorder = bit-interleaved Morton order (every column prunes)",
     )

@@ -58,13 +58,17 @@ def _as_orderable_double(col: Column, dtype: str) -> Column:
     raise ValueError(f"zorder: unsupported column type {dtype!r}")
 
 
-def zorder_value(df: DataFrame, cols: list[str]) -> Column:
-    """Build the interleaved z-value Column for ``df[cols]``.
+def _bucket_columns(df: DataFrame, cols: list[str]) -> tuple[list[Column], int]:
+    """Shared normalization for space-filling-curve layouts: each
+    column min/max-scaled into ``bits``-bit buckets (one tiny stats
+    job — 2×len(cols) scalars to the driver, metadata-bounded).
 
-    One tiny job computes per-column min/max (2×len(cols) scalars to
-    the driver — metadata-bounded, scale-safe); the returned Column is
-    pure built-in expressions evaluated at write time.
-    """
+    The curve value must stay inside the non-negative bigint range:
+    the highest bit written is bits*n - 1, which must be <= 62 (bit 63
+    is the sign; shifts >= 64 wrap mod 64 in the JVM and would
+    scramble the interleave entirely). With the default 16 bits that
+    caps out at 3 columns; wider clusterings trade per-column
+    resolution for dimensionality."""
     dtypes = dict(df.dtypes)
     ordered = {c: _as_orderable_double(F.col(c), dtypes[c]) for c in cols}
     stats = df.agg(
@@ -72,12 +76,6 @@ def zorder_value(df: DataFrame, cols: list[str]) -> Column:
         *[F.max(e).alias(f"mx_{c}") for c, e in ordered.items()],
     ).head()
 
-    # The interleaved value must stay inside the non-negative bigint
-    # range: the highest bit written is (bits-1)*n + (n-1) = bits*n - 1,
-    # which must be <= 62 (bit 63 is the sign; shifts >= 64 wrap mod 64
-    # in the JVM and would scramble the interleave entirely). With the
-    # default 16 bits that caps out at 3 columns; wider clusterings
-    # trade per-column resolution for dimensionality.
     n = len(cols)
     bits = min(_BITS, 63 // n)
     vmax = (1 << bits) - 1
@@ -91,7 +89,18 @@ def zorder_value(df: DataFrame, cols: list[str]) -> Column:
         scaled = (e - F.lit(float(mn))) / F.lit(float(mx) - float(mn)) * F.lit(vmax)
         b = F.least(F.greatest(F.round(scaled, 0), F.lit(0.0)), F.lit(float(vmax)))
         buckets.append(F.coalesce(b.cast("bigint"), F.lit(0).cast("bigint")))
+    return buckets, bits
 
+
+def zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """Build the interleaved z-value Column for ``df[cols]``.
+
+    One tiny job computes per-column min/max (2×len(cols) scalars to
+    the driver — metadata-bounded, scale-safe); the returned Column is
+    pure built-in expressions evaluated at write time.
+    """
+    buckets, bits = _bucket_columns(df, cols)
+    n = len(cols)
     z = F.lit(0).cast("bigint")
     for bit in range(bits):
         for i, b in enumerate(buckets):
@@ -99,3 +108,73 @@ def zorder_value(df: DataFrame, cols: list[str]) -> Column:
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i
             ).cast("bigint")
     return z
+
+
+def hilbert_axes_to_index(xmat, bits: int):
+    """Vectorized Skilling transform (J. Skilling, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004): map an (n, d) int
+    matrix of ``bits``-bit coordinates to the (n,) Hilbert index.
+    Pure numpy — shared by the Spark UDF and the tests' reference."""
+    import numpy as np
+
+    X = [xmat[:, i].astype("int64").copy() for i in range(xmat.shape[1])]
+    d = len(X)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            cond = (X[i] & Q) != 0
+            t = (X[0] ^ X[i]) & P  # for i == 0 this is 0 (no-op branch)
+            x0_true, x0_false = X[0] ^ P, X[0] ^ t
+            xi_false = X[i] ^ t
+            new_x0 = np.where(cond, x0_true, x0_false)
+            if i > 0:
+                X[i] = np.where(cond, X[i], xi_false)
+            X[0] = new_x0
+        Q >>= 1
+    for i in range(1, d):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = np.where((X[d - 1] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(d):
+        X[i] ^= t
+    h = np.zeros_like(X[0])
+    for j in range(bits - 1, -1, -1):
+        for i in range(d):
+            h = (h << 1) | ((X[i] >> j) & 1)
+    return h
+
+
+def hilbert_value(df: DataFrame, cols: list[str]) -> Column:
+    """Hilbert-curve index Column over ``df[cols]`` — the step up from
+    Z-order when locality binds: every unit step along the Hilbert
+    curve moves exactly one bucket in one dimension (no Morton
+    "seams" where the curve jumps across the space), so file ranges
+    along the sort are tighter on average for the same bit budget
+    (Databricks liquid clustering uses the same curve for the same
+    reason).
+
+    Implementation note: the Skilling transform is ~bits×d dependent
+    conditional bit-steps; unrolling it into Column expressions (the
+    Morton approach) multiplies the X0 subtree per step — the
+    expression tree grows exponentially and breaks codegen. A layout
+    rewrite is a one-time maintenance pass, so this takes the
+    documented Python-unavoidable path instead: Arrow-batched numpy
+    over the SAME bucketed coordinates the Z-order expression uses
+    (bucketing itself stays JVM-side).
+    """
+    buckets, bits = _bucket_columns(df, cols)
+
+    def _hidx(arr):
+        import numpy as np
+        import pandas as pd
+
+        xmat = np.stack(arr.to_numpy())
+        return pd.Series(hilbert_axes_to_index(xmat, bits))
+
+    hidx = F.pandas_udf(_hidx, "long")
+    return hidx(F.array(*buckets))

@@ -864,7 +864,9 @@ class TxLogDataSource(BaseDataSource):
         interleaves the bits of all ``cluster_by`` columns (Morton
         order, ``x_spark.operators.zorder``) so every clustered column
         gets narrow per-file ranges — predicates on the second/third
-        column prune too."""
+        column prune too. ``strategy="hilbert"`` sorts by the Hilbert
+        index over the same buckets — no Morton seam jumps, tighter
+        average file ranges at the same bit budget."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
@@ -872,10 +874,11 @@ class TxLogDataSource(BaseDataSource):
         df = self._read_snapshot(table, snap)
         if target_files is None:
             target_files = max(1, len(snap.files))
-        if strategy == "zorder":
-            from x_spark.operators.zorder import zorder_value
+        if strategy in ("zorder", "hilbert"):
+            from x_spark.operators.zorder import hilbert_value, zorder_value
 
-            zv = zorder_value(df, cluster_by)
+            curve = zorder_value if strategy == "zorder" else hilbert_value
+            zv = curve(df, cluster_by)
             clustered = (
                 df.withColumn("__zv", zv)
                 .repartitionByRange(target_files, F.col("__zv"))
@@ -889,7 +892,8 @@ class TxLogDataSource(BaseDataSource):
             ).sortWithinPartitions(*cols)
         else:
             raise DataSourceException(
-                f"cluster strategy {strategy!r} not in ('range', 'zorder')"
+                f"cluster strategy {strategy!r} not in "
+                f"('range', 'zorder', 'hilbert')"
             )
         adds = self._write_files(
             clustered.select(*[f.name for f in snap.schema.fields]), table,
