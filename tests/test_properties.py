@@ -334,3 +334,25 @@ def test_set_similarity_matches_brute_force(spark, case):
         for r in set_similarity_pairs(df, threshold=(num, den)).collect()
     }
     assert got == want
+
+
+# -- BPE trainer ------------------------------------------------------------
+# Property: the distributed trainer reproduces the reference loop
+# EXACTLY on arbitrary corpora — merge sequence, tie-breaks, stop
+# condition. Tiny alphabet + short words maximize pair-count ties.
+_bpe_word = st.text(alphabet="abc", min_size=1, max_size=4)
+_bpe_doc = st.lists(_bpe_word, min_size=1, max_size=5).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_bpe_doc, min_size=1, max_size=4), st.integers(1, 4))
+def test_bpe_trainer_matches_reference(spark, docs, n_merges):
+    from tests.test_bpe import _ref_train
+    from x_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = train_bpe(df, n_merges=n_merges, min_pair_freq=2)
+    assert got == _ref_train(docs, n_merges, min_pair_freq=2)
