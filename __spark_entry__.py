@@ -2,7 +2,9 @@
 
 ``entry(spark)`` — flagship query (pricing summary aggregation battery)
 on sf0.001.
-``queries()`` — 94 queries covering every implemented operator from
+``queries()`` — the full registry (one entry per implemented query;
+count = ``len(x_spark.plans.registry.QUERIES)`` — never hardcoded
+here) covering every implemented operator from
 SURVEY.md §2 plus the LLM-data-pipeline extensions (dedup families,
 ANN, text analysis, BM25 search, PII audit, corpus mixing/sampling,
 multimodal, streaming incl. stream-stream join and stateful ops,

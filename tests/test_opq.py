@@ -44,6 +44,17 @@ def test_opq_does_not_worsen_reconstruction(emb, cb):
     assert mse_opq <= mse_plain * 1.02, (mse_opq, mse_plain)
 
 
+def test_opq_objective_is_monotone(emb, cb):
+    """With the warm-started k-means step both alternating updates are
+    true coordinate descent, so the training objective must be
+    non-increasing across outer iterations (float jitter aside)."""
+    errs: list[float] = []
+    PQ.train_opq(emb, cb, m=4, ks=8, opq_iters=6, errors_out=errs)
+    assert len(errs) == 7
+    for prev, cur in zip(errs, errs[1:]):
+        assert cur <= prev * (1 + 1e-9), errs
+
+
 def test_identity_rotation_matches_plain_pq(emb, cb):
     books = PQ.train_pq(emb, cb, m=4, ks=8)
     eye = np.eye(len(cb[0])).tolist()

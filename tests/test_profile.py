@@ -1,5 +1,5 @@
 """profile_table: metric correctness on a hand-computable frame, NULL
-semantics, and the approx-distinct escape hatch."""
+semantics, and the approx-by-default / exact-opt-in distinct modes."""
 
 import pytest
 
@@ -17,7 +17,7 @@ def test_metrics_on_known_frame(spark):
         [(1, 10.0, "aa"), (2, None, "bbbb"), (2, 30.0, None), (4, 20.0, "cc")],
         "k bigint, v double, s string",
     )
-    p = _prof(spark, df)
+    p = _prof(spark, df, exact_distinct=True)
     assert p[("k", "null_count")] == 0.0
     assert p[("k", "n_distinct")] == 3.0
     assert p[("k", "min")] == 1.0 and p[("k", "max")] == 4.0
@@ -41,10 +41,25 @@ def test_column_subset_and_unknown_column(spark):
         profile_table(df, columns=["nope"])
 
 
-def test_approx_distinct_flag(spark):
+def test_approx_distinct_is_the_default(spark):
+    """The scale-safe approx plan is what callers get without asking;
+    exact is the opt-in. Both must report an n_distinct per column."""
     df = spark.createDataFrame([(i % 7,) for i in range(100)], "k bigint")
-    exact = _prof(spark, df)[("k", "n_distinct")]
-    approx = _prof(spark, df, exact_distinct=False)[("k", "n_distinct")]
+    exact = _prof(spark, df, exact_distinct=True)[("k", "n_distinct")]
+    default = _prof(spark, df)[("k", "n_distinct")]
     assert exact == 7.0
     # HLL is an estimate but must be in the neighborhood
-    assert 5.0 <= approx <= 9.0
+    assert 5.0 <= default <= 9.0
+
+
+def test_default_profile_is_single_pass(spark):
+    """In approx mode the whole profile folds into ONE aggregation
+    (n_distinct rides the shared agg — no per-column distinct jobs,
+    and no Expand since no exact countDistinct is present)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, s string"
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # a union of per-column distinct plans would show several scans
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1

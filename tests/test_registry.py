@@ -18,8 +18,9 @@ FAMILY_REPRESENTATIVES = [
     "pricing_summary",          # groupBy+agg battery (A1-A4)
     "top_customers",            # topk / ORDER-LIMIT
     "quantity_cube",            # cube/rollup grouping sets
-    "quantity_percentiles",     # percentile aggs
     "table_profile",            # per-column data-quality profile
+                                # (also the exact-percentile rep since the
+                                # round-4 rotation demoted quantity_percentiles)
     "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
     "recon_lineitem",           # recon pipeline + tolerance compare
     "scalar_function_battery",  # scalar function library
@@ -35,7 +36,10 @@ FAMILY_REPRESENTATIVES = [
     "embedding_near_dups",
     "ann_topk_bucketed",
     "repetition_profile",       # Gopher-style repetition quality signals
-    "benchmark_contamination",  # eval-set n-gram decontamination
+    "contamination_bloom",      # eval-set n-gram decontamination (r4 swap:
+                                # Bloom-prefilter plan in, exact-join twin
+                                # benchmark_contamination to the tail —
+                                # identical oracle, stronger plan coverage)
     "document_chunks",          # overlapping token-window chunking
     "language_profile",
     "bm25_search",              # keyword search (inverted-index BM25)
@@ -43,7 +47,9 @@ FAMILY_REPRESENTATIVES = [
     "corpus_splits",            # deterministic sampling
     "multimodal_features",
     "curation_pipeline",
-    "duckdb_dim_roundtrip",      # external-DB connector round trip
+    "jdbc_dim_roundtrip",       # external-DB connector round trip (r4 swap:
+                                # the never-driver-checked JDBC/Derby path in,
+                                # thrice-green duckdb_dim_roundtrip out)
     "stream_tumbling_profile",
     "stream_session_profile",
     "stream_stateful_user_stats",
@@ -72,6 +78,8 @@ FAMILY_REPRESENTATIVES = [
     "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
     "semantic_dedup_survivors",  # SemDeDup: embedding eps-join + components
     "set_similarity_dups",      # exact prefix-filtered set-similarity join
+    # round-4 promotions (verdict r3 tasks #1 and #6)
+    "recon_3way",               # pairwise N>2 reconciliation extension
 ]
 
 

@@ -168,8 +168,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--columns", default=None, help="comma-separated subset (default: all)"
     )
     prof.add_argument(
-        "--approx", action="store_true",
-        help="approx_count_distinct instead of exact per-column distincts",
+        "--exact", action="store_true",
+        help="exact per-column distincts (default: approx_count_distinct — "
+        "the scale-safe plan; exact is a full per-column distinct agg)",
     )
 
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
@@ -323,7 +324,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.columns
             else None
         )
-        profile_table(df, cols, exact_distinct=not args.approx).orderBy(
+        profile_table(df, cols, exact_distinct=args.exact).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
         return 0

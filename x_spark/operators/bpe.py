@@ -337,5 +337,8 @@ def bpe_encode_pandas(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
 
-    schema = f"{id_col} bigint, {out_col} array<string>"
+    # preserve the caller's id type (string keys, ints, ...) — a
+    # hardcoded bigint would silently cast or fail on non-bigint ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<string>"
     return df.select(id_col, text_col).mapInPandas(encode_batch, schema=schema)

@@ -93,7 +93,9 @@ def connected_components(
 
     ``pairs_distinct=True`` promises the input holds distinct pairs
     with ``left < right`` (true for every candidate-pair generator in
-    this repo — they all end in an explicit distinct) and skips the
+    this repo — each either ends in an explicit distinct or is
+    distinct by construction, e.g. embedding_near_dup_pairs' unique
+    home-cell join with zero-norm vectors guarded out) and skips the
     defensive dedup shuffle on the doubled edge list: the reversed
     union of strictly-ordered distinct pairs cannot collide."""
     spark = pairs.sparkSession

@@ -105,6 +105,7 @@ def train_opq(
     sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    errors_out: list[float] | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """OPQ (Ge et al., CVPR'13, non-parametric variant): learn an
     ORTHOGONAL rotation R so that the rotated residuals split into
@@ -113,17 +114,25 @@ def train_opq(
     different subvectors waste code budget.
 
     Alternating minimization of ||X R - Y(R)||^2 on the training
-    sample: (1) fix R, k-means each rotated subspace (the PQ training
-    step) and reconstruct Y; (2) fix the codes, update R by the
-    orthogonal Procrustes solution R = U V^T from SVD(X^T Y). Both
-    steps are exact coordinate descent on the shared objective, so the
-    reconstruction error is monotonically non-increasing (pinned by
-    test). Everything runs driver-side on the md5-ordered sample —
-    the artifact is (R: d x d, books: m x ks x d/m), metadata scale.
+    sample: (1) fix R, run Lloyd iterations per rotated subspace
+    WARM-STARTED from the previous round's codebooks (the first round
+    uses the deterministic md5 init) and reconstruct Y; (2) fix the
+    codes, update R by the orthogonal Procrustes solution R = U V^T
+    from SVD(X^T Y). With the warm start both steps are true
+    coordinate descent on the shared objective — Procrustes can only
+    lower the error at fixed Y, and Lloyd from the incumbent books can
+    only lower it at fixed R — so the training error is monotonically
+    NON-INCREASING across outer iterations (pinned by
+    test_opq_objective_is_monotone). Everything runs driver-side on
+    the md5-ordered sample — the artifact is
+    (R: d x d, books: m x ks x d/m), metadata scale.
 
     Returns ``(rotation, pq_codebooks)`` for :func:`encode_pq` /
     :func:`pq_topk` (pass as ``rotation=``). Determinism matches
     :func:`train_pq` (same sample order, same init rule).
+    ``errors_out``, if given, receives the training objective after
+    the initial fit and after each outer iteration (for monitoring /
+    the monotonicity test).
     """
     np = _np()
     rows = (
@@ -143,15 +152,21 @@ def train_opq(
     sub = d // m
     R = np.eye(d)
 
-    def fit_books(Xr):
+    def fit_books(Xr, init=None):
         books, recon = [], np.empty_like(Xr)
         for j in range(m):
             x = Xr[:, j * sub : (j + 1) * sub]
-            order = sorted(
-                range(len(x)),
-                key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
-            )[:ks]
-            c = x[order].copy()
+            if init is None:
+                order = sorted(
+                    range(len(x)),
+                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+                )[:ks]
+                c = x[order].copy()
+            else:
+                # warm start from the incumbent codebooks: Lloyd from
+                # the current solution is monotone in the shared OPQ
+                # objective; a fresh md5 restart is not
+                c = init[j].copy()
             for _ in range(n_iters):
                 d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
                 a = np.argmin(d2, axis=1)
@@ -166,11 +181,15 @@ def train_opq(
         return books, recon
 
     books, recon = fit_books(X @ R)
+    if errors_out is not None:
+        errors_out.append(float(((X @ R - recon) ** 2).sum()))
     for _ in range(opq_iters):
         # Procrustes: min_R ||X R - Y||_F with R orthogonal
         u, _, vt = np.linalg.svd(X.T @ recon)
         R = u @ vt
-        books, recon = fit_books(X @ R)
+        books, recon = fit_books(X @ R, init=books)
+        if errors_out is not None:
+            errors_out.append(float(((X @ R - recon) ** 2).sum()))
     return (
         np.round(R, 12).tolist(),
         [np.round(np.array(b), 9).tolist() for b in books],

@@ -7,21 +7,22 @@ time than to debug downstream).
 Output: one row per (column, metric), value as double.
 
 Metrics:
-- every column:     null_count, n_distinct (EXACT)
+- every column:     null_count, n_distinct (approx by default)
 - numeric columns:  min, max, p25/p50/p75 (exact continuous
                     interpolation — matches DuckDB quantile_cont)
 - string columns:   avg_len, max_len (NULL-excluded)
 
 Scale design: the null/min/max/len/percentile metrics for ALL columns
 come from ONE aggregation pass over the table (no per-column jobs).
-Exact per-column distinct counts are each their own two-stage
-aggregate — deliberately NOT folded into the shared agg because
-multiple countDistinct in one agg plans an Expand that duplicates
-every input row per distinct aggregate (N columns -> N x scan rows
-shuffled; the separate plans shuffle only the distinct values, with
-partial aggregation map-side). At 100 TB swap them for
-approx_count_distinct with one flag if exactness isn't required
-(``exact_distinct=False``).
+Distinct counts default to ``approx_count_distinct`` (HLL, ~2%
+relative error) — the scale-safe plan a 100 TB profile should get
+without asking: each exact distinct is a full two-stage distinct
+aggregate per column. ``exact_distinct=True`` opts in to exact
+counts; those are each their own plan — deliberately NOT folded into
+the shared agg because multiple countDistinct in one agg plans an
+Expand that duplicates every input row per distinct aggregate
+(N columns -> N x scan rows shuffled; the separate plans shuffle only
+the distinct values, with partial aggregation map-side).
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ QUANTILES = (0.25, 0.5, 0.75)
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Long-format profile: ``(col_name, metric, value)`` sorted output
     left to the caller. ``value`` is double (lexicographic min/max of
@@ -58,6 +59,11 @@ def profile_table(
     for c in cols:
         dt = fields[c]
         add(c, "null_count", F.count(F.when(F.col(c).isNull(), 1)))
+        if not exact_distinct:
+            # approx_count_distinct is an ordinary partial-aggregable
+            # agg, so it folds into the one shared pass (the Expand
+            # hazard only exists for exact countDistinct)
+            add(c, "n_distinct", F.approx_count_distinct(c))
         if isinstance(dt, NumericType):
             add(c, "min", F.min(c))
             add(c, "max", F.max(c))
@@ -82,13 +88,13 @@ def profile_table(
         )
     )
 
+    if not exact_distinct:
+        return long
     distincts = [
         df.select(
             F.lit(c).alias("col_name"),
             F.lit("n_distinct").alias("metric"),
-            (
-                F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
-            ).cast("double").alias("value"),
+            F.countDistinct(c).cast("double").alias("value"),
         )
         for c in cols
     ]

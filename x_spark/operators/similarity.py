@@ -491,11 +491,17 @@ def embedding_near_dup_pairs(
     # cell_i = floor(round(v_i/||v||, 6) / cell): rounding to 6dp first
     # makes the floor deterministic across engines (same rationale as
     # the cos_sim rounding).
+    # zero-norm vectors have no direction (cosine undefined) AND would
+    # produce NULL grid coordinates — concat_ws silently drops NULLs,
+    # collapsing several probe offsets onto one cell string and emitting
+    # duplicate pairs. Guard them out before bucketing; with every cell
+    # coordinate non-NULL the output is distinct by construction (one
+    # home cell per id_b, 3^d distinct probe cells per id_a).
     cells = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         norm(vec_col).alias("nrm"),
-    ).select(
+    ).filter(F.col("nrm") > 0).select(
         "vid",
         "v",
         *[

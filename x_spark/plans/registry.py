@@ -106,11 +106,23 @@ _TAIL = [
     "small_quantity_revenue",
     "dominant_suppliers",
     "wealthy_idle_customers",
-    "jdbc_dim_roundtrip",      # external-DB family: duckdb_dim_roundtrip holds
-                               # the head slot; locally hash-checked end-to-end
-    "contamination_bloom",     # result-identical to benchmark_contamination
-                               # (head slot) — the Bloom prefilter changes the
-                               # plan, not the answer; locally hash-checked
+    # Round-4 rotation (verdict r3 task #1): jdbc_dim_roundtrip and
+    # contamination_bloom — the only genuinely distinct plan families
+    # never driver-checked in r01-r03 — promoted into the head; their
+    # multiply-green family twins demoted below.
+    "duckdb_dim_roundtrip",    # external-DB roundtrip: green r01+r02+r03;
+                               # slot goes to jdbc_dim_roundtrip (same family,
+                               # never driver-checked — partitioned range
+                               # reads + PushedFilters through Derby)
+    "benchmark_contamination", # green r01+r02+r03; slot goes to
+                               # contamination_bloom, which hash-checks the
+                               # IDENTICAL oracle through the Bloom-prefilter
+                               # plan (exact join kills false positives)
+    "quantity_percentiles",    # percentile aggregates: green multiple rounds;
+                               # exact-percentile family stays driver-checked
+                               # via table_profile (p25/p50/p75); slot goes to
+                               # recon_3way (pairwise N>2 recon — never
+                               # driver-checked extension path, verdict #6)
     "ngram_jaccard_dups",      # candidate-verify: green r01+r02; slot rotated
                                # to edit_distance_dups (same LSH-candidate
                                # verification family, different distance)

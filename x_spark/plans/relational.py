@@ -702,8 +702,12 @@ _PROFILE_STR_COLS = ["o_orderstatus"]
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x_spark.operators.profile import profile_table
 
+    # exact mode pinned: the DuckDB oracle computes exact distincts
+    # (the operator's DEFAULT is the scale-safe approx path)
     prof = profile_table(
-        _t(spark, sf_dir, "orders"), _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+        _t(spark, sf_dir, "orders"),
+        _PROFILE_NUM_COLS + _PROFILE_STR_COLS,
+        exact_distinct=True,
     )
     return prof.select("col_name", "metric", F.round("value", 6).alias("value"))
 
@@ -823,6 +827,111 @@ FROM base b FULL OUTER JOIN derived d ON b.l_returnflag = d.l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# N>2 reconciliation (pairwise mode): three sources over lineitem, every
+# non-baseline source compared against the first — drives the pairwise
+# extension at operators/recon.py:122 (the reference gates compare to
+# exactly 2 sources, recon/recon.py:149).
+def q_recon_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    metrics = [
+        {"sum_qty": "cast(sum(cast(l_quantity as decimal(30,6))) as double)"},
+        {"n": "count(*)"},
+    ]
+    config = {
+        "version": 0,
+        "group_by": ["l_returnflag"],
+        "compare": "pairwise",
+        "data": [
+            {
+                "name": "base",
+                "datasource": "parquet",
+                "query": "SELECT * FROM lineitem",
+                "metrics": metrics,
+            },
+            {
+                "name": "fstat",
+                "datasource": "parquet",
+                "query": "SELECT * FROM lineitem WHERE l_linestatus = 'F'",
+                "metrics": metrics,
+            },
+            {
+                "name": "bigqty",
+                "datasource": "parquet",
+                "query": "SELECT * FROM lineitem WHERE l_quantity >= 25",
+                "metrics": metrics,
+            },
+        ],
+    }
+    out = ReconJob(config, spark).run()
+    return out.select(
+        "l_returnflag",
+        "base_sum_qty",
+        "base_n",
+        "fstat_sum_qty",
+        "fstat_n",
+        "bigqty_sum_qty",
+        "bigqty_n",
+        F.col("delta_fstat_n").cast("bigint").alias("delta_fstat_n"),
+        "delta_fstat_sum_qty",
+        "match_fstat_n",
+        "match_fstat_sum_qty",
+        F.col("delta_bigqty_n").cast("bigint").alias("delta_bigqty_n"),
+        "delta_bigqty_sum_qty",
+        "match_bigqty_n",
+        "match_bigqty_sum_qty",
+    )
+
+
+def _recon_3way_match_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {a} IS NULL AND {b} IS NULL THEN true "
+        f"WHEN {a} IS NULL OR {b} IS NULL THEN false "
+        f"WHEN greatest(abs({a}), abs({b})) = 0 THEN true "
+        f"ELSE abs({a} - {b}) <= 0.001 * greatest(abs({a}), abs({b})) END"
+    )
+
+
+ORACLE_RECON_3WAY = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         cast(sum(cast(l_quantity as decimal(30,6))) as double) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag
+), fstat AS (
+  SELECT l_returnflag,
+         cast(sum(cast(l_quantity as decimal(30,6))) as double) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
+), bigqty AS (
+  SELECT l_returnflag,
+         cast(sum(cast(l_quantity as decimal(30,6))) as double) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+)
+SELECT COALESCE(b.l_returnflag, f.l_returnflag, g.l_returnflag) AS l_returnflag,
+       b.sum_qty AS base_sum_qty, b.n AS base_n,
+       f.sum_qty AS fstat_sum_qty, f.n AS fstat_n,
+       g.sum_qty AS bigqty_sum_qty, g.n AS bigqty_n,
+       CAST(abs(b.n - f.n) AS BIGINT) AS delta_fstat_n,
+       abs(b.sum_qty - f.sum_qty) AS delta_fstat_sum_qty,
+       CASE WHEN b.n IS NULL AND f.n IS NULL THEN true
+            WHEN b.n IS NULL OR f.n IS NULL THEN false
+            ELSE b.n = f.n END AS match_fstat_n,
+       {_recon_3way_match_sql('b.sum_qty', 'f.sum_qty')} AS match_fstat_sum_qty,
+       CAST(abs(b.n - g.n) AS BIGINT) AS delta_bigqty_n,
+       abs(b.sum_qty - g.sum_qty) AS delta_bigqty_sum_qty,
+       CASE WHEN b.n IS NULL AND g.n IS NULL THEN true
+            WHEN b.n IS NULL OR g.n IS NULL THEN false
+            ELSE b.n = g.n END AS match_bigqty_n,
+       {_recon_3way_match_sql('b.sum_qty', 'g.sum_qty')} AS match_bigqty_sum_qty
+FROM base b
+FULL OUTER JOIN fstat f ON b.l_returnflag = f.l_returnflag
+FULL OUTER JOIN bigqty g
+  ON COALESCE(b.l_returnflag, f.l_returnflag) = g.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # O1 global top-k on raw columns (no fp arithmetic at all).
 def q_priciest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
@@ -898,6 +1007,7 @@ RELATIONAL_QUERIES = {
     "txlog_version_diff": q_txlog_version_diff,
     "table_profile": q_table_profile,
     "recon_lineitem": q_recon_lineitem,
+    "recon_3way": q_recon_3way,
     "priciest_parts": q_priciest_parts,
     "above_avg_balance": q_above_avg_balance,
 }
@@ -921,6 +1031,7 @@ RELATIONAL_ORACLES = {
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "table_profile": _table_profile_oracle(),
     "recon_lineitem": ORACLE_RECON_LINEITEM,
+    "recon_3way": ORACLE_RECON_3WAY,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
     "above_avg_balance": ORACLE_ABOVE_AVG_BALANCE,
 }
