@@ -44,6 +44,37 @@ def test_codebook_default_scales_sqrt_n(emb):
     assert len(train_codebook(emb, n_iters=1, max_centroids=5)) == 5
 
 
+def test_arrow_codebook_is_deterministic_and_past_the_codegen_cap(emb):
+    """train_codebook_arrow (sampled numpy k-means) must be stable
+    across partitionings and support centroid counts far beyond the
+    inline-expression cap of the JVM trainer."""
+    from x_spark.operators.similarity import train_codebook_arrow
+
+    a = train_codebook_arrow(emb, n_centroids=160, n_iters=3)
+    b = train_codebook_arrow(emb.repartition(7), n_centroids=160, n_iters=3)
+    assert a == b
+    assert len(a) == 160 and len(a[0]) == len(a[1])
+    with pytest.raises(ValueError, match="cannot seed"):
+        train_codebook_arrow(emb.limit(8), n_centroids=16)
+
+
+def test_pq_full_probe_full_rerank_is_exact(spark, emb):
+    """With every cluster probed and the re-rank pool covering every
+    candidate, IVF-PQ must reproduce brute force exactly — pins that
+    the probed-cluster pushdown filter never drops a reachable row."""
+    from x_spark.operators import pq as PQ
+    from x_spark.operators.similarity import train_codebook_arrow
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    n = corpus.count()
+    cb = train_codebook_arrow(corpus, n_centroids=16, n_iters=3)
+    books = PQ.train_pq(corpus, cb, m=4, ks=8)
+    exact = brute_force_topk(corpus, queries, k=10)
+    full = PQ.pq_topk(corpus, queries, cb, books, k=10, n_probe=16, rerank=n)
+    assert recall_at_k(full, exact, 10) == 1.0
+
+
 def test_ivf_probing_all_clusters_is_exact(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)

@@ -319,6 +319,13 @@ def pq_topk(
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     # probe lists per query (driver-side: |Q| x n_probe ints)
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    # push the probed-cluster union down onto the codes scan: with the
+    # codes table partitioned by cluster at rest this is partition
+    # pruning (only probed clusters' files are read); results are
+    # identical by construction — the ADC stage ignores unprobed
+    # clusters anyway
+    probed_union = sorted({int(c) for row in probe for c in row})
+    codes = codes.filter(F.col("cluster").isin(probed_union))
 
     sub = q.shape[1] // m
     # precompute per (query, probed cluster) ADC tables: approximate
