@@ -161,6 +161,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     recall = ann_recall_report(spark, sf_dir) if not only else {}
+    pruning = clustering_pruning_report(spark, sf_dir) if not only else {}
 
     # Full-fidelity payload: file + stderr (unbounded channels).
     detail = {
@@ -172,6 +173,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "ann_recall_at_10": recall,
+        "clustering_pruning": pruning,
         "name_abbrev": {n: short_name(n) for n in names},
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -208,6 +210,42 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
+
+
+def clustering_pruning_report(spark: SparkSession, sf_dir: str) -> dict:
+    """Files a stats-based reader touches per predicate under the
+    three clustering strategies (range / zorder / hilbert) on the same
+    lineitem table — the measured payoff behind `cluster --strategy`
+    (round-3 verdict #7: numbers, not no-worse assertions). Box
+    predicates cover the leading column, the SECOND column (where
+    lexicographic range clustering degrades to a full scan), and a
+    two-column box."""
+    import shutil
+    import tempfile
+
+    from x_spark.operators.zorder import pruning_report
+    from x_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    hi_ok = li.agg({"l_orderkey": "max"}).first()[0]
+    hi_pk = li.agg({"l_partkey": "max"}).first()[0]
+    preds = {
+        "leading_5pct": {"l_orderkey": (0, int(hi_ok * 0.05))},
+        "second_5pct": {"l_partkey": (0, int(hi_pk * 0.05))},
+        "box_20x20pct": {
+            "l_orderkey": (0, int(hi_ok * 0.20)),
+            "l_partkey": (0, int(hi_pk * 0.20)),
+        },
+    }
+    tmp = tempfile.mkdtemp(prefix="xs_prune_")
+    try:
+        return pruning_report(
+            li, ["l_orderkey", "l_partkey"], preds, tmp, n_files=32
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> dict:

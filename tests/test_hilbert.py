@@ -83,3 +83,35 @@ def test_cluster_strategy_hilbert_noop_and_prunes(spark, tmp_path):
     assert len(ds._files_overlapping_keys(src, snap, "pk")) <= 2
     ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
     assert (3, "a", 999) in sorted(map(tuple, ds.read(ref).collect()))
+
+
+def test_pruning_report_measures_strategy_payoff(spark, tmp_path):
+    """pruning_report counts the files a stats-based reader touches per
+    box predicate under each layout. The locality claims become
+    NUMBERS: second-column predicates degrade to a full scan under
+    lexicographic range clustering but prune under both curves.
+    (On the sf0.1 bench table: range reads 32/32 files for a 5%
+    second-column range vs 5-6/32 for zorder/hilbert, and 7 vs 4 vs 2
+    for a 20%x20% two-column box — recorded per-run in
+    BENCH_DETAIL.json's clustering_pruning block.)"""
+    from x_spark.operators.zorder import pruning_report
+
+    rows = [(i, (i * 37) % 1000, i % 7) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a int, b int, c int").repartition(8)
+    preds = {
+        "leading": {"a": (0, 99)},
+        "second": {"b": (0, 99)},
+        "box": {"a": (0, 299), "b": (0, 299)},
+    }
+    rep = pruning_report(df, ["a", "b"], preds, str(tmp_path), n_files=16)
+    assert rep["total_files"] == 16
+    # leading-column predicate: range clustering is optimal
+    assert rep["range"]["leading"] <= 3
+    # second-column predicate: range degenerates to (near) full scan,
+    # both curves prune
+    assert rep["range"]["second"] >= 14
+    assert rep["zorder"]["second"] <= 8
+    assert rep["hilbert"]["second"] <= 8
+    # two-column box: curves beat lexicographic
+    assert rep["zorder"]["box"] <= rep["range"]["box"]
+    assert rep["hilbert"]["box"] <= rep["range"]["box"]

@@ -178,3 +178,90 @@ def hilbert_value(df: DataFrame, cols: list[str]) -> Column:
 
     hidx = F.pandas_udf(_hidx, "long")
     return hidx(F.array(*buckets))
+
+
+def _layout(df: DataFrame, cols: list[str], strategy: str, n_files: int):
+    """The same three layouts txlog's ``cluster`` writes (range /
+    zorder / hilbert), as a repartitioned DataFrame."""
+    if strategy == "range":
+        key = [F.col(c) for c in cols]
+        return df.repartitionByRange(n_files, *key).sortWithinPartitions(*key)
+    curve = zorder_value if strategy == "zorder" else hilbert_value
+    return (
+        df.withColumn("__cv", curve(df, cols))
+        .repartitionByRange(n_files, F.col("__cv"))
+        .sortWithinPartitions("__cv")
+        .drop("__cv")
+    )
+
+
+def pruning_report(
+    df: DataFrame,
+    cols: list[str],
+    predicates: dict[str, dict[str, tuple]],
+    out_dir: str,
+    n_files: int = 32,
+    strategies: tuple[str, ...] = ("range", "zorder", "hilbert"),
+) -> dict:
+    """Measure what each clustering strategy actually buys: write the
+    SAME table under each layout, read back the per-file parquet
+    footer min/max for the clustered columns, and count the files a
+    stats-based reader must touch for each box predicate
+    (``{"name": {col: (lo, hi), ...}}`` — a file qualifies iff its
+    [min,max] overlaps the box on EVERY predicate column; missing
+    stats force a read).
+
+    This is the skipping the txlog MERGE/DELETE planner and any
+    Delta-style reader performs, so "files touched / total" is the
+    honest pruning number (not an assertion that one curve is better).
+    Returns ``{strategy: {pred_name: files_read}, "total_files": n}``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    report: dict = {"total_files": n_files, "predicates": sorted(predicates)}
+    for strategy in strategies:
+        path = os.path.join(out_dir, f"layout_{strategy}")
+        _layout(df, cols, strategy, n_files).write.mode("overwrite").parquet(
+            path
+        )
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        stats = []  # per file: {col: (min, max) | None}
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per: dict = {}
+            for c in cols:
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                per[c] = (lo, hi) if ok else None
+            stats.append(per)
+        counts = {}
+        for pname, box in predicates.items():
+            n_read = 0
+            for per in stats:
+                hit = True
+                for c, (lo, hi) in box.items():
+                    mm = per.get(c)
+                    if mm is None:
+                        continue  # no stats: must read
+                    if mm[0] > hi or mm[1] < lo:
+                        hit = False
+                        break
+                if hit:
+                    n_read += 1
+            counts[pname] = n_read
+        report[strategy] = counts
+    return report
