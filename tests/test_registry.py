@@ -44,13 +44,11 @@ FAMILY_REPRESENTATIVES = [
     "language_profile",
     "bm25_search",              # keyword search (inverted-index BM25)
     "pii_scan",                 # PII detection + redaction audit
-    "corpus_splits",            # deterministic sampling
     "multimodal_features",
     "curation_pipeline",
     "jdbc_dim_roundtrip",       # external-DB connector round trip (r4 swap:
                                 # the never-driver-checked JDBC/Derby path in,
                                 # thrice-green duckdb_dim_roundtrip out)
-    "stream_tumbling_profile",
     "stream_session_profile",
     "stream_stateful_user_stats",
     "stream_dedup_events",      # dropDuplicatesWithinWatermark
@@ -78,8 +76,14 @@ FAMILY_REPRESENTATIVES = [
     "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
     "semantic_dedup_survivors",  # SemDeDup: embedding eps-join + components
     "set_similarity_dups",      # exact prefix-filtered set-similarity join
-    # round-4 promotions (verdict r3 tasks #1 and #6)
+    # round-4 promotions (verdict r3 tasks #1 and #6 + new operators;
+    # demoted with family justification in registry.py: corpus_splits
+    # — sampling family held by corpus_mixture + weighted_sample —
+    # and stream_tumbling_profile — sliding windows generalize
+    # tumbling)
     "recon_3way",               # pairwise N>2 reconciliation extension
+    "dsir_selection",           # DSIR importance-resampling data selection
+    "robust_outliers",          # median/MAD robust outlier screen
 ]
 
 

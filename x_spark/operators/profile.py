@@ -99,3 +99,60 @@ def profile_table(
         for c in cols
     ]
     return reduce(DataFrame.unionByName, distincts, long)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group ROBUST outlier profile via median / MAD (median
+    absolute deviation) — the data-quality screen that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it is
+    supposed to find. A row is an outlier when
+    ``|x - median| > k * MAD`` (k=3 by convention; MAD of 0 flags any
+    deviation).
+
+    Output: one row per group —
+    ``(*group_cols, n, med, mad, n_outliers, outlier_frac)``.
+
+    Scale shape: two grouped percentile aggregates (median, then MAD
+    over per-row deviations) plus one counting aggregate; the
+    per-group stat tables are aggregate-sized so both joins back onto
+    the fact rows broadcast — the corpus is never shuffled, only
+    scanned. ``percentile`` is Spark's exact continuous-interpolation
+    percentile, which matches DuckDB ``quantile_cont`` (the
+    ``profile_table`` precedent); deviations are rounded to 6dp before
+    the MAD pass so the compare is engine-stable.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.round(F.abs(v - F.col("med")), 6)
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(_dev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    return flagged.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.col("_dev") > F.lit(k) * F.round(F.col("mad"), 6), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_dev") > F.lit(k) * F.round(F.col("mad"), 6), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("outlier_frac"),
+    )

@@ -715,6 +715,106 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS'23): score raw docs
+# by the hashed-bigram log-likelihood ratio of a target-slice model
+# over the raw-corpus model; keep the top-k. The target slice here is
+# the doc_id % 11 == 0 subset (a stand-in for "looks like Wikipedia").
+_DSIR_K = 100
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators import dsir as D
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    return D.dsir_select(raw, target, k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
+
+
+ORACLE_DSIR_SELECTION = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '\S+'),
+                        t -> cast(concat('0x', substr(md5(t),1,8)) as bigint)) AS th
+  FROM documents
+), g AS (
+  -- bigram hash: one polynomial-roll step over token hashes,
+  -- mirroring Spark's aggregate fold (mod after each multiply-add)
+  SELECT doc_id, unnest(CASE WHEN len(th) >= 2
+    THEN list_transform(range(1, len(th)),
+         i -> ((th[i] % 4294967291) * 1000003 + th[i+1]) % 4294967291)
+    ELSE [] END) AS gh
+  FROM toks
+), f AS (
+  SELECT doc_id, gh % {_DSIR_BUCKETS} AS bucket, count(*) AS tf
+  FROM g GROUP BY 1, 2
+), raw_f AS (SELECT * FROM f WHERE doc_id % 11 <> 0),
+   tgt_f AS (SELECT * FROM f WHERE doc_id % 11 = 0),
+   rc AS (SELECT bucket, sum(tf) AS r_cnt FROM raw_f GROUP BY 1),
+   tc AS (SELECT bucket, sum(tf) AS t_cnt FROM tgt_f GROUP BY 1),
+   model AS (
+     SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+            COALESCE(r_cnt, 0) AS r_cnt, COALESCE(t_cnt, 0) AS t_cnt,
+            ln(cast(COALESCE(t_cnt, 0) + 1 AS double))
+              - ln(cast(COALESCE(r_cnt, 0) + 1 AS double)) AS delta
+     FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+   ),
+   tot AS (SELECT sum(r_cnt) AS r_total, sum(t_cnt) AS t_total FROM model),
+   scored AS (
+     SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+            sum(cast(tf * delta AS decimal(30,6))) AS sum_delta
+     FROM raw_f JOIN model USING (bucket) GROUP BY doc_id
+   )
+SELECT doc_id, n_grams,
+       round(cast(sum_delta AS double)
+             + n_grams * (ln(cast(r_total + {_DSIR_BUCKETS} AS double))
+                          - ln(cast(t_total + {_DSIR_BUCKETS} AS double))),
+             6) AS log_weight
+FROM scored, tot
+ORDER BY log_weight DESC, doc_id ASC
+LIMIT {_DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outlier profile (median/MAD) over order totals —
+# the data-quality screen whose thresholds outliers cannot drag.
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import robust_outliers
+    from x_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return robust_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT o_orderstatus,
+         quantile_cont(cast(o_totalprice AS double), 0.5) AS med
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT o.o_orderstatus,
+         round(abs(cast(o.o_totalprice AS double) - med.med), 6) AS dev,
+         med.med
+  FROM orders o JOIN med USING (o_orderstatus)
+), m AS (
+  SELECT o_orderstatus, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(d.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN dev > 3.0 * round(m.mad, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN dev > 3.0 * round(m.mad, 6) THEN 1 ELSE 0 END)
+             / count(*), 6) AS outlier_frac
+FROM d JOIN m USING (o_orderstatus)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus splitting: per-language stratified sampling +
 # content-hash train/val/test assignment, summarized per (lang, split).
 def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,6 +1651,8 @@ PIPELINE_QUERIES = {
     "bpe_token_stats": q_bpe_token_stats,
     "bpe_merge_table": q_bpe_merge_table,  # rows-only: iterative trainer
     "quality_classifier": q_quality_classifier,
+    "dsir_selection": q_dsir_selection,
+    "robust_outliers": q_robust_outliers,
     "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
     "semantic_dedup_survivors": q_semantic_dedup_survivors,
@@ -1592,6 +1694,8 @@ PIPELINE_ORACLES = {
     "set_similarity_dups": ORACLE_SET_SIMILARITY_DUPS,
     "bpe_token_stats": _bpe_oracle(),
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "dsir_selection": ORACLE_DSIR_SELECTION,
+    "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "semantic_dedup_survivors": ORACLE_SEMANTIC_DEDUP_SURVIVORS,

@@ -123,6 +123,16 @@ _TAIL = [
                                # via table_profile (p25/p50/p75); slot goes to
                                # recon_3way (pairwise N>2 recon — never
                                # driver-checked extension path, verdict #6)
+    "corpus_splits",           # stratified split: green r01+r02+r03; sampling
+                               # family held by corpus_mixture + weighted_sample
+                               # (both head); slot goes to dsir_selection
+                               # (importance-resampling data selection — a
+                               # brand-new family)
+    "stream_tumbling_profile", # green r01+r02+r03; sliding windows (head,
+                               # stream_sliding_profile) generalize tumbling
+                               # (slide == window); slot goes to
+                               # robust_outliers (median/MAD data-quality
+                               # screen — a brand-new family)
     "ngram_jaccard_dups",      # candidate-verify: green r01+r02; slot rotated
                                # to edit_distance_dups (same LSH-candidate
                                # verification family, different distance)
