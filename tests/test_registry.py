@@ -16,18 +16,15 @@ from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
 # cumulative coverage only grows.
 FAMILY_REPRESENTATIVES = [
     "pricing_summary",          # groupBy+agg battery (A1-A4)
-    "top_customers",            # topk / ORDER-LIMIT
     "quantity_cube",            # cube/rollup grouping sets
     "table_profile",            # per-column data-quality profile
                                 # (also the exact-percentile rep since the
                                 # round-4 rotation demoted quantity_percentiles)
     "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
-    "recon_lineitem",           # recon pipeline + tolerance compare
     "scalar_function_battery",  # scalar function library
     "bpe_token_stats",          # BPE merge-table application (tokenizer)
     "market_share",             # multi-join share-of-total
     "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
-    "weekly_revenue_wow",       # lag / time-series deltas
     "customer_value_tiles",     # ntile/percent_rank/cume_dist
     "asof_purchase_gap",        # as-of join
     "range_click_context",      # range join
@@ -84,6 +81,13 @@ FAMILY_REPRESENTATIVES = [
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
+    # r4 second swap (demoted with justification in registry.py:
+    # top_customers — TakeOrdered family held by bm25/classifier/dsir;
+    # weekly_revenue_wow — lag family held by event_sessions;
+    # recon_lineitem — ReconJob + tolerance compare held by recon_3way)
+    "event_sessions",           # gap-based sessionization (lag + cumsum)
+    "signup_funnel",            # ordered funnel stage counting
+    "cohort_retention",         # weekly cohort retention matrix
 ]
 
 

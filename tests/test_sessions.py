@@ -1,0 +1,101 @@
+"""Behavioral event analytics: sessionization, funnel, cohort —
+hand-computable frames."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from x_spark.operators.sessions import (
+    cohort_retention,
+    funnel_stages,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), u, t) for i, (s, u, t) in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    # user 1: events at 0s, 100s, 4000s (gap>1800 -> new session), 4100s
+    # user 2: single event
+    ev = _ev(
+        spark,
+        [(0, 1, "view"), (100, 1, "view"), (4000, 1, "view"),
+         (4100, 1, "view"), (50, 2, "view")],
+    )
+    got = {
+        (r.user_id, r.ts_us): r.session_idx
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    u1 = sorted((us, sid) for (u, us), sid in got.items() if u == 1)
+    assert [sid for _, sid in u1] == [1, 1, 2, 2]
+    assert [sid for (u, _), sid in got.items() if u == 2] == [1]
+
+
+def test_session_stats_values(spark):
+    ev = _ev(spark, [(0, 1, "view"), (100, 1, "view"), (4000, 1, "view")])
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_sec)
+        for r in session_stats(ev, gap_sec=1800).collect()
+    }
+    assert got == {(1, 1): (2, 100.0), (1, 2): (1, 0.0)}
+
+
+def test_funnel_requires_stage_order(spark):
+    # user 1: view -> click -> purchase (full funnel)
+    # user 2: click BEFORE view, purchase after -> reaches view, then a
+    #         later click? none after view -> stops at view
+    # user 3: view -> click, no purchase
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view"), (10, 1, "click"), (20, 1, "purchase"),
+            (0, 2, "click"), (10, 2, "view"), (20, 2, "purchase"),
+            (0, 3, "view"), (10, 3, "click"),
+        ],
+    )
+    got = {r.stage: r.n_users for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    # user 2 has no click at/after their first view -> drops at stage 1;
+    # their purchase can't count without reaching click first
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """A stage event at EXACTLY the previous stage's time qualifies
+    (>=, first-touch convention)."""
+    ev = _ev(spark, [(0, 1, "view"), (0, 1, "click")])
+    got = {r.stage: r.n_users for r in funnel_stages(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    week = 7 * 86400
+    # user 1 first in week W, active W and W+2; user 2 first in W+1
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view"), (2 * week + 5, 1, "view"),
+            (week + 5, 2, "view"), (week + 6, 2, "view"),
+        ],
+    )
+    base = 2817  # floor(epoch_us(2024-01-01) / week_us): fixed epoch week
+    got = {
+        (r.cohort_week - base, r.week_offset): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_sessions_deterministic_across_partitionings(spark):
+    rows = [((i * 977) % 5000, i % 7, "view") for i in range(200)]
+    ev = _ev(spark, rows)
+    a = sorted(map(tuple, session_stats(ev, gap_sec=600).collect()))
+    b = sorted(map(tuple, session_stats(ev.repartition(13), gap_sec=600).collect()))
+    assert a == b

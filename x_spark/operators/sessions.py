@@ -1,0 +1,166 @@
+"""Behavioral event analytics, batch side: gap-based sessionization,
+ordered funnel stages, cohort retention — the classic event-stream
+OLAP triple every product-analytics workload runs (the streaming twin
+of sessionization lives in ``plans/streams.py`` as
+``session_window``; this is the replayable-batch shape).
+
+All three are pure DataFrame plans (window functions + grouped
+aggregates + broadcast-sized stage joins — no UDFs, no collects), and
+all epoch math goes through ``portable.umicros`` so TIMESTAMP and
+TIMESTAMP_NTZ inputs behave identically (DuckDB mirror:
+``epoch_us``). Week arithmetic uses integer floor-division on epoch
+days — engine-independent, immune to date_trunc('week') dialect
+differences.
+
+Scale notes: sessionization is ONE shuffle on user_id (the window
+partition), then per-session aggregation reuses the same partitioning
+map-side. Funnel stage tables are per-user aggregates (small); the
+stage joins all hash on user_id, so AQE plans them without
+re-shuffling the aggregated side more than once. Cohort retention is
+two grouped aggregates over (user, week) — distinct-user counting is
+pre-collapsed per (cohort, offset, user) before the count, which is
+the two-stage exact-distinct shape that scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from x_spark.functions.portable import umicros
+
+SESSION_GAP_SEC = 1800  # 30 min, the industry-default session gap
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = SESSION_GAP_SEC,
+) -> DataFrame:
+    """Assign a session index per user: a new session starts when the
+    gap since the user's previous event exceeds ``gap_sec``. Classic
+    lag + running-sum-of-flags; ties on ts are ordered by the full
+    sort key (ts, then event order within the frame is irrelevant —
+    the flag only looks at the gap).
+
+    Returns the input plus ``(session_idx bigint, ts_us bigint)``.
+    """
+    w = W.partitionBy(user_col).orderBy("ts_us")
+    return (
+        df.withColumn("ts_us", umicros(ts_col))
+        .withColumn("_prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts_us") - F.col("_prev") > gap_sec * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("_new").over(w).cast("bigint"))
+        .drop("_prev", "_new")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = SESSION_GAP_SEC,
+) -> DataFrame:
+    """Per-session aggregates: ``(user, session_idx, n_events,
+    session_start_us, session_end_us, duration_sec)``. One shuffle on
+    the user key for the window, then the groupBy reuses it."""
+    s = sessionize(df, user_col, ts_col, gap_sec)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.round(
+            (F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0), 6
+        ).alias("duration_sec"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED funnel: a user reaches stage i when an event of type
+    ``stages[i]`` occurs at-or-after the time they reached stage i-1
+    (first-touch semantics: the earliest qualifying timestamp per
+    stage). Returns one row per stage:
+    ``(stage_idx int, stage string, n_users bigint)``.
+
+    Shape: per-stage per-user min-timestamp aggregates (small), joined
+    stage-over-stage on user — every join key is the user id, so the
+    chain stays co-partitioned; the event table is scanned once per
+    stage with the type filter pushed down. Fully declarative: the
+    per-stage frames are persisted (aggregate-sized) and the result is
+    a lazy union of their counts — no driver-side loop over data.
+    """
+    from functools import reduce
+
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        umicros(ts_col).alias("us"),
+    )
+    reached = None  # (u, stage_ts) of the previous stage
+    parts = []
+    for i, stage in enumerate(stages):
+        stage_ev = ev.filter(F.col("t") == stage)
+        if reached is None:
+            cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
+        else:
+            cur = (
+                stage_ev.join(reached, "u")
+                .filter(F.col("us") >= F.col("prev_us"))
+                .groupBy("u")
+                .agg(F.min("us").alias("stage_us"))
+            )
+        cur = cur.persist()  # feeds both this stage's count and the next join
+        parts.append(
+            cur.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+        reached = cur.select("u", F.col("stage_us").alias("prev_us"))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = absolute epoch-week of the
+    user's FIRST event; a user is retained at offset k if they have
+    any event in cohort_week + k. Returns
+    ``(cohort_week bigint, week_offset bigint, n_users bigint)``.
+
+    Weeks are ``floor(epoch_us / 7 days)`` — integer math, identical
+    in every engine (no date_trunc dialect trap). Exact distinct users
+    via pre-collapse per (cohort, offset, user) then count — the
+    scalable two-stage distinct."""
+    weeks = df.select(
+        F.col(user_col).alias("u"),
+        F.floor(umicros(ts_col) / F.lit(_US_PER_WEEK)).alias("wk"),
+    )
+    first = weeks.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    active = weeks.distinct().join(first, "u")
+    return (
+        active.select(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"), "u"
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

@@ -778,6 +778,106 @@ LIMIT {_DSIR_K}
 
 
 # ---------------------------------------------------------------------------
+# Behavioral event analytics (operators/sessions.py): gap-based
+# sessionization, ordered funnel, weekly cohort retention.
+_SESSION_GAP = 7200  # 2h: the synthetic per-user event cadence makes
+# 30-min sessions mostly singletons; 2h forms real multi-event sessions
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    s = session_stats(ev, gap_sec=_SESSION_GAP)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.round(F.max("duration_sec"), 6).alias("max_duration_sec"),
+    )
+
+
+ORACLE_EVENT_SESSIONS = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+lagd AS (
+  SELECT user_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+  FROM e
+), flags AS (
+  SELECT user_id, us,
+         CASE WHEN prev IS NULL OR us - prev > {_SESSION_GAP} * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS nw
+  FROM lagd
+), sess AS (
+  SELECT user_id, us,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+), agg AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         min(us) AS s, max(us) AS e
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(n_events), 6) AS avg_session_events,
+       round(max((e - s) / 1000000.0), 6) AS max_duration_sec
+FROM agg GROUP BY user_id
+"""
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sessions import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, _FUNNEL_STAGES)
+
+
+ORACLE_SIGNUP_FUNNEL = """
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+           FROM events),
+s0 AS (SELECT u, min(us) AS st FROM e WHERE t = 'view' GROUP BY u),
+s1 AS (SELECT e.u, min(e.us) AS st
+       FROM e JOIN s0 ON e.u = s0.u AND e.us >= s0.st
+       WHERE e.t = 'click' GROUP BY e.u),
+s2 AS (SELECT e.u, min(e.us) AS st
+       FROM e JOIN s1 ON e.u = s1.u AND e.us >= s1.st
+       WHERE e.t = 'purchase' GROUP BY e.u)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'view' AS stage,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH w AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+  FROM events
+), f AS (SELECT u, min(wk) AS cohort_week FROM w GROUP BY u),
+a AS (
+  SELECT DISTINCT w.u, f.cohort_week, w.wk - f.cohort_week AS week_offset
+  FROM w JOIN f USING (u)
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Robust per-group outlier profile (median/MAD) over order totals —
 # the data-quality screen whose thresholds outliers cannot drag.
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,6 +1752,9 @@ PIPELINE_QUERIES = {
     "bpe_merge_table": q_bpe_merge_table,  # rows-only: iterative trainer
     "quality_classifier": q_quality_classifier,
     "dsir_selection": q_dsir_selection,
+    "event_sessions": q_event_sessions,
+    "signup_funnel": q_signup_funnel,
+    "cohort_retention": q_cohort_retention,
     "robust_outliers": q_robust_outliers,
     "unigram_surprise": q_unigram_surprise,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1695,6 +1798,9 @@ PIPELINE_ORACLES = {
     "bpe_token_stats": _bpe_oracle(),
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "dsir_selection": ORACLE_DSIR_SELECTION,
+    "event_sessions": ORACLE_EVENT_SESSIONS,
+    "signup_funnel": ORACLE_SIGNUP_FUNNEL,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,

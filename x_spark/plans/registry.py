@@ -133,6 +133,21 @@ _TAIL = [
                                # (slide == window); slot goes to
                                # robust_outliers (median/MAD data-quality
                                # screen — a brand-new family)
+    "top_customers",           # global top-k: green r01+r02+r03; the
+                               # TakeOrderedAndProject family is held by
+                               # bm25_search, quality_classifier and
+                               # dsir_selection (all head); slot goes to
+                               # event_sessions (gap sessionization — new)
+    "weekly_revenue_wow",      # window lag: green r01+r02+r03; lag + running
+                               # sum now driver-checked via event_sessions
+                               # (head); rolling_revenue keeps RANGE frames,
+                               # customer_value_tiles keeps rank specs; slot
+                               # goes to signup_funnel (ordered funnel — new)
+    "recon_lineitem",          # two-source recon: green r01+r02+r03;
+                               # recon_3way (head) drives the same ReconJob
+                               # pipeline + tolerance compare in pairwise
+                               # mode; slot goes to cohort_retention (weekly
+                               # cohort analysis — new)
     "ngram_jaccard_dups",      # candidate-verify: green r01+r02; slot rotated
                                # to edit_distance_dups (same LSH-candidate
                                # verification family, different distance)
