@@ -101,7 +101,11 @@ def dsir_log_weights(
 
     where t/r are bucket counts, T/R their totals, B = n_buckets.
     """
-    raw_feats = ngram_bucket_tf(raw, id_col, text_col, n, n_buckets)
+    # raw features feed BOTH the raw-model bucket counts and the
+    # per-doc scoring join — persist so the corpus tokenize/hash scan
+    # runs once, not twice (the sketch-table precedent; bench/pipeline
+    # sessions sweep persisted intermediates between queries)
+    raw_feats = ngram_bucket_tf(raw, id_col, text_col, n, n_buckets).persist()
     tgt_feats = ngram_bucket_tf(target, id_col, text_col, n, n_buckets)
     rc = bucket_counts(raw_feats).withColumnRenamed("cnt", "r_cnt")
     tc = bucket_counts(tgt_feats).withColumnRenamed("cnt", "t_cnt")

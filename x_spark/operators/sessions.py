@@ -155,12 +155,14 @@ def cohort_retention(
         F.floor(umicros(ts_col) / F.lit(_US_PER_WEEK)).alias("wk"),
     )
     first = weeks.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    # (u, wk) distinct already implies (cohort_week, offset, u) distinct
+    # — cohort_week is a function of u — so ONE distinct suffices (no
+    # second dedup shuffle before the count)
     active = weeks.distinct().join(first, "u")
     return (
         active.select(
             "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"), "u"
         )
-        .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
