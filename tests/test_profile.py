@@ -50,6 +50,10 @@ def test_approx_distinct_is_the_default(spark):
     assert exact == 7.0
     # HLL is an estimate but must be in the neighborhood
     assert 5.0 <= default <= 9.0
+    # percentiles flip to the bounded-memory sketch in default mode;
+    # on a small frame the sketch is near-exact
+    p50 = _prof(spark, df)[("k", "p50")]
+    assert 2.0 <= p50 <= 4.0
 
 
 def test_default_profile_is_single_pass(spark):

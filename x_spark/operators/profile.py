@@ -8,8 +8,10 @@ Output: one row per (column, metric), value as double.
 
 Metrics:
 - every column:     null_count, n_distinct (approx by default)
-- numeric columns:  min, max, p25/p50/p75 (exact continuous
-                    interpolation — matches DuckDB quantile_cont)
+- numeric columns:  min, max, p25/p50/p75 (approx sketch by default;
+                    ``exact_distinct=True`` switches to exact
+                    continuous interpolation — matches DuckDB
+                    quantile_cont)
 - string columns:   avg_len, max_len (NULL-excluded)
 
 Scale design: the null/min/max/len/percentile metrics for ALL columns
@@ -68,11 +70,18 @@ def profile_table(
             add(c, "min", F.min(c))
             add(c, "max", F.max(c))
             for q in QUANTILES:
-                add(
-                    c,
-                    f"p{int(q * 100)}",
-                    F.expr(f"percentile(cast({c} as double), {q})"),
-                )
+                if exact_distinct:
+                    # exact continuous-interpolation percentile —
+                    # matches DuckDB quantile_cont (oracle mode), but
+                    # buffers every value per group
+                    expr = F.expr(f"percentile(cast({c} as double), {q})")
+                else:
+                    # approx mode: bounded-memory quantile sketch (the
+                    # plan a 100 TB profile should get by default)
+                    expr = F.expr(
+                        f"approx_percentile(cast({c} as double), {q}, 10000)"
+                    )
+                add(c, f"p{int(q * 100)}", expr)
         elif isinstance(dt, StringType):
             add(c, "avg_len", F.avg(F.length(c)))
             add(c, "max_len", F.max(F.length(c)))
