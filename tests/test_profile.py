@@ -67,3 +67,26 @@ def test_default_profile_is_single_pass(spark):
     assert "Expand" not in plan
     # a union of per-column distinct plans would show several scans
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_profile_drift_flags_changes(spark):
+    from x_spark.operators.profile import profile_drift
+
+    before = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)], "k bigint, v double"
+    )
+    after = before.filter("v IS NULL OR v <= 20.0")
+    got = {
+        (r.col_name, r.metric): r
+        for r in profile_drift(before, after, exact_distinct=True).collect()
+    }
+    r = got[("v", "n_distinct")]
+    assert (r.before_value, r.after_value, r.delta) == (3.0, 2.0, -1.0)
+    assert r.rel_change == pytest.approx(-1 / 3, abs=1e-6)
+    r = got[("v", "max")]
+    assert (r.before_value, r.after_value) == (30.0, 20.0)
+    # null_count unchanged -> delta 0, rel NULL (before 0? no, before=1)
+    r = got[("v", "null_count")]
+    assert (r.before_value, r.after_value, r.delta, r.rel_change) == (1.0, 1.0, 0.0, 0.0)
+    # k shrank by one row
+    assert got[("k", "n_distinct")].delta == -1.0

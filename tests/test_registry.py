@@ -42,7 +42,6 @@ FAMILY_REPRESENTATIVES = [
     "bm25_search",              # keyword search (inverted-index BM25)
     "pii_scan",                 # PII detection + redaction audit
     "multimodal_features",
-    "curation_pipeline",
     "jdbc_dim_roundtrip",       # external-DB connector round trip (r4 swap:
                                 # the never-driver-checked JDBC/Derby path in,
                                 # thrice-green duckdb_dim_roundtrip out)
@@ -88,6 +87,9 @@ FAMILY_REPRESENTATIVES = [
     "event_sessions",           # gap-based sessionization (lag + cumsum)
     "signup_funnel",            # ordered funnel stage counting
     "cohort_retention",         # weekly cohort retention matrix
+    # r4 third swap: curation_pipeline (thrice-green composition;
+    # stages and composition shape keep head reps) out for
+    "profile_drift",            # before/after profile drift gate
 ]
 
 

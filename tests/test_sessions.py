@@ -99,3 +99,16 @@ def test_sessions_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, session_stats(ev, gap_sec=600).collect()))
     b = sorted(map(tuple, session_stats(ev.repartition(13), gap_sec=600).collect()))
     assert a == b
+
+
+def test_funnel_conversion_window(spark):
+    """within_sec bounds each step: a click 2h after the view converts
+    only when the window allows it."""
+    ev = _ev(spark, [(0, 1, "view"), (7200, 1, "click"),
+                     (0, 2, "view"), (60, 2, "click")])
+    tight = {r.stage: r.n_users
+             for r in funnel_stages(ev, ["view", "click"], within_sec=600).collect()}
+    loose = {r.stage: r.n_users
+             for r in funnel_stages(ev, ["view", "click"], within_sec=7200).collect()}
+    assert tight == {"view": 2, "click": 1}
+    assert loose == {"view": 2, "click": 2}

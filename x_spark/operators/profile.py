@@ -165,3 +165,41 @@ def robust_outliers(
             6,
         ).alias("outlier_frac"),
     )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Schema/data drift report between two table states: profile both
+    sides and join per (column, metric) —
+    ``(col_name, metric, before_value, after_value, delta,
+    rel_change)`` with ``rel_change = delta / before`` (NULL when the
+    before value is 0 or the metric exists on one side only, e.g. a
+    column added or dropped).
+
+    The canonical post-ingest / post-transform gate: run against the
+    previous txlog version (``read`` at version v-1) or yesterday's
+    partition and alert on n_distinct collapse, null explosions, or
+    range drift. Cost is two profile passes; both sides inherit
+    ``profile_table``'s scale shape (approx sketches by default)."""
+    a = profile_table(before, columns, exact_distinct).select(
+        "col_name", "metric", F.round("value", 6).alias("before_value")
+    )
+    b = profile_table(after, columns, exact_distinct).select(
+        "col_name", "metric", F.round("value", 6).alias("after_value")
+    )
+    j = a.join(b, ["col_name", "metric"], "full_outer")
+    delta = F.round(F.col("after_value") - F.col("before_value"), 6)
+    return j.select(
+        "col_name",
+        "metric",
+        "before_value",
+        "after_value",
+        delta.alias("delta"),
+        F.round(
+            delta / F.nullif(F.col("before_value"), F.lit(0.0)), 6
+        ).alias("rel_change"),
+    )

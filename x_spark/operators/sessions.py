@@ -90,12 +90,15 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_sec: int | None = None,
 ) -> DataFrame:
     """ORDERED funnel: a user reaches stage i when an event of type
     ``stages[i]`` occurs at-or-after the time they reached stage i-1
     (first-touch semantics: the earliest qualifying timestamp per
-    stage). Returns one row per stage:
-    ``(stage_idx int, stage string, n_users bigint)``.
+    stage). ``within_sec`` additionally bounds each step to a
+    conversion window — stage i must land within that many seconds of
+    stage i-1 (the "converted within 24h" shape). Returns one row per
+    stage: ``(stage_idx int, stage string, n_users bigint)``.
 
     Shape: per-stage per-user min-timestamp aggregates (small), joined
     stage-over-stage on user — every join key is the user id, so the
@@ -118,12 +121,17 @@ def funnel_stages(
         if reached is None:
             cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
         else:
-            cur = (
-                stage_ev.join(reached, "u")
-                .filter(F.col("us") >= F.col("prev_us"))
-                .groupBy("u")
-                .agg(F.min("us").alias("stage_us"))
+            qual = stage_ev.join(reached, "u").filter(
+                F.col("us") >= F.col("prev_us")
             )
+            if within_sec is not None:
+                # multiply in Python: an int32 literal product overflows
+                # under ANSI for windows past ~35 min
+                qual = qual.filter(
+                    F.col("us") - F.col("prev_us")
+                    <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
+                )
+            cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
         cur = cur.persist()  # feeds both this stage's count and the next join
         parts.append(
             cur.agg(F.count("*").cast("bigint").alias("n_users")).select(

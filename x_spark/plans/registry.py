@@ -148,6 +148,14 @@ _TAIL = [
                                # pipeline + tolerance compare in pairwise
                                # mode; slot goes to cohort_retention (weekly
                                # cohort analysis — new)
+    "curation_pipeline",       # multi-stage composition: green r01+r02+r03;
+                               # each stage keeps a head rep (quality:
+                               # quality_classifier; fingerprint dedup:
+                               # incremental_dedup; survivor pick:
+                               # dedup_survivors) and semantic_dedup_survivors
+                               # (head) drives an equal multi-stage
+                               # composition; slot goes to profile_drift
+                               # (before/after drift gate — new family)
     "ngram_jaccard_dups",      # candidate-verify: green r01+r02; slot rotated
                                # to edit_distance_dups (same LSH-candidate
                                # verification family, different distance)

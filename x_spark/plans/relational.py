@@ -712,33 +712,66 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("col_name", "metric", F.round("value", 6).alias("value"))
 
 
-def _table_profile_oracle() -> str:
+def _table_profile_oracle(source: str = "orders") -> str:
     parts = []
     for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
         parts.append(
             f"SELECT '{c}' AS col_name, 'null_count' AS metric, "
             f"round(CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE), 6) AS value "
-            f"FROM orders"
+            f"FROM {source}"
         )
         parts.append(
-            f"SELECT '{c}', 'n_distinct', round(CAST(count(DISTINCT {c}) AS DOUBLE), 6) FROM orders"
+            f"SELECT '{c}', 'n_distinct', round(CAST(count(DISTINCT {c}) AS DOUBLE), 6) FROM {source}"
         )
     for c in _PROFILE_NUM_COLS:
-        parts.append(f"SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), 6) FROM orders")
-        parts.append(f"SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), 6) FROM orders")
+        parts.append(f"SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), 6) FROM {source}")
+        parts.append(f"SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), 6) FROM {source}")
         for q in (25, 50, 75):
             parts.append(
                 f"SELECT '{c}', 'p{q}', "
-                f"round(quantile_cont(CAST({c} AS DOUBLE), {q / 100}), 6) FROM orders"
+                f"round(quantile_cont(CAST({c} AS DOUBLE), {q / 100}), 6) FROM {source}"
             )
     for c in _PROFILE_STR_COLS:
         parts.append(
-            f"SELECT '{c}', 'avg_len', round(CAST(avg(length({c})) AS DOUBLE), 6) FROM orders"
+            f"SELECT '{c}', 'avg_len', round(CAST(avg(length({c})) AS DOUBLE), 6) FROM {source}"
         )
         parts.append(
-            f"SELECT '{c}', 'max_len', round(CAST(max(length({c})) AS DOUBLE), 6) FROM orders"
+            f"SELECT '{c}', 'max_len', round(CAST(max(length({c})) AS DOUBLE), 6) FROM {source}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Profile drift: the post-transform gate — profile the table before
+# and after a (simulated) truncating filter, report per-metric deltas.
+_DRIFT_PRED = "o_totalprice < 200000"
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import profile_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    # exact mode pinned for the oracle, as in q_table_profile
+    return profile_drift(
+        orders, orders.filter(_DRIFT_PRED), cols, exact_distinct=True
+    )
+
+
+def _profile_drift_oracle() -> str:
+    before = _table_profile_oracle("orders")
+    after = _table_profile_oracle(f"(SELECT * FROM orders WHERE {_DRIFT_PRED})")
+    return f"""
+WITH before_p AS ({before}), after_p AS ({after})
+SELECT COALESCE(b.col_name, a.col_name) AS col_name,
+       COALESCE(b.metric, a.metric) AS metric,
+       b.value AS before_value,
+       a.value AS after_value,
+       round(a.value - b.value, 6) AS delta,
+       round(round(a.value - b.value, 6) / nullif(b.value, 0), 6) AS rel_change
+FROM before_p b
+FULL OUTER JOIN after_p a ON b.col_name = a.col_name AND b.metric = a.metric
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1006,6 +1039,7 @@ RELATIONAL_QUERIES = {
     "merge_upsert_effect": q_merge_upsert_effect,
     "txlog_version_diff": q_txlog_version_diff,
     "table_profile": q_table_profile,
+    "profile_drift": q_profile_drift,
     "recon_lineitem": q_recon_lineitem,
     "recon_3way": q_recon_3way,
     "priciest_parts": q_priciest_parts,
@@ -1030,6 +1064,7 @@ RELATIONAL_ORACLES = {
     "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "table_profile": _table_profile_oracle(),
+    "profile_drift": _profile_drift_oracle(),
     "recon_lineitem": ORACLE_RECON_LINEITEM,
     "recon_3way": ORACLE_RECON_3WAY,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
