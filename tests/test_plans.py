@@ -187,3 +187,24 @@ def test_bpe_token_stats_is_scan_speed(spark, sf_dir):
     plan = _plan(QUERIES["bpe_token_stats"](spark, sf_dir))
     for op in ("Join", "CartesianProduct", "Exchange"):
         assert op not in plan, op
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be result-identical to the direct join, for a
+    skewed fact (one hot key holding most rows) under inner and left."""
+    from x_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 5, i) for i in range(500)], "k int, v int"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(4)], "k int, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, ["k"], how).collect()))
+        salted = sorted(map(tuple, salted_join(fact, dim, ["k"], how).collect()))
+        assert plain == salted, how
+    # salt spreads the hot key across partitions: the salted plan joins
+    # on (k, salt), visible as the extra join key
+    plan = salted_join(fact, dim, ["k"])._jdf.queryExecution().toString()
+    assert "__x_spark_salt" in plan

@@ -60,3 +60,45 @@ def salted_agg(
             for alias, (fn, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join for a hot-keyed FACT side against a
+    replicable DIM side, when AQE's runtime skew split is unavailable
+    or insufficient (static planning, skew inside one key).
+
+    Shape: the fact side gets a uniform per-row salt in [0, n_salts);
+    the dim side is replicated n_salts times (one row per salt); the
+    join runs on ``on + [salt]``, so each hot key's rows spread over
+    ``n_salts`` reducers instead of funnelling through one. Result is
+    identical to the direct join (every fact row still meets every
+    matching dim row exactly once — pinned by test against the plain
+    join).
+
+    The replication multiplies the DIM side by n_salts, so this is for
+    the classic big-fact/small-dim skew case; if the dim side is
+    broadcast-small Spark would not shuffle at all — use this when the
+    dim side exceeds the broadcast threshold but n_salts copies of it
+    are still far cheaper than a straggler reducer. Supported:
+    inner/left joins (right/full would need unmatched-dim handling
+    across salt copies).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = dim.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias(_SALT)
+    )
+    fact_s = fact.withColumn(
+        _SALT,
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    dim_s = dim.crossJoin(F.broadcast(salts))
+    return fact_s.join(dim_s, on + [_SALT], how).drop(_SALT)

@@ -63,6 +63,10 @@ _ALL_QUERIES = {
 # stay), ann_topk_pandas (hash-identical to ann_topk_bruteforce;
 # ann_topk_bucketed keeps the ANN head slot).
 _TAIL = [
+    "salted_brand_volume",     # salted JOIN flavor: skew family's head rep
+                               # is salted_event_totals (salted agg); the
+                               # join twin is oracle-identical to the plain
+                               # join — locally hash-checked + benched
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held

@@ -965,6 +965,37 @@ FULL OUTER JOIN bigqty g
 
 
 # ---------------------------------------------------------------------------
+# Skew-mitigating salted JOIN (operators/skew.py salted_join): fact side
+# salted, dim side replicated per salt — result-identical to the plain
+# join (the oracle IS the plain join). Family's head rep is
+# salted_event_totals (two-stage salted agg); this drives the join twin.
+def q_salted_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, part, ["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_SALTED_BRAND_VOLUME = """
+SELECT p_brand,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # O1 global top-k on raw columns (no fp arithmetic at all).
 def q_priciest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
@@ -1040,6 +1071,7 @@ RELATIONAL_QUERIES = {
     "txlog_version_diff": q_txlog_version_diff,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
+    "salted_brand_volume": q_salted_brand_volume,
     "recon_lineitem": q_recon_lineitem,
     "recon_3way": q_recon_3way,
     "priciest_parts": q_priciest_parts,
@@ -1065,6 +1097,7 @@ RELATIONAL_ORACLES = {
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
+    "salted_brand_volume": ORACLE_SALTED_BRAND_VOLUME,
     "recon_lineitem": ORACLE_RECON_LINEITEM,
     "recon_3way": ORACLE_RECON_3WAY,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
