@@ -132,3 +132,69 @@ def test_aggregate_view_matches_recompute_under_random_ops(
             view.refresh()
     view.refresh()
     assert sorted(map(tuple, view.read().collect()), key=str) == _expected(ds, base)
+
+
+def test_join_view_tracks_plain_join_through_mutations(spark, tmp_path):
+    """JoinView must equal the bag of the direct join after every
+    refresh, across appends/deletes/merges on BOTH sides, and a
+    repeated refresh must be a detected no-op."""
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import MergeSpec, TableRef
+
+    ds = init_datasource("txlog", spark)
+    a_ref = TableRef(path=str(tmp_path / "a"))
+    b_ref = TableRef(path=str(tmp_path / "b"))
+    v_ref = TableRef(path=str(tmp_path / "j"))
+
+    ds.append(spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21)], "k int, av int"), a_ref)
+    ds.append(spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k int, bv string"), b_ref)
+
+    view = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                    a_cols=["av"], b_cols=["bv"])
+
+    def check():
+        got = sorted(map(tuple, view.read().collect()))
+        want = sorted(map(tuple, (
+            ds.read(a_ref).join(ds.read(b_ref), "k")
+            .groupBy("k", "av", "bv").agg(F.count("*").alias("n_rows"))
+        ).collect()))
+        assert got == want, (got, want)
+
+    va, vb = view.refresh()
+    check()
+    assert view.refresh() == (va, vb)  # no-op detected
+
+    # duplicate join rows: append a second (2, 'y') on the dim side
+    ds.append(spark.createDataFrame([(2, "y"), (4, "w")], "k int, bv string"), b_ref)
+    view.refresh(); check()
+
+    # delete on the fact side
+    ds.delete(a_ref, "av = 21")
+    view.refresh(); check()
+
+    # merge (update + insert) on the fact side
+    ds.merge(spark.createDataFrame([(1, 11), (4, 40)], "k int, av int"),
+             a_ref, MergeSpec(["k"], ["av"]))
+    view.refresh(); check()
+
+    # both sides mutate between refreshes
+    ds.append(spark.createDataFrame([(5, 50)], "k int, av int"), a_ref)
+    ds.delete(b_ref, "k = 2")
+    ds.append(spark.createDataFrame([(5, "v")], "k int, bv string"), b_ref)
+    view.refresh(); check()
+
+
+def test_join_view_rejects_bad_specs(spark, tmp_path):
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    r = TableRef(path=str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="join key"):
+        JoinView(ds, r, r, r, on=[], a_cols=["a"], b_cols=["b"])
+    with pytest.raises(ValueError, match="disjoint"):
+        JoinView(ds, r, r, r, on=["k"], a_cols=["c"], b_cols=["c"])

@@ -113,3 +113,135 @@ class AggregateView:
 
     def read(self) -> DataFrame:
         return self.ds.read(self.agg_ref)
+
+
+class JoinView:
+    """Materialized equi-JOIN of two txlog base tables, incrementally
+    maintained from their change feeds (the classic delta rule,
+    staged):
+
+        J_new = J_old
+              + ΔA ⋈ B@vb_applied          (step 1, stamped va)
+              + ΔB ⋈ A@va_applied          (step 2, stamped vb)
+
+    Each step joins ONE side's signed CDF rows against the OTHER side
+    PINNED at its last-applied version (txlog time travel), which is
+    what makes the two applications compose exactly: step 1 must not
+    see B rows whose effect step 2 will add, and step 2's A@va already
+    contains step 1's inserts — so every (a, b) pair is produced
+    exactly once. Deletes ride through as sign -1 (updates in the CDF
+    are delete+insert pairs).
+
+    The view is stored as a BAG: one row per distinct joined tuple
+    plus an ``n_rows`` multiplicity (duplicate base rows multiply
+    through the join, exactly like the real join's output). Each step
+    lands state + position in ONE atomic stamped commit (appIds
+    ``ivmj:<name>:a`` / ``:b``), so a crashed or replayed refresh is
+    detected the same way as :class:`AggregateView`.
+
+    Scale: each refresh reads the delta side's CDF (file-granular) and
+    the pinned side once; with the pinned side clustered on the join
+    keys, footer stats prune its scan to the touched key range. The
+    O(changed-data) claim covers the delta side; the pinned-side read
+    is the inherent cost of join maintenance.
+    """
+
+    def __init__(self, ds: TxLogDataSource, a_ref: TableRef, b_ref: TableRef,
+                 view_ref: TableRef, on: list[str],
+                 a_cols: list[str], b_cols: list[str]):
+        if not on:
+            raise ValueError("JoinView requires at least one join key")
+        overlap = set(a_cols) & set(b_cols)
+        if overlap or set(on) & (set(a_cols) | set(b_cols)):
+            raise ValueError(
+                f"payload columns must be disjoint from each other and the "
+                f"keys (overlap: {sorted(overlap)})"
+            )
+        self.ds = ds
+        self.a_ref, self.b_ref, self.view_ref = a_ref, b_ref, view_ref
+        self.on = list(on)
+        self.a_cols, self.b_cols = list(a_cols), list(b_cols)
+        name = view_ref.table or view_ref.path or "join"
+        self.app_a, self.app_b = f"ivmj:{name}:a", f"ivmj:{name}:b"
+
+    # -- internals -----------------------------------------------------
+    def _pos(self, app_id: str) -> int:
+        if not self.ds.table_exists(self.view_ref):
+            return -1
+        return self.ds.last_txn_version(self.view_ref, app_id)
+
+    def _read_at(self, ref: TableRef, version: int, cols: list[str]) -> DataFrame:
+        """Pinned projection of a base table; version -1 = empty (the
+        state before the table contributed anything)."""
+        if version < 0:
+            snap = resolve_snapshot(self.ds._table_path(ref))
+            schema = snap.schema
+            spark = self.ds.spark
+            empty = spark.createDataFrame([], schema)
+            return empty.select(*cols)
+        pinned = TableRef(
+            table=ref.table, path=ref.path,
+            options={**ref.options, "versionAsOf": str(version)},
+        )
+        return self.ds.read(pinned).select(*cols)
+
+    def _apply_side(self, delta_ref: TableRef, app_id: str,
+                    delta_cols: list[str], pinned_ref: TableRef,
+                    pinned_app: str, pinned_cols: list[str]) -> int:
+        base_table = self.ds._table_path(delta_ref)
+        snap = resolve_snapshot(base_table)
+        if snap is None:
+            raise ValueError(f"base table {base_table!r} does not exist")
+        current = snap.version
+        last = self._pos(app_id)
+        if last >= current:
+            return last
+        cdf = self.ds.changes(
+            delta_ref, from_version=max(last, 0), to_version=current
+        )
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        signed = cdf.select(*self.on, *delta_cols, sign.alias("_sign"))
+        pinned = self._read_at(
+            pinned_ref, self._pos(pinned_app), self.on + pinned_cols
+        )
+        out_cols = self.on + self.a_cols + self.b_cols
+        delta_j = (
+            signed.join(pinned, self.on)
+            .groupBy(*out_cols)
+            .agg(F.sum("_sign").cast("bigint").alias("n_rows"))
+        )
+        if self.ds.table_exists(self.view_ref):
+            prior = self.ds.read(self.view_ref)
+            merged = (
+                prior.unionByName(delta_j)
+                .groupBy(*out_cols)
+                .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+            )
+        else:
+            merged = delta_j
+        result = merged.filter(F.col("n_rows") > 0)
+        if not self.ds.table_exists(self.view_ref):
+            self.ds.create(self.view_ref, result.schema)
+        self.ds.overwrite(result, self.view_ref, txn=(app_id, current))
+        return current
+
+    def refresh(self) -> tuple[int, int]:
+        """Apply A's outstanding deltas, then B's; returns the applied
+        (a_version, b_version). Order matters only for the pinning
+        argument above — calling refresh again immediately is a
+        detected no-op on both sides."""
+        va = self._apply_side(
+            self.a_ref, self.app_a, self.a_cols,
+            self.b_ref, self.app_b, self.b_cols,
+        )
+        vb = self._apply_side(
+            self.b_ref, self.app_b, self.b_cols,
+            self.a_ref, self.app_a, self.a_cols,
+        )
+        return va, vb
+
+    def read(self) -> DataFrame:
+        """The maintained bag: joined tuples + n_rows multiplicity."""
+        return self.ds.read(self.view_ref)
