@@ -67,6 +67,13 @@ _TAIL = [
                                # is salted_event_totals (salted agg); the
                                # join twin is oracle-identical to the plain
                                # join — locally hash-checked + benched
+    # Late-round-4 additions (deterministic second-moment statistics —
+    # closed forms over dsum-exact moments): locally hash-checked via
+    # test_oracle_parity; candidates for the round-5 head rotation
+    # (the round-4 swaps already demoted every multiply-green query
+    # whose family keeps another head representative).
+    "lineitem_correlations",
+    "price_trend_by_flag",
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held

@@ -996,6 +996,92 @@ GROUP BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# Deterministic second-moment statistics (operators/stats.py): Pearson
+# correlation matrix + grouped least-squares trend, closed forms over
+# dsum-exact moment sums (F.corr's float co-moments are partition-
+# order dependent and would flap a hash check).
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.stats import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _lineitem_correlations_oracle() -> str:
+    """Mirrors stats._corr_matrix_complete: ONE complete-rows moment
+    CTE (shared per-column sums), closed form per pair."""
+    from itertools import combinations
+
+    sums = ["count(*) AS n", "CAST(count(*) AS DOUBLE) AS nd"]
+    for c in _CORR_COLS:
+        sums.append(
+            f"CAST(sum(CAST(CAST({c} AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(sum(CAST(CAST({c} AS DOUBLE)*CAST({c} AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = list(combinations(_CORR_COLS, 2))
+    for x, y in pairs:
+        sums.append(
+            f"CAST(sum(CAST(CAST({x} AS DOUBLE)*CAST({y} AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sp_{x}__{y}"
+        )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in _CORR_COLS)
+    parts = []
+    for x, y in pairs:
+        parts.append(f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND (nd*ss_{x} - s_{x}*s_{x}) > 0
+                 AND (nd*ss_{y} - s_{y}*s_{y}) > 0
+            THEN round((nd*sp_{x}__{y} - s_{x}*s_{y})
+                       / sqrt((nd*ss_{x} - s_{x}*s_{x})
+                              * (nd*ss_{y} - s_{y}*s_{y})), 6)
+       END AS corr
+FROM m""")
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem WHERE {where})"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+def q_price_trend_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.stats import grouped_linreg
+
+    return grouped_linreg(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+ORACLE_PRICE_TREND_BY_FLAG = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 2 AND (nd*sxx - sx*sx) > 0
+                  THEN (nd*sxy - sx*sy) / (nd*sxx - sx*sx) END, 6) AS slope,
+       round(CASE WHEN n >= 2 AND (nd*sxx - sx*sx) > 0
+                  THEN (sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd
+             END, 6) AS intercept,
+       round(CASE WHEN n >= 2 AND (nd*sxx - sx*sx) > 0 AND (nd*syy - sy*sy) > 0
+                  THEN ((nd*sxy - sx*sy) * (nd*sxy - sx*sy))
+                       / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END, 6) AS r2
+FROM (
+  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(l_quantity AS DOUBLE)*CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)*CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(l_quantity AS DOUBLE)*CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # O1 global top-k on raw columns (no fp arithmetic at all).
 def q_priciest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
@@ -1072,6 +1158,8 @@ RELATIONAL_QUERIES = {
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
     "salted_brand_volume": q_salted_brand_volume,
+    "lineitem_correlations": q_lineitem_correlations,
+    "price_trend_by_flag": q_price_trend_by_flag,
     "recon_lineitem": q_recon_lineitem,
     "recon_3way": q_recon_3way,
     "priciest_parts": q_priciest_parts,
@@ -1098,6 +1186,8 @@ RELATIONAL_ORACLES = {
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
     "salted_brand_volume": ORACLE_SALTED_BRAND_VOLUME,
+    "lineitem_correlations": _lineitem_correlations_oracle(),
+    "price_trend_by_flag": ORACLE_PRICE_TREND_BY_FLAG,
     "recon_lineitem": ORACLE_RECON_LINEITEM,
     "recon_3way": ORACLE_RECON_3WAY,
     "priciest_parts": ORACLE_PRICIEST_PARTS,
