@@ -261,3 +261,17 @@ def test_cli_diff(tmp_path, spark, capsys):
     assert main(["diff", path, "1"]) == 0
     out = capsys.readouterr().out
     assert "net" in out and "-1" in out
+
+
+def test_cli_drift(tmp_path, spark, capsys):
+    before = str(tmp_path / "before")
+    after = str(tmp_path / "after")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    ).write.parquet(before)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    ).write.parquet(after)
+    assert main(["drift", before, after, "--columns", "k,v", "--exact"]) == 0
+    out = capsys.readouterr().out
+    assert "rel_change" in out and "n_distinct" in out

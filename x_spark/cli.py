@@ -173,6 +173,21 @@ def build_parser() -> argparse.ArgumentParser:
         "the scale-safe plan; exact is a full per-column distinct agg)",
     )
 
+    drift = sub.add_parser(
+        "drift",
+        help="per-metric profile drift between two parquet tables "
+        "(the before/after post-transform gate)",
+    )
+    drift.add_argument("before", help="parquet path of the BEFORE state")
+    drift.add_argument("after", help="parquet path of the AFTER state")
+    drift.add_argument(
+        "--columns", default=None, help="comma-separated subset (default: all)"
+    )
+    drift.add_argument(
+        "--exact", action="store_true",
+        help="exact distincts/percentiles (default: approx sketches)",
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -327,6 +342,24 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(df, cols, exact_distinct=args.exact).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
+        return 0
+
+    if args.command == "drift":
+        from x_spark.operators.profile import profile_drift
+        from x_spark.session import get_session
+
+        spark = get_session()
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else None
+        )
+        profile_drift(
+            spark.read.parquet(args.before),
+            spark.read.parquet(args.after),
+            cols,
+            exact_distinct=args.exact,
+        ).orderBy("col_name", "metric").show(1000, truncate=False)
         return 0
 
     if args.command == "bpe":
