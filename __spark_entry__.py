@@ -14,8 +14,9 @@ driver-checked window — hold one representative per operator family
 (see x_spark/plans/registry.py).
 ``oracle_sql()`` — matching DuckDB SQL per query. Intentional
 omissions (rows-only checks): approx_distinct_users (HLL estimates
-are engine-specific) and ann_topk_ivf (data-dependent trained
-codebook).
+are engine-specific), ann_topk_ivf (data-dependent trained
+codebook), bpe_merge_table (iterative trainer — pinned instead by
+exact-match tests vs a reference loop).
 """
 
 from __future__ import annotations
