@@ -275,3 +275,16 @@ def test_cli_drift(tmp_path, spark, capsys):
     assert main(["drift", before, after, "--columns", "k,v", "--exact"]) == 0
     out = capsys.readouterr().out
     assert "rel_change" in out and "n_distinct" in out
+
+
+def test_cli_restore(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    src = str(tmp_path / "t")
+    ds.append(spark.createDataFrame([(1,)], "k int"), TableRef(path=src))
+    ds.append(spark.createDataFrame([(2,)], "k int"), TableRef(path=src))
+    assert main(["restore", src, "1"]) == 0
+    assert "as v3" in capsys.readouterr().out
+    assert sorted(r.k for r in ds.read(TableRef(path=src)).collect()) == [1]

@@ -775,3 +775,62 @@ def test_semantic_diff_nets_duplicate_images(spark, ds, tmp_path):
     ds.delete(ref, "pk = 999")  # no-op delete: rewrites nothing
     diff = ds.semantic_diff(ref, base).collect()
     assert [(r.pk, r.part, r.v, r.net) for r in diff] == [(1, "a", 10, 2)]
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    """RESTORE: metadata-only rollback commit — state equals the target
+    version, history keeps every intermediate version (including the
+    pre-restore state, reachable by time travel), and schema rolls
+    back across a mergeSchema append."""
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "rst"))
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)   # v1
+    ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"), ref)   # v2
+    ds.append(
+        spark.createDataFrame([(3, 30, "x")], "pk int, v int, extra string"),
+        ref, merge_schema=True,
+    )                                                                    # v3
+    pre = sorted(map(tuple, ds.read(ref).collect()))
+    assert len(pre) == 3 and len(pre[0]) == 3  # widened schema
+
+    new_v = ds.restore(ref, 2)
+    assert new_v == 4
+    got = sorted(map(tuple, ds.read(ref).collect()))
+    assert got == [(1, 10), (2, 20)]
+    # schema rolled back with the data
+    assert [f.name for f in ds.read(ref).schema.fields] == ["pk", "v"]
+    # pre-restore state still time-travels
+    v3 = ds.read(TableRef(path=ref.path, options={"versionAsOf": "3"}))
+    assert sorted(map(tuple, v3.collect())) == pre
+    # history records the restore
+    assert ds.history(ref)[-1] == {"version": 4, "operation": "RESTORE"}
+    # writes continue normally after a restore
+    ds.append(spark.createDataFrame([(4, 40)], "pk int, v int"), ref)
+    assert sorted(map(tuple, ds.read(ref).collect())) == [
+        (1, 10), (2, 20), (4, 40)
+    ]
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """Restoring to a version whose files were vacuumed must fail
+    cleanly with nothing committed."""
+    import pytest as _pytest
+
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import DataSourceException
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "rstvac"))
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)   # v1
+    ds.overwrite(spark.createDataFrame([(2, 20)], "pk int, v int"), ref)  # v2
+    # v1's file is now unreferenced; offline vacuum removes it
+    removed = ds.vacuum(ref, keep_last=1, min_age_sec=0)
+    assert removed
+    before = ds.history(ref)[-1]["version"]
+    with _pytest.raises(DataSourceException, match="vacuumed"):
+        ds.restore(ref, 1)
+    assert ds.history(ref)[-1]["version"] == before  # nothing committed

@@ -188,6 +188,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact distincts/percentiles (default: approx sketches)",
     )
 
+    rst = sub.add_parser(
+        "restore",
+        help="restore a txlog table to an earlier version (metadata-only "
+        "rollback commit; history preserved)",
+    )
+    rst.add_argument("source", help="txlog table path")
+    rst.add_argument("version", type=int)
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -342,6 +350,16 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(df, cols, exact_distinct=args.exact).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
+        return 0
+
+    if args.command == "restore":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        new_v = ds.restore(TableRef(path=args.source), args.version)
+        print(f"restored {args.source} to v{args.version} as v{new_v}")
         return 0
 
     if args.command == "drift":

@@ -1051,6 +1051,63 @@ class TxLogDataSource(BaseDataSource):
             .filter(F.col("net") != 0)
         )
 
+    def restore(self, ref: TableRef, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — Delta's rollback shape:
+        ONE metadata-only commit whose state re-references the target
+        version's files (no data is copied; the restore itself becomes
+        a new version, so history is preserved and the restore can be
+        time-traveled past or restored again).
+
+        The commit removes every currently-live file not in the target
+        snapshot, re-adds target files that are no longer live, and
+        re-asserts the target's schema/partitioning via a metaData
+        action (so a restore across a mergeSchema append rolls the
+        schema back too). Fails cleanly when a target data file has
+        been vacuumed away (the guard every lakehouse RESTORE has) —
+        nothing is committed in that case.
+
+        Returns the new version number."""
+        table = self._table_path(ref)
+        current = resolve_snapshot(table)
+        if current is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        target = resolve_snapshot(table, version)
+        if target is None:
+            raise DataSourceException(
+                f"version {version} of {table!r} does not exist"
+            )
+        missing = [
+            rel for rel in sorted(target.files)
+            if not os.path.exists(os.path.join(table, rel))
+        ]
+        if missing:
+            raise DataSourceException(
+                f"cannot restore {table!r} to v{version}: {len(missing)} "
+                f"referenced data file(s) were vacuumed (first: {missing[0]})"
+            )
+        actions: list[dict] = [
+            {
+                "metaData": {
+                    "schemaJson": target.schema_json,
+                    "partitionColumns": target.partition_cols,
+                }
+            }
+        ]
+        actions += [
+            {"remove": {"path": p}}
+            for p in sorted(set(current.files) - set(target.files))
+        ]
+        actions += [
+            {"add": target.files[p]}
+            for p in sorted(set(target.files) - set(current.files))
+        ]
+        return self._commit(
+            table,
+            self._expect_unchanged(table, current.version),
+            actions,
+            "RESTORE",
+        )
+
     def history(self, ref: TableRef) -> list[dict]:
         """(version, operation) for every commit — DESCRIBE HISTORY."""
         table = self._table_path(ref)
