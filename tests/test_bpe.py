@@ -226,7 +226,7 @@ def test_simulation_kernel_fuzz_against_recount_loop():
                     }
                 )
         assert got == want[: len(got)] and len(got) == len(want), (
-            words,
+            word_freqs,
             mpf,
             K,
             T,

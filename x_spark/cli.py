@@ -169,8 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prof.add_argument(
         "--exact", action="store_true",
-        help="exact per-column distincts (default: approx_count_distinct — "
-        "the scale-safe plan; exact is a full per-column distinct agg)",
+        help="exact mode: exact per-column distincts AND exact "
+        "percentiles (default: approx — HLL distincts + bounded-memory "
+        "quantile sketches, the scale-safe plan)",
     )
 
     drift = sub.add_parser(
@@ -347,7 +348,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.columns
             else None
         )
-        profile_table(df, cols, exact_distinct=args.exact).orderBy(
+        mode = "exact" if args.exact else "approx"
+        profile_table(df, cols, mode=mode).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
         return 0
@@ -376,7 +378,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.before),
             spark.read.parquet(args.after),
             cols,
-            exact_distinct=args.exact,
+            mode="exact" if args.exact else "approx",
         ).orderBy("col_name", "metric").show(1000, truncate=False)
         return 0
 

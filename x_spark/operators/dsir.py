@@ -49,18 +49,25 @@ def ngram_bucket_tf(
     text_col: str = "text",
     n: int = 2,
     n_buckets: int = N_BUCKETS,
+    caches: list | None = None,
 ) -> DataFrame:
     """Per-document hashed n-gram term frequencies:
     ``(id_col, bucket, tf)`` — the DSIR feature extraction.
 
     The token-hash frame is PERSISTED before the gram lambda runs
     (project collapse would re-inline the regex split into every
-    per-gram evaluation — the ``ngram_hash_table`` pitfall)."""
+    per-gram evaluation — the ``ngram_hash_table`` pitfall). Pass a
+    ``caches`` list to receive the persisted intermediate and
+    ``unpersist()`` it after your terminal action — otherwise the
+    cached blocks live until the session sweeps them (``dsir_select``
+    does this cleanup itself)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
     tok_hashes = f"transform({toks}, t -> {hash32_sql('t')})"
     toks_df = df.select(
         F.col(id_col).alias(id_col), F.expr(tok_hashes).alias("_th")
     ).persist()
+    if caches is not None:
+        caches.append(toks_df)
     grams = (
         f"CASE WHEN size(_th) >= {n} THEN transform("
         f"sequence(1, size(_th) - {n} + 1), "
@@ -91,6 +98,7 @@ def dsir_log_weights(
     text_col: str = "text",
     n: int = 2,
     n_buckets: int = N_BUCKETS,
+    caches: list | None = None,
 ) -> DataFrame:
     """``(id_col, n_grams, log_weight)`` for every raw document with at
     least one n-gram: the add-one-smoothed importance log-ratio of the
@@ -100,13 +108,23 @@ def dsir_log_weights(
              + n_grams * (ln(R+B) - ln(T+B))
 
     where t/r are bucket counts, T/R their totals, B = n_buckets.
+
+    The plan persists two intermediates (the token-hash frames and the
+    raw features — each feeds two consumers). Pass ``caches`` to
+    receive them and ``unpersist()`` after your terminal action; with
+    ``caches=None`` the blocks stay cached for the session (fine for
+    one-shot jobs, a leak in a long-lived REPL — ``dsir_select`` is
+    the entry point that cleans up automatically).
     """
     # raw features feed BOTH the raw-model bucket counts and the
     # per-doc scoring join — persist so the corpus tokenize/hash scan
-    # runs once, not twice (the sketch-table precedent; bench/pipeline
-    # sessions sweep persisted intermediates between queries)
-    raw_feats = ngram_bucket_tf(raw, id_col, text_col, n, n_buckets).persist()
-    tgt_feats = ngram_bucket_tf(target, id_col, text_col, n, n_buckets)
+    # runs once, not twice (the sketch-table precedent)
+    raw_feats = ngram_bucket_tf(
+        raw, id_col, text_col, n, n_buckets, caches
+    ).persist()
+    if caches is not None:
+        caches.append(raw_feats)
+    tgt_feats = ngram_bucket_tf(target, id_col, text_col, n, n_buckets, caches)
     rc = bucket_counts(raw_feats).withColumnRenamed("cnt", "r_cnt")
     tc = bucket_counts(tgt_feats).withColumnRenamed("cnt", "t_cnt")
     model = (
@@ -164,6 +182,21 @@ def dsir_select(
     Catalyst plans the sort+limit as TakeOrderedAndProject (a
     distributed top-k, never a global sort). The paper's Gumbel-noise
     resampling variant composes with ``sampling.priority_sample``
-    when a stochastic-but-deterministic draw is wanted instead."""
-    w = dsir_log_weights(raw, target, id_col, text_col, n, n_buckets)
-    return w.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k)
+    when a stochastic-but-deterministic draw is wanted instead.
+
+    The k-row selection is materialized eagerly (tracked
+    localCheckpoint — the ContextCleaner frees its blocks when the
+    result is collected and dropped) so the scoring plan's persisted
+    intermediates can be unpersisted HERE instead of leaking into a
+    long-lived session; k is a selection budget, driver-safe by
+    contract."""
+    caches: list = []
+    w = dsir_log_weights(raw, target, id_col, text_col, n, n_buckets, caches)
+    out = (
+        w.orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    return out

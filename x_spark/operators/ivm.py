@@ -175,9 +175,14 @@ class JoinView:
         state before the table contributed anything)."""
         if version < 0:
             snap = resolve_snapshot(self.ds._table_path(ref))
-            schema = snap.schema
+            if snap is None:
+                # mirror _apply_side's existence check: the pinned side
+                # must at least have a schema before a first refresh
+                raise ValueError(
+                    f"base table {self.ds._table_path(ref)!r} does not exist"
+                )
             spark = self.ds.spark
-            empty = spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], snap.schema)
             return empty.select(*cols)
         pinned = TableRef(
             table=ref.table, path=ref.path,

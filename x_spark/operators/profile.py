@@ -9,22 +9,29 @@ Output: one row per (column, metric), value as double.
 Metrics:
 - every column:     null_count, n_distinct (approx by default)
 - numeric columns:  min, max, p25/p50/p75 (approx sketch by default;
-                    ``exact_distinct=True`` switches to exact
-                    continuous interpolation — matches DuckDB
-                    quantile_cont)
+                    ``mode="exact"`` switches to exact continuous
+                    interpolation — matches DuckDB quantile_cont)
 - string columns:   avg_len, max_len (NULL-excluded)
+
+The single knob is ``mode``: ``"approx"`` (the default) profiles with
+bounded-memory sketches everywhere an estimate exists (HLL distincts,
+approx_percentile); ``"exact"`` switches BOTH distincts and
+percentiles to their exact forms — one name for one promise ("this
+profile is oracle-comparable"), instead of a flag whose scope quietly
+grew. (``exact_distinct=`` is still accepted as a deprecated alias
+for callers written against the old signature.)
 
 Scale design: the null/min/max/len/percentile metrics for ALL columns
 come from ONE aggregation pass over the table (no per-column jobs).
 Distinct counts default to ``approx_count_distinct`` (HLL, ~2%
 relative error) — the scale-safe plan a 100 TB profile should get
 without asking: each exact distinct is a full two-stage distinct
-aggregate per column. ``exact_distinct=True`` opts in to exact
-counts; those are each their own plan — deliberately NOT folded into
-the shared agg because multiple countDistinct in one agg plans an
-Expand that duplicates every input row per distinct aggregate
-(N columns -> N x scan rows shuffled; the separate plans shuffle only
-the distinct values, with partial aggregation map-side).
+aggregate per column. ``mode="exact"`` opts in to exact counts; those
+are each their own plan — deliberately NOT folded into the shared agg
+because multiple countDistinct in one agg plans an Expand that
+duplicates every input row per distinct aggregate (N columns -> N x
+scan rows shuffled; the separate plans shuffle only the distinct
+values, with partial aggregation map-side).
 """
 
 from __future__ import annotations
@@ -37,14 +44,30 @@ from pyspark.sql.types import NumericType, StringType
 QUANTILES = (0.25, 0.5, 0.75)
 
 
+def _resolve_mode(mode: str, exact_distinct: bool | None) -> bool:
+    """Returns True for exact mode. ``exact_distinct`` is the
+    deprecated boolean alias (it always controlled percentiles too —
+    the rename makes that scope honest); it wins when passed so old
+    call sites keep their behavior."""
+    if exact_distinct is not None:
+        return bool(exact_distinct)
+    if mode not in ("approx", "exact"):
+        raise ValueError(f"profile mode must be 'approx' or 'exact', got {mode!r}")
+    return mode == "exact"
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = False,
+    mode: str = "approx",
+    exact_distinct: bool | None = None,
 ) -> DataFrame:
     """Long-format profile: ``(col_name, metric, value)`` sorted output
     left to the caller. ``value`` is double (lexicographic min/max of
-    string columns are out of scope — lengths profile them instead)."""
+    string columns are out of scope — lengths profile them instead).
+    ``mode="exact"`` switches distincts AND percentiles to exact forms
+    (see module docstring); ``exact_distinct`` is a deprecated alias."""
+    exact = _resolve_mode(mode, exact_distinct)
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns is not None else list(fields)
     missing = [c for c in cols if c not in fields]
@@ -61,7 +84,7 @@ def profile_table(
     for c in cols:
         dt = fields[c]
         add(c, "null_count", F.count(F.when(F.col(c).isNull(), 1)))
-        if not exact_distinct:
+        if not exact:
             # approx_count_distinct is an ordinary partial-aggregable
             # agg, so it folds into the one shared pass (the Expand
             # hazard only exists for exact countDistinct)
@@ -70,7 +93,7 @@ def profile_table(
             add(c, "min", F.min(c))
             add(c, "max", F.max(c))
             for q in QUANTILES:
-                if exact_distinct:
+                if exact:
                     # exact continuous-interpolation percentile —
                     # matches DuckDB quantile_cont (oracle mode), but
                     # buffers every value per group
@@ -97,7 +120,7 @@ def profile_table(
         )
     )
 
-    if not exact_distinct:
+    if not exact:
         return long
     distincts = [
         df.select(
@@ -171,7 +194,8 @@ def profile_drift(
     before: DataFrame,
     after: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = False,
+    mode: str = "approx",
+    exact_distinct: bool | None = None,
 ) -> DataFrame:
     """Schema/data drift report between two table states: profile both
     sides and join per (column, metric) —
@@ -184,11 +208,12 @@ def profile_drift(
     previous txlog version (``read`` at version v-1) or yesterday's
     partition and alert on n_distinct collapse, null explosions, or
     range drift. Cost is two profile passes; both sides inherit
-    ``profile_table``'s scale shape (approx sketches by default)."""
-    a = profile_table(before, columns, exact_distinct).select(
+    ``profile_table``'s scale shape (approx sketches by default;
+    ``mode``/``exact_distinct`` pass straight through)."""
+    a = profile_table(before, columns, mode, exact_distinct).select(
         "col_name", "metric", F.round("value", 6).alias("before_value")
     )
-    b = profile_table(after, columns, exact_distinct).select(
+    b = profile_table(after, columns, mode, exact_distinct).select(
         "col_name", "metric", F.round("value", 6).alias("after_value")
     )
     j = a.join(b, ["col_name", "metric"], "full_outer")

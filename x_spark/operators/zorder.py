@@ -220,7 +220,7 @@ def pruning_report(
 
     import pyarrow.parquet as pq
 
-    report: dict = {"total_files": n_files, "predicates": sorted(predicates)}
+    report: dict = {"predicates": sorted(predicates)}
     for strategy in strategies:
         path = os.path.join(out_dir, f"layout_{strategy}")
         _layout(df, cols, strategy, n_files).write.mode("overwrite").parquet(
@@ -231,6 +231,17 @@ def pruning_report(
             for f in os.listdir(path)
             if f.endswith(".parquet")
         ]
+        # report the file count actually written, not the requested
+        # n_files — repartitionByRange may coalesce empty ranges; the
+        # files-touched ratio denominator must be honest. All
+        # strategies repartition the same rows into the same number of
+        # ranges, so a mismatch between them is a layout bug.
+        prev = report.setdefault("total_files", len(files))
+        if prev != len(files):
+            raise AssertionError(
+                f"layout {strategy!r} wrote {len(files)} files; a prior "
+                f"strategy wrote {prev} — unstable layout"
+            )
         stats = []  # per file: {col: (min, max) | None}
         for fp in files:
             md = pq.ParquetFile(fp).metadata

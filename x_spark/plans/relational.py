@@ -707,7 +707,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = profile_table(
         _t(spark, sf_dir, "orders"),
         _PROFILE_NUM_COLS + _PROFILE_STR_COLS,
-        exact_distinct=True,
+        mode="exact",
     )
     return prof.select("col_name", "metric", F.round("value", 6).alias("value"))
 
@@ -754,7 +754,7 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS
     # exact mode pinned for the oracle, as in q_table_profile
     return profile_drift(
-        orders, orders.filter(_DRIFT_PRED), cols, exact_distinct=True
+        orders, orders.filter(_DRIFT_PRED), cols, mode="exact"
     )
 
 
