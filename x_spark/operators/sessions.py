@@ -100,48 +100,60 @@ def funnel_stages(
     stage i-1 (the "converted within 24h" shape). Returns one row per
     stage: ``(stage_idx int, stage string, n_users bigint)``.
 
-    Shape: per-stage per-user min-timestamp aggregates (small), joined
+    Shape: the event table is scanned ONCE — pre-filtered to the
+    funnel's event types (the filter pushes to the parquet scan) and
+    persisted; at 100 TB the k per-stage passes then read the cached
+    funnel-relevant slice (a small fraction of an events table, and
+    the most selective predicate available), never the base table
+    again. Per-stage per-user min-timestamp aggregates (small) join
     stage-over-stage on user — every join key is the user id, so the
-    chain stays co-partitioned; the event table is scanned once per
-    stage with the type filter pushed down. Fully declarative: the
-    per-stage frames are persisted (aggregate-sized) and the result is
-    a lazy union of their counts — no driver-side loop over data.
+    chain stays co-partitioned. Stage counts are materialized eagerly
+    (k scalars — a driver-side loop over STAGES, not over data) so
+    every cached intermediate is unpersisted before returning; the
+    result is a k-row local DataFrame.
     """
-    from functools import reduce
-
-    ev = df.select(
-        F.col(user_col).alias("u"),
-        F.col(type_col).alias("t"),
-        umicros(ts_col).alias("us"),
-    )
-    reached = None  # (u, stage_ts) of the previous stage
-    parts = []
-    for i, stage in enumerate(stages):
-        stage_ev = ev.filter(F.col("t") == stage)
-        if reached is None:
-            cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
-        else:
-            qual = stage_ev.join(reached, "u").filter(
-                F.col("us") >= F.col("prev_us")
-            )
-            if within_sec is not None:
-                # multiply in Python: an int32 literal product overflows
-                # under ANSI for windows past ~35 min
-                qual = qual.filter(
-                    F.col("us") - F.col("prev_us")
-                    <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
-                )
-            cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
-        cur = cur.persist()  # feeds both this stage's count and the next join
-        parts.append(
-            cur.agg(F.count("*").cast("bigint").alias("n_users")).select(
-                F.lit(i).cast("int").alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "n_users",
-            )
+    ev = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            umicros(ts_col).alias("us"),
         )
-        reached = cur.select("u", F.col("stage_us").alias("prev_us"))
-    return reduce(DataFrame.unionByName, parts)
+        .filter(F.col("t").isin(list(stages)))
+        .persist()
+    )
+    prev = None  # the previous stage's PERSISTED per-user frame
+    counts: list[tuple[int, str, int]] = []
+    try:
+        for i, stage in enumerate(stages):
+            stage_ev = ev.filter(F.col("t") == stage)
+            if prev is None:
+                cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
+            else:
+                reached = prev.select("u", F.col("stage_us").alias("prev_us"))
+                qual = stage_ev.join(reached, "u").filter(
+                    F.col("us") >= F.col("prev_us")
+                )
+                if within_sec is not None:
+                    # multiply in Python: an int32 literal product overflows
+                    # under ANSI for windows past ~35 min
+                    qual = qual.filter(
+                        F.col("us") - F.col("prev_us")
+                        <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
+                    )
+                cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
+            cur = cur.persist()  # feeds both this stage's count and the next join
+            counts.append((i, stage, cur.count()))  # materializes cur
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        ev.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        counts, "stage_idx int, stage string, n_users bigint"
+    )
 
 
 def cohort_retention(
