@@ -28,24 +28,19 @@ FAMILY_REPRESENTATIVES = [
     "customer_value_tiles",     # ntile/percent_rank/cume_dist
     "asof_purchase_gap",        # as-of join
     "range_click_context",      # range join
-    "scd2_customer",            # SCD2
-    "minhash_near_dups",
     "embedding_near_dups",
     "ann_topk_bucketed",
-    "repetition_profile",       # Gopher-style repetition quality signals
     "contamination_bloom",      # eval-set n-gram decontamination (r4 swap:
                                 # Bloom-prefilter plan in, exact-join twin
                                 # benchmark_contamination to the tail —
                                 # identical oracle, stronger plan coverage)
     "document_chunks",          # overlapping token-window chunking
-    "language_profile",
     "bm25_search",              # keyword search (inverted-index BM25)
     "pii_scan",                 # PII detection + redaction audit
     "multimodal_features",
     "jdbc_dim_roundtrip",       # external-DB connector round trip (r4 swap:
                                 # the never-driver-checked JDBC/Derby path in,
                                 # thrice-green duckdb_dim_roundtrip out)
-    "stream_session_profile",
     "stream_stateful_user_stats",
     "stream_dedup_events",      # dropDuplicatesWithinWatermark
     "stream_stream_join",
@@ -90,6 +85,19 @@ FAMILY_REPRESENTATIVES = [
     # r4 third swap: curation_pipeline (thrice-green composition;
     # stages and composition shape keep head reps) out for
     "profile_drift",            # before/after profile drift gate
+    # round-5 promotions (verdict r4 tasks #1, #3, #6). Demoted with
+    # justification in registry.py: language_profile,
+    # repetition_profile, minhash_near_dups, stream_session_profile,
+    # scd2_customer — each green >= 3 consecutive rounds, family still
+    # head-represented.
+    "lineitem_correlations",    # one-pass exact-decimal correlation matrix
+    "salted_brand_volume",      # skew-salted replicated JOIN (agg twin:
+                                # salted_event_totals, also head)
+    "stream_user_stats_agg",    # JVM state-store streaming aggregation
+                                # (same oracle as the applyInPandasWithState
+                                # twin — both implementations driver-pinned)
+    "txlog_restore_roundtrip",  # RESTORE TO VERSION rollback + CDF audit
+    "join_view_refresh",        # incrementally maintained equi-join view
 ]
 
 

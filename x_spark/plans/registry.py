@@ -62,18 +62,38 @@ _ALL_QUERIES = {
 # simhash_near_dups (near-dup family: minhash + embedding variants
 # stay), ann_topk_pandas (hash-identical to ann_topk_bruteforce;
 # ann_topk_bucketed keeps the ANN head slot).
+# Round-5 rotation (verdict r4 tasks #1, #3, #6): promoted into the
+# head — lineitem_correlations + salted_brand_volume (the two locally-
+# only plan families), stream_user_stats_agg (the JVM state-store
+# streaming agg, never driver-checked), and the two NEW queries
+# txlog_restore_roundtrip + join_view_refresh (RESTORE and incremental
+# JoinView, previously test-only evidence). Demoted with justification
+# below: language_profile, repetition_profile, minhash_near_dups,
+# stream_session_profile, scd2_customer — each green >= 3 consecutive
+# rounds with its family still head-represented.
 _TAIL = [
-    "salted_brand_volume",     # salted JOIN flavor: skew family's head rep
-                               # is salted_event_totals (salted agg); the
-                               # join twin is oracle-identical to the plain
-                               # join — locally hash-checked + benched
-    # Late-round-4 additions (deterministic second-moment statistics —
-    # closed forms over dsum-exact moments): locally hash-checked via
-    # test_oracle_parity; candidates for the round-5 head rotation
-    # (the round-4 swaps already demoted every multiply-green query
-    # whose family keeps another head representative).
-    "lineitem_correlations",
-    "price_trend_by_flag",
+    "price_trend_by_flag",     # second-moment statistics family: head rep
+                               # is lineitem_correlations (r5 promotion, the
+                               # family's most expensive plan); the grouped
+                               # OLS twin shares the one-pass moment-sum
+                               # kernel — locally hash-checked + benched
+    "language_profile",        # green r01-r04; text-stats family held by
+                               # unigram_surprise + quality_classifier +
+                               # cross_doc_spans (all head)
+    "repetition_profile",      # green r02-r04; quality-signal family held
+                               # by quality_classifier + unigram_surprise
+    "minhash_near_dups",       # green r01-r04; near-dup candidate family
+                               # held by embedding_near_dups +
+                               # edit_distance_dups + set_similarity_dups
+    "stream_session_profile",  # green r01-r04; streaming keeps 5 head reps
+                               # (sliding/stateful/join/dedup/txlog-upsert +
+                               # the promoted stream_user_stats_agg) and the
+                               # gap-session shape is head-checked in batch
+                               # via event_sessions
+    "scd2_customer",           # green r02-r04; merge/SCD family held by
+                               # txlog_version_diff + txlog_restore_roundtrip
+                               # (both head, strictly stronger: same merge
+                               # algebra + CDF/restore audit)
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held
@@ -86,11 +106,6 @@ _TAIL = [
     "quantity_by_status_pivot",  # pivot: green r01+r02; grouping-set family
                                # held by quantity_cube
     "above_avg_balance",       # scalar subquery: green r01+r02
-    "stream_user_stats_agg",   # hash-checks the IDENTICAL oracle as
-                               # stream_stateful_user_stats (the two
-                               # implementations must agree) — zero
-                               # marginal driver signal; still local +
-                               # bench checked
     # TPC-H completion batch (Q4/Q7/Q9/Q12/Q14/Q18/Q19 shapes) — every
     # plan family (semi join, multi-join agg, CASE sums, HAVING semi
     # join, disjunctive pushdown) is head-represented already

@@ -689,6 +689,182 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# W7 RESTORE, driver-checked end to end: build a txlog table (v1), run
+# the same merge algebra as txlog_version_diff (v2), DELETE (v3), then
+# RESTORE TO VERSION 1 (v4 — a metadata-only rollback commit) and prove
+# the roundtrip two ways at once: (a) aggregates over the restored
+# snapshot must equal aggregates over the v1 state recomputed
+# declaratively by the oracle, and (b) the CDF-derived semantic diff
+# v1 -> v4 must be EMPTY (diff_rows = 0) — if restore drops, duplicates
+# or corrupts any row image, one of the two diverges.
+# (Reference parity: extends datasource/delta.py:104-148 MERGE/time
+# travel to the rollback surface; Delta RESTORE semantics.)
+def q_txlog_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_restore_rt_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "ord"))
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        s0 = base.filter(F.col("o_orderkey") % 5 == 0)
+        ds.create(ref, s0.schema)
+        ds.append(s0, ref)  # v1: the restore target
+        updates = s0.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 50.0
+        )
+        inserts = base.filter(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        spec = MergeSpec(
+            primary_key_columns=["o_orderkey"],
+            update_columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+            insert_when_not_matched=True,
+            validate_unique_source_keys=False,  # disjoint by construction
+        )
+        ds.merge(updates.unionByName(inserts), ref, spec)  # v2
+        ds.delete(ref, "o_orderstatus = 'F'")  # v3
+        ds.restore(ref, 1)  # v4: metadata-only rollback to v1
+        # (b) the CDF must certify v4 == v1 as a multiset
+        n_diff = ds.semantic_diff(ref, from_version=1).agg(
+            F.count("*").cast("bigint").alias("diff_rows")
+        )
+        # (a) aggregate the restored snapshot per status
+        return (
+            ds.read(ref)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                dsum("o_totalprice").alias("total_value"),
+            )
+            .crossJoin(F.broadcast(n_diff))
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_TXLOG_RESTORE_ROUNDTRIP = """
+WITH s0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       CAST(0 AS BIGINT) AS diff_rows
+FROM s0
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVM JoinView, driver-checked end to end: materialize an equi-join of
+# two txlog tables, mutate BOTH bases (append to A; merge + delete on
+# B), refresh INCREMENTALLY (each side applies only its CDF deltas
+# against the other side pinned at its last-applied version), and
+# aggregate the maintained bag. The oracle recomputes the join from the
+# final base states declaratively — if the delta rule double-applies,
+# misses, or mis-signs a single (a, b) pair, counts diverge.
+# (Reference parity: extends etl/update_and_upsert.py:10-57 merge
+# semantics to the maintained-view surface; classic incremental view
+# maintenance delta rule.)
+def q_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_joinview_")
+    try:
+        ds = TxLogDataSource(spark)
+        a_ref = TableRef(path=os.path.join(workdir, "a"))
+        b_ref = TableRef(path=os.path.join(workdir, "b"))
+        v_ref = TableRef(path=os.path.join(workdir, "view"))
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        a0 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            F.col("o_custkey").alias("custkey"), "o_orderstatus"
+        )
+        b0 = cust.select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_nationkey"
+        )
+        ds.create(a_ref, a0.schema)
+        ds.append(a0, a_ref)  # A v1
+        ds.create(b_ref, b0.schema)
+        ds.append(b0, b_ref)  # B v1
+        view = JoinView(
+            ds, a_ref, b_ref, v_ref, on=["custkey"],
+            a_cols=["o_orderstatus"], b_cols=["c_mktsegment", "c_nationkey"],
+        )
+        view.refresh()  # initial build
+        # mutate both sides, then refresh incrementally
+        a1 = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+            F.col("o_custkey").alias("custkey"), "o_orderstatus"
+        )
+        ds.append(a1, a_ref)  # A v2
+        moved = b0.filter(F.col("custkey") % 7 == 0).withColumn(
+            "c_mktsegment", F.lit("MOVED")
+        )
+        ds.merge(
+            moved, b_ref,
+            MergeSpec(
+                primary_key_columns=["custkey"],
+                update_columns=["c_mktsegment"],
+                insert_when_not_matched=False,
+            ),
+        )  # B v2
+        ds.delete(b_ref, "c_nationkey = 13")  # B v3
+        view.refresh()  # applies delta-A against B@v1, delta-B against A@v2
+        bag = view.read()
+        return (
+            bag.groupBy("c_mktsegment")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_pairs"),
+                F.countDistinct("custkey").cast("bigint").alias("n_customers"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_JOIN_VIEW_REFRESH = """
+WITH a AS (
+  SELECT o_custkey AS custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+), b AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+           AS c_mktsegment,
+         c_nationkey
+  FROM customer
+  WHERE c_nationkey IS DISTINCT FROM 13
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers
+FROM a JOIN b USING (custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table profiling (data-quality primitive): per-column null counts,
 # exact distincts, numeric range + exact percentiles, string lengths —
 # one shared aggregation pass for everything except the per-column
@@ -1155,6 +1331,8 @@ RELATIONAL_QUERIES = {
     "event_hourly_profile": q_event_hourly_profile,
     "merge_upsert_effect": q_merge_upsert_effect,
     "txlog_version_diff": q_txlog_version_diff,
+    "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
+    "join_view_refresh": q_join_view_refresh,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
     "salted_brand_volume": q_salted_brand_volume,
@@ -1183,6 +1361,8 @@ RELATIONAL_ORACLES = {
     "event_hourly_profile": ORACLE_EVENT_HOURLY_PROFILE,
     "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
+    "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
+    "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
     "salted_brand_volume": ORACLE_SALTED_BRAND_VOLUME,
