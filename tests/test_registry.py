@@ -65,7 +65,6 @@ FAMILY_REPRESENTATIVES = [
     "quality_classifier",       # hashed-feature linear quality scoring
     "unigram_surprise",         # unigram-LM cross-entropy (perplexity filter)
     "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
-    "semantic_dedup_survivors",  # SemDeDup: embedding eps-join + components
     "set_similarity_dups",      # exact prefix-filtered set-similarity join
     # round-4 promotions (verdict r3 tasks #1 and #6 + new operators;
     # demoted with family justification in registry.py: corpus_splits
@@ -98,6 +97,10 @@ FAMILY_REPRESENTATIVES = [
                                 # twin — both implementations driver-pinned)
     "txlog_restore_roundtrip",  # RESTORE TO VERSION rollback + CDF audit
     "join_view_refresh",        # incrementally maintained equi-join view
+    "stream_ivm_user_totals",   # streaming epoch-stamped append + CDF-fold
+                                # AggregateView refresh (exactly-once x2;
+                                # demoted: semantic_dedup_survivors, a
+                                # composition of head-covered parts)
 ]
 
 

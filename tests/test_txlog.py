@@ -704,6 +704,31 @@ def test_txn_replay_detected_inside_commit(spark, ds, tmp_path):
     assert rows[1] == 444 and rows[2] == 555
 
 
+def test_txn_stamped_append_is_idempotent(spark, ds, tmp_path):
+    """Add-only commits accept the same txnAppId/txnVersion stamp as
+    MERGE/OVERWRITE (Delta's writer options on append) — the streaming
+    bronze-ingest path (streaming_ivm_totals) relies on a replayed
+    epoch's append aborting BEFORE any log entry lands."""
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    df = spark.createDataFrame([(100, "a", 1)], "pk int, part string, v int")
+    n0 = ds.read(ref).count()
+    ds.append(df, ref, txn=("ingest", 0))
+    assert ds.read(ref).count() == n0 + 1
+    assert ds.last_txn_version(ref, "ingest") == 0
+    # replayed epoch: no rows double-applied, version chain untouched
+    v_before = ds._latest_version(ds._table_path(ref))
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.append(df, ref, txn=("ingest", 0))
+    assert ds.read(ref).count() == n0 + 1
+    assert ds._latest_version(ds._table_path(ref)) == v_before
+    # the next epoch proceeds
+    ds.append(df, ref, txn=("ingest", 1))
+    assert ds.read(ref).count() == n0 + 2
+
+
 def test_txn_stamps_carried_through_checkpoints(spark, ds, tmp_path):
     """Txn stamps survive into checkpoint ``txns`` maps, so
     last_txn_version scans only the post-checkpoint suffix and the

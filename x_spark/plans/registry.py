@@ -94,6 +94,13 @@ _TAIL = [
                                # txlog_version_diff + txlog_restore_roundtrip
                                # (both head, strictly stronger: same merge
                                # algebra + CDF/restore audit)
+    "semantic_dedup_survivors",  # green r03+r04; a composition whose every
+                               # part keeps a head rep (eps-join:
+                               # embedding_near_dups; components+survivors:
+                               # dedup_survivors); slot goes to
+                               # stream_ivm_user_totals (streaming ingest +
+                               # incremental view maintenance, exactly-once
+                               # on both layers — a brand-new composition)
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held

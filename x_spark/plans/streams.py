@@ -27,6 +27,7 @@ from x_spark.streaming.events import (
     stateful_user_stats,
     stateful_user_stats_tws,
     stream_stream_click_purchase,
+    streaming_ivm_totals,
     streaming_upsert_totals,
     tumbling_profile,
     user_stats_agg,
@@ -106,6 +107,23 @@ def q_stream_upsert_totals_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_UPSERT_TOTALS = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bronze-append + maintained-rollup shape: each micro-batch appends
+    # raw rows to a txlog base (epoch-stamped add-only commit) and
+    # refreshes an AggregateView from the change feed — exactly-once on
+    # both layers; the view's refresh cost is O(batch), never O(corpus).
+    return streaming_ivm_totals(spark, sf_dir)
+
+
+ORACLE_STREAM_IVM_USER_TOTALS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
@@ -275,6 +293,7 @@ STREAM_QUERIES = {
     "stream_session_profile": q_stream_session_profile,
     "stream_upsert_totals": q_stream_upsert_totals,
     "stream_upsert_totals_txlog": q_stream_upsert_totals_txlog,
+    "stream_ivm_user_totals": q_stream_ivm_user_totals,
 }
 
 STREAM_ORACLES = {
@@ -289,4 +308,5 @@ STREAM_ORACLES = {
     "stream_upsert_totals": ORACLE_STREAM_UPSERT_TOTALS,
     # same oracle: exactly-once txlog state must match the memory path
     "stream_upsert_totals_txlog": ORACLE_STREAM_UPSERT_TOTALS,
+    "stream_ivm_user_totals": ORACLE_STREAM_IVM_USER_TOTALS,
 }

@@ -602,9 +602,17 @@ class TxLogDataSource(BaseDataSource):
         self._commit(table, 0, [meta], "CREATE")
 
     def append(self, df: DataFrame, ref: TableRef,
-               merge_schema: bool = False) -> None:
+               merge_schema: bool = False,
+               txn: tuple[str, int] | None = None) -> None:
         """Add-only commit. On version collision the append re-resolves
         and retries — blind adds commute with any concurrent commit.
+
+        ``txn=(app_id, version)`` stamps the commit for idempotent
+        replay (Delta's txnAppId/txnVersion writer options on append) —
+        see :meth:`last_txn_version`; a detected replay raises
+        :class:`TxnAlreadyCommittedException` BEFORE any file lands in
+        the log, so streaming foreachBatch ingest can be exactly-once
+        without a merge.
 
         ``merge_schema=True`` is Delta's mergeSchema append: columns in
         ``df`` missing from the table widen the schema (one metaData
@@ -662,8 +670,13 @@ class TxLogDataSource(BaseDataSource):
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
-                             meta_actions + add_actions, "APPEND")
+                             meta_actions + add_actions, "APPEND", txn=txn)
                 return
+            except TxnAlreadyCommittedException:
+                # replay detected: the epoch is already durable — this
+                # must surface to the caller, NOT be retried as a
+                # version race (it subclasses ConcurrentWriteException)
+                raise
             except ConcurrentWriteException:
                 # Blind adds commute with any concurrent commit, but a
                 # metaData action does NOT (log replay keeps only the

@@ -516,6 +516,85 @@ def streaming_upsert_totals(
     return out
 
 
+def streaming_ivm_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming ingest + incremental view maintenance, exactly-once
+    on BOTH layers — the lakehouse "bronze append, silver maintained
+    view" shape:
+
+    1. each micro-batch APPENDs its raw rows to a txlog base table,
+       with the epoch id stamped on the append commit itself
+       (txnAppId/txnVersion — the same idempotent-writes pattern the
+       MERGE sink uses, newly supported on add-only commits);
+    2. the same handler then refreshes an :class:`AggregateView`,
+       which folds ONLY the change feed of the base versions committed
+       since its last refresh (O(batch), never O(corpus)) and lands
+       new state + applied-position in ONE atomic stamped commit.
+
+    Crash/replay at any point is safe: a replayed epoch's append is
+    detected and skipped (raised-and-swallowed before any log entry
+    lands), and a replayed refresh is a version no-op — so the final
+    aggregate equals the plain batch GROUP BY regardless of delivery.
+
+    At 100 TB this is the nightly-table + maintained-rollup pattern
+    with the refresh cost proportional to the ingested delta; contrast
+    :func:`streaming_upsert_totals`, which merges totals directly —
+    here the base table keeps FULL row-level history (time travel,
+    CDF, late consumers) and the view derives from it.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    from x_spark.operators.ivm import AggregateView
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource, TxnAlreadyCommittedException
+
+    workdir = tempfile.mkdtemp(prefix="xs_stream_ivm_")
+    src_dir = chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = read_events_stream(spark, sf_dir, path=src_dir, max_files_per_trigger=1)
+
+    ds = TxLogDataSource(spark)
+    base_ref = TableRef(path=os.path.join(workdir, "base"))
+    agg_ref = TableRef(path=os.path.join(workdir, "agg"))
+    ds.create(base_ref, _parse_datatype_string("user_id bigint, value double"))
+    view = AggregateView(ds, base_ref, agg_ref, keys=["user_id"], sums=["value"])
+    app_id = "stream_ivm_ingest"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > ds.last_txn_version(base_ref, app_id):
+            try:
+                ds.append(
+                    batch_df.select("user_id", "value"), base_ref,
+                    txn=(app_id, int(batch_id)),
+                )
+            except TxnAlreadyCommittedException:
+                pass  # replayed epoch lost the race — already durable
+        view.refresh()  # idempotent: applies only unseen base versions
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    result = view.read().select(
+        "user_id",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("total_value"),
+    )
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def txlog_exactly_once_upsert(ds, ref, spec: MergeSpec, app_id: str):
     """foreachBatch handler with EXACTLY-ONCE writes into a txlog
     table — the Delta txnAppId/txnVersion pattern on the native
