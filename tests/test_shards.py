@@ -1,0 +1,73 @@
+"""Deterministic shuffle-shard map: stability across partitionings and
+seeds, shard balance, and the write path's per-shard ordering."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.operators.shards import shard_manifest, shuffle_shards, write_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i} body " + "w " * (i % 7)) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_map_is_deterministic_across_partitionings(docs):
+    a = sorted(map(tuple, shuffle_shards(docs, 8, seed="s1").collect()))
+    b = sorted(map(tuple, shuffle_shards(docs.repartition(13), 8, seed="s1").collect()))
+    assert a == b
+
+
+def test_positions_are_dense_per_shard(docs):
+    rows = shuffle_shards(docs, 4, seed="x").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    assert sum(len(v) for v in by_shard.values()) == 200
+
+
+def test_different_seed_reshuffles(docs):
+    a = {r.doc_id: (r.shard_id, r.pos_in_shard)
+         for r in shuffle_shards(docs, 8, seed="epoch0").collect()}
+    b = {r.doc_id: (r.shard_id, r.pos_in_shard)
+         for r in shuffle_shards(docs, 8, seed="epoch1").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 150  # an unrelated permutation, not a nudge
+
+
+def test_shards_are_hash_balanced(docs):
+    sizes = [r.n_docs for r in shard_manifest(shuffle_shards(docs, 4, seed="b")).collect()]
+    assert len(sizes) == 4
+    # 200 docs over 4 hash shards: no shard degenerate or dominant
+    assert min(sizes) > 20 and max(sizes) < 80
+
+
+def test_manifest_token_accounting(docs):
+    from x_spark.functions.portable import token_count
+
+    toks = docs.select("doc_id", token_count(F.col("text")).cast("bigint").alias("n"))
+    man = shard_manifest(shuffle_shards(docs, 4, seed="m"), payload=toks, token_col="n")
+    total = sum(r.total_tokens for r in man.collect())
+    want = toks.agg(F.sum("n")).first()[0]
+    assert total == want
+
+
+def test_write_shards_orders_rows(docs, tmp_path):
+    spark = docs.sparkSession
+    shards = shuffle_shards(docs, 4, seed="w")
+    out = os.path.join(str(tmp_path), "shards")
+    write_shards(docs, shards, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # every shard directory exists and its rows carry the map positions
+    got = {(r.shard_id, r.pos_in_shard): r.doc_id for r in back.collect()}
+    want = {(r.shard_id, r.pos_in_shard): r.doc_id for r in shards.collect()}
+    assert got == want

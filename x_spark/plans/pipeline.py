@@ -1606,6 +1606,53 @@ GROUP BY a.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic training-order shuffle + shard assignment
+# (operators/shards.py): seed-parameterized md5 permutation, shard =
+# key mod n, position = per-shard rank — one hash-partition shuffle,
+# never a global sort, never rand(). The oracle replays the identical
+# hash math (hash60 == DuckDB '0x'||substr(md5,1,15) cast) and window.
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.shards import shard_manifest, shuffle_shards
+    from x_spark.functions.portable import token_count
+
+    docs = _docs(spark, sf_dir)
+    shards = shuffle_shards(docs, n_shards=8, seed="42")
+    # manifest join-back: the per-shard doc/token accounting a loader
+    # reads first — checks the map AND the co-keyed manifest in one row
+    # set (shard sizes must be hash-balanced and token sums exact)
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    man = shard_manifest(shards, payload=toks, token_col="n_tokens")
+    return shards.join(man, "shard_id").select(
+        "doc_id", "shard_id", "pos_in_shard", "n_docs", "total_tokens"
+    )
+
+
+ORACLE_CORPUS_SHUFFLE_SHARDS = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS sk,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), assigned AS (
+  SELECT doc_id, sk, n_tokens, CAST(sk % 8 AS INT) AS shard_id FROM keyed
+), pos AS (
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sk, doc_id) - 1 AS BIGINT)
+           AS pos_in_shard
+  FROM assigned
+), man AS (
+  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM pos GROUP BY shard_id
+)
+SELECT p.doc_id, p.shard_id, p.pos_in_shard, m.n_docs, m.total_tokens
+FROM pos p JOIN man m USING (shard_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (GPT-style concat-and-slice): every document's span
 # of fixed-capacity training sequences, from a DISTRIBUTED two-stage
 # prefix sum of token counts (never a single-partition global window —
@@ -1806,6 +1853,7 @@ PIPELINE_QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "line_dedup_boilerplate": q_line_dedup_boilerplate,
     "sequence_packing": q_sequence_packing,
+    "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1854,6 +1902,7 @@ PIPELINE_ORACLES = {
     "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
     "line_dedup_boilerplate": ORACLE_LINE_DEDUP_BOILERPLATE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "corpus_shuffle_shards": ORACLE_CORPUS_SHUFFLE_SHARDS,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

@@ -101,6 +101,11 @@ _TAIL = [
                                # stream_ivm_user_totals (streaming ingest +
                                # incremental view maintenance, exactly-once
                                # on both layers — a brand-new composition)
+    "corpus_shuffle_shards",   # late-round-5 addition (deterministic
+                               # training-order shuffle + shard manifest):
+                               # locally hash-checked via test_oracle_parity;
+                               # r6 head-rotation candidate (the r5 head
+                               # already carries six never-checked entries)
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held
