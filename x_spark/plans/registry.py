@@ -101,6 +101,13 @@ _TAIL = [
                                # stream_ivm_user_totals (streaming ingest +
                                # incremental view maintenance, exactly-once
                                # on both layers — a brand-new composition)
+    "stream_ivm_join_view",    # late-round-5 addition (streaming fact
+                               # appends + dim churn through a maintained
+                               # JoinView): locally hash-checked via
+                               # test_oracle_parity; r6 head-rotation
+                               # candidate alongside corpus_shuffle_shards
+                               # (head rep of the streaming-IVM composition
+                               # family: stream_ivm_user_totals)
     "corpus_shuffle_shards",   # late-round-5 addition (deterministic
                                # training-order shuffle + shard manifest):
                                # locally hash-checked via test_oracle_parity;

@@ -27,6 +27,7 @@ from x_spark.streaming.events import (
     stateful_user_stats,
     stateful_user_stats_tws,
     stream_stream_click_purchase,
+    streaming_ivm_join,
     streaming_ivm_totals,
     streaming_upsert_totals,
     tumbling_profile,
@@ -127,6 +128,30 @@ SELECT user_id,
        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
+"""
+
+
+def q_stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact-to-dim maintained JOIN view: streaming fact appends
+    # (epoch-stamped) + dim merge/delete mid-stream, per-epoch delta
+    # refresh; final aggregate == plain join of the final base states.
+    return streaming_ivm_join(spark, sf_dir)
+
+
+ORACLE_STREAM_IVM_JOIN_VIEW = """
+WITH dim AS (
+  SELECT DISTINCT user_id FROM events
+), dim2 AS (
+  SELECT user_id,
+         CASE WHEN user_id % 3 = 0 THEN 'MOVED'
+              ELSE concat('t', CAST(user_id % 5 AS VARCHAR)) END AS tier
+  FROM dim WHERE user_id % 11 <> 0
+)
+SELECT tier, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events e JOIN dim2 d USING (user_id)
+GROUP BY tier, event_type
 """
 
 
@@ -294,6 +319,7 @@ STREAM_QUERIES = {
     "stream_upsert_totals": q_stream_upsert_totals,
     "stream_upsert_totals_txlog": q_stream_upsert_totals_txlog,
     "stream_ivm_user_totals": q_stream_ivm_user_totals,
+    "stream_ivm_join_view": q_stream_ivm_join_view,
 }
 
 STREAM_ORACLES = {
@@ -309,4 +335,5 @@ STREAM_ORACLES = {
     # same oracle: exactly-once txlog state must match the memory path
     "stream_upsert_totals_txlog": ORACLE_STREAM_UPSERT_TOTALS,
     "stream_ivm_user_totals": ORACLE_STREAM_IVM_USER_TOTALS,
+    "stream_ivm_join_view": ORACLE_STREAM_IVM_JOIN_VIEW,
 }

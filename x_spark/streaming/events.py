@@ -595,6 +595,115 @@ def streaming_ivm_totals(
     return out
 
 
+def streaming_ivm_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming fact ingest + incrementally maintained JOIN view,
+    with the dimension side mutating mid-stream — the fact-to-dim
+    maintained-join shape on top of :class:`JoinView`:
+
+    - fact side A: each micro-batch of events appends to a txlog base
+      (epoch-stamped add-only commit, exactly-once like
+      :func:`streaming_ivm_totals`);
+    - dim side B: a user->tier table that is MERGEd and DELETEd from
+      while the stream runs (first epoch) — the re-tiered and removed
+      users must flow through the view via B's change feed;
+    - after each epoch the view applies each side's CDF deltas against
+      the other side pinned at its applied version (the delta rule),
+      so every (fact, dim) pair lands exactly once no matter how the
+      stream is sliced or replayed.
+
+    The final aggregate equals the plain join of the FINAL base states
+    — the oracle is batch SQL. Note the state-rewrite cost: each
+    refresh rewrites the view table (O(view), the plain-overwrite
+    store's limit); the O(batch) claim covers the BASE reads. For a
+    view that outgrows its refresh budget, partition the view table on
+    the join key and scope the rewrite (overwrite_dynamic) — the delta
+    rule itself is unchanged.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource, TxnAlreadyCommittedException
+
+    workdir = tempfile.mkdtemp(prefix="xs_stream_ivmj_")
+    src_dir = chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = read_events_stream(spark, sf_dir, path=src_dir, max_files_per_trigger=1)
+    from x_spark.session import load_table
+
+    ds = TxLogDataSource(spark)
+    a_ref = TableRef(path=os.path.join(workdir, "fact"))
+    b_ref = TableRef(path=os.path.join(workdir, "dim"))
+    v_ref = TableRef(path=os.path.join(workdir, "view"))
+    ds.create(
+        a_ref,
+        _parse_datatype_string("user_id bigint, event_type string, value double"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn(
+            "tier", F.concat(F.lit("t"), (F.col("user_id") % 5).cast("string"))
+        )
+    )
+    ds.create(b_ref, dim.schema)
+    ds.append(dim, b_ref)  # dim v1
+    view = JoinView(
+        ds, a_ref, b_ref, v_ref, on=["user_id"],
+        a_cols=["event_type", "value"], b_cols=["tier"],
+    )
+    app_id = "stream_ivmj_ingest"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            # dim churn while the stream runs: re-tier and remove users;
+            # WHEN this lands does not change the final view (the delta
+            # rule composes), only which refresh carries the B deltas
+            moved = dim.filter(F.col("user_id") % 3 == 0).withColumn(
+                "tier", F.lit("MOVED")
+            )
+            ds.merge(
+                moved, b_ref,
+                MergeSpec(["user_id"], ["tier"], insert_when_not_matched=False),
+            )
+            ds.delete(b_ref, "user_id % 11 = 0")
+        if batch_id > ds.last_txn_version(a_ref, app_id):
+            try:
+                ds.append(
+                    batch_df.select("user_id", "event_type", "value"), a_ref,
+                    txn=(app_id, int(batch_id)),
+                )
+            except TxnAlreadyCommittedException:
+                pass  # replayed epoch lost the race — already durable
+        view.refresh()
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    bag = view.read()
+    result = bag.groupBy("tier", "event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)") * F.col("n_rows"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def txlog_exactly_once_upsert(ds, ref, spec: MergeSpec, app_id: str):
     """foreachBatch handler with EXACTLY-ONCE writes into a txlog
     table — the Delta txnAppId/txnVersion pattern on the native
