@@ -288,3 +288,20 @@ def test_cli_restore(tmp_path, spark, capsys):
     assert main(["restore", src, "1"]) == 0
     assert "as v3" in capsys.readouterr().out
     assert sorted(r.k for r in ds.read(TableRef(path=src)).collect()) == [1]
+
+
+def test_cli_shuffle(tmp_path, spark, capsys):
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id bigint, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+    assert main(["shuffle", src, "--shards", "3", "--seed", "e0", "--out", out]) == 0
+    printed = capsys.readouterr().out
+    assert "3 shards written" in printed
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert sorted(r.shard_id for r in back.select("shard_id").distinct().collect()) == [0, 1, 2]
+    # manifest-only mode: no write, manifest printed
+    assert main(["shuffle", src, "--shards", "3", "--seed", "e0"]) == 0
+    assert "shard_id" in capsys.readouterr().out

@@ -197,6 +197,23 @@ def build_parser() -> argparse.ArgumentParser:
     rst.add_argument("source", help="txlog table path")
     rst.add_argument("version", type=int)
 
+    shf = sub.add_parser(
+        "shuffle",
+        help="deterministic training-order shuffle: write a parquet corpus "
+        "as N shards in seed-stable pseudo-random order",
+    )
+    shf.add_argument("source", help="parquet path (file or directory)")
+    shf.add_argument("--shards", type=int, required=True, help="shard count")
+    shf.add_argument("--seed", default="0", help="permutation seed (epoch id)")
+    shf.add_argument(
+        "--id-col", default="doc_id", help="unique row id column (default doc_id)"
+    )
+    shf.add_argument(
+        "--out", default=None,
+        help="output dir (partitioned by shard_id, rows in permutation "
+        "order); omit to only print the per-shard manifest",
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -352,6 +369,19 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(df, cols, mode=mode).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
+        return 0
+
+    if args.command == "shuffle":
+        from x_spark.operators.shards import shard_manifest, shuffle_shards, write_shards
+        from x_spark.session import get_session
+
+        spark = get_session()
+        df = spark.read.parquet(args.source)
+        shards = shuffle_shards(df, args.shards, id_col=args.id_col, seed=args.seed)
+        if args.out:
+            write_shards(df, shards, args.out, id_col=args.id_col)
+            print(f"{args.shards} shards written to {args.out} (seed={args.seed})")
+        shard_manifest(shards).orderBy("shard_id").show(1000, truncate=False)
         return 0
 
     if args.command == "restore":
