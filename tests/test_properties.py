@@ -356,3 +356,28 @@ def test_bpe_trainer_matches_reference(spark, docs, n_merges):
     )
     got = train_bpe(df, n_merges=n_merges, min_pair_freq=2)
     assert got == _ref_train(docs, n_merges, min_pair_freq=2)
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from x_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_mix(df, "source", "doc_id", alpha=0.5)
+    sizes = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # quota algebra: w=(20,10), min ratio = min(400/20, 100/10)=10
+    # -> quotas floor(20*10)=200 (big), floor(10*10)=100 (small)
+    assert sizes == {"big": 200, "small": 100}
+    # the scarce source binds fully; the big one is downsampled toward
+    # sqrt-proportional share: 2:1 instead of the natural 4:1
+    # alpha=1 reduces to the natural distribution (everything kept)
+    nat = temperature_mix(df, "source", "doc_id", alpha=1.0)
+    assert nat.count() == 500
+    # determinism across partitionings
+    a = sorted(map(tuple, kept.collect()))
+    b = sorted(map(tuple, temperature_mix(df.repartition(7), "source", "doc_id").collect()))
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "source", "doc_id", alpha=0.0)

@@ -118,6 +118,63 @@ def priority_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the mT5/multilingual-sampling
+    rule): target proportions proportional to ``count_s ** alpha``.
+    ``alpha=1`` keeps the natural distribution; ``alpha -> 0``
+    approaches uniform over sources — the standard low-resource
+    up-weighting knob, here as deterministic SUBSAMPLING of the
+    over-represented sources (no replication).
+
+    Quota algebra: with weights w_s = c_s^alpha and target shares
+    p_s = w_s / W, the achievable total is T = min_s(c_s / p_s) and
+    quota_s = floor(p_s * T) = floor(w_s * min_s(c_s / w_s)) — the
+    normalizing sum W CANCELS, so the float chain is pow / divide /
+    min / multiply / floor only. At ``alpha=0.5`` the pow is sqrt,
+    which IEEE requires to be correctly rounded — the whole chain is
+    then bit-identical across engines (the oracle-checkable setting);
+    other alphas depend on the platform's pow rounding (fine for
+    production, not for a hash-compared oracle).
+
+    Same scale shape as :func:`mix_corpus`: per-source count agg
+    (source cardinality is tiny), broadcast quota join, one per-source
+    rank window; rows keep/drop deterministically by key hash, so the
+    mix is reproducible and incrementally stable.
+    """
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql import Window as W
+
+    wt = (
+        F.sqrt(F.col("__cnt").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__cnt").cast("double"), F.lit(float(alpha)))
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    weighted = counts.select(
+        source_col,
+        wt.alias("__w"),
+        (F.col("__cnt").cast("double") / wt).alias("__ratio"),
+    )
+    mr = weighted.agg(F.min("__ratio").alias("__mr"))
+    quota = weighted.crossJoin(F.broadcast(mr)).select(
+        source_col,
+        F.floor(F.col("__w") * F.col("__mr")).cast("bigint").alias("__quota"),
+    )
+    w = W.partitionBy(source_col).orderBy(_bucket(key_col), F.col(key_col))
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     source_col: str,

@@ -1793,6 +1793,48 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing (mT5 rule): proportions ~ count^alpha at
+# alpha=0.5 — the sqrt setting is IEEE-correctly-rounded, so the quota
+# algebra (w_s = sqrt(c_s), quota_s = floor(w_s * min(c_s / w_s)); the
+# normalizer cancels) is bit-identical in Spark and DuckDB. Groups by
+# source over the documents table; deterministic lowest-hash keeps.
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sampling import temperature_mix
+
+    kept = temperature_mix(_docs(spark, sf_dir), "source", "doc_id", alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY source
+), w AS (
+  SELECT source, sqrt(cnt) AS wt, cnt / sqrt(cnt) AS ratio FROM c
+), m AS (SELECT min(ratio) AS mr FROM w),
+q AS (
+  SELECT source, CAST(floor(wt * mr) AS BIGINT) AS quota FROM w CROSS JOIN m
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000,
+                    doc_id
+         ) AS rk
+  FROM documents
+),
+kept AS (SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source) WHERE rk <= quota)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS docid_sum
+FROM kept GROUP BY source
+"""
+
+
 ORACLE_CORPUS_MIXTURE = """
 WITH props(lang, p) AS (
   VALUES ('en', 0.5), ('de', 0.2), ('es', 0.15), ('fr', 0.1), ('zh', 0.05)
@@ -1854,6 +1896,7 @@ PIPELINE_QUERIES = {
     "line_dedup_boilerplate": q_line_dedup_boilerplate,
     "sequence_packing": q_sequence_packing,
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
+    "temperature_mixture": q_temperature_mixture,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1903,6 +1946,7 @@ PIPELINE_ORACLES = {
     "line_dedup_boilerplate": ORACLE_LINE_DEDUP_BOILERPLATE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_shuffle_shards": ORACLE_CORPUS_SHUFFLE_SHARDS,
+    "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

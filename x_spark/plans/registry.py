@@ -101,6 +101,11 @@ _TAIL = [
                                # stream_ivm_user_totals (streaming ingest +
                                # incremental view maintenance, exactly-once
                                # on both layers — a brand-new composition)
+    "temperature_mixture",     # late-round-5 addition (mT5 count^alpha
+                               # mixing at the IEEE-exact sqrt setting):
+                               # locally hash-checked; sampling family
+                               # held by corpus_mixture (head) — r6
+                               # rotation candidate
     "stream_ivm_join_view",    # late-round-5 addition (streaming fact
                                # appends + dim churn through a maintained
                                # JoinView): locally hash-checked via
