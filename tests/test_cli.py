@@ -305,3 +305,17 @@ def test_cli_shuffle(tmp_path, spark, capsys):
     # manifest-only mode: no write, manifest printed
     assert main(["shuffle", src, "--shards", "3", "--seed", "e0"]) == 0
     assert "shard_id" in capsys.readouterr().out
+
+
+def test_cli_detail(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "dtbl")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "pk int, s string")
+    ds.create(TableRef(path=path), df.schema)
+    ds.append(df, TableRef(path=path))
+    assert main(["detail", path]) == 0
+    out = capsys.readouterr().out
+    assert '"num_rows": 2' in out and '"version": 1' in out

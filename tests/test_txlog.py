@@ -859,3 +859,41 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     with _pytest.raises(DataSourceException, match="vacuumed"):
         ds.restore(ref, 1)
     assert ds.history(ref)[-1]["version"] == before  # nothing committed
+
+
+# -- metadata-only statistics ------------------------------------------------
+def test_count_rows_is_metadata_exact(spark, ds, tmp_path):
+    """count_rows must equal read().count() at every version across
+    append/merge/delete — computed from add-action numRecords alone."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    assert ds.count_rows(ref) == 3
+    ds.append(spark.createDataFrame([(4, "b", 40), (5, "c", 50)],
+                                    "pk int, part string, v int"), ref)
+    assert ds.count_rows(ref) == 5
+    spec = MergeSpec(["pk"], ["v"], insert_when_not_matched=True)
+    ds.merge(spark.createDataFrame([(1, 111), (9, 999)], "pk int, v int"),
+             ref, spec)
+    assert ds.count_rows(ref) == ds.read(ref).count() == 6
+    ds.delete(ref, "part = 'a'")
+    assert ds.count_rows(ref) == ds.read(ref).count()
+    # time travel: historical counts from historical snapshots
+    assert ds.count_rows(ref, version=1) == 3
+    assert ds.count_rows(ref, version=2) == 5
+
+
+def test_partition_counts_and_describe_detail(spark, ds, tmp_path):
+    ref = _ref(tmp_path, partition_by=["part"])
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "pk int, part string, v int"
+    )
+    ds.create(ref, df.schema, partition_by=["part"])
+    ds.append(df, ref)
+    parts = {p["part"]: (p["n_rows"], p["n_files"]) for p in ds.partition_counts(ref)}
+    assert parts["a"][0] == 2 and parts["b"][0] == 1
+    d = ds.describe_detail(ref)
+    assert d["num_rows"] == 3
+    assert d["partition_columns"] == ["part"]
+    assert d["num_files"] == sum(v[1] for v in parts.values())
+    assert d["size_bytes"] > 0
+    assert d["version"] == 1 and "pk" in d["schema"]

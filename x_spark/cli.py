@@ -214,6 +214,14 @@ def build_parser() -> argparse.ArgumentParser:
         "order); omit to only print the per-shard manifest",
     )
 
+    det = sub.add_parser(
+        "detail",
+        help="DESCRIBE DETAIL of a txlog table: version, file/row counts "
+        "(metadata-only, no data read), bytes, partitioning + per-partition "
+        "row counts",
+    )
+    det.add_argument("path", help="txlog table directory")
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -369,6 +377,20 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(df, cols, mode=mode).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
+        return 0
+
+    if args.command == "detail":
+        import json as _json
+
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        ref = TableRef(path=args.path)
+        print(_json.dumps(ds.describe_detail(ref), indent=2))
+        for row in ds.partition_counts(ref):
+            print(row)
         return 0
 
     if args.command == "shuffle":

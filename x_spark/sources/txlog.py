@@ -1121,6 +1121,74 @@ class TxLogDataSource(BaseDataSource):
             "RESTORE",
         )
 
+    def count_rows(self, ref: TableRef, version: int | None = None) -> int:
+        """EXACT row count from log metadata alone — sum of the live
+        add-actions' ``numRecords`` (every add carries its footer row
+        count). O(log), zero data bytes read: Delta's count-from-stats
+        optimization surfaced as an explicit API (``SELECT COUNT(*)``
+        through the generic reader would still scan). Files whose add
+        action predates the stats field (foreign logs) fall back to a
+        single parquet-footer read each — still no data pages."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table, version)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        total = 0
+        for rel, add in snap.files.items():
+            n = add.get("numRecords")
+            if n is None:
+                n, _ = self._footer_stats(os.path.join(table, rel))
+            total += int(n)
+        return total
+
+    def partition_counts(self, ref: TableRef,
+                         version: int | None = None) -> list[dict]:
+        """Per-partition row/file counts from log metadata (no data
+        read): ``[{<part col>: value, ..., n_files, n_rows}, ...]`` —
+        the D1 partition-metadata surface with exact sizes attached."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table, version)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        acc: dict[tuple, dict] = {}
+        for rel, add in snap.files.items():
+            pv = add.get("partitionValues") or {}
+            key = tuple(sorted(pv.items()))
+            slot = acc.setdefault(key, {"n_files": 0, "n_rows": 0})
+            slot["n_files"] += 1
+            n = add.get("numRecords")
+            if n is None:
+                n, _ = self._footer_stats(os.path.join(table, rel))
+            slot["n_rows"] += int(n)
+        return [
+            {**dict(key), "n_files": v["n_files"], "n_rows": v["n_rows"]}
+            for key, v in sorted(acc.items())
+        ]
+
+    def describe_detail(self, ref: TableRef) -> dict:
+        """DESCRIBE DETAIL: current version, schema, partitioning, file
+        count, exact row count (metadata), and on-disk bytes of the
+        live files (one stat() per file — metadata-scale)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        size = 0
+        for rel in snap.files:
+            try:
+                size += os.path.getsize(os.path.join(table, rel))
+            except OSError:
+                pass  # vacuumed-out-from-under reader: size is best-effort
+        return {
+            "path": table,
+            "version": snap.version,
+            "num_files": len(snap.files),
+            "num_rows": self.count_rows(ref),
+            "size_bytes": size,
+            "partition_columns": list(snap.partition_cols),
+            "schema": snap.schema.simpleString(),
+        }
+
     def history(self, ref: TableRef) -> list[dict]:
         """(version, operation) for every commit — DESCRIBE HISTORY."""
         table = self._table_path(ref)
