@@ -201,11 +201,11 @@ def test_concurrent_append_retries_and_wins(spark, ds, tmp_path):
     orig = ds._commit
     fired = {}
 
-    def racing_commit(table, version, actions, operation):
+    def racing_commit(table, version, actions, operation, txn=None):
         if operation == "APPEND" and not fired.get("done"):
             fired["done"] = True
             orig(table, version, [], "RACER")
-        return orig(table, version, actions, operation)
+        return orig(table, version, actions, operation, txn=txn)
 
     ds._commit = racing_commit
     try:
