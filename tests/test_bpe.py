@@ -269,3 +269,50 @@ def test_replace_chain_encoder_agrees_with_fold(spark):
         for r in apply_merges_str(_df(spark), merges).select("doc_id", "bpe_tokens").collect()
     }
     assert fold == chain
+
+
+def test_incremental_word_freq_store_trains_identically(spark, tmp_path):
+    """An incrementally built word-frequency store must train to the
+    IDENTICAL merge table as a from-scratch run over the union of its
+    batches — the O(batch)-per-ingest lever (ROADMAP: incremental
+    counts across sessions)."""
+    from x_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_from_word_freqs,
+        update_word_freq_store,
+    )
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource, TxnAlreadyCommittedException
+
+    texts = [
+        "low lower lowest slow slowly",
+        "new newer newest news newt",
+        "low slow new lower newer low low",
+    ]
+    batches = [
+        spark.createDataFrame([(i, t)], "doc_id bigint, text string")
+        for i, t in enumerate(texts)
+    ]
+    full = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    ds = TxLogDataSource(spark)
+    ref = TableRef(path=str(tmp_path / "wf_store"))
+    for epoch, b in enumerate(batches):
+        update_word_freq_store(ds, ref, b, txn=("ingest", epoch))
+    # replayed epoch is exactly-once: counts unchanged
+    import pytest as _pytest
+
+    with _pytest.raises(TxnAlreadyCommittedException):
+        update_word_freq_store(ds, ref, batches[-1], txn=("ingest", 2))
+    store_counts = {r.word: r.freq for r in ds.read(ref).collect()}
+    want_counts = {
+        r.word: r.freq
+        for r in __import__("x_spark.operators.bpe", fromlist=["word_freq_table"])
+        .word_freq_table(full, max_words=None).collect()
+    }
+    assert store_counts == want_counts
+    kw = dict(n_merges=8, min_pair_freq=2, max_words=None)
+    from_store = train_bpe_from_word_freqs(ds.read(ref), **kw)
+    from_scratch = train_bpe(full, **kw)
+    assert from_store == from_scratch

@@ -371,10 +371,48 @@ def train_bpe(
     persist it, then apply with :func:`apply_merges` (JVM fold, good
     for bounded merge counts) or :func:`bpe_encode_pandas` (broadcast
     ranks + Arrow batches, the production encoder shape).
+
+    Corpora that grow batch-by-batch should not re-tokenize from
+    scratch: maintain the counts with :func:`update_word_freq_store`
+    and retrain via :func:`train_bpe_from_word_freqs` — the one
+    O(corpus) pass becomes O(batch) per ingest (ROADMAP incremental
+    word-frequency lever).
     """
+    return train_bpe_from_word_freqs(
+        word_freq_table(df, text_col, max_words=None),
+        n_merges=n_merges,
+        min_pair_freq=min_pair_freq,
+        max_words=max_words,
+        batch_merges=batch_merges,
+        top_pairs=top_pairs,
+        top_triples=top_triples,
+        stats_out=stats_out,
+    )
+
+
+def train_bpe_from_word_freqs(
+    word_freqs: DataFrame,
+    n_merges: int = 50,
+    min_pair_freq: int = 2,
+    max_words: int | None = 50_000,
+    batch_merges: int = 16,
+    top_pairs: int = 64,
+    top_triples: int = 4096,
+    stats_out: dict | None = None,
+) -> list[dict]:
+    """:func:`train_bpe`'s loop over a PREBUILT ``(word, freq)`` table
+    — the entry point for the incrementally maintained word-frequency
+    store (:func:`update_word_freq_store`): training never touches the
+    corpus, only the vocabulary-sized counts. The ``max_words`` cut is
+    applied here (same deterministic (freq desc, word) order as
+    :func:`word_freq_table`), so a store built incrementally trains to
+    the IDENTICAL merge table as a from-scratch run over the union of
+    its batches (pinned by test)."""
+    wf = word_freqs
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
     words = (
-        word_freq_table(df, text_col, max_words)
-        .filter(~F.col("word").contains(_SEP))
+        wf.filter(~F.col("word").contains(_SEP))
         .withColumn("syms", _initial_sym_string("word"))
         .select("freq", "syms")
     )
@@ -600,3 +638,51 @@ def bpe_encode_pandas(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {out_col} array<string>"
     return df.select(id_col, text_col).mapInPandas(encode_batch, schema=schema)
+
+
+def update_word_freq_store(
+    ds,
+    ref,
+    batch: DataFrame,
+    text_col: str = "text",
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """Fold one ingest batch's word counts into a txlog-backed
+    ``(word, freq)`` store: ONE O(batch) tokenize+count pass, then a
+    key-joined accumulate MERGE (the streaming-upsert accumulate
+    shape — only touched words rewrite, key-range file skipping keeps
+    the rewrite bounded). ``txn=(app_id, epoch)`` makes replays
+    exactly-once, so this drops straight into a foreachBatch handler.
+
+    The store IS the trainer input: :func:`train_bpe_from_word_freqs`
+    over ``ds.read(ref)`` retrains without re-reading any document —
+    at 100 TB the corpus pass happens once per batch at ingest time,
+    never again at training time."""
+    from x_spark.sources.base import MergeSpec
+
+    delta = word_freq_table(batch, text_col, max_words=None)
+    if not ds.table_exists(ref):
+        ds.create(ref, delta.schema)
+    prior = ds.read(ref).select("word", F.col("freq").alias("_old"))
+    src = (
+        delta.join(prior, "word", "left")
+        .select(
+            "word",
+            (F.col("freq") + F.coalesce(F.col("_old"), F.lit(0)))
+            .cast("bigint")
+            .alias("freq"),
+        )
+        # materialize once: the merge evaluates its source for the
+        # key-skipping probe, the join, and the write
+        .localCheckpoint(eager=True)
+    )
+    ds.merge(
+        src,
+        ref,
+        MergeSpec(
+            ["word"], ["freq"],
+            insert_when_not_matched=True,
+            validate_unique_source_keys=False,  # groupBy word: unique
+        ),
+        txn=txn,
+    )
