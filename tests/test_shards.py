@@ -71,3 +71,12 @@ def test_write_shards_orders_rows(docs, tmp_path):
     got = {(r.shard_id, r.pos_in_shard): r.doc_id for r in back.collect()}
     want = {(r.shard_id, r.pos_in_shard): r.doc_id for r in shards.collect()}
     assert got == want
+
+
+def test_shuffle_plan_has_no_global_sort(docs):
+    """The shard map must hash-partition on shard_id and rank within
+    partitions — never a range-partitioned global sort (the 100 TB
+    anti-pattern this operator exists to avoid)."""
+    plan = shuffle_shards(docs, 8, seed="p")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(shard_id" in plan.lower(), plan
