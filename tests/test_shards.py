@@ -71,6 +71,20 @@ def test_write_shards_orders_rows(docs, tmp_path):
     got = {(r.shard_id, r.pos_in_shard): r.doc_id for r in back.collect()}
     want = {(r.shard_id, r.pos_in_shard): r.doc_id for r in shards.collect()}
     assert got == want
+    # ON-DISK row order is the permutation order: a loader streaming a
+    # shard's file front-to-back must see pos_in_shard 0,1,2,... (read
+    # the files directly with pyarrow — no Spark reordering in the way)
+    import pyarrow.parquet as pq
+
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard_id="):
+            continue
+        files = sorted(
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        )
+        assert len(files) == 1, (d, files)  # one ordered file per shard
+        poss = pq.read_table(os.path.join(out, d, files[0]))["pos_in_shard"].to_pylist()
+        assert poss == sorted(poss) == list(range(len(poss))), d
 
 
 def test_shuffle_plan_has_no_global_sort(docs):
