@@ -112,6 +112,12 @@ def funnel_stages(
     every cached intermediate is unpersisted before returning; the
     result is a k-row local DataFrame.
     """
+    from functools import reduce
+
+    spark = df.sparkSession
+    schema = "stage_idx int, stage string, n_users bigint"
+    if not stages:
+        return spark.createDataFrame([], schema)
     ev = (
         df.select(
             F.col(user_col).alias("u"),
@@ -121,16 +127,24 @@ def funnel_stages(
         .filter(F.col("t").isin(list(stages)))
         .persist()
     )
-    prev = None  # the previous stage's PERSISTED per-user frame
-    counts: list[tuple[int, str, int]] = []
     try:
+        # materialize the funnel slice eagerly: this is the ONE base
+        # scan; every per-stage pass below reads the cache (lazy
+        # branches would race the cache fill and could double-scan).
+        # The per-stage aggregates are deliberately NOT cached — each
+        # is recomputed once more from the cached slice for the next
+        # stage's join, which measures cheaper than a cache layer per
+        # stage at every scale tried (aggregates of an in-memory
+        # slice), and keeps cleanup to the one handle.
+        ev.count()
+        prev = None  # (u, prev_us) of the previous stage
+        parts = []
         for i, stage in enumerate(stages):
             stage_ev = ev.filter(F.col("t") == stage)
             if prev is None:
                 cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
             else:
-                reached = prev.select("u", F.col("stage_us").alias("prev_us"))
-                qual = stage_ev.join(reached, "u").filter(
+                qual = stage_ev.join(prev, "u").filter(
                     F.col("us") >= F.col("prev_us")
                 )
                 if within_sec is not None:
@@ -141,19 +155,20 @@ def funnel_stages(
                         <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
                     )
                 cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
-            cur = cur.persist()  # feeds both this stage's count and the next join
-            counts.append((i, stage, cur.count()))  # materializes cur
-            if prev is not None:
-                prev.unpersist()
-            prev = cur
+            parts.append(
+                cur.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                    F.lit(i).cast("int").alias("stage_idx"),
+                    F.lit(stage).alias("stage"),
+                    "n_users",
+                )
+            )
+            prev = cur.select("u", F.col("stage_us").alias("prev_us"))
+        # ONE job computes every stage count off the cached slice;
+        # collecting k scalars lets the cache drop before returning
+        rows = reduce(DataFrame.unionByName, parts).collect()
     finally:
-        if prev is not None:
-            prev.unpersist()
         ev.unpersist()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        counts, "stage_idx int, stage string, n_users bigint"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def cohort_retention(
