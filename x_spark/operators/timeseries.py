@@ -1,0 +1,87 @@
+"""Time-series resampling: regular per-key time grids with
+last-observation-carried-forward (LOCF) gap fill — the
+``time_bucket_gapfill`` shape hypertable engines ship and plain SQL
+groupBy cannot express (an empty bucket has no row to group).
+
+Shape (all DataFrame ops, one key shuffle):
+
+1. bucket every observation to an epoch-aligned step
+   (``floor(us / step) * step`` — integer math, engine-portable);
+2. collapse to one row per (key, bucket): the LAST observation in the
+   bucket wins (max ts, ties impossible per key+ts by contract —
+   enforced with a deterministic max_by on the ts);
+3. build each key's dense grid with ``sequence(min_bucket,
+   max_bucket, step)`` + explode — per-key ranges, so a key active
+   for an hour does not pay for the corpus's full history;
+4. left-join observations onto the grid and fill holes with
+   ``last(value, ignorenulls=True)`` over (key, bucket) — the LOCF
+   window; rows before a key's first observation stay NULL (nothing
+   to carry), and a ``filled`` flag marks carried rows.
+
+Scale: the explode fans out to (range/step) rows per key — bounded by
+the grid the caller asked for, never by other keys' history; the LOCF
+window shuffles once on the key and scans each partition in bucket
+order (no global sort). At 100 TB, step choice IS the output-size
+knob, and the observed-side pre-collapse (step 2) happens before the
+fan-out so the join is grid x 1, not grid x observations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from x_spark.functions.portable import umicros
+
+_US = 1_000_000
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+) -> DataFrame:
+    """``(key, bucket_us, value, filled)`` on a dense per-key grid —
+    ``bucket_us`` is the epoch-aligned bucket start in microseconds,
+    ``value`` the bucket's last observation carried forward across
+    empty buckets, ``filled`` true where the value was carried."""
+    if step_sec <= 0:
+        raise ValueError("step_sec must be >= 1")
+    step = int(step_sec) * _US
+    us = umicros(ts_col)
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        (F.floor(us / F.lit(step)) * F.lit(step)).cast("bigint").alias("bucket_us"),
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+    )
+    # one row per (key, bucket): the observation with the max ts wins;
+    # ties on the exact same timestamp break by value so the pick is
+    # total (max_by is nondeterministic under ties otherwise)
+    last_in_bucket = obs.groupBy("k", "bucket_us").agg(
+        F.max_by("_v", F.struct(F.col("_us"), F.col("_v"))).alias("obs_value")
+    )
+    spans = obs.groupBy("k").agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    grid = spans.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias("bucket_us"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_in_bucket, ["k", "bucket_us"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "bucket_us",
+            F.last("obs_value", ignorenulls=True).over(w).alias("value"),
+            F.col("obs_value").isNull().alias("filled"),
+        )
+    )

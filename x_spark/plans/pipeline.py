@@ -778,6 +778,50 @@ LIMIT {_DSIR_K}
 
 
 # ---------------------------------------------------------------------------
+# Time-series resampling (operators/timeseries.py): dense per-user
+# 6-hour grid with last-observation-carried-forward gap fill — the
+# time_bucket_gapfill shape plain groupBy cannot express (empty
+# buckets have no row to group). The oracle rebuilds the grid with
+# generate_series and fills with last_value IGNORE NULLS.
+def q_events_resampled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    out = resample_locf(ev, "user_id", "ts", "value", step_sec=6 * 3600)
+    return out.select(
+        "user_id", "bucket_us", F.round("value", 6).alias("value"), "filled"
+    )
+
+
+ORACLE_EVENTS_RESAMPLED_LOCF = """
+WITH obs AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS bucket_us,
+         epoch_us(ts) AS us, value AS v
+  FROM events WHERE user_id < 8
+), lastv AS (
+  SELECT k, bucket_us, v AS obs_value FROM (
+    SELECT k, bucket_us, v,
+           row_number() OVER (PARTITION BY k, bucket_us
+                              ORDER BY us DESC, v DESC) AS rn
+    FROM obs
+  ) WHERE rn = 1
+), spans AS (
+  SELECT k, min(bucket_us) AS lo, max(bucket_us) AS hi FROM obs GROUP BY k
+), grid AS (
+  SELECT k, CAST(unnest(generate_series(lo, hi, 21600000000)) AS BIGINT) AS bucket_us
+  FROM spans
+)
+SELECT g.k AS user_id, g.bucket_us,
+       round(last_value(l.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.k ORDER BY g.bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       l.obs_value IS NULL AS filled
+FROM grid g LEFT JOIN lastv l USING (k, bucket_us)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Behavioral event analytics (operators/sessions.py): gap-based
 # sessionization, ordered funnel, weekly cohort retention.
 _SESSION_GAP = 7200  # 2h: the synthetic per-user event cadence makes
@@ -1897,6 +1941,7 @@ PIPELINE_QUERIES = {
     "sequence_packing": q_sequence_packing,
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "temperature_mixture": q_temperature_mixture,
+    "events_resampled_locf": q_events_resampled_locf,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1947,6 +1992,7 @@ PIPELINE_ORACLES = {
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_shuffle_shards": ORACLE_CORPUS_SHUFFLE_SHARDS,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
+    "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

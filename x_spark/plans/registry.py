@@ -101,6 +101,10 @@ _TAIL = [
                                # stream_ivm_user_totals (streaming ingest +
                                # incremental view maintenance, exactly-once
                                # on both layers — a brand-new composition)
+    "events_resampled_locf",   # late-round-5 addition (dense per-key time
+                               # grid + LOCF gap fill — time_bucket_gapfill
+                               # shape): locally hash-checked; r6 head-
+                               # rotation candidate
     "temperature_mixture",     # late-round-5 addition (mT5 count^alpha
                                # mixing at the IEEE-exact sqrt setting):
                                # locally hash-checked; sampling family
