@@ -66,3 +66,28 @@ def test_determinism_across_partitionings(spark):
 def test_step_validation(spark):
     with pytest.raises(ValueError, match="step_sec"):
         resample_locf(_ev(spark, [(1, 0, 1.0)]), "user_id", "ts", "value", 0)
+
+
+def test_interp_lerps_between_observations(spark):
+    from x_spark.operators.timeseries import resample_interp
+
+    # minute 0: v=10, minute 4: v=50 -> minutes 1,2,3 lerp to 20,30,40
+    ev = _ev(spark, [(1, 0, 10.0), (1, 245, 50.0)])
+    got = _grid(resample_interp(ev, "user_id", "ts", "value", STEP))
+    base = int(T0.timestamp()) * US
+    assert got == {
+        (1, base + 0 * 60 * US): (10.0, False),
+        (1, base + 1 * 60 * US): (20.0, True),
+        (1, base + 2 * 60 * US): (30.0, True),
+        (1, base + 3 * 60 * US): (40.0, True),
+        (1, base + 4 * 60 * US): (50.0, False),
+    }
+
+
+def test_interp_edges_carry_boundary(spark):
+    from x_spark.operators.timeseries import resample_interp
+
+    # one observation only: the whole (single-bucket) grid is that value
+    ev = _ev(spark, [(1, 30, 7.0)])
+    got = _grid(resample_interp(ev, "user_id", "ts", "value", STEP))
+    assert list(got.values()) == [(7.0, False)]

@@ -85,3 +85,78 @@ def resample_locf(
             F.col("obs_value").isNull().alias("filled"),
         )
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_locf`:
+    ``(key, bucket_us, value, filled)`` where an empty bucket's value
+    is the straight line between the key's surrounding observed
+    buckets — lerp on the BUCKET axis (the grid's time coordinate):
+    ``v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next -
+    t_prev)``. Buckets before the first / after the last observation
+    carry the boundary value (edge convention). The lerp is a fixed
+    IEEE expression — every op correctly rounded, same result in any
+    engine, so it hash-compares.
+
+    Same plan shape as LOCF plus one forward-looking window (the
+    next-observation side): still one key shuffle, no global sort."""
+    if step_sec <= 0:
+        raise ValueError("step_sec must be >= 1")
+    step = int(step_sec) * _US
+    us = umicros(ts_col)
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        (F.floor(us / F.lit(step)) * F.lit(step)).cast("bigint").alias("bucket_us"),
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+    )
+    last_in_bucket = obs.groupBy("k", "bucket_us").agg(
+        F.max_by("_v", F.struct(F.col("_us"), F.col("_v"))).alias("obs_value")
+    )
+    spans = obs.groupBy("k").agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    grid = spans.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias("bucket_us"),
+    )
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = grid.join(last_in_bucket, ["k", "bucket_us"], "left")
+    obs_t = F.when(F.col("obs_value").isNotNull(), F.col("bucket_us"))
+    prev_v = F.last("obs_value", ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first("obs_value", ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    lerp = prev_v + (next_v - prev_v) * (
+        (F.col("bucket_us") - prev_t).cast("double")
+        / (next_t - prev_t).cast("double")
+    )
+    value = (
+        F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
+        .when(prev_v.isNull(), next_v)   # before first obs: backfill edge
+        .when(next_v.isNull(), prev_v)   # after last obs: carry edge
+        .otherwise(lerp)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "bucket_us",
+        value.alias("value"),
+        F.col("obs_value").isNull().alias("filled"),
+    )

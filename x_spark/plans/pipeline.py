@@ -821,6 +821,65 @@ FROM grid g LEFT JOIN lastv l USING (k, bucket_us)
 """
 
 
+def q_events_resampled_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.timeseries import resample_interp
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    out = resample_interp(ev, "user_id", "ts", "value", step_sec=6 * 3600)
+    return out.select(
+        "user_id", "bucket_us", F.round("value", 6).alias("value"), "filled"
+    )
+
+
+# the lerp is the IDENTICAL expression tree on both sides (prev +
+# (next - prev) * (dt / span)) — every op correctly rounded, so the
+# doubles match bit for bit before the final display round.
+ORACLE_EVENTS_RESAMPLED_INTERP = """
+WITH obs AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS bucket_us,
+         epoch_us(ts) AS us, value AS v
+  FROM events WHERE user_id < 8
+), lastv AS (
+  SELECT k, bucket_us, v AS obs_value FROM (
+    SELECT k, bucket_us, v,
+           row_number() OVER (PARTITION BY k, bucket_us
+                              ORDER BY us DESC, v DESC) AS rn
+    FROM obs
+  ) WHERE rn = 1
+), spans AS (
+  SELECT k, min(bucket_us) AS lo, max(bucket_us) AS hi FROM obs GROUP BY k
+), grid AS (
+  SELECT k, CAST(unnest(generate_series(lo, hi, 21600000000)) AS BIGINT) AS bucket_us
+  FROM spans
+), j AS (
+  SELECT g.k, g.bucket_us, l.obs_value,
+         last_value(l.obs_value IGNORE NULLS) OVER (
+           PARTITION BY g.k ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN l.obs_value IS NOT NULL THEN g.bucket_us END IGNORE NULLS) OVER (
+           PARTITION BY g.k ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(l.obs_value IGNORE NULLS) OVER (
+           PARTITION BY g.k ORDER BY g.bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN l.obs_value IS NOT NULL THEN g.bucket_us END IGNORE NULLS) OVER (
+           PARTITION BY g.k ORDER BY g.bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM grid g LEFT JOIN lastv l USING (k, bucket_us)
+)
+SELECT k AS user_id, bucket_us,
+       round(CASE WHEN obs_value IS NOT NULL THEN obs_value
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) *
+                       (CAST(bucket_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+             END, 6) AS value,
+       obs_value IS NULL AS filled
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Behavioral event analytics (operators/sessions.py): gap-based
 # sessionization, ordered funnel, weekly cohort retention.
@@ -1942,6 +2001,7 @@ PIPELINE_QUERIES = {
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "temperature_mixture": q_temperature_mixture,
     "events_resampled_locf": q_events_resampled_locf,
+    "events_resampled_interp": q_events_resampled_interp,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
     "dup_components": q_dup_components,
@@ -1993,6 +2053,7 @@ PIPELINE_ORACLES = {
     "corpus_shuffle_shards": ORACLE_CORPUS_SHUFFLE_SHARDS,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
+    "events_resampled_interp": ORACLE_EVENTS_RESAMPLED_INTERP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "dup_components": _dup_components_oracle(),

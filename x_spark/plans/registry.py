@@ -105,6 +105,9 @@ _TAIL = [
                                # grid + LOCF gap fill — time_bucket_gapfill
                                # shape): locally hash-checked; r6 head-
                                # rotation candidate
+    "events_resampled_interp", # lerp twin of the LOCF resample (same grid
+                               # plan + a forward window; identical IEEE
+                               # expression tree mirrored in the oracle)
     "temperature_mixture",     # late-round-5 addition (mT5 count^alpha
                                # mixing at the IEEE-exact sqrt setting):
                                # locally hash-checked; sampling family
