@@ -778,6 +778,54 @@ LIMIT {_DSIR_K}
 
 
 # ---------------------------------------------------------------------------
+# Per-source data cards: the governance one-pager a training-data
+# pipeline publishes per corpus slice — volume (docs/tokens), exact-dup
+# rate (corpus-wide fingerprint collisions attributed per source),
+# language spread, and size stats, in ONE grouped pass over a derived
+# frame (the fingerprint collision table is a tiny self-agg joined
+# back on the hash — never doc x doc).
+def q_source_data_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.functions.portable import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "lang", "n_chars",
+        F.md5("text").alias("fp"),
+        token_count(F.col("text")).cast("bigint").alias("toks"),
+    )
+    dup = docs.groupBy("fp").agg(F.count("*").alias("fp_n"))
+    j = docs.join(F.broadcast(dup), "fp")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        (F.sum("toks").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("dup_frac"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+ORACLE_SOURCE_DATA_CARDS = r"""
+WITH f AS (
+  SELECT source, lang, n_chars, md5(text) AS fp,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+  FROM documents
+), d AS (SELECT fp, count(*) AS fp_n FROM f GROUP BY fp)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(toks) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM f JOIN d USING (fp)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-series resampling (operators/timeseries.py): dense per-user
 # 6-hour grid with last-observation-carried-forward gap fill — the
 # time_bucket_gapfill shape plain groupBy cannot express (empty
@@ -2001,6 +2049,7 @@ PIPELINE_QUERIES = {
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "temperature_mixture": q_temperature_mixture,
     "events_resampled_locf": q_events_resampled_locf,
+    "source_data_cards": q_source_data_cards,
     "events_resampled_interp": q_events_resampled_interp,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
@@ -2053,6 +2102,7 @@ PIPELINE_ORACLES = {
     "corpus_shuffle_shards": ORACLE_CORPUS_SHUFFLE_SHARDS,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
+    "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "events_resampled_interp": ORACLE_EVENTS_RESAMPLED_INTERP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,

@@ -105,6 +105,10 @@ _TAIL = [
                                # grid + LOCF gap fill — time_bucket_gapfill
                                # shape): locally hash-checked; r6 head-
                                # rotation candidate
+    "source_data_cards",       # late-round-5 addition (per-source corpus
+                               # governance card: volume/dup/lang/size in one
+                               # grouped pass): locally hash-checked; r6
+                               # rotation candidate
     "events_resampled_interp", # lerp twin of the LOCF resample (same grid
                                # plan + a forward window; identical IEEE
                                # expression tree mirrored in the oracle)
