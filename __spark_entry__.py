@@ -14,9 +14,10 @@ driver-checked window — hold one representative per operator family
 (see x_spark/plans/registry.py).
 ``oracle_sql()`` — matching DuckDB SQL per query. Intentional
 omissions (rows-only checks): approx_distinct_users (HLL estimates
-are engine-specific), ann_topk_ivf (data-dependent trained
-codebook), bpe_merge_table (iterative trainer — pinned instead by
-exact-match tests vs a reference loop).
+are engine-specific), ann_topk_ivf and ann_topk_pq (data-dependent
+trained codebooks — quality pinned by the pytest recall floor and
+bench's recall report), bpe_merge_table (iterative trainer — pinned
+instead by exact-match tests vs a reference loop).
 """
 
 from __future__ import annotations
