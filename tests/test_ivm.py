@@ -198,3 +198,82 @@ def test_join_view_rejects_bad_specs(spark, tmp_path):
         JoinView(ds, r, r, r, on=[], a_cols=["a"], b_cols=["b"])
     with pytest.raises(ValueError, match="disjoint"):
         JoinView(ds, r, r, r, on=["k"], a_cols=["c"], b_cols=["c"])
+
+
+def test_bucketed_join_view_scopes_the_rewrite(spark, tmp_path):
+    """n_buckets partitions the view on a join-key hash bucket so a
+    refresh rewrites ONLY the buckets its deltas touch: (a) the
+    maintained bag equals the plain join after every refresh (same
+    contract as the unbucketed view), (b) files in untouched buckets
+    survive a refresh byte-identical (same path, same mtime), and
+    (c) a repeated refresh is still a detected no-op."""
+    import os
+
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    a_ref = TableRef(path=str(tmp_path / "a"))
+    b_ref = TableRef(path=str(tmp_path / "b"))
+    v_ref = TableRef(path=str(tmp_path / "j"))
+    ds.append(spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 21)], "k int, av int"), a_ref)
+    ds.append(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(1, 21)], "k int, bv string"), b_ref)
+    view = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                    a_cols=["av"], b_cols=["bv"], n_buckets=8)
+
+    def check():
+        got = sorted(map(tuple, view.read().collect()))
+        want = sorted(map(tuple, (
+            ds.read(a_ref).join(ds.read(b_ref), "k")
+            .groupBy("k", "av", "bv").agg(F.count("*").alias("n_rows"))
+        ).collect()))
+        assert got == want, (got, want)
+
+    va, vb = view.refresh()
+    check()
+    assert view.refresh() == (va, vb)  # no-op detected
+
+    # record the on-disk state of every bucket partition
+    def bucket_files():
+        out = {}
+        for root, _dirs, names in os.walk(str(tmp_path / "j")):
+            if "_bucket=" not in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = bucket_files()
+    assert before, "expected hive bucket partition dirs"
+    # touch exactly one key -> its bucket rewrites, others must not
+    ds.append(spark.createDataFrame([(7, 777)], "k int, av int"), a_ref)
+    view.refresh()
+    check()
+    after = bucket_files()
+    from pyspark.sql import functions as FF
+    touched_bucket = spark.createDataFrame([(7,)], "k int").select(
+        FF.pmod(FF.hash("k"), FF.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    survivors = {
+        p: m for p, m in before.items()
+        if f"_bucket={touched_bucket}" not in p
+    }
+    assert survivors, "expected untouched buckets"
+    for p, m in survivors.items():
+        assert p in after and after[p] == m, f"untouched bucket rewritten: {p}"
+    # the touched bucket DID rewrite: its old files left the LIVE set
+    # (physical deletion is vacuum's job, so check the log, not disk)
+    from x_spark.sources.txlog import resolve_snapshot
+
+    live = set(resolve_snapshot(str(tmp_path / "j")).files)
+    old_touched = [
+        os.path.relpath(p, str(tmp_path / "j"))
+        for p in before if f"_bucket={touched_bucket}" in p
+    ]
+    assert old_touched and all(rel not in live for rel in old_touched)
+    assert any(f"_bucket={touched_bucket}" in rel for rel in live)

@@ -148,7 +148,8 @@ class JoinView:
 
     def __init__(self, ds: TxLogDataSource, a_ref: TableRef, b_ref: TableRef,
                  view_ref: TableRef, on: list[str],
-                 a_cols: list[str], b_cols: list[str]):
+                 a_cols: list[str], b_cols: list[str],
+                 n_buckets: int | None = None):
         if not on:
             raise ValueError("JoinView requires at least one join key")
         overlap = set(a_cols) & set(b_cols)
@@ -157,10 +158,21 @@ class JoinView:
                 f"payload columns must be disjoint from each other and the "
                 f"keys (overlap: {sorted(overlap)})"
             )
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.ds = ds
         self.a_ref, self.b_ref, self.view_ref = a_ref, b_ref, view_ref
         self.on = list(on)
         self.a_cols, self.b_cols = list(a_cols), list(b_cols)
+        # n_buckets: partition the view table on a join-key hash bucket
+        # so a refresh rewrites ONLY the buckets its deltas touch
+        # (overwrite_dynamic) instead of the whole view — the
+        # partition-scoped refresh a large maintained join needs. Size
+        # n_buckets so a bucket ~ the write unit; deltas touching few
+        # keys then rewrite a few buckets, and untouched buckets'
+        # files are never read or written (byte-identical survival is
+        # pinned by test).
+        self.n_buckets = n_buckets
         name = view_ref.table or view_ref.path or "join"
         self.app_a, self.app_b = f"ivmj:{name}:a", f"ivmj:{name}:b"
 
@@ -217,6 +229,8 @@ class JoinView:
             .groupBy(*out_cols)
             .agg(F.sum("_sign").cast("bigint").alias("n_rows"))
         )
+        if self.n_buckets is not None:
+            return self._apply_bucketed(delta_j, out_cols, app_id, current)
         if self.ds.table_exists(self.view_ref):
             prior = self.ds.read(self.view_ref)
             merged = (
@@ -230,6 +244,43 @@ class JoinView:
         if not self.ds.table_exists(self.view_ref):
             self.ds.create(self.view_ref, result.schema)
         self.ds.overwrite(result, self.view_ref, txn=(app_id, current))
+        return current
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*self.on), F.lit(self.n_buckets)).cast("int")
+
+    def _apply_bucketed(self, delta_j: DataFrame, out_cols: list[str],
+                        app_id: str, current: int) -> int:
+        """Partition-scoped apply: fold the deltas into ONLY the view
+        partitions (join-key hash buckets) they touch, and land the new
+        bucket contents + position via one stamped dynamic-partition
+        overwrite — untouched buckets' files are never read or
+        written."""
+        delta_b = delta_j.withColumn("_bucket", self._bucket_col())
+        if self.ds.table_exists(self.view_ref):
+            # the touched-bucket list is metadata-sized (<= n_buckets)
+            touched = [
+                r["_bucket"]
+                for r in delta_b.select("_bucket").distinct().collect()
+            ]
+            prior = self.ds.read(self.view_ref).filter(
+                F.col("_bucket").isin(touched) if touched else F.lit(False)
+            )
+            merged = (
+                prior.unionByName(delta_b)
+                .groupBy(*out_cols, "_bucket")
+                .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+            )
+        else:
+            merged = delta_b.select(*out_cols, "_bucket", "n_rows")
+        result = merged.filter(F.col("n_rows") > 0).select(
+            *out_cols, "n_rows", "_bucket"
+        )
+        if not self.ds.table_exists(self.view_ref):
+            self.ds.create(self.view_ref, result.schema,
+                           partition_by=["_bucket"])
+        self.ds.overwrite_dynamic(result, self.view_ref,
+                                  txn=(app_id, current))
         return current
 
     def refresh(self) -> tuple[int, int]:
@@ -248,5 +299,7 @@ class JoinView:
         return va, vb
 
     def read(self) -> DataFrame:
-        """The maintained bag: joined tuples + n_rows multiplicity."""
-        return self.ds.read(self.view_ref)
+        """The maintained bag: joined tuples + n_rows multiplicity
+        (the internal bucket column, if any, is dropped)."""
+        df = self.ds.read(self.view_ref)
+        return df.drop("_bucket") if self.n_buckets is not None else df

@@ -737,18 +737,21 @@ class TxLogDataSource(BaseDataSource):
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "OVERWRITE_WHERE", txn=txn)
 
-    def overwrite_dynamic(self, df: DataFrame, ref: TableRef) -> None:
+    def overwrite_dynamic(self, df: DataFrame, ref: TableRef,
+                          txn: tuple[str, int] | None = None) -> None:
         """Replace exactly the partitions present in ``df`` (whole table
         when unpartitioned): remove those partitions' files, add the new
         ones, one atomic commit. Untouched partitions' files are never
-        read or written."""
+        read or written. ``txn`` stamps the commit for idempotent
+        replay (see :meth:`last_txn_version`) — the partition-scoped
+        IVM refresh lands state + position atomically through this."""
         table = self._table_path(ref, create=True)
         if not self.table_exists(ref):
             self.create(ref, df.schema)
         snap = resolve_snapshot(table)
         base = snap.version
         if not snap.partition_cols:
-            self.overwrite(df, ref)
+            self.overwrite(df, ref, txn=txn)
             return
         df = _conform(df, snap.schema)
         def render(v):
@@ -776,7 +779,7 @@ class TxLogDataSource(BaseDataSource):
         actions = [{"remove": {"path": p}} for p in removes]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
-                     "OVERWRITE_DYNAMIC")
+                     "OVERWRITE_DYNAMIC", txn=txn)
 
     def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec,
               txn: tuple[str, int] | None = None) -> None:
