@@ -897,3 +897,94 @@ def test_partition_counts_and_describe_detail(spark, ds, tmp_path):
     assert d["num_files"] == sum(v[1] for v in parts.values())
     assert d["size_bytes"] > 0
     assert d["version"] == 1 and "pk" in d["schema"]
+
+
+# -- CHECK constraints -------------------------------------------------------
+def test_check_constraints_enforced_on_every_write_path(spark, ds, tmp_path):
+    """ADD CONSTRAINT validates existing rows, then every write path
+    (append / merge / overwrite) rejects violating rows BEFORE any file
+    lands; NULL passes (standard CHECK rule); DROP lifts the rule."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    ds.add_constraint(ref, "v_positive", "v > 0")
+    with pytest.raises(DataSourceException, match="already exists"):
+        ds.add_constraint(ref, "v_positive", "v > 0")
+    # an existing violation blocks adding a second constraint
+    with pytest.raises(DataSourceException, match="existing row violates"):
+        ds.add_constraint(ref, "v_small", "v < 25")
+
+    v_before = ds._latest_version(ds._table_path(ref))
+    bad = spark.createDataFrame([(9, "z", -5)], "pk int, part string, v int")
+    with pytest.raises(DataSourceException, match="v_positive"):
+        ds.append(bad, ref)
+    # nothing committed, nothing half-visible
+    assert ds._latest_version(ds._table_path(ref)) == v_before
+    assert ds.read(ref).count() == 3
+
+    spec = MergeSpec(["pk"], ["v"], insert_when_not_matched=True)
+    with pytest.raises(DataSourceException, match="v_positive"):
+        ds.merge(spark.createDataFrame([(1, -1)], "pk int, v int"), ref, spec)
+    with pytest.raises(DataSourceException, match="v_positive"):
+        ds.overwrite(bad, ref)
+    assert sorted(r.pk for r in ds.read(ref).collect()) == [1, 2, 3]
+
+    # NULL passes (SQL CHECK: only FALSE violates)
+    ds.append(
+        spark.createDataFrame([(7, "c", None)], "pk int, part string, v int"),
+        ref,
+    )
+    assert ds.read(ref).count() == 4
+    # valid writes proceed
+    ds.merge(spark.createDataFrame([(1, 999)], "pk int, v int"), ref, spec)
+
+    ds.drop_constraint(ref, "v_positive")
+    with pytest.raises(DataSourceException, match="does not exist"):
+        ds.drop_constraint(ref, "v_positive")
+    ds.append(bad, ref)  # rule lifted
+    assert ds.read(ref).count() == 5
+
+
+def test_constraints_survive_checkpoints_schema_evolution_and_restore(
+    spark, ds, tmp_path
+):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    ds.add_constraint(ref, "pk_pos", "pk > 0")
+    restore_target = ds._latest_version(ds._table_path(ref))
+    # survive a mergeSchema append (the metaData action must carry the
+    # configuration forward, not reset it)
+    widened = spark.createDataFrame(
+        [(10, "a", 1, "extra")], "pk int, part string, v int, note string"
+    )
+    ds.append(widened, ref, merge_schema=True)
+    with pytest.raises(DataSourceException, match="pk_pos"):
+        ds.append(
+            spark.createDataFrame(
+                [(-1, "a", 1, "x")], "pk int, part string, v int, note string"
+            ),
+            ref,
+        )
+    # survive a checkpoint boundary
+    df = spark.createDataFrame(
+        [(11, "a", 2, None)], "pk int, part string, v int, note string"
+    )
+    from x_spark.sources.txlog import CHECKPOINT_INTERVAL, resolve_snapshot
+
+    for _ in range(CHECKPOINT_INTERVAL + 1):
+        ds.append(df, ref)
+    table = ds._table_path(ref)
+    assert resolve_snapshot(table).constraints == {"pk_pos": "pk > 0"}
+    with pytest.raises(DataSourceException, match="pk_pos"):
+        ds.append(
+            spark.createDataFrame(
+                [(-2, "a", 1, None)], "pk int, part string, v int, note string"
+            ),
+            ref,
+        )
+    # survive RESTORE (the rollback metaData re-asserts the target's
+    # configuration)
+    ds.restore(ref, restore_target)
+    assert resolve_snapshot(table).constraints == {"pk_pos": "pk > 0"}
+    with pytest.raises(DataSourceException, match="pk_pos"):
+        ds.append(spark.createDataFrame([(-3, "a", 1)],
+                                        "pk int, part string, v int"), ref)

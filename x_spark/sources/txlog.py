@@ -74,15 +74,28 @@ class TxnAlreadyCommittedException(ConcurrentWriteException):
 
 
 class Snapshot:
-    """Resolved table state at one version: schema, partitioning, and
-    the live file set (relative path -> add-action dict)."""
+    """Resolved table state at one version: schema, partitioning,
+    table configuration (constraints live under ``constraint.<name>``
+    keys, Delta's convention), and the live file set (relative path ->
+    add-action dict)."""
 
     def __init__(self, version: int, schema_json: str, partition_cols: list[str],
-                 files: dict[str, dict]):
+                 files: dict[str, dict],
+                 configuration: dict[str, str] | None = None):
         self.version = version
         self.schema_json = schema_json
         self.partition_cols = partition_cols
         self.files = files
+        self.configuration = dict(configuration or {})
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """name -> CHECK expression, from ``constraint.<name>`` keys."""
+        return {
+            k[len("constraint."):]: v
+            for k, v in self.configuration.items()
+            if k.startswith("constraint.")
+        }
 
     @property
     def schema(self) -> StructType:
@@ -144,6 +157,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
     files: dict[str, dict] = {}
     schema_json: str | None = None
     part_cols: list[str] = []
+    configuration: dict[str, str] = {}
     start = 0
     usable = [c for c in checkpoints if _version_of(c) <= target]
     if usable:
@@ -151,6 +165,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
             ck = json.load(fh)
         schema_json = ck["schemaJson"]
         part_cols = ck["partitionColumns"]
+        configuration = dict(ck.get("configuration", {}))
         files = {a["path"]: a for a in ck["adds"]}
         start = _version_of(usable[-1]) + 1
     for fname in commits:
@@ -163,13 +178,16 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                 if "metaData" in action:
                     schema_json = action["metaData"]["schemaJson"]
                     part_cols = action["metaData"]["partitionColumns"]
+                    configuration = dict(
+                        action["metaData"].get("configuration", {})
+                    )
                 elif "add" in action:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
     if schema_json is None:
         raise DataSourceException(f"txlog table {table!r} has no metaData action")
-    return Snapshot(target, schema_json, part_cols, files)
+    return Snapshot(target, schema_json, part_cols, files, configuration)
 
 
 # ---------------------------------------------------------------------------
@@ -485,6 +503,7 @@ class TxLogDataSource(BaseDataSource):
             "version": version,
             "schemaJson": snap.schema_json,
             "partitionColumns": snap.partition_cols,
+            "configuration": snap.configuration,
             "adds": [snap.files[p] for p in sorted(snap.files)],
             "txns": self._txn_stamps(table, upto=version),
         }
@@ -504,7 +523,18 @@ class TxLogDataSource(BaseDataSource):
         """Materialize ``df`` as immutable parquet files inside the
         table directory (staged under a unique name, then moved — the
         files are invisible until an add action commits them). Returns
-        add-actions with footer row counts and per-column min/max."""
+        add-actions with footer row counts and per-column min/max.
+
+        CHECK constraints (``constraint.<name>`` configuration keys)
+        are enforced HERE — the one choke point every write path
+        (append/overwrite/dynamic/merge/compact/cluster/SCD) funnels
+        through — before any file lands: a violating row aborts the
+        whole transaction with the constraint name and an example row
+        (Delta's InvariantViolationException shape). SQL semantics: a
+        row violates only when the expression is FALSE (NULL passes,
+        the standard CHECK rule); cost is one validation job per
+        write, and only when constraints exist."""
+        self._enforce_constraints(df, table)
         staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if part_cols:
@@ -541,6 +571,97 @@ class TxLogDataSource(BaseDataSource):
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return adds
+
+    def _enforce_constraints(self, df: DataFrame, table: str) -> None:
+        snap = resolve_snapshot(table)
+        constraints = snap.constraints if snap is not None else {}
+        if not constraints:
+            return
+        checks = [
+            F.when(F.expr(expr) == F.lit(False), F.lit(name))
+            for name, expr in sorted(constraints.items())
+        ]
+        bad = (
+            df.withColumn("__violated", F.coalesce(*checks, F.lit(None)))
+            .filter(F.col("__violated").isNotNull())
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0]
+            name = row["__violated"]
+            raise DataSourceException(
+                f"CHECK constraint {name!r} "
+                f"({constraints[name]}) violated by row: "
+                f"{ {k: v for k, v in row.asDict().items() if k != '__violated'} }"
+            )
+
+    def add_constraint(self, ref: TableRef, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): validates
+        the EXISTING rows first (one scan, like Delta), then commits a
+        metaData action whose configuration carries the constraint —
+        every subsequent write through any path enforces it. NOT NULL
+        is the special case ``col IS NOT NULL``."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        key = f"constraint.{name}"
+        if key in snap.configuration:
+            raise DataSourceException(
+                f"constraint {name!r} already exists on {table!r}"
+            )
+        existing_bad = (
+            self._read_snapshot(table, snap)
+            .filter(F.expr(expr) == F.lit(False))
+            .limit(1)
+            .collect()
+        )
+        if existing_bad:
+            raise DataSourceException(
+                f"cannot add constraint {name!r} ({expr}): existing row "
+                f"violates it: {existing_bad[0].asDict()}"
+            )
+        config = {**snap.configuration, key: expr}
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "ADD CONSTRAINT",
+        )
+
+    def drop_constraint(self, ref: TableRef, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT — a metaData commit without the
+        key; unknown names are a hard error (silent no-ops hide
+        typos)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        key = f"constraint.{name}"
+        if key not in snap.configuration:
+            raise DataSourceException(
+                f"constraint {name!r} does not exist on {table!r}"
+            )
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "DROP CONSTRAINT",
+        )
 
     @staticmethod
     def _parse_partition_values(relpart: str, part_cols: list[str]) -> dict:
@@ -646,6 +767,8 @@ class TxLogDataSource(BaseDataSource):
                 "metaData": {
                     "schemaJson": merged.json(),
                     "partitionColumns": current.partition_cols,
+                    # constraints survive schema evolution
+                    "configuration": current.configuration,
                 }
             }]
 
@@ -1106,6 +1229,7 @@ class TxLogDataSource(BaseDataSource):
                 "metaData": {
                     "schemaJson": target.schema_json,
                     "partitionColumns": target.partition_cols,
+                    "configuration": target.configuration,
                 }
             }
         ]
