@@ -319,3 +319,26 @@ def test_cli_detail(tmp_path, spark, capsys):
     assert main(["detail", path]) == 0
     out = capsys.readouterr().out
     assert '"num_rows": 2' in out and '"version": 1' in out
+
+
+def test_cli_constraint(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "ctbl")
+    df = spark.createDataFrame([(1, 5)], "pk int, v int")
+    ds.create(TableRef(path=path), df.schema)
+    ds.append(df, TableRef(path=path))
+    assert main(["constraint", "add", path, "v_pos", "v > 0"]) == 0
+    assert main(["constraint", "list", path]) == 0
+    assert "v_pos: CHECK (v > 0)" in capsys.readouterr().out
+    import pytest as _p
+
+    from x_spark.errors import DataSourceException
+
+    with _p.raises(DataSourceException, match="v_pos"):
+        ds.append(spark.createDataFrame([(2, -1)], "pk int, v int"),
+                  TableRef(path=path))
+    assert main(["constraint", "drop", path, "v_pos"]) == 0
+    assert main(["constraint", "add", path]) == 2  # missing name/expr

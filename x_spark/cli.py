@@ -214,6 +214,16 @@ def build_parser() -> argparse.ArgumentParser:
         "order); omit to only print the per-shard manifest",
     )
 
+    cst = sub.add_parser(
+        "constraint",
+        help="manage txlog CHECK constraints: add <name> <expr> / drop "
+        "<name> / list (enforced on every write path before any file lands)",
+    )
+    cst.add_argument("action", choices=["add", "drop", "list"])
+    cst.add_argument("path", help="txlog table directory")
+    cst.add_argument("name", nargs="?", default=None)
+    cst.add_argument("expr", nargs="?", default=None)
+
     det = sub.add_parser(
         "detail",
         help="DESCRIBE DETAIL of a txlog table: version, file/row counts "
@@ -377,6 +387,32 @@ def main(argv: list[str] | None = None) -> int:
         profile_table(df, cols, mode=mode).orderBy(
             "col_name", "metric"
         ).show(1000, truncate=False)
+        return 0
+
+    if args.command == "constraint":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+        from x_spark.sources.txlog import resolve_snapshot
+
+        ds = init_datasource("txlog", get_session())
+        ref = TableRef(path=args.path)
+        if args.action == "add":
+            if not args.name or not args.expr:
+                print("constraint add requires <name> <expr>")
+                return 2
+            ds.add_constraint(ref, args.name, args.expr)
+            print(f"constraint {args.name} added: CHECK ({args.expr})")
+        elif args.action == "drop":
+            if not args.name:
+                print("constraint drop requires <name>")
+                return 2
+            ds.drop_constraint(ref, args.name)
+            print(f"constraint {args.name} dropped")
+        else:
+            snap = resolve_snapshot(ds._table_path(ref))
+            for name, expr in sorted((snap.constraints if snap else {}).items()):
+                print(f"{name}: CHECK ({expr})")
         return 0
 
     if args.command == "detail":
