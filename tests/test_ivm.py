@@ -277,3 +277,68 @@ def test_bucketed_join_view_scopes_the_rewrite(spark, tmp_path):
     ]
     assert old_touched and all(rel not in live for rel in old_touched)
     assert any(f"_bucket={touched_bucket}" in rel for rel in live)
+
+
+def test_minmax_view_targeted_rescan(spark, tmp_path):
+    """minmax columns maintain min_/max_ per group: inserts tighten
+    incrementally; deleting the stored extremum triggers the targeted
+    group rescan and lands the survivors' true extremum. The view must
+    equal a full recompute after every refresh, including deleting the
+    minimum, the maximum, a whole group, and a no-op delete."""
+    from x_spark.operators.ivm import AggregateView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    base = TableRef(path=str(tmp_path / "b"))
+    agg = TableRef(path=str(tmp_path / "agg"))
+    ds.append(spark.createDataFrame(
+        [("a", 1, 10), ("a", 5, 50), ("a", 9, 90),
+         ("b", 2, 20), ("b", 8, 80)],
+        "g string, v int, w int"), base)
+    view = AggregateView(ds, base, agg, keys=["g"], sums=["w"],
+                         minmax=["v"])
+
+    def check():
+        got = sorted(map(tuple, view.read().select(
+            "g", "n_rows", F.col("sum_w").cast("long"), "min_v", "max_v"
+        ).collect()))
+        want = sorted(map(tuple, ds.read(base).groupBy("g").agg(
+            F.count("*").cast("bigint"),
+            F.sum("w").cast("long"),
+            F.min("v"), F.max("v"),
+        ).collect()))
+        assert got == want, (got, want)
+
+    v = view.refresh()
+    check()
+    assert view.refresh() == v  # no-op replay
+
+    # insert-only refresh: extrema tighten without touching the base
+    ds.append(spark.createDataFrame([("a", 0, 1), ("b", 11, 5)],
+                                    "g string, v int, w int"), base)
+    view.refresh(); check()
+
+    # delete the group minimum -> rescan must find the next-smallest
+    ds.delete(base, "g = 'a' AND v = 0")
+    view.refresh(); check()
+    # delete the group maximum
+    ds.delete(base, "g = 'a' AND v = 9")
+    view.refresh(); check()
+    # interior delete (no rescan needed; extrema unchanged)
+    ds.delete(base, "g = 'a' AND v = 5")
+    view.refresh(); check()
+    # delete an entire group -> it leaves the view
+    ds.delete(base, "g = 'b'")
+    view.refresh(); check()
+    assert [r.g for r in view.read().collect()] == ["a"]
+
+    # first-build-with-deletes path: a fresh view over the same base
+    # (whose feed contains all of the above deletes) must also match
+    agg2 = TableRef(path=str(tmp_path / "agg2"))
+    view2 = AggregateView(ds, base, agg2, keys=["g"], sums=["w"],
+                          minmax=["v"])
+    view2.refresh()
+    got2 = sorted(map(tuple, view2.read().collect()))
+    got1 = sorted(map(tuple, view.read().collect()))
+    assert got2 == got1

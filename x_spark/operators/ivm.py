@@ -8,8 +8,9 @@ row-level inserts/deletes into signed deltas, and applies them to the
 aggregate with one full-outer join. At 100 TB this is the difference
 between an O(changed-data) nightly refresh and an O(table) recompute;
 counts and DECIMAL sums are self-maintainable under insert+delete (no
-base rescan ever needed — contrast MIN/MAX, which need a rescan of the
-affected groups on delete and are deliberately out of scope here).
+base rescan ever needed). MIN/MAX are maintained too (``minmax=``) via
+TARGETED rescans: only groups where a deleted value ties-or-beats the
+stored extremum re-aggregate from the base, group-pruned by semi-join.
 
 Refresh position is stored as a txnAppId/txnVersion stamp ON THE
 AGGREGATE TABLE's own commit (``app_id = "ivm:<agg-name>"``, version =
@@ -35,10 +36,23 @@ class AggregateView:
     DECIMAL(30,6)-exact ``sum_<col>`` measures; ``n_rows`` is always
     maintained. The aggregate lives in its own txlog table at
     ``agg_ref`` and drops groups whose count reaches zero.
+
+    ``minmax``: columns additionally maintained as ``min_<col>`` /
+    ``max_<col>``. MIN/MAX are NOT self-maintainable under deletes (a
+    deleted row equal to the stored extremum leaves the new extremum
+    unknown), so the refresh handles them with a TARGETED RESCAN:
+    inserts fold incrementally (``least``/``greatest`` against the
+    stored value), and only the groups where a deleted value ties or
+    beats the stored extremum are recomputed — one semi-joined,
+    group-pruned aggregate over the base snapshot, never a full
+    recompute. At 100 TB: insert-only days refresh with zero base
+    reads; delete days re-aggregate only the touched groups' slices
+    (partition/stats pruning applies to the semi-joined scan).
     """
 
     def __init__(self, ds: TxLogDataSource, base_ref: TableRef,
-                 agg_ref: TableRef, keys: list[str], sums: list[str]):
+                 agg_ref: TableRef, keys: list[str], sums: list[str],
+                 minmax: list[str] | None = None):
         if not keys:
             raise ValueError("AggregateView requires at least one key column")
         self.ds = ds
@@ -46,6 +60,7 @@ class AggregateView:
         self.agg_ref = agg_ref
         self.keys = list(keys)
         self.sums = list(sums)
+        self.minmax = list(minmax or [])
         self.app_id = "ivm:" + (agg_ref.table or agg_ref.path or "agg")
 
     # -- internals -----------------------------------------------------
@@ -87,29 +102,153 @@ class AggregateView:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        deltas = self._fold(
-            cdf.select(*self.keys, *self.sums, "_change_type"), sign
-        )
-        if last >= 0:
-            prior = self.ds.read(self.agg_ref)
-            merged = (
-                prior.unionByName(deltas)
-                .groupBy(*self.keys)
-                .agg(
-                    F.sum("n_rows").cast("bigint").alias("n_rows"),
-                    *[
-                        F.sum(f"sum_{c}").cast("decimal(30,6)").alias(f"sum_{c}")
-                        for c in self.sums
-                    ],
-                )
-            )
+        if self.minmax:
+            result = self._merge_with_minmax(cdf, sign, last, current)
         else:
-            merged = deltas
-        result = merged.filter(F.col("n_rows") > 0)
+            deltas = self._fold(
+                cdf.select(*self.keys, *self.sums, "_change_type"), sign
+            )
+            if last >= 0:
+                prior = self.ds.read(self.agg_ref)
+                merged = (
+                    prior.unionByName(deltas)
+                    .groupBy(*self.keys)
+                    .agg(
+                        F.sum("n_rows").cast("bigint").alias("n_rows"),
+                        *[
+                            F.sum(f"sum_{c}").cast("decimal(30,6)").alias(f"sum_{c}")
+                            for c in self.sums
+                        ],
+                    )
+                )
+            else:
+                merged = deltas
+            result = merged.filter(F.col("n_rows") > 0)
         if not self.ds.table_exists(self.agg_ref):
             self.ds.create(self.agg_ref, result.schema)
         self.ds.overwrite(result, self.agg_ref, txn=(self.app_id, current))
         return current
+
+    def _merge_with_minmax(self, cdf: DataFrame, sign, last: int,
+                           current: int) -> DataFrame:
+        """Join-based fold for the minmax path: counts/sums accumulate
+        as usual; stored extrema tighten with inserted extrema
+        (``least``/``greatest`` skip NULLs); groups where a DELETED
+        value ties-or-beats a stored extremum are recomputed from the
+        base snapshot pinned at ``current``, pruned with a semi-join
+        on the rescan keys. Must be eagerly materialized downstream
+        (overwrite does) before the pinned read goes stale."""
+        ins = F.col("_change_type") == "insert"
+        value_cols = list(dict.fromkeys([*self.sums, *self.minmax]))
+        deltas = cdf.select(
+            *self.keys, *value_cols, "_change_type"
+        ).groupBy(*self.keys).agg(
+            F.sum(sign).cast("bigint").alias("d_n"),
+            *[
+                F.sum(sign * F.col(c).cast("decimal(30,6)"))
+                .cast("decimal(30,6)")
+                .alias(f"d_sum_{c}")
+                for c in self.sums
+            ],
+            *[
+                e
+                for c in self.minmax
+                for e in (
+                    F.min(F.when(ins, F.col(c))).alias(f"ins_min_{c}"),
+                    F.max(F.when(ins, F.col(c))).alias(f"ins_max_{c}"),
+                    F.min(F.when(~ins, F.col(c))).alias(f"del_min_{c}"),
+                    F.max(F.when(~ins, F.col(c))).alias(f"del_max_{c}"),
+                )
+            ],
+        )
+        if last >= 0:
+            prior = self.ds.read(self.agg_ref)
+        else:
+            prior = None
+        if prior is None:
+            # first build: the CDF from v1 IS the whole base; deletes
+            # in the initial feed are handled by the rescan rule below
+            # (candidate extrema come from the feed's inserts)
+            j = deltas
+            n_new = F.col("d_n")
+            sums_new = {c: F.col(f"d_sum_{c}") for c in self.sums}
+            cand_min = {c: F.col(f"ins_min_{c}") for c in self.minmax}
+            cand_max = {c: F.col(f"ins_max_{c}") for c in self.minmax}
+        else:
+            j = prior.join(deltas, self.keys, "full_outer")
+            n_new = F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            sums_new = {
+                c: (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast("decimal(30,6)"))
+                    + F.coalesce(
+                        F.col(f"d_sum_{c}"), F.lit(0).cast("decimal(30,6)")
+                    )
+                ).cast("decimal(30,6)")
+                for c in self.sums
+            }
+            cand_min = {
+                c: F.least(F.col(f"min_{c}"), F.col(f"ins_min_{c}"))
+                for c in self.minmax
+            }
+            cand_max = {
+                c: F.greatest(F.col(f"max_{c}"), F.col(f"ins_max_{c}"))
+                for c in self.minmax
+            }
+        # a group needs a rescan when a deleted value ties-or-beats the
+        # CANDIDATE extremum (stored state tightened by this refresh's
+        # inserts): if del_min <= cand_min the deleted row may have
+        # BEEN the minimum, so the survivors' true minimum is unknown.
+        # Comparing against the candidate (not just the stored value)
+        # also makes the first build correct when the initial change
+        # feed already contains deletes. NULL-valued deletes never
+        # force a rescan (MIN/MAX ignore NULLs).
+        rescan_cond = None
+        for c in self.minmax:
+            cond = (
+                F.col(f"del_min_{c}") <= cand_min[c]
+            ) | (
+                F.col(f"del_max_{c}") >= cand_max[c]
+            )
+            rescan_cond = cond if rescan_cond is None else (rescan_cond | cond)
+        j = j.withColumn("_rescan", F.coalesce(rescan_cond, F.lit(False)))
+        rescan_keys = j.filter("_rescan").select(*self.keys)
+        pinned = TableRef(
+            table=self.base_ref.table, path=self.base_ref.path,
+            options={**self.base_ref.options, "versionAsOf": str(current)},
+        )
+        recomputed = (
+            self.ds.read(pinned)
+            .join(rescan_keys, self.keys, "left_semi")
+            .groupBy(*self.keys)
+            .agg(
+                *[
+                    e
+                    for c in self.minmax
+                    for e in (
+                        F.min(c).alias(f"re_min_{c}"),
+                        F.max(c).alias(f"re_max_{c}"),
+                    )
+                ]
+            )
+        )
+        out = j.join(recomputed, self.keys, "left").select(
+            *self.keys,
+            n_new.cast("bigint").alias("n_rows"),
+            *[sums_new[c].alias(f"sum_{c}") for c in self.sums],
+            *[
+                e
+                for c in self.minmax
+                for e in (
+                    F.when(F.col("_rescan"), F.col(f"re_min_{c}"))
+                    .otherwise(cand_min[c])
+                    .alias(f"min_{c}"),
+                    F.when(F.col("_rescan"), F.col(f"re_max_{c}"))
+                    .otherwise(cand_max[c])
+                    .alias(f"max_{c}"),
+                )
+            ],
+        )
+        return out.filter(F.col("n_rows") > 0)
 
     def read(self) -> DataFrame:
         return self.ds.read(self.agg_ref)
