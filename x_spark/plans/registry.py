@@ -105,6 +105,12 @@ _TAIL = [
                                # grid + LOCF gap fill — time_bucket_gapfill
                                # shape): locally hash-checked; r6 head-
                                # rotation candidate
+    "minmax_view_refresh",     # late-round-5 addition (MIN/MAX maintained
+                               # view: delete-the-extrema then incremental
+                               # refresh with targeted rescans): locally
+                               # hash-checked; r6 head-rotation candidate
+                               # (IVM family head reps: join_view_refresh +
+                               # stream_ivm_user_totals)
     "source_data_cards",       # late-round-5 addition (per-source corpus
                                # governance card: volume/dup/lang/size in one
                                # grouped pass): locally hash-checked; r6

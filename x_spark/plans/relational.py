@@ -865,6 +865,83 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# IVM MIN/MAX maintenance, driver-checked: build a txlog base from
+# orders, refresh a maintained (count, sum, min, max) view, then
+# DELETE exactly the rows carrying per-group extrema and refresh
+# incrementally — the targeted-rescan path must land the survivors'
+# true extrema. The oracle recomputes everything from the final state
+# declaratively; if the rescan misses a group or picks a stale
+# extremum, min/max diverge.
+def q_minmax_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.operators.ivm import AggregateView
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_minmax_view_")
+    try:
+        ds = TxLogDataSource(spark)
+        base_ref = TableRef(path=os.path.join(workdir, "ord"))
+        agg_ref = TableRef(path=os.path.join(workdir, "agg"))
+        b0 = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).filter(F.col("o_orderkey") % 3 == 0)
+        ds.create(base_ref, b0.schema)
+        ds.append(b0, base_ref)  # v1
+        view = AggregateView(
+            ds, base_ref, agg_ref,
+            keys=["o_orderstatus"], sums=["o_totalprice"],
+            minmax=["o_totalprice"],
+        )
+        view.refresh()  # initial build
+        # delete the cheap tail AND the most expensive band: both ends
+        # of every group's price range go away, forcing the rescan on
+        # every group; the orderkey predicate also removes interior
+        # rows so counts/sums move too
+        ds.delete(
+            base_ref,
+            "o_totalprice < 5000.0 OR o_totalprice > 250000.0 "
+            "OR o_orderkey % 21 = 0",
+        )
+        view.refresh()  # incremental: targeted rescans only
+        return (
+            view.read()
+            .select(
+                "o_orderstatus",
+                "n_rows",
+                F.col("sum_o_totalprice").cast("double").alias("total_value"),
+                F.col("min_o_totalprice").alias("min_price"),
+                F.col("max_o_totalprice").alias("max_price"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_MINMAX_VIEW_REFRESH = """
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 = 0
+    AND NOT (o_totalprice < 5000.0 OR o_totalprice > 250000.0
+             OR o_orderkey % 21 = 0)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM s
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table profiling (data-quality primitive): per-column null counts,
 # exact distincts, numeric range + exact percentiles, string lengths —
 # one shared aggregation pass for everything except the per-column
@@ -1333,6 +1410,7 @@ RELATIONAL_QUERIES = {
     "txlog_version_diff": q_txlog_version_diff,
     "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
     "join_view_refresh": q_join_view_refresh,
+    "minmax_view_refresh": q_minmax_view_refresh,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
     "salted_brand_volume": q_salted_brand_volume,
@@ -1363,6 +1441,7 @@ RELATIONAL_ORACLES = {
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
+    "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
     "salted_brand_volume": ORACLE_SALTED_BRAND_VOLUME,
