@@ -241,3 +241,21 @@ def test_catalog_routed_write_rejects_transactional_options(spark, ds):
             merge_schema=True,
         )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sql_alter_table_constraint_ddl(spark, ds):
+    """ALTER TABLE ... ADD/DROP CONSTRAINT ... CHECK routes to the
+    native invariant store through the pass-through SQL surface (the
+    reference's pre/post_sql hooks could then manage constraints in
+    plain DDL)."""
+    if not hasattr(ds, "add_constraint"):  # pragma: no cover - live-delta env
+        pytest.skip("txlog constraint DDL only")
+    name = f"conf_cst_{uuid.uuid4().hex[:8]}"
+    ref = _mk_table(spark, ds, name, "k int, v int", [(1, 10)])
+    ds.sql(f"ALTER TABLE {name} ADD CONSTRAINT v_pos CHECK (v > 0)")
+    with pytest.raises(Exception, match="v_pos"):
+        ds.append(spark.createDataFrame([(2, -1)], "k int, v int"), ref)
+    ds.sql(f"alter table {name} drop constraint v_pos")
+    ds.append(spark.createDataFrame([(2, -1)], "k int, v int"), ref)
+    assert ds.read(ref).count() == 2
+    _drop(ds, ref)

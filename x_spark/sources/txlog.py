@@ -303,6 +303,28 @@ class TxLogDataSource(BaseDataSource):
             ref = TableRef(table=_normalize_ident(m.group(1)))
             self.delete(ref, m.group(2) or "TRUE")
             return done
+        # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) — Delta's
+        # constraint DDL, routed to the native invariant store
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+add\s+constraint\s+(\w+)\s+"
+            r"check\s*\((.*)\)\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.add_constraint(
+                TableRef(table=_normalize_ident(m.group(1))),
+                m.group(2), m.group(3).strip(),
+            )
+            return done
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+drop\s+constraint\s+(\w+)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.drop_constraint(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
         return None
 
     def _rewrite_query(self, stmt: str) -> str:
