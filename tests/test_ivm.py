@@ -314,10 +314,25 @@ def test_minmax_view_targeted_rescan(spark, tmp_path):
     check()
     assert view.refresh() == v  # no-op replay
 
-    # insert-only refresh: extrema tighten without touching the base
+    # insert-only refresh: extrema tighten without touching the base —
+    # assert the refresh never issues a pinned (versionAsOf) base read
     ds.append(spark.createDataFrame([("a", 0, 1), ("b", 11, 5)],
                                     "g string, v int, w int"), base)
-    view.refresh(); check()
+    pinned_reads = []
+    orig_read = ds.read
+
+    def spy_read(ref, *a, **kw):
+        if "versionAsOf" in (ref.options or {}):
+            pinned_reads.append(ref)
+        return orig_read(ref, *a, **kw)
+
+    ds.read = spy_read
+    try:
+        view.refresh()
+    finally:
+        ds.read = orig_read
+    assert not pinned_reads, "insert-only refresh read the pinned base"
+    check()
 
     # delete the group minimum -> rescan must find the next-smallest
     ds.delete(base, "g = 'a' AND v = 0")
@@ -342,3 +357,39 @@ def test_minmax_view_targeted_rescan(spark, tmp_path):
     got2 = sorted(map(tuple, view2.read().collect()))
     got1 = sorted(map(tuple, view.read().collect()))
     assert got2 == got1
+
+
+def test_bucketed_join_view_empties_bucket_cleanly(spark, tmp_path):
+    """Regression (review-confirmed): a refresh that EMPTIES a bucket
+    must remove its old files from the live set — a dynamic-partition
+    overwrite would skip absent partitions and leave stale join rows.
+    Delete every B-row of some keys so entire buckets drain, refresh,
+    and require bag == plain join."""
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    a_ref = TableRef(path=str(tmp_path / "a"))
+    b_ref = TableRef(path=str(tmp_path / "b"))
+    v_ref = TableRef(path=str(tmp_path / "j"))
+    ds.append(spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 9)], "k int, av int"), a_ref)
+    ds.append(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(1, 9)], "k int, bv string"), b_ref)
+    view = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                    a_cols=["av"], b_cols=["bv"], n_buckets=4)
+    view.refresh()
+    # drain whole buckets: delete half the dim keys
+    ds.delete(b_ref, "k in (1, 3, 7, 8)")
+    view.refresh()
+    got = sorted(map(tuple, view.read().collect()))
+    want = sorted(map(tuple, (
+        ds.read(a_ref).join(ds.read(b_ref), "k")
+        .groupBy("k", "av", "bv").agg(F.count("*").alias("n_rows"))
+    ).collect()))
+    assert got == want, (got, want)
+    # drain EVERYTHING: the view must come back empty
+    ds.delete(b_ref, "TRUE")
+    view.refresh()
+    assert view.read().count() == 0

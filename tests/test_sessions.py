@@ -153,3 +153,21 @@ def test_funnel_unpersists_everything(spark):
     ev = _ev(spark, [(0, 1, "view"), (10, 1, "click")])
     funnel_stages(ev, ["view", "click"]).collect()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_deep_funnel_caches_and_cleans_up(spark):
+    """Past the shallow-funnel crossover (k > 4) the per-stage frames
+    are cached; result correctness and full cleanup must hold on a
+    6-stage funnel."""
+    stages = ["s1", "s2", "s3", "s4", "s5", "s6"]
+    rows = []
+    for u in range(1, 5):
+        # user u completes the first u+2 stages in order
+        for i in range(min(u + 2, 6)):
+            rows.append((i * 10, u, stages[i]))
+    ev = _ev(spark, rows)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = {r.stage: r.n_users for r in funnel_stages(ev, stages).collect()}
+    assert got == {"s1": 4, "s2": 4, "s3": 4, "s4": 3, "s5": 2, "s6": 1}
+    assert jsc.getPersistentRDDs().size() == before

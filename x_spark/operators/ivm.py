@@ -210,8 +210,33 @@ class AggregateView:
                 F.col(f"del_max_{c}") >= cand_max[c]
             )
             rescan_cond = cond if rescan_cond is None else (rescan_cond | cond)
-        j = j.withColumn("_rescan", F.coalesce(rescan_cond, F.lit(False)))
+        # materialize the joined aggregate state ONCE (it is
+        # aggregate-sized): it feeds the rescan-count probe, the rescan
+        # key set, and the output projection — and the probe is what
+        # lets an insert-only refresh skip the base entirely
+        j = (
+            j.withColumn("_rescan", F.coalesce(rescan_cond, F.lit(False)))
+            .localCheckpoint(eager=True)
+        )
         rescan_keys = j.filter("_rescan").select(*self.keys)
+        if rescan_keys.limit(1).count() == 0:
+            # insert-only (or extremum-safe) refresh: ZERO base reads —
+            # the advertised contract; the recompute join would
+            # otherwise wire a full pinned-base scan into the plan
+            out = j.select(
+                *self.keys,
+                n_new.cast("bigint").alias("n_rows"),
+                *[sums_new[c].alias(f"sum_{c}") for c in self.sums],
+                *[
+                    e
+                    for c in self.minmax
+                    for e in (
+                        cand_min[c].alias(f"min_{c}"),
+                        cand_max[c].alias(f"max_{c}"),
+                    )
+                ],
+            )
+            return out.filter(F.col("n_rows") > 0)
         pinned = TableRef(
             table=self.base_ref.table, path=self.base_ref.path,
             options={**self.base_ref.options, "versionAsOf": str(current)},
@@ -392,16 +417,31 @@ class JoinView:
                         app_id: str, current: int) -> int:
         """Partition-scoped apply: fold the deltas into ONLY the view
         partitions (join-key hash buckets) they touch, and land the new
-        bucket contents + position via one stamped dynamic-partition
-        overwrite — untouched buckets' files are never read or
-        written."""
-        delta_b = delta_j.withColumn("_bucket", self._bucket_col())
-        if self.ds.table_exists(self.view_ref):
-            # the touched-bucket list is metadata-sized (<= n_buckets)
-            touched = [
-                r["_bucket"]
-                for r in delta_b.select("_bucket").distinct().collect()
-            ]
+        bucket contents + position via one stamped replaceWhere over
+        the touched buckets — untouched buckets' files are never read
+        or written.
+
+        replaceWhere (not dynamic-partition overwrite) is load-bearing:
+        a refresh that EMPTIES a bucket produces no rows for it, and a
+        dynamic overwrite only replaces partitions present in the
+        frame — the emptied bucket's old files would stay live (stale
+        join rows). The predicate removes every touched bucket's files
+        whether or not new rows exist for it.
+
+        The delta frame is eagerly checkpointed first: it feeds the
+        touched-bucket collect, the replaceWhere validation/write, and
+        the merge union — without the checkpoint the expensive
+        CDF-x-pinned-side join would execute once per consumer."""
+        delta_b = (
+            delta_j.withColumn("_bucket", self._bucket_col())
+            .localCheckpoint(eager=True)
+        )
+        # the touched-bucket list is metadata-sized (<= n_buckets)
+        touched = sorted(
+            r["_bucket"] for r in delta_b.select("_bucket").distinct().collect()
+        )
+        exists = self.ds.table_exists(self.view_ref)
+        if exists:
             prior = self.ds.read(self.view_ref).filter(
                 F.col("_bucket").isin(touched) if touched else F.lit(False)
             )
@@ -415,11 +455,22 @@ class JoinView:
         result = merged.filter(F.col("n_rows") > 0).select(
             *out_cols, "n_rows", "_bucket"
         )
-        if not self.ds.table_exists(self.view_ref):
+        if not exists:
             self.ds.create(self.view_ref, result.schema,
                            partition_by=["_bucket"])
-        self.ds.overwrite_dynamic(result, self.view_ref,
-                                  txn=(app_id, current))
+        if touched:
+            self.ds.overwrite(
+                result, self.view_ref,
+                replace_where=(
+                    "_bucket IN (" + ", ".join(str(b) for b in touched) + ")"
+                ),
+                txn=(app_id, current),
+            )
+        else:
+            # nothing changed (e.g. rewrite pairs canceled): advance the
+            # applied position without touching any partition
+            self.ds.overwrite_dynamic(result, self.view_ref,
+                                      txn=(app_id, current))
         return current
 
     def refresh(self) -> tuple[int, int]:

@@ -127,15 +127,19 @@ def funnel_stages(
         .filter(F.col("t").isin(list(stages)))
         .persist()
     )
+    # Stage-chain caching is a measured trade: WITHOUT per-stage
+    # persists, branch i of the final union re-derives cur_1..cur_i
+    # from the cached slice, so the one collect evaluates ~k(k+1)/2
+    # stage aggregates — cheaper than k cache layers at shallow k
+    # (sf0.1, k=3: 0.84 s vs 1.17 s) but quadratic for deep funnels.
+    # Past the crossover, cache each stage frame (they are per-user
+    # aggregates — small at any scale) and eat the per-layer cost.
+    cache_stages = len(stages) > 4
+    handles: list[DataFrame] = [ev]
     try:
         # materialize the funnel slice eagerly: this is the ONE base
         # scan; every per-stage pass below reads the cache (lazy
         # branches would race the cache fill and could double-scan).
-        # The per-stage aggregates are deliberately NOT cached — each
-        # is recomputed once more from the cached slice for the next
-        # stage's join, which measures cheaper than a cache layer per
-        # stage at every scale tried (aggregates of an in-memory
-        # slice), and keeps cleanup to the one handle.
         ev.count()
         prev = None  # (u, prev_us) of the previous stage
         parts = []
@@ -155,6 +159,9 @@ def funnel_stages(
                         <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
                     )
                 cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
+            if cache_stages:
+                cur = cur.persist()
+                handles.append(cur)
             parts.append(
                 cur.agg(F.count("*").cast("bigint").alias("n_users")).select(
                     F.lit(i).cast("int").alias("stage_idx"),
@@ -164,10 +171,11 @@ def funnel_stages(
             )
             prev = cur.select("u", F.col("stage_us").alias("prev_us"))
         # ONE job computes every stage count off the cached slice;
-        # collecting k scalars lets the cache drop before returning
+        # collecting k scalars lets the caches drop before returning
         rows = reduce(DataFrame.unionByName, parts).collect()
     finally:
-        ev.unpersist()
+        for h in handles:
+            h.unpersist()
     return spark.createDataFrame(rows, schema)
 
 

@@ -35,17 +35,18 @@ from x_spark.functions.portable import umicros
 _US = 1_000_000
 
 
-def resample_locf(
+def _bucketed_grid(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
     step_sec: int,
-) -> DataFrame:
-    """``(key, bucket_us, value, filled)`` on a dense per-key grid —
-    ``bucket_us`` is the epoch-aligned bucket start in microseconds,
-    ``value`` the bucket's last observation carried forward across
-    empty buckets, ``filled`` true where the value was carried."""
+):
+    """Shared prelude of both resamplers: ``(grid, last_in_bucket,
+    step)`` — epoch-aligned buckets, the deterministic last-in-bucket
+    pick, and each key's dense bucket sequence. One place owns the
+    bucketing and tie-break rules so the two fill strategies can never
+    silently diverge."""
     if step_sec <= 0:
         raise ValueError("step_sec must be >= 1")
     step = int(step_sec) * _US
@@ -70,6 +71,23 @@ def resample_locf(
         F.explode(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
         ).alias("bucket_us"),
+    )
+    return grid, last_in_bucket, step
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+) -> DataFrame:
+    """``(key, bucket_us, value, filled)`` on a dense per-key grid —
+    ``bucket_us`` is the epoch-aligned bucket start in microseconds,
+    ``value`` the bucket's last observation carried forward across
+    empty buckets, ``filled`` true where the value was carried."""
+    grid, last_in_bucket, _ = _bucketed_grid(
+        df, key_col, ts_col, value_col, step_sec
     )
     w = (
         Window.partitionBy("k")
@@ -106,27 +124,8 @@ def resample_interp(
 
     Same plan shape as LOCF plus one forward-looking window (the
     next-observation side): still one key shuffle, no global sort."""
-    if step_sec <= 0:
-        raise ValueError("step_sec must be >= 1")
-    step = int(step_sec) * _US
-    us = umicros(ts_col)
-    obs = df.select(
-        F.col(key_col).alias("k"),
-        (F.floor(us / F.lit(step)) * F.lit(step)).cast("bigint").alias("bucket_us"),
-        us.alias("_us"),
-        F.col(value_col).alias("_v"),
-    )
-    last_in_bucket = obs.groupBy("k", "bucket_us").agg(
-        F.max_by("_v", F.struct(F.col("_us"), F.col("_v"))).alias("obs_value")
-    )
-    spans = obs.groupBy("k").agg(
-        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
-    )
-    grid = spans.select(
-        "k",
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
-        ).alias("bucket_us"),
+    grid, last_in_bucket, _ = _bucketed_grid(
+        df, key_col, ts_col, value_col, step_sec
     )
     wb = (
         Window.partitionBy("k")

@@ -793,7 +793,7 @@ def q_source_data_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("bigint").alias("toks"),
     )
     dup = docs.groupBy("fp").agg(F.count("*").alias("fp_n"))
-    j = docs.join(F.broadcast(dup), "fp")
+    j = docs.join(dup, "fp")
     return j.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),

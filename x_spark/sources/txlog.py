@@ -1317,13 +1317,20 @@ class TxLogDataSource(BaseDataSource):
     def describe_detail(self, ref: TableRef) -> dict:
         """DESCRIBE DETAIL: current version, schema, partitioning, file
         count, exact row count (metadata), and on-disk bytes of the
-        live files (one stat() per file — metadata-scale)."""
+        live files (one stat() per file — metadata-scale). Every field
+        comes from ONE snapshot resolve, so the report is internally
+        consistent under concurrent commits."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
         size = 0
-        for rel in snap.files:
+        n_rows = 0
+        for rel, add in snap.files.items():
+            n = add.get("numRecords")
+            if n is None:
+                n, _ = self._footer_stats(os.path.join(table, rel))
+            n_rows += int(n)
             try:
                 size += os.path.getsize(os.path.join(table, rel))
             except OSError:
@@ -1332,7 +1339,7 @@ class TxLogDataSource(BaseDataSource):
             "path": table,
             "version": snap.version,
             "num_files": len(snap.files),
-            "num_rows": self.count_rows(ref),
+            "num_rows": n_rows,
             "size_bytes": size,
             "partition_columns": list(snap.partition_cols),
             "schema": snap.schema.simpleString(),
