@@ -381,3 +381,86 @@ def test_temperature_mix_flattens_distribution(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, "source", "doc_id", alpha=0.0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.integers(min_value=1, max_value=120),
+    st.integers(min_value=1, max_value=9),
+    st.text(alphabet="abc:0", min_size=0, max_size=6),
+)
+def test_shuffle_shards_is_a_partitioned_permutation(spark, n, shards, seed):
+    """Property: for ANY corpus size, shard count, and seed, the shard
+    map is a bijection onto (shard, dense positions) — every id
+    appears exactly once, positions per shard are 0..len-1, and the
+    map is invariant under input partitioning."""
+    from x_spark.operators.shards import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    rows = shuffle_shards(df, shards, seed=seed).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(n))
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard_id < shards
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = shuffle_shards(df.repartition(5), shards, seed=seed).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=5000),   # seconds offset
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.integers(min_value=30, max_value=600),
+)
+def test_resample_locf_matches_python_reference(spark, rows, step_sec):
+    """Property: the distributed LOCF grid equals a direct Python
+    reference (bucketize, last-ts-wins with value tie-break, dense
+    range, carry forward) on arbitrary event sets."""
+    import datetime as dt
+
+    from x_spark.operators.timeseries import resample_locf
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), v) for k, s, v in rows],
+        "user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.bucket_us): (r.value, r.filled)
+        for r in resample_locf(df, "user_id", "ts", "value", step_sec).collect()
+    }
+    # python reference
+    base_us = int(t0.timestamp()) * 1_000_000
+    step = step_sec * 1_000_000
+    per_key = {}
+    for k, s, v in rows:
+        us = base_us + s * 1_000_000
+        b = (us // step) * step
+        cur = per_key.setdefault(k, {}).get(b)
+        if cur is None or (us, v) > cur[0]:
+            per_key[k][b] = ((us, v), v)
+    want = {}
+    for k, buckets in per_key.items():
+        lo, hi = min(buckets), max(buckets)
+        carry = None
+        b = lo
+        while b <= hi:
+            if b in buckets:
+                carry = buckets[b][1]
+                want[(k, b)] = (carry, False)
+            else:
+                want[(k, b)] = (carry, True)
+            b += step
+    assert got == want
