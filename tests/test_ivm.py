@@ -393,3 +393,31 @@ def test_bucketed_join_view_empties_bucket_cleanly(spark, tmp_path):
     ds.delete(b_ref, "TRUE")
     view.refresh()
     assert view.read().count() == 0
+
+
+def test_staleness_probes(spark, tmp_path):
+    from x_spark.operators.ivm import AggregateView, JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    base = TableRef(path=str(tmp_path / "b"))
+    agg = TableRef(path=str(tmp_path / "agg"))
+    ds.append(spark.createDataFrame([("a", 1)], "g string, w int"), base)
+    view = AggregateView(ds, base, agg, keys=["g"], sums=["w"])
+    assert view.staleness() == 1  # v1 unapplied
+    view.refresh()
+    assert view.staleness() == 0
+    ds.append(spark.createDataFrame([("a", 2)], "g string, w int"), base)
+    ds.append(spark.createDataFrame([("a", 3)], "g string, w int"), base)
+    assert view.staleness() == 2
+    view.refresh()
+    assert view.staleness() == 0
+
+    b2 = TableRef(path=str(tmp_path / "b2"))
+    v2 = TableRef(path=str(tmp_path / "v2"))
+    ds.append(spark.createDataFrame([("a", 9)], "g string, x int"), b2)
+    jv = JoinView(ds, base, b2, v2, on=["g"], a_cols=["w"], b_cols=["x"])
+    assert jv.staleness() == (3, 1)
+    jv.refresh()
+    assert jv.staleness() == (0, 0)

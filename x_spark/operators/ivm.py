@@ -278,6 +278,21 @@ class AggregateView:
     def read(self) -> DataFrame:
         return self.ds.read(self.agg_ref)
 
+    def staleness(self) -> int:
+        """How many base versions the view is behind (0 = fresh): the
+        monitoring probe a refresh scheduler polls — two log reads, no
+        data touched."""
+        base_table = self.ds._table_path(self.base_ref)
+        snap = resolve_snapshot(base_table)
+        if snap is None:
+            raise ValueError("base table does not exist")
+        last = (
+            self.ds.last_txn_version(self.agg_ref, self.app_id)
+            if self.ds.table_exists(self.agg_ref)
+            else -1
+        )
+        return max(0, snap.version - max(last, 0))
+
 
 class JoinView:
     """Materialized equi-JOIN of two txlog base tables, incrementally
@@ -493,3 +508,14 @@ class JoinView:
         (the internal bucket column, if any, is dropped)."""
         df = self.ds.read(self.view_ref)
         return df.drop("_bucket") if self.n_buckets is not None else df
+
+    def staleness(self) -> tuple[int, int]:
+        """(a_behind, b_behind): versions each base has advanced past
+        the view's applied positions — the refresh-scheduler probe."""
+        out = []
+        for ref, app in ((self.a_ref, self.app_a), (self.b_ref, self.app_b)):
+            snap = resolve_snapshot(self.ds._table_path(ref))
+            if snap is None:
+                raise ValueError(f"base table {ref!r} does not exist")
+            out.append(max(0, snap.version - max(self._pos(app), 0)))
+        return tuple(out)
