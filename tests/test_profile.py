@@ -90,3 +90,18 @@ def test_profile_drift_flags_changes(spark):
     assert (r.before_value, r.after_value, r.delta, r.rel_change) == (1.0, 1.0, 0.0, 0.0)
     # k shrank by one row
     assert got[("k", "n_distinct")].delta == -1.0
+
+
+def test_skew_report_values(spark):
+    from x_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.k, r.n_rows, r.share, r.x_mean)
+           for r in skew_report(df, ["k"], top=3).collect()]
+    # mean key load = 100/4 = 25
+    assert got == [("hot", 60, 0.6, 2.4), ("warm", 30, 0.3, 1.2),
+                   ("a", 5, 0.05, 0.2)]
+    import pytest as _p
+    with _p.raises(ValueError):
+        skew_report(df, [])

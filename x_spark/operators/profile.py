@@ -228,3 +228,44 @@ def profile_drift(
             delta / F.nullif(F.col("before_value"), F.lit(0.0)), 6
         ).alias("rel_change"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic — the measurement you take BEFORE choosing
+    a skew strategy (salted agg/join, AQE skew thresholds): the ``top``
+    heaviest key tuples with their row counts and corpus share, plus
+    each key's multiple of the mean key load (``x_mean`` — a key at
+    30x mean is what makes one reducer run 30x longer than the
+    average). Output: ``(*key_cols, n_rows, share, x_mean)``, heaviest
+    first, ties by key.
+
+    Shape: one grouped count (partial-aggregable), a broadcast scalar
+    total, and a distributed top-N (TakeOrderedAndProject) — never a
+    global sort, never a driver-side histogram of all keys.
+    """
+    if not key_cols:
+        raise ValueError("skew_report requires at least one key column")
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("double").alias("_total"),
+        F.count("*").cast("double").alias("_nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_nkeys")), 6
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(top)
+    )

@@ -105,6 +105,10 @@ _TAIL = [
                                # grid + LOCF gap fill — time_bucket_gapfill
                                # shape): locally hash-checked; r6 head-
                                # rotation candidate
+    "lineitem_key_skew",       # late-round-5 addition (key-skew diagnostic
+                               # top-N): locally hash-checked; profiling
+                               # family held by table_profile/robust_outliers
+                               # (head) — r6 rotation candidate
     "minmax_view_refresh",     # late-round-5 addition (MIN/MAX maintained
                                # view: delete-the-extrema then incremental
                                # refresh with targeted rescans): locally

@@ -942,6 +942,35 @@ GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# Key-skew diagnostic (operators/profile.skew_report): the measurement
+# taken before choosing a skew strategy — top-N heaviest key tuples
+# with corpus share and multiple-of-mean-load. Distributed top-N
+# (TakeOrderedAndProject), broadcast scalar totals, no global sort.
+def q_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], top=20)
+
+
+ORACLE_LINEITEM_KEY_SKEW = """
+WITH c AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS nkeys
+  FROM c
+)
+SELECT l_suppkey, n_rows,
+       round(n_rows / total, 6) AS share,
+       round(n_rows / (total / nkeys), 6) AS x_mean
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table profiling (data-quality primitive): per-column null counts,
 # exact distincts, numeric range + exact percentiles, string lengths —
 # one shared aggregation pass for everything except the per-column
@@ -1411,6 +1440,7 @@ RELATIONAL_QUERIES = {
     "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
+    "lineitem_key_skew": q_lineitem_key_skew,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
     "salted_brand_volume": q_salted_brand_volume,
@@ -1442,6 +1472,7 @@ RELATIONAL_ORACLES = {
     "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
+    "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
     "salted_brand_volume": ORACLE_SALTED_BRAND_VOLUME,
