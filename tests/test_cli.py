@@ -342,3 +342,24 @@ def test_cli_constraint(tmp_path, spark, capsys):
                   TableRef(path=path))
     assert main(["constraint", "drop", path, "v_pos"]) == 0
     assert main(["constraint", "add", path]) == 2  # missing name/expr
+
+
+def test_cli_ivm_minmax_and_staleness(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    base = str(tmp_path / "ibase")
+    agg = str(tmp_path / "iagg")
+    ds.append(spark.createDataFrame(
+        [("a", 1, 10), ("a", 5, 50)], "g string, v int, w int"),
+        TableRef(path=base))
+    args = ["ivm", base, agg, "--keys", "g", "--sums", "w", "--minmax", "v"]
+    assert main(args + ["--staleness"]) == 0
+    assert "1 base version(s) behind" in capsys.readouterr().out
+    assert main(args) == 0
+    capsys.readouterr()
+    assert main(args + ["--staleness"]) == 0
+    assert "0 base version(s) behind" in capsys.readouterr().out
+    row = ds.read(TableRef(path=agg)).collect()[0]
+    assert (row.min_v, row.max_v) == (1, 5)

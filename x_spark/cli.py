@@ -102,6 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
     ivm.add_argument(
         "--sums", default="", help="comma-separated numeric columns to sum"
     )
+    ivm.add_argument(
+        "--minmax", default="",
+        help="comma-separated columns to maintain min/max for (deletes "
+        "trigger targeted group rescans)",
+    )
+    ivm.add_argument(
+        "--staleness", action="store_true",
+        help="only report how many base versions the aggregate is "
+        "behind; no refresh",
+    )
 
     ded = sub.add_parser(
         "dedup",
@@ -515,7 +525,11 @@ def main(argv: list[str] | None = None) -> int:
             TableRef(path=args.agg),
             keys=[c.strip() for c in args.keys.split(",") if c.strip()],
             sums=[c.strip() for c in args.sums.split(",") if c.strip()],
+            minmax=[c.strip() for c in args.minmax.split(",") if c.strip()],
         )
+        if args.staleness:
+            print(f"aggregate is {view.staleness()} base version(s) behind")
+            return 0
         v = view.refresh()
         print(f"aggregate current through base version {v}")
         return 0
