@@ -363,3 +363,22 @@ def test_cli_ivm_minmax_and_staleness(tmp_path, spark, capsys):
     assert "0 base version(s) behind" in capsys.readouterr().out
     row = ds.read(TableRef(path=agg)).collect()[0]
     assert (row.min_v, row.max_v) == (1, 5)
+
+
+def test_cli_ivm_join(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    a = str(tmp_path / "ja"); b = str(tmp_path / "jb"); v = str(tmp_path / "jv")
+    ds.append(spark.createDataFrame([(1, 10), (2, 20)], "k int, av int"),
+              TableRef(path=a))
+    ds.append(spark.createDataFrame([(1, "x")], "k int, bv string"),
+              TableRef(path=b))
+    args = ["ivm-join", a, b, v, "--on", "k",
+            "--a-cols", "av", "--b-cols", "bv", "--buckets", "2"]
+    assert main(args + ["--staleness"]) == 0
+    assert "side A 1, side B 1" in capsys.readouterr().out
+    assert main(args) == 0
+    got = sorted(map(tuple, ds.read(TableRef(path=v)).drop("_bucket").collect()))
+    assert got == [(1, 10, "x", 1)]

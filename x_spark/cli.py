@@ -113,6 +113,26 @@ def build_parser() -> argparse.ArgumentParser:
         "behind; no refresh",
     )
 
+    ivmj = sub.add_parser(
+        "ivm-join", help="incrementally refresh a materialized equi-join "
+        "of two txlog tables from their change feeds"
+    )
+    ivmj.add_argument("a", help="side-A txlog table directory")
+    ivmj.add_argument("b", help="side-B txlog table directory")
+    ivmj.add_argument("view", help="view txlog table directory")
+    ivmj.add_argument("--on", required=True, help="comma-separated join keys")
+    ivmj.add_argument("--a-cols", default="", help="side-A payload columns")
+    ivmj.add_argument("--b-cols", default="", help="side-B payload columns")
+    ivmj.add_argument(
+        "--buckets", type=int, default=None,
+        help="partition the view on a join-key hash bucket: refreshes "
+        "rewrite only touched buckets (size to the write unit)",
+    )
+    ivmj.add_argument(
+        "--staleness", action="store_true",
+        help="only report versions-behind per side; no refresh",
+    )
+
     ded = sub.add_parser(
         "dedup",
         help="dedup a document table (exact fingerprints, optionally "
@@ -532,6 +552,28 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         v = view.refresh()
         print(f"aggregate current through base version {v}")
+        return 0
+
+    if args.command == "ivm-join":
+        from x_spark.operators.ivm import JoinView
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        split = lambda v: [c.strip() for c in v.split(",") if c.strip()]  # noqa: E731
+        view = JoinView(
+            ds, TableRef(path=args.a), TableRef(path=args.b),
+            TableRef(path=args.view), on=split(args.on),
+            a_cols=split(args.a_cols), b_cols=split(args.b_cols),
+            n_buckets=args.buckets,
+        )
+        if args.staleness:
+            va, vb = view.staleness()
+            print(f"join view is behind: side A {va}, side B {vb} version(s)")
+            return 0
+        va, vb = view.refresh()
+        print(f"join view current through A v{va} / B v{vb}")
         return 0
 
     if args.command == "diff":
