@@ -464,3 +464,34 @@ def test_resample_locf_matches_python_reference(spark, rows, step_sec):
                 want[(k, b)] = (carry, True)
             b += step
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 12)),  # (quality, n words)
+        min_size=1, max_size=25,
+    ),
+    st.integers(min_value=0, max_value=120),
+)
+def test_token_budget_matches_sequential_cut(spark, rows, budget):
+    """Property: the distributed two-stage budget cut equals the plain
+    sequential rule — sort by (quality desc, id), accumulate token
+    counts, keep while <= budget — for arbitrary corpora and budgets,
+    regardless of bucketing."""
+    from x_spark.operators.sampling import select_token_budget
+
+    data = [(i, q, "w " * n) for i, (q, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id bigint, q int, text string")
+    got = sorted(
+        (r.doc_id, r.running_total)
+        for r in select_token_budget(df, budget, "q", n_buckets=5).collect()
+    )
+    want, acc = [], 0
+    for i, q, text in sorted(data, key=lambda t: (-t[1], t[0])):
+        acc += len(text.split())
+        if acc > budget:
+            break
+        want.append((i, acc))
+    assert got == sorted(want)

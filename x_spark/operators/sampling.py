@@ -118,6 +118,72 @@ def priority_sample(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Fill a token budget with the best documents: keep rows in
+    ``(order_col DESC, id)`` order while the cumulative token count
+    stays <= ``budget_tokens`` (the crosser is excluded — the simple,
+    oracle-exact rule). This is "give me the best 1T tokens", the
+    selection step between scoring and training.
+
+    The cumulative sum is the scale trap: a global
+    ``Window.orderBy`` drags the corpus through ONE partition. Here it
+    is the distributed two-stage scan over an ARBITRARY sort key:
+    range-partition on the key (partition id order == global sort
+    order for a range partitioner), cumulative-sum inside each
+    partition (parallel, partition-sized state), then prefix-sum the
+    per-partition totals on the driver (``n_buckets`` longs) and
+    broadcast them back as offsets. The result is independent of the
+    sampled range boundaries — the running total is defined by the
+    TOTAL order (key desc, id), whatever partition a row lands in.
+
+    Returns ``(id_col, order_col, n_tokens, running_total)`` for the
+    kept documents."""
+    from x_spark.functions.portable import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    toks = df.select(
+        F.col(id_col),
+        F.col(order_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    parts = toks.repartitionByRange(
+        n_buckets, F.desc(order_col), F.asc(id_col)
+    ).withColumn("_p", F.spark_partition_id())
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_p").orderBy(F.desc(order_col), F.asc(id_col))
+    intra = parts.withColumn("_run_in", F.sum("n_tokens").over(w))
+    totals = {
+        r["_p"]: r["t"]
+        for r in parts.groupBy("_p").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offset, acc = {}, 0
+    for p in sorted(totals):
+        offset[p] = acc
+        acc += totals[p]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, v) for p, v in offset.items()], "_p int, _off bigint"
+    )
+    return (
+        intra.join(F.broadcast(off_df), "_p")
+        .withColumn(
+            "running_total",
+            (F.col("_off") + F.col("_run_in")).cast("bigint"),
+        )
+        .filter(F.col("running_total") <= F.lit(int(budget_tokens)))
+        .select(id_col, order_col, "n_tokens", "running_total")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str,

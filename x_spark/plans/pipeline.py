@@ -826,6 +826,38 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Token-budget selection (operators/sampling.select_token_budget):
+# keep the best documents until a token budget fills — the running sum
+# comes from the distributed two-stage scan over (n_chars DESC, id),
+# never a single-partition global window. The oracle is the plain SQL
+# cumulative window.
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sampling import select_token_budget
+
+    return select_token_budget(
+        _docs(spark, sf_dir), budget_tokens=20_000, order_col="n_chars"
+    )
+
+
+ORACLE_TOKEN_BUDGET_SELECTION = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running_total
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, running_total
+FROM o WHERE running_total <= 20000
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-series resampling (operators/timeseries.py): dense per-user
 # 6-hour grid with last-observation-carried-forward gap fill — the
 # time_bucket_gapfill shape plain groupBy cannot express (empty
@@ -2050,6 +2082,7 @@ PIPELINE_QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "events_resampled_locf": q_events_resampled_locf,
     "source_data_cards": q_source_data_cards,
+    "token_budget_selection": q_token_budget_selection,
     "events_resampled_interp": q_events_resampled_interp,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
@@ -2103,6 +2136,7 @@ PIPELINE_ORACLES = {
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
+    "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
     "events_resampled_interp": ORACLE_EVENTS_RESAMPLED_INTERP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,

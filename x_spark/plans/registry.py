@@ -105,6 +105,10 @@ _TAIL = [
                                # grid + LOCF gap fill — time_bucket_gapfill
                                # shape): locally hash-checked; r6 head-
                                # rotation candidate
+    "token_budget_selection",  # late-round-5 addition ("best N tokens"
+                               # budget cut via the two-stage distributed
+                               # running sum over an arbitrary sort key):
+                               # locally hash-checked; r6 rotation candidate
     "lineitem_key_skew",       # late-round-5 addition (key-skew diagnostic
                                # top-N): locally hash-checked; profiling
                                # family held by table_profile/robust_outliers
