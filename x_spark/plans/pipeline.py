@@ -2067,6 +2067,107 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus lexical statistics (operators/keywords.py): TF-IDF keyword
+# extraction, PMI collocations, cross-source vocabulary overlap. The
+# ln expression trees are mirrored operation-for-operation in the
+# oracles (the same convention weighted_sample / bm25_search rely on).
+def q_doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.keywords import tfidf_topk_terms
+
+    return tfidf_topk_terms(_docs(spark, sf_dir), k=3)
+
+
+ORACLE_DOC_KEYWORDS_TFIDF = r"""
+WITH p AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tfq AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tfq.doc_id, tfq.term,
+         CAST(tf AS DOUBLE)
+           * (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0)
+           AS score
+  FROM tfq JOIN dfq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+              AS BIGINT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS tfidf, term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.keywords import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5, top_n=40)
+
+
+ORACLE_BIGRAM_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+), big AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents)
+  GROUP BY term
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents)
+)
+SELECT pc.w1, pc.w2, pc.pair_count,
+       round(ln((CAST(pair_count AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM pc
+JOIN uni u1 ON pc.w1 = u1.term
+JOIN uni u2 ON pc.w2 = u2.term
+CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2
+LIMIT 40
+"""
+
+
+def q_corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.keywords import corpus_token_overlap
+
+    return corpus_token_overlap(_docs(spark, sf_dir))
+
+
+ORACLE_CORPUS_VOCAB_OVERLAP = r"""
+WITH v AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+    FROM documents
+  )
+), s AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize FROM v GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, inter,
+       sa.vsize AS vocab_a, sb.vsize AS vocab_b,
+       round(CAST(inter AS DOUBLE) / CAST(sa.vsize + sb.vsize - inter AS DOUBLE), 6)
+         AS jaccard
+FROM i
+JOIN s sa ON i.source_a = sa.source
+JOIN s sb ON i.source_b = sb.source
+"""
+
+
 PIPELINE_QUERIES = {
     "bm25_search": q_bm25_search,
     "pii_scan": q_pii_scan,
@@ -2083,6 +2184,9 @@ PIPELINE_QUERIES = {
     "events_resampled_locf": q_events_resampled_locf,
     "source_data_cards": q_source_data_cards,
     "token_budget_selection": q_token_budget_selection,
+    "doc_keywords_tfidf": q_doc_keywords_tfidf,
+    "bigram_collocations": q_bigram_collocations,
+    "corpus_vocab_overlap": q_corpus_vocab_overlap,
     "events_resampled_interp": q_events_resampled_interp,
     "ann_topk_pandas": q_ann_topk_pandas,
     "curation_pipeline": q_curation_pipeline,
@@ -2137,6 +2241,9 @@ PIPELINE_ORACLES = {
     "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
+    "doc_keywords_tfidf": ORACLE_DOC_KEYWORDS_TFIDF,
+    "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
+    "corpus_vocab_overlap": ORACLE_CORPUS_VOCAB_OVERLAP,
     "events_resampled_interp": ORACLE_EVENTS_RESAMPLED_INTERP,
     "ann_topk_pandas": ORACLE_ANN_TOPK_BRUTEFORCE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,

@@ -138,6 +138,18 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "doc_keywords_tfidf",      # late-round-5 addition (per-doc TF-IDF
+                               # keyword extraction, smoothed sklearn idf,
+                               # deterministic tie-broken ranks): locally
+                               # hash-checked; r6 head-rotation candidate
+    "bigram_collocations",     # late-round-5 addition (PMI collocation
+                               # mining via a narrow array-transform bigram
+                               # pass — tokenizer/phrase-vocab candidates):
+                               # locally hash-checked; r6 rotation candidate
+    "corpus_vocab_overlap",    # late-round-5 addition (pairwise source
+                               # vocabulary Jaccard — the cheap corpus
+                               # redundancy screen ahead of document-level
+                               # dedup): locally hash-checked; r6 candidate
     "corpus_shuffle_shards",   # late-round-5 addition (deterministic
                                # training-order shuffle + shard manifest):
                                # locally hash-checked via test_oracle_parity;
