@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
 QUANTILES = (0.25, 0.5, 0.75)
@@ -268,4 +268,106 @@ def skew_report(
         )
         .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
         .limit(top)
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    scale: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Fixed-width distribution histogram of a numeric column —
+    ``bucket = floor(value / width)`` with exact integer bucketing:
+    the value is scaled to integer units (``10^scale`` — the column's
+    decimal scale), so bucket edges never suffer float-edge ambiguity;
+    the only float op is one exact (< 2^52) division whose floor both
+    engines agree on, including for negative values (``div``/``//``
+    disagree on truncation direction across engines, so floor-division
+    is spelled out explicitly).
+
+    The distribution-drift primitive: compare a histogram before/after
+    a transform, or across txlog versions, far more cheaply than exact
+    percentiles.
+
+    Output: ``(bucket, bucket_lo, n_rows, share)``, one row per
+    non-empty bucket with at least ``min_count`` rows.
+
+    Scale shape: one grouped count (partial-aggregable, bucket-count
+    output cardinality) plus a broadcast scalar total — the corpus is
+    scanned once and shuffled only as bucket partials.
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    mult = 10 ** scale
+    wunits = int(round(width * mult))
+    if wunits <= 0:
+        raise ValueError("width is below the scale resolution")
+    units = F.expr(f"CAST({value_col} * {mult} AS BIGINT)")
+    bucket = F.floor(units.cast("double") / F.lit(wunits)).cast("bigint")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * F.lit(float(width))).alias("bucket_lo"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    tiebreak_cols: list[str],
+    trim_frac: float = 0.01,
+) -> DataFrame:
+    """Per-group TRIMMED statistics: drop the lowest and highest
+    ``floor(n * trim_frac)`` rows by a fully deterministic rank
+    (value, then ``tiebreak_cols`` — ties never make the cut
+    ambiguous) and aggregate the interior. The mean-family counterpart
+    of :func:`robust_outliers`: a handful of corrupt extreme rows
+    (price glitches, sensor spikes) stop dragging the mean without
+    the cost of exact percentiles.
+
+    Output: ``(*group_cols, n_total, n_kept, trimmed_mean,
+    trimmed_min, trimmed_max)`` — mean via DECIMAL(30,6) accumulation,
+    rounded to 6dp.
+
+    Scale shape: ONE shuffle on the group key serves both window
+    functions (row_number + the partition count share the window
+    spec's exchange), then a partial-aggregable grouped pass. No
+    global sort, no driver collect.
+    """
+    if not group_cols:
+        raise ValueError("trimmed_stats requires at least one group column")
+    if not 0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    order = [F.col(value_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wp = Window.partitionBy(*group_cols)
+    lo = F.floor(F.col("_n") * F.lit(trim_frac))
+    kept = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wp))
+        .filter((F.col("_rn") > lo) & (F.col("_rn") <= F.col("_n") - lo))
+    )
+    v = F.col(value_col)
+    return kept.groupBy(*group_cols).agg(
+        F.max("_n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(v.cast("decimal(30,6)")).cast("double") / F.count("*"), 6
+        ).alias("trimmed_mean"),
+        F.min(v).cast("double").alias("trimmed_min"),
+        F.max(v).cast("double").alias("trimmed_max"),
     )

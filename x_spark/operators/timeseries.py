@@ -159,3 +159,64 @@ def resample_interp(
         value.alias("value"),
         F.col("obs_value").isNull().alias("filled"),
     )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n: int = 50,
+    z_thresh: float = 2.5,
+    min_periods: int = 10,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: flag a point whose
+    value sits more than ``z_thresh`` standard deviations from the
+    mean of the PREVIOUS ``n`` points of its key (the point itself is
+    excluded from its own baseline — an anomaly must not dilute the
+    statistics that judge it).
+
+    Variance comes from exact DECIMAL(30,6) window sums of the value
+    and its square (the ``stats.py`` closed-form convention — a plain
+    double window stddev is association-order-dependent and would not
+    hash-match any oracle); the closed forms then run in double on the
+    exact sums, so the whole expression tree is IEEE-reproducible.
+
+    Output: ``(event_id, <key_col>, value, n_window, zscore)`` for
+    flagged rows only, zscore rounded to 6dp; rows with fewer than
+    ``min_periods`` predecessors or zero baseline variance are never
+    flagged.
+
+    Scale shape: ONE shuffle on the key; the frame is rows-bounded
+    (``n`` rows of running state per key in the window operator —
+    never the whole partition buffered).
+    """
+    if n < 1 or min_periods < 2:
+        raise ValueError("need n >= 1 and min_periods >= 2")
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(umicros(ts_col), F.col(id_col))
+        .rowsBetween(-n, -1)
+    )
+    cnt = F.count(value_col).over(w)
+    s1 = F.sum(v.cast("decimal(30,6)")).over(w)
+    s2 = F.sum((v * v).cast("decimal(30,6)")).over(w)
+    mean = s1.cast("double") / cnt
+    var = s2.cast("double") / cnt - mean * mean
+    stats = events.select(
+        F.col(id_col), F.col(key_col), v.alias("value"),
+        cnt.alias("n_window"),
+        mean.alias("_mean"), var.alias("_var"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        stats.filter((F.col("n_window") >= min_periods) & (F.col("_var") > 0))
+        .filter(F.abs(z) > z_thresh)
+        .select(
+            id_col, key_col, "value",
+            F.col("n_window").cast("bigint").alias("n_window"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -1241,7 +1241,68 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution profiling twins (operators/profile.py): fixed-width
+# histogram (exact integer bucketing) and trimmed interior statistics
+# (deterministic-rank trim) over lineitem prices.
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", width=5000.0, scale=2
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(floor(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS DOUBLE) / 500000)
+              AS BIGINT) AS bucket
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), c AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket
+), t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c)
+SELECT bucket, CAST(bucket AS DOUBLE) * 5000.0 AS bucket_lo, n_rows,
+       round(n_rows / total, 6) AS share
+FROM c CROSS JOIN t
+"""
+
+
+def q_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.profile import trimmed_stats
+
+    return trimmed_stats(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        trim_frac=0.02,
+    )
+
+
+ORACLE_TRIMMED_PRICE_STATS = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+         AS trimmed_mean,
+       CAST(min(l_extendedprice) AS DOUBLE) AS trimmed_min,
+       CAST(max(l_extendedprice) AS DOUBLE) AS trimmed_max
+FROM r
+WHERE rn > floor(n * 0.02) AND rn <= n - floor(n * 0.02)
+GROUP BY l_returnflag
+"""
+
+
 EXTENDED_QUERIES = {
+    "price_histogram": q_price_histogram,
+    "trimmed_price_stats": q_trimmed_price_stats,
     "priority_order_counts": q_priority_order_counts,
     "bilateral_trade": q_bilateral_trade,
     "product_profit": q_product_profit,
@@ -1278,6 +1339,8 @@ EXTENDED_QUERIES = {
 }
 
 EXTENDED_ORACLES = {
+    "price_histogram": ORACLE_PRICE_HISTOGRAM,
+    "trimmed_price_stats": ORACLE_TRIMMED_PRICE_STATS,
     "priority_order_counts": ORACLE_PRIORITY_ORDER_COUNTS,
     "bilateral_trade": ORACLE_BILATERAL_TRADE,
     "product_profit": ORACLE_PRODUCT_PROFIT,

@@ -2068,6 +2068,42 @@ SELECT doc_id, lang, n_chars FROM (
 
 
 # ---------------------------------------------------------------------------
+# Trailing-window anomaly detection (operators/timeseries.py): z-score
+# against the previous-50-points baseline per event type, variance from
+# exact DECIMAL(30,6) window sums (a raw double window stddev is
+# association-order-dependent and would never hash-match).
+def q_rolling_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.timeseries import rolling_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomalies(ev, n=50, z_thresh=2.5, min_periods=10)
+
+
+ORACLE_ROLLING_VALUE_ANOMALIES = """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         count(value) OVER fr AS cnt,
+         sum(CAST(value AS DECIMAL(30,6))) OVER fr AS s1,
+         sum(CAST(value * value AS DECIMAL(30,6))) OVER fr AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_id, event_type, value, CAST(cnt AS BIGINT) AS n_window,
+         (value - CAST(s1 AS DOUBLE) / cnt)
+           / sqrt(CAST(s2 AS DOUBLE) / cnt
+                  - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)) AS zr
+  FROM w
+  WHERE cnt >= 10
+    AND CAST(s2 AS DOUBLE) / cnt
+        - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) > 0
+)
+SELECT event_id, event_type, value, n_window, round(zr, 6) AS zscore
+FROM z WHERE abs(zr) > 2.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus lexical statistics (operators/keywords.py): TF-IDF keyword
 # extraction, PMI collocations, cross-source vocabulary overlap. The
 # ln expression trees are mirrored operation-for-operation in the
@@ -2184,6 +2220,7 @@ PIPELINE_QUERIES = {
     "events_resampled_locf": q_events_resampled_locf,
     "source_data_cards": q_source_data_cards,
     "token_budget_selection": q_token_budget_selection,
+    "rolling_value_anomalies": q_rolling_value_anomalies,
     "doc_keywords_tfidf": q_doc_keywords_tfidf,
     "bigram_collocations": q_bigram_collocations,
     "corpus_vocab_overlap": q_corpus_vocab_overlap,
@@ -2241,6 +2278,7 @@ PIPELINE_ORACLES = {
     "events_resampled_locf": ORACLE_EVENTS_RESAMPLED_LOCF,
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
+    "rolling_value_anomalies": ORACLE_ROLLING_VALUE_ANOMALIES,
     "doc_keywords_tfidf": ORACLE_DOC_KEYWORDS_TFIDF,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "corpus_vocab_overlap": ORACLE_CORPUS_VOCAB_OVERLAP,

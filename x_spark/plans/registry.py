@@ -138,6 +138,18 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "rolling_value_anomalies", # late-round-5 addition (trailing-window
+                               # z-score anomaly flagging, exact decimal
+                               # moment sums over a rows-bounded frame):
+                               # locally hash-checked; r6 rotation candidate
+    "price_histogram",         # late-round-5 addition (fixed-width exact-
+                               # integer-bucket distribution histogram — the
+                               # cheap drift primitive): locally hash-checked;
+                               # r6 rotation candidate
+    "trimmed_price_stats",     # late-round-5 addition (deterministic-rank
+                               # trimmed interior statistics — the mean-family
+                               # robust screen): locally hash-checked; r6
+                               # rotation candidate
     "doc_keywords_tfidf",      # late-round-5 addition (per-doc TF-IDF
                                # keyword extraction, smoothed sklearn idf,
                                # deterministic tie-broken ranks): locally
