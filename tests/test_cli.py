@@ -382,3 +382,24 @@ def test_cli_ivm_join(tmp_path, spark, capsys):
     assert main(args) == 0
     got = sorted(map(tuple, ds.read(TableRef(path=v)).drop("_bucket").collect()))
     assert got == [(1, 10, "x", 1)]
+
+
+def test_cli_bloom_build_and_probe(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "btbl")
+    ref = TableRef(path=path)
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b + 4 * i, f"u{b + 4 * i}") for i in range(20)],
+            "user_id long, name string",
+        )
+        ds.append(df.repartition(1), ref)
+    assert main(["bloom", path, "user_id"]) == 0
+    out = capsys.readouterr().out
+    assert "'n_files': 4" in out
+    assert main(["bloom", path, "user_id", "--probe", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "after bloom pruning" in out and "u5" in out

@@ -262,6 +262,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     det.add_argument("path", help="txlog table directory")
 
+    blm = sub.add_parser(
+        "bloom",
+        help="file-level Bloom data skipping on a txlog table: build the "
+        "per-file filter sidecar for a column, or probe a point lookup "
+        "and report files pruned",
+    )
+    blm.add_argument("path", help="txlog table directory")
+    blm.add_argument("column", help="string/integer column to index")
+    blm.add_argument(
+        "--probe", default=None,
+        help="comma-separated lookup values: prune + read instead of building",
+    )
+    blm.add_argument(
+        "--m-bits", type=int, default=4096,
+        help="filter size in bits per file (multiple of 64)",
+    )
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -443,6 +460,34 @@ def main(argv: list[str] | None = None) -> int:
             snap = resolve_snapshot(ds._table_path(ref))
             for name, expr in sorted((snap.constraints if snap else {}).items()):
                 print(f"{name}: CHECK ({expr})")
+        return 0
+
+    if args.command == "bloom":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+        from x_spark.sources.bloom_index import (
+            bloom_prune,
+            build_bloom_index,
+            read_where_in,
+        )
+
+        ds = init_datasource("txlog", get_session())
+        ref = TableRef(path=args.path)
+        if args.probe is None:
+            summary = build_bloom_index(ds, ref, args.column, m_bits=args.m_bits)
+            print(summary)
+        else:
+            values = [v.strip() for v in args.probe.split(",") if v.strip()]
+            # integer-typed columns take integer probes
+            snap_field = next(
+                f for f in ds.read(ref).schema.fields if f.name == args.column
+            )
+            if snap_field.dataType.simpleString() != "string":
+                values = [int(v) for v in values]
+            kept, total = bloom_prune(ds, ref, args.column, values)
+            print(f"files: {len(kept)}/{total} after bloom pruning")
+            read_where_in(ds, ref, args.column, values).show(50, truncate=False)
         return 0
 
     if args.command == "detail":

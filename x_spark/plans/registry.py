@@ -138,6 +138,13 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "bloom_point_lookup",      # late-round-5 addition (file-level Bloom
+                               # data-skipping sidecar on the txlog store —
+                               # point lookups over per-file-clustered ids
+                               # that min/max stats cannot prune; oracle is
+                               # the plain filter — a false negative would
+                               # hash-diverge): locally hash-checked; r6
+                               # head-rotation candidate
     "rolling_value_anomalies", # late-round-5 addition (trailing-window
                                # z-score anomaly flagging, exact decimal
                                # moment sums over a rows-bounded frame):

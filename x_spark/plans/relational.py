@@ -1420,7 +1420,63 @@ GROUP BY c.c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# File-level Bloom data skipping, driver-checked end to end: build a
+# txlog store with one append per custkey-residue batch (ids clustered
+# per file but spanning the full range — footer min/max stats cannot
+# prune a point lookup, the Bloom sidecar must), index o_custkey,
+# then answer an IN-list lookup through bloom_prune + the pruned
+# snapshot read. The oracle is the plain filter+aggregate on orders:
+# if pruning ever drops a true match (a false NEGATIVE), the hash
+# diverges. (Delta-parity: per-file Bloom filter indexes; the pruning
+# RATIO is asserted in tests/test_bloom_index.py, correctness here.)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.bloom_index import build_bloom_index, read_where_in
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_bloom_lookup_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "orders"))
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        ds.create(ref, base.schema)
+        for b in range(8):
+            ds.append(base.filter(F.col("o_custkey") % 8 == b).coalesce(1), ref)
+        build_bloom_index(ds, ref, "o_custkey")
+        hits = read_where_in(ds, ref, "o_custkey", [5, 38, 121])
+        return (
+            hits.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_BLOOM_POINT_LOOKUP = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey IN (5, 38, 121)
+GROUP BY o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES = {
+    "bloom_point_lookup": q_bloom_point_lookup,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "late_shipment_priority": q_late_shipment_priority,
@@ -1453,6 +1509,7 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLES = {
+    "bloom_point_lookup": ORACLE_BLOOM_POINT_LOOKUP,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
