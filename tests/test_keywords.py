@@ -68,3 +68,54 @@ def test_corpus_overlap_jaccard(spark):
     r = out[("s1", "s2")]
     assert (r.inter, r.vocab_a, r.vocab_b) == (2, 3, 3)  # {a,b} of {a,b,c}/{a,b,d}
     assert abs(r.jaccard - 0.5) < 1e-9
+
+
+# -- pagerank (operators/graph.py) — lives here with the other corpus
+# quality-signal operators ---------------------------------------------------
+def test_pagerank_hand_computed_chain(spark):
+    from x_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=1).collect()}
+    # N=2, r0=0.5: a has no inbound -> teleport only; b gets 0.85 * 0.5
+    assert abs(out["a"] - 0.15 / 2) < 1e-12
+    assert abs(out["b"] - (0.15 / 2 + 0.85 * 0.5)) < 1e-9
+
+
+def test_pagerank_sink_accumulates(spark):
+    from x_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=5).collect()}
+    assert out["c"] > out["a"] and out["c"] > out["b"]
+    assert abs(out["a"] - out["b"]) < 1e-12  # symmetric sources tie exactly
+
+
+def test_pagerank_splits_outflow_by_degree(spark):
+    from x_spark.operators.graph import pagerank
+
+    # a points at both b and c: each gets half of a's rank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert abs(out["b"] - out["c"]) < 1e-12
+    # the per-edge contribution is cast to DECIMAL(30,6) before the
+    # sum (documented): (1/3)/2 = 0.1666... lands as 0.166667
+    expected_b = 0.15 / 3 + 0.85 * 0.166667
+    one_iter = {r.node: r.rank for r in pagerank(edges, n_iter=1).collect()}
+    assert abs(one_iter["b"] - expected_b) < 1e-9
+
+
+def test_pagerank_validates_args(spark):
+    import pytest as _pytest
+
+    from x_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        pagerank(edges, n_iter=0)
+    with _pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)

@@ -141,3 +141,77 @@ def connected_components(
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    link-graph quality signal corpus curation uses to rank sources
+    (CommonCrawl-style centrality as a document prior).
+
+    Semantics (mirrored expression-for-expression by the SQL oracle):
+    ``r0 = 1/N``; each round
+    ``r(v) = (1-d)/N + d * sum_{u->v}(r(u) / outdeg(u))``, with the
+    per-edge contribution cast to DECIMAL(30,6) before the sum (exact,
+    association-order independent — a raw double sum would not
+    hash-match any oracle) and the closed form back in double.
+    Dangling-node mass is NOT redistributed (the teleport term alone
+    reaches no-inbound nodes) — the standard simplification when the
+    output is a RANKING signal; document rankings are unaffected
+    because the dropped mass scales every node uniformly at the same
+    in-degree structure.
+
+    Scale shape: per round ONE join (ranks x out-degree-annotated
+    edges, both shuffled on node id — co-partitioned round to round)
+    and ONE aggregation; ``_tracked_ckpt`` cuts lineage each round and
+    frees the superseded round's blocks, so plan depth and storage
+    stay O(1) in ``n_iter``. The only driver values are the node count
+    and loop control — rank data never leaves the cluster.
+
+    Returns (node, rank), rank unrounded double.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes, nodes_id = _tracked_ckpt(nodes)
+    n_total = nodes.count()
+    if n_total == 0:
+        _free_ckpt(nodes, nodes_id)
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    annotated, ann_id = _tracked_ckpt(e.join(outdeg, "src"))
+    teleport = (1.0 - damping) / n_total
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    prev_id = None
+    for _ in range(n_iter):
+        contrib = annotated.join(ranks, annotated["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).cast("decimal(30,6)").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("inflow"))
+        ranks, new_id = _tracked_ckpt(
+            nodes.join(inflow, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        _free_ckpt(ranks, prev_id)
+        prev_id = new_id
+    _free_ckpt(ranks, ann_id)
+    _free_ckpt(ranks, nodes_id)
+    return ranks

@@ -1300,9 +1300,64 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank (operators/graph.py) over the customer ->
+# supplier purchase graph — the link-centrality document prior.
+# The oracle UNROLLS the same three iterations as chained CTEs with
+# the identical expression tree (decimal contribution sums, double
+# closed forms, CAST(... AS DOUBLE) literals so neither engine slips
+# into exact-decimal literal arithmetic where the other uses IEEE).
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, n_iter=3)
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle(n_iter: int = 3, top: int = 20) -> str:
+    dd = "CAST(0.85 AS DOUBLE)"
+    parts = ["""WITH e AS (
+  SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+                  concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt AS rank FROM nodes CROSS JOIN nt)"""]
+    for i in range(n_iter):
+        parts.append(f""", c{i} AS (
+  SELECT e.dst AS node, CAST(r.rank / od.outdeg AS DECIMAL(30,6)) AS c
+  FROM e JOIN od ON e.src = od.src JOIN r{i} r ON e.src = r.node
+), a{i} AS (SELECT node, CAST(sum(c) AS DOUBLE) AS inflow FROM c{i} GROUP BY node),
+r{i + 1} AS (
+  SELECT n.node,
+         (CAST(1.0 AS DOUBLE) - {dd}) / cnt
+           + {dd} * coalesce(a.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n CROSS JOIN nt LEFT JOIN a{i} a ON n.node = a.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank
+FROM r{n_iter} WHERE node LIKE 's%'
+ORDER BY rank DESC, node LIMIT {top}""")
+    return "".join(parts)
+
+
 EXTENDED_QUERIES = {
     "price_histogram": q_price_histogram,
     "trimmed_price_stats": q_trimmed_price_stats,
+    "supplier_pagerank": q_supplier_pagerank,
     "priority_order_counts": q_priority_order_counts,
     "bilateral_trade": q_bilateral_trade,
     "product_profit": q_product_profit,
@@ -1341,6 +1396,7 @@ EXTENDED_QUERIES = {
 EXTENDED_ORACLES = {
     "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "trimmed_price_stats": ORACLE_TRIMMED_PRICE_STATS,
+    "supplier_pagerank": _pagerank_oracle(),
     "priority_order_counts": ORACLE_PRIORITY_ORDER_COUNTS,
     "bilateral_trade": ORACLE_BILATERAL_TRADE,
     "product_profit": ORACLE_PRODUCT_PROFIT,

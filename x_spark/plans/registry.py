@@ -138,6 +138,13 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "supplier_pagerank",       # late-round-5 addition (fixed-iteration
+                               # PageRank over the purchase graph — the
+                               # link-centrality document prior; oracle
+                               # unrolls the identical 3 iterations as
+                               # chained CTEs): locally hash-checked; r6
+                               # rotation candidate (iterative family also
+                               # represented by dedup_survivors' CC kernel)
     "bloom_point_lookup",      # late-round-5 addition (file-level Bloom
                                # data-skipping sidecar on the txlog store —
                                # point lookups over per-file-clustered ids
