@@ -119,3 +119,12 @@ def test_pagerank_validates_args(spark):
         pagerank(edges, n_iter=0)
     with _pytest.raises(ValueError):
         pagerank(edges, damping=1.0)
+
+
+def test_pagerank_empty_graph(spark):
+    from x_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, n_iter=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]

@@ -189,7 +189,11 @@ def pagerank(
     n_total = nodes.count()
     if n_total == 0:
         _free_ckpt(nodes, nodes_id)
-        return nodes.withColumn("rank", F.lit(0.0))
+        # a freed checkpoint cannot be recomputed — return a fresh
+        # empty frame instead of the unpersisted one
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     annotated, ann_id = _tracked_ckpt(e.join(outdeg, "src"))
     teleport = (1.0 - damping) / n_total

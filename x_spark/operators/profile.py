@@ -291,6 +291,12 @@ def value_histogram(
     a transform, or across txlog versions, far more cheaply than exact
     percentiles.
 
+    Bucketing is EXACT for decimal/integer columns (the unit scaling
+    is exact arithmetic). For float columns the unit cast truncates at
+    the ``10^-scale`` resolution — values within one float ulp of a
+    bucket edge land deterministically but by representation, the
+    unavoidable float-histogram caveat.
+
     Output: ``(bucket, bucket_lo, n_rows, share)``, one row per
     non-empty bucket with at least ``min_count`` rows.
 

@@ -130,12 +130,14 @@ def build_bloom_index(
             .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word"))
             .collect()
         )
-        # input_file_name is a URI; match on the path suffix
-        by_suffix = {os.path.join(table, rel): rel for rel in rels}
+        # input_file_name is a file URI ("file:///abs/path"); strip the
+        # scheme+authority to the absolute path for a direct dict hit,
+        # keeping suffix matching only as the odd-scheme fallback
+        by_path = {os.path.join(table, rel): rel for rel in rels}
         for r in rows:
-            path = r["f"].removeprefix("file:")
-            rel = by_suffix.get(path) or next(
-                (v for k, v in by_suffix.items() if path.endswith(k)), None
+            path = r["f"].removeprefix("file://")
+            rel = by_path.get(path) or next(
+                (v for k, v in by_path.items() if path.endswith(k)), None
             )
             if rel is not None:
                 files[rel][r["widx"]] = r["word"]
