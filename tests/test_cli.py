@@ -403,3 +403,16 @@ def test_cli_bloom_build_and_probe(tmp_path, spark, capsys):
     assert main(["bloom", path, "user_id", "--probe", "5"]) == 0
     out = capsys.readouterr().out
     assert "after bloom pruning" in out and "u5" in out
+
+
+def test_cli_manifest(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "mtbl")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "pk int, s string")
+    ds.append(df.repartition(1), TableRef(path=path))
+    assert main(["manifest", path]) == 0
+    out = capsys.readouterr().out
+    assert "_symlink_format_manifest" in out and "1 files" in out

@@ -988,3 +988,54 @@ def test_constraints_survive_checkpoints_schema_evolution_and_restore(
     with pytest.raises(DataSourceException, match="pk_pos"):
         ds.append(spark.createDataFrame([(-3, "a", 1)],
                                         "pk int, part string, v int"), ref)
+
+
+# -- symlink-format manifest (external-engine snapshot export) ---------------
+def _manifest_files(path):
+    with open(path) as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def test_generate_manifest_reads_consistent_snapshot(spark, ds, tmp_path):
+    import duckdb
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    out = ds.generate_manifest(ref)
+    files = _manifest_files(out)
+    assert files and all(os.path.isabs(f) for f in files)
+    # an external engine (DuckDB) scanning exactly the listed files
+    # must see the same rows as the log-aware reader
+    con = duckdb.connect()
+    got = sorted(con.sql(
+        "SELECT pk, part, v FROM read_parquet($f)", params={"f": files}
+    ).fetchall())
+    assert got == _rows(ds.read(ref).select("pk", "part", "v"))
+
+    # a later write must NOT leak into the already-generated manifest:
+    # the old manifest still reads the OLD snapshot
+    ds.append(spark.createDataFrame([(9, "c", 90)], "pk int, part string, v int"), ref)
+    assert _manifest_files(out) == files
+    stale = sorted(con.sql(
+        "SELECT pk, part, v FROM read_parquet($f)", params={"f": files}
+    ).fetchall())
+    assert (9, "c", 90) not in stale
+    # regenerating picks the new snapshot up
+    fresh = _manifest_files(ds.generate_manifest(ref))
+    new_rows = sorted(con.sql(
+        "SELECT pk, part, v FROM read_parquet($f)", params={"f": fresh}
+    ).fetchall())
+    assert (9, "c", 90) in new_rows
+    con.close()
+
+
+def test_generate_manifest_time_travel_and_missing(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)  # v1
+    ds.truncate(ref)  # v2: no live files
+    v1 = _manifest_files(ds.generate_manifest(ref, version=1))
+    assert v1
+    v2 = _manifest_files(ds.generate_manifest(ref))
+    assert v2 == []
+    with pytest.raises(DataSourceException):
+        ds.generate_manifest(_ref(tmp_path, "nope"))

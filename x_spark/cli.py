@@ -262,6 +262,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     det.add_argument("path", help="txlog table directory")
 
+    man = sub.add_parser(
+        "manifest",
+        help="GENERATE symlink_format_manifest for a txlog table: export "
+        "the snapshot's live-file list so external engines read a "
+        "consistent point-in-time view",
+    )
+    man.add_argument("path", help="txlog table directory")
+    man.add_argument(
+        "--version", type=int, default=None,
+        help="time-travel: manifest of this version instead of latest",
+    )
+
     blm = sub.add_parser(
         "bloom",
         help="file-level Bloom data skipping on a txlog table: build the "
@@ -460,6 +472,18 @@ def main(argv: list[str] | None = None) -> int:
             snap = resolve_snapshot(ds._table_path(ref))
             for name, expr in sorted((snap.constraints if snap else {}).items()):
                 print(f"{name}: CHECK ({expr})")
+        return 0
+
+    if args.command == "manifest":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        out = ds.generate_manifest(TableRef(path=args.path), version=args.version)
+        with open(out) as fh:
+            n = sum(1 for _ in fh)
+        print(f"{out}: {n} files")
         return 0
 
     if args.command == "bloom":

@@ -1314,6 +1314,38 @@ class TxLogDataSource(BaseDataSource):
             for key, v in sorted(acc.items())
         ]
 
+    def generate_manifest(self, ref: TableRef,
+                          version: int | None = None) -> str:
+        """Delta's ``GENERATE symlink_format_manifest`` parity: write
+        ``_symlink_format_manifest/manifest`` listing the ABSOLUTE path
+        of every live data file of the (optionally time-traveled)
+        snapshot, one per line — the handshake that lets external
+        engines (Trino/Presto/Hive/DuckDB) read a CONSISTENT snapshot
+        of the table without understanding the log: they scan exactly
+        the listed files, never a half-committed write (new files land
+        before their commit and would be invisible to the log; the
+        manifest, generated FROM the log, never lists them).
+
+        Replaced atomically (tmp + rename), so a concurrent external
+        reader sees either the old snapshot's file list or the new one,
+        never a torn mix. Like Delta, the manifest is a point-in-time
+        export: regenerate after writes (or pin ``version``), and keep
+        ``vacuum(keep_last=...)`` horizons wider than the oldest
+        manifest still in use. Returns the manifest file path."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table, version)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        d = os.path.join(table, "_symlink_format_manifest")
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, "manifest")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            for rel in sorted(snap.files):
+                fh.write(os.path.abspath(os.path.join(table, rel)) + "\n")
+        os.replace(tmp, out)
+        return out
+
     def describe_detail(self, ref: TableRef) -> dict:
         """DESCRIBE DETAIL: current version, schema, partitioning, file
         count, exact row count (metadata), and on-disk bytes of the
