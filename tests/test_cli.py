@@ -416,3 +416,17 @@ def test_cli_manifest(tmp_path, spark, capsys):
     assert main(["manifest", path]) == 0
     out = capsys.readouterr().out
     assert "_symlink_format_manifest" in out and "1 files" in out
+
+
+def test_cli_clone(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    src = str(tmp_path / "csrc")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "pk int, s string")
+    ds.append(df, TableRef(path=src))
+    dst = str(tmp_path / "cdst")
+    assert main(["clone", src, dst]) == 0
+    out = capsys.readouterr().out
+    assert "version 0" in out and "2 rows" in out

@@ -1039,3 +1039,78 @@ def test_generate_manifest_time_travel_and_missing(spark, ds, tmp_path):
     assert v2 == []
     with pytest.raises(DataSourceException):
         ds.generate_manifest(_ref(tmp_path, "nope"))
+
+
+# -- CLONE (zero-copy via hardlinks) ------------------------------------------
+def test_clone_snapshot_independent_divergence(spark, ds, tmp_path):
+    src = _ref(tmp_path, "src")
+    _seed(spark, ds, src)
+    dst = _ref(tmp_path, "dst")
+    assert ds.clone(src, dst) == 0
+    assert _rows(ds.read(dst)) == _rows(ds.read(src))
+    # diverge both sides: neither write leaks into the other
+    ds.append(spark.createDataFrame([(7, "c", 70)], "pk int, part string, v int"), src)
+    ds.delete(dst, "pk = 1")
+    assert (7, "c", 70) in _rows(ds.read(src))
+    assert (7, "c", 70) not in _rows(ds.read(dst))
+    assert (1, "a", 10) in _rows(ds.read(src))
+    assert (1, "a", 10) not in _rows(ds.read(dst))
+
+
+def test_clone_survives_source_vacuum_and_drop(spark, ds, tmp_path):
+    import shutil as _sh
+
+    src = _ref(tmp_path, "src")
+    _seed(spark, ds, src)
+    dst = _ref(tmp_path, "dst")
+    ds.clone(src, dst)
+    before = _rows(ds.read(dst))
+    # rewrite the source (truncate) then vacuum its old files away,
+    # then remove the source directory entirely: hardlinks must keep
+    # the clone fully readable
+    ds.truncate(src)
+    ds.vacuum(src, keep_last=1, min_age_sec=0)
+    _sh.rmtree(str(tmp_path / "src"))
+    assert _rows(ds.read(dst)) == before
+
+
+def test_clone_time_travel_and_metadata(spark, ds, tmp_path):
+    src = _ref(tmp_path, "src")
+    _seed(spark, ds, src)  # v1
+    ds.add_constraint(src, "v_pos", "v > 0")  # v2
+    ds.append(spark.createDataFrame([(9, "c", 90)], "pk int, part string, v int"), src)  # v3
+    old = _ref(tmp_path, "old")
+    ds.clone(src, old, version=1)
+    assert _rows(ds.read(old)) == [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    cur = _ref(tmp_path, "cur")
+    ds.clone(src, cur)
+    # constraints travel with the clone and are enforced on it
+    with pytest.raises(DataSourceException):
+        ds.append(spark.createDataFrame([(5, "a", -1)], "pk int, part string, v int"), cur)
+
+
+def test_clone_partitioned_table(spark, ds, tmp_path):
+    src = _ref(tmp_path, "psrc", partition_by=("part",))
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "pk int, part string, v int")
+    ds.create(src, df.schema, partition_by=["part"])
+    ds.append(df, src)
+    dst = _ref(tmp_path, "pdst")
+    ds.clone(src, dst)
+    assert ds.partition_columns(dst) == ["part"]
+    assert _rows(ds.read(dst).select("pk", "part", "v")) == [(1, "a", 10), (2, "b", 20)]
+    # partition-scoped ops keep working on the clone
+    ds.delete(dst, "part = 'a'")
+    assert _rows(ds.read(dst).select("pk", "part", "v")) == [(2, "b", 20)]
+
+
+def test_clone_guards(spark, ds, tmp_path):
+    src = _ref(tmp_path, "src")
+    _seed(spark, ds, src)
+    with pytest.raises(DataSourceException):
+        ds.clone(src, src)
+    dst = _ref(tmp_path, "dst")
+    ds.clone(src, dst)
+    with pytest.raises(DataSourceException):
+        ds.clone(src, dst)  # destination exists
+    with pytest.raises(DataSourceException):
+        ds.clone(_ref(tmp_path, "ghost"), _ref(tmp_path, "d2"))

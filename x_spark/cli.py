@@ -262,6 +262,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     det.add_argument("path", help="txlog table directory")
 
+    cln = sub.add_parser(
+        "clone",
+        help="zero-copy CLONE of a txlog table (hardlinked data files; "
+        "schema/partitioning/constraints/stats travel; optionally "
+        "time-traveled)",
+    )
+    cln.add_argument("src", help="source txlog table directory")
+    cln.add_argument("dst", help="destination directory (must not exist as a table)")
+    cln.add_argument(
+        "--version", type=int, default=None,
+        help="clone this source version instead of latest",
+    )
+
     man = sub.add_parser(
         "manifest",
         help="GENERATE symlink_format_manifest for a txlog table: export "
@@ -472,6 +485,19 @@ def main(argv: list[str] | None = None) -> int:
             snap = resolve_snapshot(ds._table_path(ref))
             for name, expr in sorted((snap.constraints if snap else {}).items()):
                 print(f"{name}: CHECK ({expr})")
+        return 0
+
+    if args.command == "clone":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        v = ds.clone(
+            TableRef(path=args.src), TableRef(path=args.dst), version=args.version
+        )
+        n = ds.count_rows(TableRef(path=args.dst))
+        print(f"cloned to {args.dst} at version {v}: {n} rows")
         return 0
 
     if args.command == "manifest":

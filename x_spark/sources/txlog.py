@@ -1314,6 +1314,55 @@ class TxLogDataSource(BaseDataSource):
             for key, v in sorted(acc.items())
         ]
 
+    def clone(self, src_ref: TableRef, dst_ref: TableRef,
+              version: int | None = None) -> int:
+        """CLONE (Delta parity): create ``dst_ref`` as an independent
+        table holding the (optionally time-traveled) snapshot of
+        ``src_ref`` — schema, partitioning, CHECK constraints, and the
+        full add-action set (stats included, nothing recomputed or
+        rescanned).
+
+        Data files are HARDLINKED into the clone's directory (copy is
+        the cross-device fallback), which keeps the zero-copy economics
+        of Delta's shallow clone while fixing its sharpest edge: the
+        source can be vacuumed, truncated, or dropped and the clone
+        stays readable, because links keep the inodes alive — and both
+        tables keep ordinary RELATIVE paths, so every existing code
+        path (partitioned reads via basePath, vacuum's directory
+        listing, merge/delete rewrites) works on the clone unchanged.
+        Writes to either table never touch the other: data files are
+        immutable by construction (rewrites create new files and only
+        drop log references), so shared inodes are never mutated.
+
+        Returns the clone's committed version (0 — metaData + adds in
+        one atomic commit)."""
+        src = self._table_path(src_ref)
+        snap = resolve_snapshot(src, version)
+        if snap is None:
+            raise DataSourceException(f"txlog table {src!r} does not exist")
+        dst = self._table_path(dst_ref, create=True)
+        if os.path.abspath(dst) == os.path.abspath(src):
+            raise DataSourceException("cannot clone a table onto itself")
+        if self.table_exists(dst_ref):
+            raise DataSourceException(f"clone destination {dst!r} already exists")
+        os.makedirs(dst, exist_ok=True)
+        actions: list[dict] = [{
+            "metaData": {
+                "schemaJson": snap.schema_json,
+                "partitionColumns": list(snap.partition_cols),
+                "configuration": dict(snap.configuration),
+            }
+        }]
+        for rel in sorted(snap.files):
+            s, d = os.path.join(src, rel), os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+            actions.append({"add": dict(snap.files[rel])})
+        return self._commit(dst, 0, actions, "CLONE")
+
     def generate_manifest(self, ref: TableRef,
                           version: int | None = None) -> str:
         """Delta's ``GENERATE symlink_format_manifest`` parity: write
