@@ -17,7 +17,9 @@ omissions (rows-only checks): approx_distinct_users (HLL estimates
 are engine-specific), ann_topk_ivf and ann_topk_pq (data-dependent
 trained codebooks — quality pinned by the pytest recall floor and
 bench's recall report), bpe_merge_table (iterative trainer — pinned
-instead by exact-match tests vs a reference loop).
+instead by exact-match tests vs a reference loop),
+sketch_distinct_rollup (DataSketches HLL estimates are
+engine-specific — accuracy pinned by tests/test_sketches.py).
 """
 
 from __future__ import annotations

@@ -119,6 +119,7 @@ def test_every_query_has_oracle_or_documented_exception():
         "ann_topk_ivf",
         "ann_topk_pq",
         "bpe_merge_table",
+        "sketch_distinct_rollup",
     }, no_oracle
 
 

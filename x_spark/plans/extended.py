@@ -1301,6 +1301,27 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Mergeable HLL distinct sketches (operators/sketches.py): per-day
+# user sketches built in one pass, then per-day AND cross-day rolling
+# estimates from the SAME sketch table — the "distinct users per day,
+# maintained incrementally" shape where exact distincts cannot merge.
+# Rows-only by design (DataSketches estimates are engine-specific, the
+# approx_distinct_users precedent); accuracy pinned by
+# tests/test_sketches.py (<5% rel err) and the 7-day roll is checked
+# against the per-day exact in-test.
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.sketches import build_distinct_sketches, estimate_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    sk = build_distinct_sketches(ev, "user_id", ["day"])
+    per_day = estimate_distinct(sk, ["day"])
+    total = estimate_distinct(sk).withColumn("day", F.lit("ALL"))
+    return per_day.unionByName(total.select("day", "n_distinct", "n_rows"))
+
+
+# ---------------------------------------------------------------------------
 # Fixed-iteration PageRank (operators/graph.py) over the customer ->
 # supplier purchase graph — the link-centrality document prior.
 # The oracle UNROLLS the same three iterations as chained CTEs with
@@ -1358,6 +1379,7 @@ EXTENDED_QUERIES = {
     "price_histogram": q_price_histogram,
     "trimmed_price_stats": q_trimmed_price_stats,
     "supplier_pagerank": q_supplier_pagerank,
+    "sketch_distinct_rollup": q_sketch_distinct_rollup,  # rows-only: engine-specific sketch estimates
     "priority_order_counts": q_priority_order_counts,
     "bilateral_trade": q_bilateral_trade,
     "product_profit": q_product_profit,

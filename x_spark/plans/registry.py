@@ -138,6 +138,14 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "sketch_distinct_rollup",  # late-round-5 addition — rows-only BY DESIGN
+                               # (DataSketches HLL estimates are engine-
+                               # specific, exactly the approx_distinct_users
+                               # precedent); evidence: tests/test_sketches.py
+                               # pins <5% rel err, union==one-shot
+                               # consistency, and the txlog-maintained
+                               # append-only store flow incl. exactly-once
+                               # replay
     "supplier_pagerank",       # late-round-5 addition (fixed-iteration
                                # PageRank over the purchase graph — the
                                # link-centrality document prior; oracle
