@@ -1114,3 +1114,34 @@ def test_clone_guards(spark, ds, tmp_path):
         ds.clone(src, dst)  # destination exists
     with pytest.raises(DataSourceException):
         ds.clone(_ref(tmp_path, "ghost"), _ref(tmp_path, "d2"))
+
+
+# -- table_changes SQL TVF ----------------------------------------------------
+def test_table_changes_sql_surface(spark, ds, tmp_path):
+    from collections import Counter
+
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)  # v1: 3 inserts
+    ds.delete(ref, "pk = 2")  # v2: file-granular delete (rewrite pairs)
+    path = str(tmp_path / "t")
+    # pure-append slice: exactly the three inserted rows
+    v1 = ds._execute_statement(
+        f"SELECT pk, v, _change_type FROM table_changes('{path}', 0, 1)"
+    )
+    assert sorted((r.pk, r.v, r._change_type) for r in v1.collect()) == [
+        (1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert"),
+    ]
+    # delete slice: the CDF is file-granular (a rewritten survivor shows
+    # as delete+insert); the NET effect must be exactly "pk 2 removed"
+    v2 = ds._execute_statement(
+        f"SELECT pk, v, _change_type FROM table_changes('{path}', 1, 2)"
+    )
+    net = Counter()
+    for r in v2.collect():
+        net[(r.pk, r.v)] += 1 if r._change_type == "insert" else -1
+    assert {k: c for k, c in net.items() if c} == {(2, 20): -1}
+    # composes with ordinary SQL (aggregates, filters) in one statement
+    out = ds._execute_statement(
+        f"SELECT sum(v) AS tv FROM table_changes('{path}', 0, 1) WHERE part = 'a'"
+    )
+    assert out.collect()[0].tv == 30

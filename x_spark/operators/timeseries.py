@@ -190,7 +190,13 @@ def rolling_anomalies(
 
     Scale shape: ONE shuffle on the key; the frame is rows-bounded
     (``n`` rows of running state per key in the window operator —
-    never the whole partition buffered).
+    never the whole partition buffered). The window PARTITION count is
+    the key cardinality, so pick a key that scales with the data
+    (user/device/series id): a handful of global keys means a handful
+    of window partitions each processed sequentially, regardless of
+    cluster size. The registry demo partitions by ``event_type``
+    because the oracle needs the exact same tiny grouping — a
+    production baseline would be per-entity.
     """
     if n < 1 or min_periods < 2:
         raise ValueError("need n >= 1 and min_periods >= 2")

@@ -327,12 +327,44 @@ class TxLogDataSource(BaseDataSource):
             return done
         return None
 
+    def _rewrite_table_changes(self, stmt: str) -> str:
+        """Delta's ``table_changes('name_or_path', from_v[, to_v])``
+        TVF on the pass-through SQL surface: each call materializes the
+        CDF slice (:meth:`changes` — exclusive from, inclusive to,
+        default latest) as a temp view and the call text is replaced by
+        the view name, so the feed composes with ordinary SQL
+        (GROUP BY, joins, filters) exactly like Delta's reader."""
+        import re
+
+        pat = re.compile(
+            r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            re.I,
+        )
+
+        def repl(m: "re.Match[str]") -> str:
+            target, from_v, to_v = m.group(1), int(m.group(2)), m.group(3)
+            if _normalize_ident(target) in self._known_names():
+                ref = TableRef(table=_normalize_ident(target))
+            else:
+                ref = TableRef(path=target)
+            df = self.changes(ref, from_v, int(to_v) if to_v else None)
+            view = (
+                "__txlog_cdf_" + re.sub(r"\W", "_", target)
+                + f"_{from_v}_{to_v or 'latest'}"
+            )
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(repl, stmt)
+
     def _rewrite_query(self, stmt: str) -> str:
         """Replace known txlog table names (outside single-quoted
         string literals) with snapshot-backed temp views. Views are
         mangled (``__txlog_<name>``) so they never shadow same-named
         Spark catalog tables for other sessions' SQL."""
         import re
+
+        stmt = self._rewrite_table_changes(stmt)
 
         names = [n for n in self._known_names()
                  if self.table_exists(TableRef(table=n))]
