@@ -98,6 +98,16 @@ class Snapshot:
         }
 
     @property
+    def generated(self) -> dict[str, str]:
+        """col -> generation expression, from ``generated.<col>`` keys
+        (Delta's generated-columns convention)."""
+        return {
+            k[len("generated."):]: v
+            for k, v in self.configuration.items()
+            if k.startswith("generated.")
+        }
+
+    @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
@@ -628,7 +638,14 @@ class TxLogDataSource(BaseDataSource):
 
     def _enforce_constraints(self, df: DataFrame, table: str) -> None:
         snap = resolve_snapshot(table)
-        constraints = snap.constraints if snap is not None else {}
+        constraints = dict(snap.constraints) if snap is not None else {}
+        # generated columns validate in the SAME single pass: a
+        # caller-provided value that disagrees with the generation
+        # expression is a violation (Delta's generated-column check;
+        # values filled by _fill_generated match trivially)
+        if snap is not None:
+            for col, expr in snap.generated.items():
+                constraints[f"generated:{col}"] = f"{col} <=> ({expr})"
         if not constraints:
             return
         checks = [
@@ -649,6 +666,92 @@ class TxLogDataSource(BaseDataSource):
                 f"({constraints[name]}) violated by row: "
                 f"{ {k: v for k, v in row.asDict().items() if k != '__violated'} }"
             )
+
+    @staticmethod
+    def _fill_generated(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Compute generated columns the writer did not provide (Delta
+        generated-column semantics: omitted -> computed from the
+        expression; provided -> validated against it in the
+        constraints pass). Runs before _conform so a generated column
+        missing from the write is filled, not a hard error."""
+        for col, expr in sorted(snap.generated.items()):
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
+
+    def set_generated_column(self, ref: TableRef, col: str, expr: str) -> None:
+        """Declare ``col`` as GENERATED ALWAYS AS (<expr>) (Delta
+        generated columns): subsequent writes through any path compute
+        the column when omitted and reject provided values that
+        disagree with the expression. Existing rows are validated
+        first (one scan, like add_constraint). The column must already
+        exist in the schema — typically declared at create() together
+        with partitioning by it (the ingest-date pattern:
+        ``day = date_format(ts, 'yyyy-MM-dd')``, partition_by day,
+        writers only supply ts)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        if col not in {f.name for f in snap.schema.fields}:
+            raise DataSourceException(
+                f"generated column {col!r} is not in the schema of {table!r}"
+            )
+        key = f"generated.{col}"
+        if key in snap.configuration:
+            raise DataSourceException(
+                f"column {col!r} already has a generation expression"
+            )
+        bad = (
+            self._read_snapshot(table, snap)
+            .filter(F.expr(f"{col} <=> ({expr})") == F.lit(False))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise DataSourceException(
+                f"cannot set generated column {col!r} AS ({expr}): "
+                f"existing row disagrees: {bad[0].asDict()}"
+            )
+        config = {**snap.configuration, key: expr}
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "SET GENERATED COLUMN",
+        )
+
+    def drop_generated_column(self, ref: TableRef, col: str) -> None:
+        """Remove the generation expression (the column stays, it just
+        becomes an ordinary writable column)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        key = f"generated.{col}"
+        if key not in snap.configuration:
+            raise DataSourceException(
+                f"column {col!r} has no generation expression on {table!r}"
+            )
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "DROP GENERATED COLUMN",
+        )
 
     def add_constraint(self, ref: TableRef, name: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): validates
@@ -841,7 +944,7 @@ class TxLogDataSource(BaseDataSource):
             ])
         else:
             meta_actions = []
-            df = _conform(df, snap.schema)  # by-name + assignment cast, like Delta
+            df = _conform(self._fill_generated(df, snap), snap.schema)  # by-name + assignment cast, like Delta
         adds = self._write_files(df, table, snap.partition_cols)
         add_actions = [{"add": a} for a in adds]
         for _ in range(10):
@@ -887,7 +990,7 @@ class TxLogDataSource(BaseDataSource):
             self.create(ref, df.schema)
         snap = resolve_snapshot(table)
         base = snap.version
-        df = _conform(df, snap.schema)
+        df = _conform(self._fill_generated(df, snap), snap.schema)
         if replace_where in (None, "", "1=1"):
             adds = self._write_files(df, table, snap.partition_cols)
             actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
@@ -930,7 +1033,7 @@ class TxLogDataSource(BaseDataSource):
         if not snap.partition_cols:
             self.overwrite(df, ref, txn=txn)
             return
-        df = _conform(df, snap.schema)
+        df = _conform(self._fill_generated(df, snap), snap.schema)
         def render(v):
             # match hive dir encoding: booleans lowercase, rest via str()
             if v is None:
