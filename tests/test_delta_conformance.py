@@ -259,3 +259,23 @@ def test_sql_alter_table_constraint_ddl(spark, ds):
     ds.append(spark.createDataFrame([(2, -1)], "k int, v int"), ref)
     assert ds.read(ref).count() == 2
     _drop(ds, ref)
+
+
+def test_sql_alter_column_generated_ddl(spark, ds):
+    """ALTER TABLE ... ALTER COLUMN ... SET GENERATED ALWAYS AS (expr)
+    routes to the generated-column store through the pass-through SQL
+    surface; DROP GENERATED makes the column ordinary again."""
+    if not hasattr(ds, "set_generated_column"):  # pragma: no cover - live delta
+        pytest.skip("txlog generated-column DDL only")
+    name = f"conf_gen_{uuid.uuid4().hex[:8]}"
+    ref = _mk_table(spark, ds, name, "k int, dbl int", [(1, 2)])
+    ds.sql(f"ALTER TABLE {name} ALTER COLUMN dbl SET GENERATED ALWAYS AS (k * 2)")
+    # omitted column is computed; disagreeing value is rejected
+    ds.append(spark.createDataFrame([(5,)], "k int"), ref)
+    assert sorted(map(tuple, ds.read(ref).collect())) == [(1, 2), (5, 10)]
+    with pytest.raises(Exception, match="generated"):
+        ds.append(spark.createDataFrame([(6, 99)], "k int, dbl int"), ref)
+    ds.sql(f"alter table {name} alter column dbl drop generated")
+    ds.append(spark.createDataFrame([(6, 99)], "k int, dbl int"), ref)
+    assert ds.read(ref).count() == 3
+    _drop(ds, ref)

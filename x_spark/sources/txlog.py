@@ -335,6 +335,29 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # ALTER TABLE t ALTER COLUMN c SET GENERATED ALWAYS AS (expr) —
+        # Delta's generated-column DDL, routed to the metaData store
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"set\s+generated\s+always\s+as\s*\((.*)\)\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.set_generated_column(
+                TableRef(table=_normalize_ident(m.group(1))),
+                m.group(2), m.group(3).strip(),
+            )
+            return done
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"drop\s+generated\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.drop_generated_column(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
         return None
 
     def _rewrite_table_changes(self, stmt: str) -> str:
