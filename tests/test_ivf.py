@@ -279,3 +279,32 @@ def test_ann_topk_pq_registry_recall_floor(spark, sf_dir, emb):
     assert sorted(map(tuple, approx.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_hard_negatives_band_and_self_exclusion(spark):
+    from pyspark.sql import Row
+
+    from x_spark.operators.similarity import hard_negatives
+
+    # query q=(1,0); candidates at controlled cosines: dup (1,0)=1.0,
+    # hard (0.8,0.6)=0.8... wait band [0.2, 0.95): include 0.8 and 0.5,
+    # exclude the exact dup (1.0) and the orthogonal (0.0)
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),    # the query itself
+        Row(vec_id=1, embedding=[2.0, 0.0]),    # cosine 1.0 -> dup, excluded
+        Row(vec_id=2, embedding=[0.8, 0.6]),    # cosine 0.8 -> hard negative
+        Row(vec_id=3, embedding=[0.5, 0.866]),  # cosine 0.5 -> hard negative
+        Row(vec_id=4, embedding=[0.0, 1.0]),    # cosine 0.0 -> too easy
+    ]
+    df = spark.createDataFrame(rows)
+    out = hard_negatives(
+        df, df.filter("vec_id = 0"), k=5, sim_lo=0.2, sim_hi=0.95
+    ).collect()
+    assert [(r.cand_id, r.neg_rank) for r in out] == [(2, 1), (3, 2)]
+    assert all(0.2 <= r.cos_sim < 0.95 for r in out)
+    # self-pair never appears even when the query is in the corpus
+    assert all(r.cand_id != 0 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negatives(df, df, sim_lo=0.9, sim_hi=0.5)

@@ -146,6 +146,53 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    sim_lo: float = 0.15,
+    sim_hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-``k``
+    candidates whose cosine similarity lies in ``[sim_lo, sim_hi)`` —
+    similar enough to be HARD (random negatives teach nothing), below
+    the near-duplicate ceiling so true positives never leak into the
+    negative set. The standard mining step for embedding/reranker
+    training data.
+
+    The band filters on the 6dp-ROUNDED similarity (the same value the
+    output carries), so band membership is engine-reproducible; ties
+    rank deterministically (sim desc, cand_id asc). Self-pairs are
+    excluded. Same plan shape as :func:`brute_force_topk` (broadcast
+    query set or the partitioned-cartesian large-|Q| path); the band
+    filter runs BEFORE the window, so the shuffle carries only
+    in-band candidates. The scale path swaps the exact scorer for
+    :func:`ivf_topk`/``pq_topk`` with an oversized k, then band-filters
+    — mining tolerates approximate candidate generation by design.
+    """
+    if not sim_lo < sim_hi:
+        raise ValueError("need sim_lo < sim_hi")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    from pyspark.sql import Window as W
+
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = (
+        q_side.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine("qvec", "cvec").alias("cos_sim"))
+        .filter((F.col("cos_sim") >= sim_lo) & (F.col("cos_sim") < sim_hi))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= k)
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

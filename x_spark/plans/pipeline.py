@@ -1519,6 +1519,34 @@ FROM ranked WHERE rank <= 10
 # reproducible across runs, engines, and cluster layouts — the
 # property a training-data pipeline needs (seeded rand() is not
 # stable across partitionings).
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return S.hard_negatives(corpus, queries, k=5, sim_lo=0.15, sim_hi=0.9)
+
+
+ORACLE_HARD_NEGATIVE_MINING = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1])))), 6) AS cos_sim
+  FROM q, c WHERE query_id <> cand_id
+), banded AS (
+  SELECT * FROM scored WHERE cos_sim >= 0.15 AND cos_sim < 0.9
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS neg_rank
+  FROM banded
+)
+SELECT query_id, cand_id, cos_sim, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM ranked WHERE neg_rank <= 5
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -2221,6 +2249,7 @@ PIPELINE_QUERIES = {
     "source_data_cards": q_source_data_cards,
     "token_budget_selection": q_token_budget_selection,
     "rolling_value_anomalies": q_rolling_value_anomalies,
+    "hard_negative_mining": q_hard_negative_mining,
     "doc_keywords_tfidf": q_doc_keywords_tfidf,
     "bigram_collocations": q_bigram_collocations,
     "corpus_vocab_overlap": q_corpus_vocab_overlap,
@@ -2279,6 +2308,7 @@ PIPELINE_ORACLES = {
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
     "rolling_value_anomalies": ORACLE_ROLLING_VALUE_ANOMALIES,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "doc_keywords_tfidf": ORACLE_DOC_KEYWORDS_TFIDF,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "corpus_vocab_overlap": ORACLE_CORPUS_VOCAB_OVERLAP,

@@ -138,6 +138,13 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "hard_negative_mining",    # late-round-5 addition (contrastive hard-
+                               # negative mining: banded-similarity top-k,
+                               # band on the rounded score so membership is
+                               # engine-reproducible): locally hash-checked;
+                               # r6 rotation candidate (exact-scoring family
+                               # shares the bruteforce shape; the band+rank
+                               # semantics are new)
     "sketch_distinct_rollup",  # late-round-5 addition — rows-only BY DESIGN
                                # (DataSketches HLL estimates are engine-
                                # specific, exactly the approx_distinct_users
