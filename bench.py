@@ -162,6 +162,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     recall = ann_recall_report(spark, sf_dir) if not only else {}
     pruning = clustering_pruning_report(spark, sf_dir) if not only else {}
+    bloom = bloom_pruning_report(spark, sf_dir) if not only else {}
 
     # Full-fidelity payload: file + stderr (unbounded channels).
     detail = {
@@ -174,6 +175,7 @@ def main() -> None:
         "runs": runs,
         "ann_recall_at_10": recall,
         "clustering_pruning": pruning,
+        "bloom_pruning": bloom,
         "name_abbrev": {n: short_name(n) for n in names},
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -251,6 +253,46 @@ def clustering_pruning_report(spark: SparkSession, sf_dir: str) -> dict:
         return pruning_report(
             li, ["l_orderkey", "l_partkey"], preds, tmp, n_files=32
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bloom_pruning_report(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured payoff of the file-level Bloom sidecar on the shape
+    footer min/max cannot prune: orders ingested as 16 custkey-residue
+    batches (each file spans the full key range), then a 3-key IN-list
+    point lookup. Reports files read with and without the index, plus
+    the result-identity check (pruned read == full-scan filter)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from x_spark.session import load_table
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.bloom_index import bloom_prune, build_bloom_index, read_where_in
+    from x_spark.sources.txlog import TxLogDataSource
+
+    tmp = tempfile.mkdtemp(prefix="xs_bloom_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(tmp, "orders"))
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        ds.create(ref, base.schema)
+        for b in range(16):
+            ds.append(base.filter(F.col("o_custkey") % 16 == b).coalesce(1), ref)
+        build_bloom_index(ds, ref, "o_custkey")
+        keys = [5, 38, 121]
+        kept, total_files = bloom_prune(ds, ref, "o_custkey", keys)
+        pruned_n = read_where_in(ds, ref, "o_custkey", keys).count()
+        full_n = ds.read(ref).filter(F.col("o_custkey").isin(keys)).count()
+        return {
+            "files_total": total_files,
+            "files_after_bloom": len(kept),
+            "rows_match_full_scan": bool(pruned_n == full_n),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
