@@ -356,3 +356,46 @@ def test_cross_doc_spans_matches_model(spark, texts):
         hot = [df_count[g] for g in gs if df_count[g] >= 2]
         expect[i] = (len(gs), len(hot), max(hot, default=0))
     assert got == expect
+
+
+# -- filter battery with first-fail attribution -------------------------------
+def test_filter_rules_first_fail_attribution(spark):
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.text import apply_filter_rules, filter_attribution
+
+    docs = spark.createDataFrame(
+        [
+            (0, "short text"),                                  # too_short (2 tokens)
+            (1, " ".join(["normal"] * 20)),                     # PASS
+            (2, " ".join(["x"] * 20)),                          # token_shape (avg len 1)
+            (3, " ".join(["!!!???!!!"] * 20)),                  # token_shape fires FIRST (avg 9 ok -> punct)
+            (4, " ".join(["12345abcde"] * 20)),                 # digit_heavy (0.5 digits)
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id: r.first_failed_rule
+               for r in apply_filter_rules(docs).collect()}
+    assert flagged[0] == "too_short"
+    assert flagged[1] is None
+    assert flagged[2] == "token_shape"
+    assert flagged[3] == "excess_punct"   # avg_token_len 9 passes, punct 0.95 fails
+    assert flagged[4] == "digit_heavy"
+    report = {r.rule: (r.n_docs, r.share) for r in filter_attribution(docs).collect()}
+    assert report["PASS"][0] == 1
+    assert sum(n for n, _ in report.values()) == 5
+    assert abs(sum(s for _, s in report.values()) - 1.0) < 1e-6
+
+
+def test_filter_rules_custom_priority_order(spark):
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.text import apply_filter_rules
+
+    docs = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
+    # same doc violates both; attribution follows the given order
+    rules_a = [("r1", F.col("n_tokens") < 10), ("r2", F.col("n_tokens") < 5)]
+    rules_b = list(reversed(rules_a))
+    got_a = apply_filter_rules(docs, rules_a).collect()[0].first_failed_rule
+    got_b = apply_filter_rules(docs, rules_b).collect()[0].first_failed_rule
+    assert (got_a, got_b) == ("r1", "r2")

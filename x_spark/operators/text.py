@@ -584,3 +584,63 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def default_document_rules(text_col: str = "text") -> list[tuple[str, Column]]:
+    """The C4/Gopher-style shape-rule battery, as (name, violation)
+    pairs in PRIORITY ORDER — a doc is attributed to the FIRST rule it
+    violates. Every predicate is a deterministic integer-count
+    expression (token_count/regexp_count/length), so the whole battery
+    is oracle-replicable as a CASE chain.
+
+    Requires the text_stats columns (computed by the callers below
+    when absent)."""
+    return [
+        ("too_short", F.col("n_tokens") < 10),
+        ("token_shape", ~F.col("avg_token_len").between(2.0, 12.0)),
+        ("excess_punct", F.col("punct_ratio") > 0.3),
+        ("digit_heavy", F.col("digit_ratio") > 0.2),
+    ]
+
+
+def apply_filter_rules(
+    df: DataFrame,
+    rules: list[tuple[str, Column]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append ``first_failed_rule``: the name of the first violated
+    rule in priority order, NULL for survivors — the per-document
+    "why was this dropped" explainability every curation pipeline
+    owes its auditors. One narrow pass, no shuffle."""
+    if rules is None:
+        rules = default_document_rules(text_col)
+    if "n_tokens" not in df.columns:
+        df = text_stats(df, text_col)
+    verdict = F.lit(None).cast("string")
+    for name, violation in reversed(rules):
+        verdict = F.when(violation, F.lit(name)).otherwise(verdict)
+    return df.withColumn("first_failed_rule", verdict)
+
+
+def filter_attribution(
+    df: DataFrame,
+    rules: list[tuple[str, Column]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level drop attribution: one row per rule (plus 'PASS')
+    with the count and share of documents whose FIRST violation it is.
+    First-fail attribution sums to 100% by construction — overlapping
+    rules never double-count, so the report answers "which rule is
+    actually doing the filtering" (the question raw per-rule violation
+    counts get wrong).
+
+    Shape: the rule battery is a narrow projection; the report is one
+    grouped count over ~|rules|+1 groups plus a broadcast total."""
+    flagged = apply_filter_rules(df, rules, text_col)
+    counts = flagged.groupBy(
+        F.coalesce(F.col("first_failed_rule"), F.lit("PASS")).alias("rule")
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").cast("double").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "rule", "n_docs", F.round(F.col("n_docs") / F.col("_total"), 6).alias("share")
+    )

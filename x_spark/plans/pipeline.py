@@ -97,6 +97,50 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Composable filter battery with first-fail attribution (C4/Gopher
+# shape rules): one row per rule (plus PASS) counting docs whose FIRST
+# violation it is — sums to 100% by construction, so the report says
+# which rule actually does the filtering. The oracle replays the same
+# CASE chain over the proven text_statistics expression mirrors.
+def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.text import filter_attribution
+
+    return filter_attribution(_docs(spark, sf_dir))
+
+
+ORACLE_FILTER_ATTRIBUTION = r"""
+WITH s AS (
+  SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+              THEN CAST(length(text) - length(regexp_extract_all(text, '\s')) AS BIGINT)
+                   / CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+              ELSE 0.0 END AS avg_token_len,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT)
+              ELSE 0.0 END AS digit_ratio
+  FROM documents
+), flagged AS (
+  SELECT CASE
+           WHEN n_tokens < 10 THEN 'too_short'
+           WHEN NOT (avg_token_len BETWEEN 2.0 AND 12.0) THEN 'token_shape'
+           WHEN punct_ratio > 0.3 THEN 'excess_punct'
+           WHEN digit_ratio > 0.2 THEN 'digit_heavy'
+           ELSE 'PASS'
+         END AS rule
+  FROM s
+), c AS (
+  SELECT rule, CAST(count(*) AS BIGINT) AS n_docs FROM flagged GROUP BY rule
+), t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c)
+SELECT rule, n_docs, round(n_docs / total, 6) AS share FROM c CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Repetition-based quality signals (Gopher-rules family): duplicate
 # line/token fractions and the most-frequent-2-gram occurrence count.
 # Single-projection JVM array folds — scan speed at any scale; the
@@ -2250,6 +2294,7 @@ PIPELINE_QUERIES = {
     "token_budget_selection": q_token_budget_selection,
     "rolling_value_anomalies": q_rolling_value_anomalies,
     "hard_negative_mining": q_hard_negative_mining,
+    "filter_attribution": q_filter_attribution,
     "doc_keywords_tfidf": q_doc_keywords_tfidf,
     "bigram_collocations": q_bigram_collocations,
     "corpus_vocab_overlap": q_corpus_vocab_overlap,
@@ -2309,6 +2354,7 @@ PIPELINE_ORACLES = {
     "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
     "rolling_value_anomalies": ORACLE_ROLLING_VALUE_ANOMALIES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
+    "filter_attribution": ORACLE_FILTER_ATTRIBUTION,
     "doc_keywords_tfidf": ORACLE_DOC_KEYWORDS_TFIDF,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "corpus_vocab_overlap": ORACLE_CORPUS_VOCAB_OVERLAP,

@@ -138,6 +138,11 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "filter_attribution",      # late-round-5 addition (first-fail rule
+                               # attribution for the C4/Gopher filter
+                               # battery — drop shares sum to 100% by
+                               # construction): locally hash-checked; r6
+                               # rotation candidate
     "hard_negative_mining",    # late-round-5 addition (contrastive hard-
                                # negative mining: banded-similarity top-k,
                                # band on the rounded score so membership is
