@@ -308,3 +308,98 @@ def test_hard_negatives_band_and_self_exclusion(spark):
 
     with _pytest.raises(ValueError):
         hard_negatives(df, df, sim_lo=0.9, sim_hi=0.5)
+
+
+# -- maintained IVF store (assign-on-ingest) ----------------------------------
+def _emb(spark, sf_dir):
+    from x_spark.session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_store_incremental_equals_batch(spark, sf_dir, tmp_path):
+    from x_spark.operators.similarity import (
+        ivf_store_topk,
+        train_codebook,
+        update_ivf_store,
+    )
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 3")
+    corpus = emb.filter("vec_id >= 3")
+    cb = train_codebook(corpus, n_centroids=8)
+    ds = init_datasource("txlog", spark)
+
+    inc = TableRef(path=str(tmp_path / "inc"))
+    for b in range(3):  # three ingest batches
+        update_ivf_store(ds, inc, corpus.filter(f"vec_id % 3 = {b}"), cb,
+                         txn=("ing", b))
+    one = TableRef(path=str(tmp_path / "one"))
+    update_ivf_store(ds, one, corpus, cb)
+
+    # the maintained store holds the same assignments as a one-shot build
+    a = sorted(map(tuple, ds.read(inc).select("vec_id", "cluster").collect()))
+    b_ = sorted(map(tuple, ds.read(one).select("vec_id", "cluster").collect()))
+    assert a == b_ and len(a) == corpus.count()
+
+    # and search results over both stores are identical
+    r_inc = sorted(map(tuple, ivf_store_topk(ds, inc, queries, cb, k=5).collect()))
+    r_one = sorted(map(tuple, ivf_store_topk(ds, one, queries, cb, k=5).collect()))
+    assert r_inc == r_one and r_inc
+
+
+def test_ivf_store_matches_inline_ivf_and_prunes(spark, sf_dir, tmp_path):
+    from x_spark.operators.similarity import (
+        ivf_store_topk,
+        ivf_topk,
+        train_codebook,
+        update_ivf_store,
+    )
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 3")
+    corpus = emb.filter("vec_id >= 3")
+    cb = train_codebook(corpus, n_centroids=8)
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "store"))
+    update_ivf_store(ds, ref, corpus, cb)
+
+    got = sorted(map(tuple,
+        ivf_store_topk(ds, ref, queries, cb, k=5, n_probe=2)
+        .select("query_id", "cand_id", "cos_sim", "rank").collect()))
+    want = sorted(map(tuple,
+        ivf_topk(corpus, queries, cb, k=5, n_probe=2)
+        .select("query_id", "cand_id", "cos_sim", "rank").collect()))
+    assert got == want and got
+
+    # partition pruning: the probed read plans a PartitionFilter on the
+    # cluster directory column (inputFiles() lists the pre-pruning
+    # index, so assert on the executed plan's scan node instead)
+    import pyspark.sql.functions as F
+
+    pruned = ds.read(ref).filter(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan and "IN (0,1)" in plan
+
+
+def test_ivf_store_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    from x_spark.operators.similarity import train_codebook, update_ivf_store
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    emb = _emb(spark, sf_dir).filter("vec_id >= 3")
+    cb = train_codebook(emb, n_centroids=4)
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "s"))
+    update_ivf_store(ds, ref, emb, cb, txn=("app", 1))
+    n = ds.read(ref).count()
+    import pytest as _pytest
+
+    with _pytest.raises(TxnAlreadyCommittedException):
+        update_ivf_store(ds, ref, emb, cb, txn=("app", 1))
+    assert ds.read(ref).count() == n

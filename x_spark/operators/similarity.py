@@ -640,3 +640,93 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained IVF index store: assign-on-ingest against a FROZEN
+# codebook into a cluster-partitioned txlog table, so the ANN index
+# keeps up with an append-mostly corpus WITHOUT re-encoding it (the
+# batch path re-assigns the world per search session; at 100 TB the
+# index must be a maintained artifact, not a per-query computation).
+
+
+def ivf_assign(
+    df: DataFrame,
+    codebook: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster) assignment rows against a frozen
+    codebook — the ingest-side half of the IVF contract. Centroids are
+    unit vectors, so argmax cosine == argmax dot (no per-row
+    normalization; see ivf_topk's project-collapse note)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _argmax_centroid(vec_col, codebook).alias("cluster"),
+    )
+
+
+def update_ivf_store(
+    ds,
+    ref,
+    batch: DataFrame,
+    codebook: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """Append a batch's assignments to the cluster-PARTITIONED txlog
+    store — O(batch) per ingest (the existing corpus is never re-read
+    or re-encoded), txn-stamped for exactly-once replay. The partition
+    layout is what makes the search side prune: probed clusters map to
+    partition directories."""
+    rows = ivf_assign(batch, codebook, id_col, vec_col)
+    if not ds.table_exists(ref):
+        ds.create(ref, rows.schema, partition_by=["cluster"])
+    ds.append(rows, ref, txn=txn)
+
+
+def ivf_store_topk(
+    ds,
+    ref,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search the maintained store: the (bounded) query set's probed
+    clusters union into ONE partition-pruning predicate — the scan
+    touches only probed partition directories — then per-pair
+    membership (this candidate's cluster is in THIS query's probe
+    list) and exact cosine re-rank. Results are identical to
+    :func:`ivf_topk` over the store's rows (pinned by test); what
+    changes is that the corpus scan is pruned and the assignments are
+    precomputed at ingest."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _probe_clusters(vec_col, codebook, n_probe).alias("probes"),
+    )
+    probe_union = sorted({
+        int(c) for r in q.select("probes").collect() for c in r["probes"]
+    })
+    store = ds.read(ref).filter(F.col("cluster").isin(probe_union))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(store.select(
+            F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"),
+            "cluster",
+        ))
+        .filter(F.expr("array_contains(probes, cluster)"))
+        .select("query_id", "cand_id", cosine("qvec", "cvec").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
