@@ -94,3 +94,52 @@ def test_shuffle_plan_has_no_global_sort(docs):
     plan = shuffle_shards(docs, 8, seed="p")._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan
     assert "hashpartitioning(shard_id" in plan.lower(), plan
+
+
+def test_global_positions_matches_sequential_and_is_dense(spark):
+    from x_spark.operators.shards import global_positions
+
+    rows = [(i, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    out = global_positions(df, ["score", "id"], ascending=[False, True],
+                           n_buckets=8)
+    got = {r.id: r.position for r in out.collect()}
+    want = {rid: pos + 1 for pos, (rid, _) in
+            enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 201))  # dense, 1-based
+
+
+def test_global_positions_independent_of_bucket_count(spark):
+    from x_spark.operators.shards import global_positions
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, s long")
+    a = sorted(map(tuple, global_positions(df, ["s", "id"], n_buckets=2)
+                   .select("id", "position").collect()))
+    b = sorted(map(tuple, global_positions(df, ["s", "id"], n_buckets=16)
+                   .select("id", "position").collect()))
+    assert a == b
+
+
+def test_global_positions_no_global_sort_in_plan(spark):
+    from x_spark.operators.shards import global_positions
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    out = global_positions(df, ["id"], n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rank must come from range partitioning + per-partition
+    # windows, never a single-partition global Sort/Window
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_global_positions_validates_args(spark):
+    import pytest as _pytest
+
+    from x_spark.operators.shards import global_positions
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        global_positions(df, [])
+    with _pytest.raises(ValueError):
+        global_positions(df, ["id"], ascending=[True, False])

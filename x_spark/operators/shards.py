@@ -102,3 +102,55 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def global_positions(
+    df: DataFrame,
+    order_by: list[str],
+    ascending: list[bool] | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Append ``position`` (1-based bigint): each row's rank under the
+    TOTAL order ``order_by`` (+ the caller ensuring the key list is a
+    total order, e.g. ending in a unique id) — curriculum ordering,
+    global sequence numbers, deterministic resume points.
+
+    The scale trap with global ranks is ``row_number() OVER (ORDER BY
+    ...)``: one partition ranks the world. This is the distributed
+    two-stage form (the ``select_token_budget`` pattern generalized to
+    COUNTS): range-partition on the order key (partition id order ==
+    global order under a range partitioner), row_number inside each
+    partition in parallel, then prefix-sum the per-partition COUNTS on
+    the driver (``n_buckets`` longs) and broadcast them back as
+    offsets. Result independent of sampled range boundaries — the rank
+    is defined by the total order, whatever partition a row lands in.
+    """
+    if not order_by:
+        raise ValueError("order_by must be non-empty")
+    asc = ascending if ascending is not None else [True] * len(order_by)
+    if len(asc) != len(order_by):
+        raise ValueError("ascending must match order_by length")
+    sort_cols = [
+        F.asc(c) if up else F.desc(c) for c, up in zip(order_by, asc)
+    ]
+    parts = df.repartitionByRange(n_buckets, *sort_cols).withColumn(
+        "_p", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_p").orderBy(*sort_cols)
+    intra = parts.withColumn("_rn", F.row_number().over(w))
+    counts = {
+        r["_p"]: r["n"]
+        for r in parts.groupBy("_p").agg(F.count("*").alias("n")).collect()
+    }
+    offset, acc = {}, 0
+    for p in sorted(counts):
+        offset[p] = acc
+        acc += counts[p]
+    off_df = df.sparkSession.createDataFrame(
+        [(p, v) for p, v in offset.items()] or [(0, 0)], "_p int, _off bigint"
+    )
+    return (
+        intra.join(F.broadcast(off_df), "_p")
+        .withColumn("position", (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_p", "_rn", "_off")
+    )

@@ -102,6 +102,22 @@ FROM documents
 # violation it is — sums to 100% by construction, so the report says
 # which rule actually does the filtering. The oracle replays the same
 # CASE chain over the proven text_statistics expression mirrors.
+def q_curriculum_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.operators.shards import global_positions
+
+    # shortest-first curriculum: global 1-based positions under
+    # (n_chars ASC, doc_id ASC) without a single-partition window
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return global_positions(docs, ["n_chars", "doc_id"])
+
+
+ORACLE_CURRICULUM_POSITIONS = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS position
+FROM documents
+"""
+
+
 def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x_spark.operators.text import filter_attribution
 
@@ -2295,6 +2311,7 @@ PIPELINE_QUERIES = {
     "rolling_value_anomalies": q_rolling_value_anomalies,
     "hard_negative_mining": q_hard_negative_mining,
     "filter_attribution": q_filter_attribution,
+    "curriculum_positions": q_curriculum_positions,
     "doc_keywords_tfidf": q_doc_keywords_tfidf,
     "bigram_collocations": q_bigram_collocations,
     "corpus_vocab_overlap": q_corpus_vocab_overlap,
@@ -2355,6 +2372,7 @@ PIPELINE_ORACLES = {
     "rolling_value_anomalies": ORACLE_ROLLING_VALUE_ANOMALIES,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "filter_attribution": ORACLE_FILTER_ATTRIBUTION,
+    "curriculum_positions": ORACLE_CURRICULUM_POSITIONS,
     "doc_keywords_tfidf": ORACLE_DOC_KEYWORDS_TFIDF,
     "bigram_collocations": ORACLE_BIGRAM_COLLOCATIONS,
     "corpus_vocab_overlap": ORACLE_CORPUS_VOCAB_OVERLAP,

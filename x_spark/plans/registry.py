@@ -138,6 +138,11 @@ _TAIL = [
                                # candidate alongside corpus_shuffle_shards
                                # (head rep of the streaming-IVM composition
                                # family: stream_ivm_user_totals)
+    "curriculum_positions",    # late-round-5 addition (global curriculum
+                               # ranks via the distributed two-stage
+                               # range-partition + offset pattern — never a
+                               # single-partition window): locally
+                               # hash-checked; r6 rotation candidate
     "filter_attribution",      # late-round-5 addition (first-fail rule
                                # attribution for the C4/Gopher filter
                                # battery — drop shares sum to 100% by
