@@ -49,12 +49,13 @@ def test_histogram_partitions_all_rows(spark, vals, width):
     assert sum(r.n_rows for r in rows) == len(vals)
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     # reference bucketing replicating the operator's float path: the
-    # double column scales by 100 then truncates toward zero (CAST to
-    # BIGINT == Python int()), then floor-divides by the width units
+    # double column scales by 100 then FLOORS (toward -inf — matches
+    # the operator's floor-at-unit-scaling), then floor-divides by the
+    # width units
     wunits = int(round(width * 100))
     ref = {}
     for v in vals:
-        units = int(float(v) / 100.0 * 100)
+        units = math.floor(float(v) / 100.0 * 100)
         b = math.floor(units / wunits)
         ref[b] = ref.get(b, 0) + 1
     assert {r.bucket: r.n_rows for r in rows} == ref

@@ -127,10 +127,14 @@ def test_global_positions_no_global_sort_in_plan(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "id long")
     out = global_positions(df, ["id"], n_buckets=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the rank must come from range partitioning + per-partition
-    # windows, never a single-partition global Sort/Window
-    assert "rangepartitioning" in plan.lower()
+    # the rank must come from per-partition windows over the pinned
+    # range layout, never a single-partition global Sort/Window (the
+    # checkpoint cuts lineage, so the range exchange itself lives
+    # behind the RDD scan — what must be provably absent downstream is
+    # any SinglePartition exchange)
     assert "SinglePartition" not in plan
+    # the row_number window partitions by the bucket id, never globally
+    assert "windowspecdefinition(_p" in plan
 
 
 def test_global_positions_validates_args(spark):

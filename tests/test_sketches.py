@@ -101,3 +101,12 @@ def test_unit_cols_required(spark):
     df = _users(spark, {"d": range(10)})
     with pytest.raises(ValueError):
         build_distinct_sketches(df, "user_id", [])
+
+
+def test_store_rejects_mismatched_lg_k(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "sk4"))
+    update_sketch_store(ds, ref, _users(spark, {"d": range(50)}), "user_id", ["day"], lg_k=12)
+    with pytest.raises(ValueError, match="lg_k=12"):
+        update_sketch_store(ds, ref, _users(spark, {"d": range(50)}), "user_id", ["day"], lg_k=13)
+    # the store stays queryable after the rejected ingest
+    assert estimate_from_store(ds, ref).collect()[0].n_rows == 50

@@ -1121,20 +1121,27 @@ def test_table_changes_sql_surface(spark, ds, tmp_path):
     from collections import Counter
 
     ref = _ref(tmp_path)
-    _seed(spark, ds, ref)  # v1: 3 inserts
+    _seed(spark, ds, ref)  # v0 create + v1: 3 inserts
     ds.delete(ref, "pk = 2")  # v2: file-granular delete (rewrite pairs)
     path = str(tmp_path / "t")
-    # pure-append slice: exactly the three inserted rows
+    # Delta-inclusive bounds: [1, 1] is exactly the append commit
     v1 = ds._execute_statement(
-        f"SELECT pk, v, _change_type FROM table_changes('{path}', 0, 1)"
+        f"SELECT pk, v, _change_type FROM table_changes('{path}', 1, 1)"
     )
     assert sorted((r.pk, r.v, r._change_type) for r in v1.collect()) == [
         (1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert"),
     ]
-    # delete slice: the CDF is file-granular (a rewritten survivor shows
-    # as delete+insert); the NET effect must be exactly "pk 2 removed"
+    # from version 0 (inclusive, like Delta: the create commit adds no
+    # rows) the same three inserts appear
+    v01 = ds._execute_statement(
+        f"SELECT count(*) AS n FROM table_changes('{path}', 0, 1)"
+    )
+    assert v01.collect()[0].n == 3
+    # the delete commit alone: the CDF is file-granular (a rewritten
+    # survivor shows as delete+insert); the NET effect must be exactly
+    # "pk 2 removed"
     v2 = ds._execute_statement(
-        f"SELECT pk, v, _change_type FROM table_changes('{path}', 1, 2)"
+        f"SELECT pk, v, _change_type FROM table_changes('{path}', 2, 2)"
     )
     net = Counter()
     for r in v2.collect():
@@ -1145,48 +1152,3 @@ def test_table_changes_sql_surface(spark, ds, tmp_path):
         f"SELECT sum(v) AS tv FROM table_changes('{path}', 0, 1) WHERE part = 'a'"
     )
     assert out.collect()[0].tv == 30
-
-
-# -- generated columns ---------------------------------------------------------
-def test_generated_column_filled_and_partitioned(spark, ds, tmp_path):
-    ref = _ref(tmp_path, "gen", partition_by=("bucket",))
-    schema = spark.createDataFrame([(1, 10, 1)], "pk int, v int, bucket int").schema
-    ds.create(ref, schema, partition_by=["bucket"])
-    ds.set_generated_column(ref, "bucket", "pmod(pk, 3)")
-    # the writer omits the generated partition column entirely
-    ds.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "pk int, v int"), ref)
-    got = _rows(ds.read(ref).select("pk", "v", "bucket"))
-    assert got == [(1, 10, 1), (2, 20, 2), (3, 30, 0)]
-    assert ds.partition_columns(ref) == ["bucket"]
-    # partition pruning works on the generated column
-    ds.delete(ref, "bucket = 0")
-    assert _rows(ds.read(ref).select("pk")) == [(1,), (2,)]
-
-
-def test_generated_column_rejects_disagreeing_values(spark, ds, tmp_path):
-    ref = _ref(tmp_path, "gen2")
-    schema = spark.createDataFrame([(1, 1)], "pk int, double_pk int").schema
-    ds.create(ref, schema)
-    ds.set_generated_column(ref, "double_pk", "pk * 2")
-    ds.append(spark.createDataFrame([(2, 4)], "pk int, double_pk int"), ref)  # agrees
-    with pytest.raises(DataSourceException, match="generated"):
-        ds.append(spark.createDataFrame([(3, 7)], "pk int, double_pk int"), ref)
-    assert _rows(ds.read(ref)) == [(2, 4)]  # nothing landed from the bad write
-
-
-def test_generated_column_lifecycle_and_guards(spark, ds, tmp_path):
-    ref = _ref(tmp_path, "gen3")
-    schema = spark.createDataFrame([(1, 2)], "pk int, g int").schema
-    ds.create(ref, schema)
-    with pytest.raises(DataSourceException):
-        ds.set_generated_column(ref, "nope", "pk")  # not in schema
-    ds.set_generated_column(ref, "g", "pk + 1")
-    with pytest.raises(DataSourceException):
-        ds.set_generated_column(ref, "g", "pk + 2")  # already set
-    # existing-row validation: disagreeing history blocks a new expr
-    ds.drop_generated_column(ref, "g")
-    ds.append(spark.createDataFrame([(1, 99)], "pk int, g int"), ref)
-    with pytest.raises(DataSourceException, match="existing row"):
-        ds.set_generated_column(ref, "g", "pk + 1")
-    with pytest.raises(DataSourceException):
-        ds.drop_generated_column(ref, "g")  # no longer set

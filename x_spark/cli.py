@@ -531,8 +531,12 @@ def main(argv: list[str] | None = None) -> int:
             values = [v.strip() for v in args.probe.split(",") if v.strip()]
             # integer-typed columns take integer probes
             snap_field = next(
-                f for f in ds.read(ref).schema.fields if f.name == args.column
+                (f for f in ds.read(ref).schema.fields if f.name == args.column),
+                None,
             )
+            if snap_field is None:
+                print(f"column {args.column!r} not in the table schema")
+                return 1
             if snap_field.dataType.simpleString() != "string":
                 values = [int(v) for v in values]
             kept, total = bloom_prune(ds, ref, args.column, values)

@@ -292,10 +292,12 @@ def value_histogram(
     percentiles.
 
     Bucketing is EXACT for decimal/integer columns (the unit scaling
-    is exact arithmetic). For float columns the unit cast truncates at
-    the ``10^-scale`` resolution — values within one float ulp of a
-    bucket edge land deterministically but by representation, the
-    unavoidable float-histogram caveat.
+    and its floor are exact arithmetic, including columns with more
+    fractional digits than ``scale`` and including negatives). For
+    float columns the unit floor quantizes at the ``10^-scale``
+    resolution — values within one float ulp of a bucket edge land
+    deterministically but by representation, the unavoidable
+    float-histogram caveat.
 
     Output: ``(bucket, bucket_lo, n_rows, share)``, one row per
     non-empty bucket with at least ``min_count`` rows.
@@ -310,17 +312,21 @@ def value_histogram(
     wunits = int(round(width * mult))
     if wunits <= 0:
         raise ValueError("width is below the scale resolution")
-    units = F.expr(f"CAST({value_col} * {mult} AS BIGINT)")
+    # floor (not CAST-truncation) at the unit scaling too: truncation
+    # is toward zero, so a negative value with more fractional digits
+    # than `scale` would land one bucket too high
+    units = F.expr(f"CAST(floor({value_col} * {mult}) AS BIGINT)")
     bucket = F.floor(units.cast("double") / F.lit(wunits)).cast("bigint")
-    counts = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count("*").cast("bigint").alias("n_rows"))
-        .filter(F.col("n_rows") >= min_count)
-    )
+    counts = df.filter(F.col(value_col).isNotNull()).groupBy(
+        bucket.alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    # the share denominator is ALL scanned rows — computed before the
+    # min_count filter, so suppressing a long tail of sparse buckets
+    # never inflates the surviving buckets' shares
     total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.filter(F.col("n_rows") >= min_count)
+        .crossJoin(F.broadcast(total))
         .select(
             "bucket",
             (F.col("bucket").cast("double") * F.lit(float(width))).alias("bucket_lo"),

@@ -154,9 +154,17 @@ def select_token_budget(
         F.col(order_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
-    parts = toks.repartitionByRange(
-        n_buckets, F.desc(order_col), F.asc(id_col)
-    ).withColumn("_p", F.spark_partition_id())
+    # PIN the range partitioning before deriving BOTH the per-partition
+    # totals and the final frame from it: RangePartitioner samples its
+    # boundaries with a per-execution seed, so without materialization
+    # the totals job and the output job could draw different boundaries
+    # and the broadcast offsets would disagree with the partitions they
+    # are added to (wrong running totals at partition edges).
+    parts = (
+        toks.repartitionByRange(n_buckets, F.desc(order_col), F.asc(id_col))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("_p").orderBy(F.desc(order_col), F.asc(id_col))

@@ -133,8 +133,16 @@ def global_positions(
     sort_cols = [
         F.asc(c) if up else F.desc(c) for c, up in zip(order_by, asc)
     ]
-    parts = df.repartitionByRange(n_buckets, *sort_cols).withColumn(
-        "_p", F.spark_partition_id()
+    # PIN the range partitioning: RangePartitioner samples boundaries
+    # with a per-execution seed, so without materialization the counts
+    # job and the ranking job could draw DIFFERENT boundaries and the
+    # offsets would disagree with actual partition contents (wrong or
+    # duplicated positions). localCheckpoint makes both jobs read the
+    # same physical partitions.
+    parts = (
+        df.repartitionByRange(n_buckets, *sort_cols)
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_p").orderBy(*sort_cols)
     intra = parts.withColumn("_rn", F.row_number().over(w))

@@ -42,6 +42,19 @@ def cosine(a: str, b: str, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
 
 
+def _ranked_topk(scored, k: int, rank_col: str = "rank"):
+    """Shared ranking tail for every top-k scorer in this module: the
+    ONE place the tie-break convention (cos_sim desc, cand_id asc)
+    lives — scorers must not re-implement it (they silently diverge)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,16 +105,10 @@ def cosine_topk_pandas(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    from pyspark.sql import Window as W
-
     partials = corpus.select(id_col, vec_col).mapInPandas(
         score, "query_id bigint, cand_id bigint, cos_sim double"
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        partials.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(partials, k)
 
 
 def brute_force_topk(
@@ -131,19 +138,13 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
-    from pyspark.sql import Window as W
-
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = q_side.crossJoin(c).select(
         "query_id",
         "cand_id",
         cosine("qvec", "cvec").alias("cos_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k)
 
 
 def hard_negatives(
@@ -177,8 +178,6 @@ def hard_negatives(
         raise ValueError("need sim_lo < sim_hi")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
-    from pyspark.sql import Window as W
-
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
         q_side.crossJoin(c)
@@ -186,11 +185,7 @@ def hard_negatives(
         .select("query_id", "cand_id", cosine("qvec", "cvec").alias("cos_sim"))
         .filter((F.col("cos_sim") >= sim_lo) & (F.col("cos_sim") < sim_hi))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("neg_rank") <= k)
-    )
+    return _ranked_topk(scored, k, rank_col="neg_rank")
 
 
 def bucketed_topk(
@@ -488,11 +483,7 @@ def ivf_topk(
         "cand_id",
         cosine("qvec", "cvec").alias("cos_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
@@ -705,8 +696,6 @@ def ivf_store_topk(
     :func:`ivf_topk` over the store's rows (pinned by test); what
     changes is that the corpus scan is pruned and the assignments are
     precomputed at ingest."""
-    from pyspark.sql import Window as W
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -725,8 +714,4 @@ def ivf_store_topk(
         .filter(F.expr("array_contains(probes, cluster)"))
         .select("query_id", "cand_id", cosine("qvec", "cvec").alias("cos_sim"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k)

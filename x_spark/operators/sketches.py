@@ -57,6 +57,10 @@ def build_distinct_sketches(
     return df.groupBy(*unit_cols).agg(
         F.expr(f"hll_sketch_agg({value_col}, {int(lg_k)})").alias("sketch"),
         F.count(value_col).cast("bigint").alias("n_rows"),
+        # lg_k rides with every sketch row: hll_union_agg REJECTS mixed
+        # lg_k configs, so the store must be able to catch a mismatched
+        # ingest at write time rather than poisoning reads
+        F.lit(int(lg_k)).cast("int").alias("lg_k"),
     )
 
 
@@ -93,6 +97,16 @@ def update_sketch_store(
     sk = build_distinct_sketches(batch, value_col, unit_cols, lg_k)
     if not ds.table_exists(ref):
         ds.create(ref, sk.schema)
+    else:
+        # hll_union_agg rejects mixed lg_k: fail THIS write, not every
+        # later read — one existing row's lg_k pins the store's config
+        existing = ds.read(ref).select("lg_k").first()
+        if existing is not None and existing["lg_k"] != int(lg_k):
+            raise ValueError(
+                f"sketch store {ds._table_path(ref)!r} was built with "
+                f"lg_k={existing['lg_k']}; refusing an lg_k={lg_k} ingest "
+                "(hll_union_agg cannot merge mixed configs)"
+            )
     ds.append(sk, ref, txn=txn)
 
 

@@ -1255,7 +1255,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICE_HISTOGRAM = """
 WITH b AS (
-  SELECT CAST(floor(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS DOUBLE) / 500000)
+  SELECT CAST(floor(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 500000)
               AS BIGINT) AS bucket
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), c AS (

@@ -130,17 +130,28 @@ def build_bloom_index(
             .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word"))
             .collect()
         )
-        # input_file_name is a file URI ("file:///abs/path"); strip the
-        # scheme+authority to the absolute path for a direct dict hit,
-        # keeping suffix matching only as the odd-scheme fallback
+        # input_file_name is a percent-encoded file URI; decode it to
+        # the filesystem path for a direct dict hit. An unmappable URI
+        # must FAIL the build: silently skipping it would leave that
+        # file's all-zero bitmap in the index, which reads as
+        # "contains nothing" — a false-NEGATIVE prune. (All-zero is
+        # legitimate only for files whose indexed column is all NULL.)
+        from urllib.parse import unquote, urlparse
+
         by_path = {os.path.join(table, rel): rel for rel in rels}
         for r in rows:
-            path = r["f"].removeprefix("file://")
+            parsed = urlparse(r["f"])
+            path = unquote(parsed.path) if parsed.scheme else r["f"]
             rel = by_path.get(path) or next(
                 (v for k, v in by_path.items() if path.endswith(k)), None
             )
-            if rel is not None:
-                files[rel][r["widx"]] = r["word"]
+            if rel is None:
+                raise DataSourceException(
+                    f"bloom index build could not map scanned file {r['f']!r} "
+                    f"back to a snapshot path of {table!r} — refusing to "
+                    "write an index that would prune it as empty"
+                )
+            files[rel][r["widx"]] = r["word"]
     idx = {
         "column": column,
         "m_bits": m_bits,

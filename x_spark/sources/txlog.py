@@ -363,10 +363,12 @@ class TxLogDataSource(BaseDataSource):
     def _rewrite_table_changes(self, stmt: str) -> str:
         """Delta's ``table_changes('name_or_path', from_v[, to_v])``
         TVF on the pass-through SQL surface: each call materializes the
-        CDF slice (:meth:`changes` — exclusive from, inclusive to,
-        default latest) as a temp view and the call text is replaced by
-        the view name, so the feed composes with ordinary SQL
-        (GROUP BY, joins, filters) exactly like Delta's reader."""
+        CDF slice as a temp view and the call text is replaced by the
+        view name, so the feed composes with ordinary SQL (GROUP BY,
+        joins, filters). Bounds follow Delta exactly: BOTH versions
+        inclusive (``:meth:`changes``` is exclusive-from, so the TVF
+        shifts the lower bound by one — version 0 included via the
+        empty-base form)."""
         import re
 
         pat = re.compile(
@@ -380,7 +382,7 @@ class TxLogDataSource(BaseDataSource):
                 ref = TableRef(table=_normalize_ident(target))
             else:
                 ref = TableRef(path=target)
-            df = self.changes(ref, from_v, int(to_v) if to_v else None)
+            df = self.changes(ref, from_v - 1, int(to_v) if to_v else None)
             view = (
                 "__txlog_cdf_" + re.sub(r"\W", "_", target)
                 + f"_{from_v}_{to_v or 'latest'}"
@@ -1103,6 +1105,18 @@ class TxLogDataSource(BaseDataSource):
         candidates = self._files_overlapping_keys(df, snap, spec.primary_key_columns[0])
         target_slice = self._read_snapshot(table, snap, candidates)
         result = merge_frames(target_slice, df, spec)
+        # Generated columns on MERGE: merge_frames fills non-set
+        # columns of INSERTED rows with NULL — for a generated column
+        # that NULL means "not set", so compute the expression there
+        # (Delta's generated-column MERGE behavior). Explicitly-set
+        # non-NULL values that disagree with the expression still fail
+        # the generated:<col> check in _write_files.
+        for col, expr in sorted(snap.generated.items()):
+            if col in result.columns:
+                result = result.withColumn(
+                    col,
+                    F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
+                )
         adds = self._write_files(result, table, snap.partition_cols)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
@@ -1287,7 +1301,8 @@ class TxLogDataSource(BaseDataSource):
                 to_version: int | None = None) -> DataFrame:
         """Change data feed: row-level changes between two versions
         (exclusive ``from_version``, inclusive ``to_version``; default
-        latest), as the table schema plus ``_change_type``
+        latest; ``from_version=-1`` = empty base, so version 0's adds
+        are included), as the table schema plus ``_change_type``
         ('insert' | 'delete') and ``_commit_version``.
 
         File-granular and read-bounded: only files added or removed in
@@ -1300,9 +1315,18 @@ class TxLogDataSource(BaseDataSource):
         if latest is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
         to_version = latest if to_version is None else to_version
-        base = resolve_snapshot(table, from_version)
+        # from_version=-1 means "empty base": every live file of the
+        # interval counts as inserted from version 0 up — the inclusive
+        # lower bound the table_changes TVF needs. Schema/partitioning
+        # metadata then comes from the interval's END snapshot (the
+        # same convention the >=0 path gets from its base).
+        base = (
+            resolve_snapshot(table, from_version)
+            if from_version >= 0
+            else resolve_snapshot(table, to_version)
+        )
         commits, _ = _list_log(table)
-        live = dict(base.files)
+        live = dict(base.files) if from_version >= 0 else {}
         out: DataFrame | None = None
         for fname in commits:
             v = _version_of(fname)
