@@ -283,7 +283,13 @@ def bloom_pruning_report(spark: SparkSession, sf_dir: str) -> dict:
         ds.create(ref, base.schema)
         for b in range(16):
             ds.append(base.filter(F.col("o_custkey") % 16 == b).coalesce(1), ref)
-        build_bloom_index(ds, ref, "o_custkey")
+        # size the filter for the actual per-file cardinality (~10 bits
+        # per distinct value keeps fpp ~1%): sf0.1 holds ~2.3k distinct
+        # custkeys per file — the 4096-bit default would saturate and
+        # pruning would degrade to ~9/16 instead of ~3/16
+        n_per_file = max(1, base.select("o_custkey").distinct().count() // 16)
+        m_bits = max(4096, 1 << (n_per_file * 10).bit_length())
+        build_bloom_index(ds, ref, "o_custkey", m_bits=m_bits)
         keys = [5, 38, 121]
         kept, total_files = bloom_prune(ds, ref, "o_custkey", keys)
         pruned_n = read_where_in(ds, ref, "o_custkey", keys).count()
@@ -291,6 +297,7 @@ def bloom_pruning_report(spark: SparkSession, sf_dir: str) -> dict:
         return {
             "files_total": total_files,
             "files_after_bloom": len(kept),
+            "m_bits": m_bits,
             "rows_match_full_scan": bool(pruned_n == full_n),
         }
     finally:

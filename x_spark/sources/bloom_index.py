@@ -52,6 +52,10 @@ from x_spark.operators.text import BLOOM_PROBES, _bloom_positions
 from x_spark.sources.base import TableRef
 from x_spark.sources.txlog import TxLogDataSource, resolve_snapshot
 
+# Default filter size. Size for the per-FILE distinct cardinality:
+# ~10 bits per expected distinct value keeps the false-positive rate
+# ~1%; an undersized filter saturates and degrades (gracefully) toward
+# no pruning. 4096 bits serves ~400 distinct values per file.
 BLOOM_INDEX_BITS = 4096  # 64 longs / 512 B per file
 
 _INDEXABLE = (StringType, ByteType, ShortType, IntegerType, LongType)
