@@ -1152,3 +1152,19 @@ def test_table_changes_sql_surface(spark, ds, tmp_path):
         f"SELECT sum(v) AS tv FROM table_changes('{path}', 0, 1) WHERE part = 'a'"
     )
     assert out.collect()[0].tv == 30
+
+
+def test_clone_carries_generated_columns(spark, ds, tmp_path):
+    src = _ref(tmp_path, "gsrc")
+    schema = spark.createDataFrame([(1, 2)], "pk int, dbl int").schema
+    ds.create(src, schema)
+    ds.set_generated_column(src, "dbl", "pk * 2")
+    ds.append(spark.createDataFrame([(1,)], "pk int"), src)
+    dst = _ref(tmp_path, "gdst")
+    ds.clone(src, dst)
+    # the generation expression travels: omitted column computed,
+    # disagreement rejected — on the CLONE
+    ds.append(spark.createDataFrame([(4,)], "pk int"), dst)
+    assert (4, 8) in _rows(ds.read(dst))
+    with pytest.raises(DataSourceException, match="generated"):
+        ds.append(spark.createDataFrame([(5, 11)], "pk int, dbl int"), dst)
