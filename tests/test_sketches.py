@@ -110,3 +110,47 @@ def test_store_rejects_mismatched_lg_k(spark, ds, tmp_path):
         update_sketch_store(ds, ref, _users(spark, {"d": range(50)}), "user_id", ["day"], lg_k=13)
     # the store stays queryable after the rejected ingest
     assert estimate_from_store(ds, ref).collect()[0].n_rows == 50
+
+
+def test_streaming_sketch_ingest_exactly_once(spark, ds, tmp_path, sf_dir):
+    """Streaming composition: foreachBatch feeds per-epoch user-id
+    sketches into the maintained store with txn stamping — replayed
+    epochs are skipped BEFORE any write, and the final estimate agrees
+    with the exact distinct over everything ingested."""
+    from x_spark.streaming.events import chunked_events_dir, read_events_stream
+
+    src_dir = chunked_events_dir(spark, sf_dir, n_chunks=3)
+    stream = read_events_stream(spark, sf_dir, path=src_dir,
+                                max_files_per_trigger=1)
+    ref = TableRef(path=str(tmp_path / "stream_sk"))
+    app = "stream_sketches"
+    seen = []
+
+    def ingest(batch_df, batch_id):
+        if batch_id <= ds.last_txn_version(ref, app):
+            return  # replayed epoch: durable already
+        seen.append(batch_id)
+        batch = batch_df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        update_sketch_store(ds, ref, batch, "user_id", ["day"],
+                            txn=(app, int(batch_id)))
+        # simulate at-least-once delivery: a second call with the same
+        # epoch must abort inside the store before any log entry lands
+        with pytest.raises(Exception):
+            update_sketch_store(ds, ref, batch, "user_id", ["day"],
+                                txn=(app, int(batch_id)))
+
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(seen) >= 2  # genuinely incremental
+
+    got = estimate_from_store(ds, ref).collect()[0]
+    from x_spark.session import load_table
+
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(got.n_distinct - exact) / exact < 0.05
+    # one sketch commit per epoch (plus create): gap-free txn chain
+    assert ds.last_txn_version(ref, app) == max(seen)

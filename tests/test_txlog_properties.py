@@ -319,3 +319,74 @@ def test_vacuum_respects_checkpoint_horizon(spark, tmp_path, monkeypatch):
         ds.read(
             TableRef(path=ref.path, options={"versionAsOf": str(latest - 5)})
         ).collect()
+
+
+@given(ops=op_sequence())
+@SETTINGS
+def test_clone_and_manifest_pin_their_snapshot_under_any_op_sequence(
+    spark, tmp_path_factory, ops
+):
+    """CLONE and the export manifest are point-in-time: whatever random
+    op sequence runs AFTER they are taken, (a) the manifest file list
+    still reconstructs exactly the pinned rows via a plain parquet
+    read — UP TO the documented vacuum horizon (an aggressive
+    keep_last vacuum deletes old-version files, which is exactly the
+    caveat generate_manifest's docstring states), (b) the clone still
+    reads the pinned state even AFTER that aggressive source vacuum
+    (hardlinks keep the inodes alive — the stronger guarantee), and
+    (c) a clone taken at the end equals the final source state."""
+    import duckdb
+
+    ds = init_datasource("txlog", spark)
+    base = tmp_path_factory.mktemp("cmprop")
+    ref = TableRef(path=str(base / "t"))
+    schema = "pk int, v int"
+    ds.create(ref, spark.createDataFrame([], schema).schema)
+    ds.append(spark.createDataFrame([(0, 0), (1, 1)], schema), ref)
+    pinned = sorted(map(tuple, ds.read(ref).collect()))
+
+    clone_ref = TableRef(path=str(base / "clone_early"))
+    ds.clone(ref, clone_ref)
+    manifest = ds.generate_manifest(ref)
+    with open(manifest) as fh:
+        pinned_files = [ln.strip() for ln in fh if ln.strip()]
+
+    model = list(pinned)
+    for op, payload in ops:
+        if op == "append":
+            ds.append(spark.createDataFrame(payload, schema), ref)
+        elif op == "overwrite":
+            ds.overwrite(spark.createDataFrame(payload, schema), ref)
+        elif op == "merge":
+            if not payload:
+                continue
+            ds.merge(
+                spark.createDataFrame(payload, schema),
+                ref,
+                MergeSpec(["pk"], ["v"], insert_when_not_matched=True),
+            )
+        elif op == "delete":
+            ds.delete(ref, f"pk = {payload}")
+        else:
+            ds.truncate(ref)
+        model = _model_apply(model, op, payload)
+
+    # (a) BEFORE any vacuum: the manifest reconstructs the pinned rows
+    # externally, regardless of the op sequence that ran since
+    if pinned_files:
+        con = duckdb.connect()
+        got = sorted(con.sql(
+            "SELECT pk, v FROM read_parquet($f)", params={"f": pinned_files}
+        ).fetchall())
+        con.close()
+        assert got == pinned
+
+    ds.vacuum(ref, keep_last=1, min_age_sec=0)  # aggressive source vacuum
+
+    # (b) the early clone still reads the pinned state even now —
+    # the manifest's files may be gone, the clone's hardlinks are not
+    assert sorted(map(tuple, ds.read(clone_ref).collect())) == pinned
+    # (c) a fresh clone equals the final source state
+    final_ref = TableRef(path=str(base / "clone_final"))
+    ds.clone(ref, final_ref)
+    assert sorted(map(tuple, ds.read(final_ref).collect())) == sorted(model)
