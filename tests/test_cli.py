@@ -430,3 +430,20 @@ def test_cli_clone(tmp_path, spark, capsys):
     assert main(["clone", src, dst]) == 0
     out = capsys.readouterr().out
     assert "version 0" in out and "2 rows" in out
+
+
+def test_cli_sketch_ingest_and_estimate(tmp_path, spark, capsys):
+    src = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [("d1", i) for i in range(500)] + [("d2", i) for i in range(250, 750)],
+        "day string, user_id long",
+    ).write.parquet(src)
+    store = str(tmp_path / "skstore")
+    assert main(["sketch", store, "--ingest", src]) == 0
+    capsys.readouterr()
+    assert main(["sketch", store]) == 0
+    out = capsys.readouterr().out
+    assert "'day': 'd1'" in out and "'n_distinct'" in out
+    assert main(["sketch", store, "--where", "day = 'd2'"]) == 0
+    out = capsys.readouterr().out
+    assert "'d1'" not in out and "'d2'" in out

@@ -116,3 +116,66 @@ def test_bm25_invariants(spark):
     assert out[1] > out[2] > out[4]  # rare term dominates; tf saturates
     assert all(v >= 0 and math.isfinite(v) for v in out.values())
     assert 3 not in out  # no query terms -> no row
+
+
+# -- maintained (incremental) BM25 index --------------------------------------
+def test_text_index_incremental_matches_direct_bm25(spark, sf_dir, tmp_path):
+    from x_spark.operators.text_search import bm25_store_topk, bm25_topk, update_text_index
+    from x_spark.session import load_table
+    from x_spark.sources import init_datasource
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = init_datasource("txlog", spark)
+    terms = ["spark", "join", "window"]
+
+    inc_root = str(tmp_path / "idx_inc")
+    for b in range(3):
+        update_text_index(ds, inc_root, docs.filter(f"doc_id % 3 = {b}"),
+                          txn=("ing", b))
+    one_root = str(tmp_path / "idx_one")
+    update_text_index(ds, one_root, docs)
+
+    want = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    got_inc = sorted(map(tuple, bm25_store_topk(ds, inc_root, terms, k=10).collect()))
+    got_one = sorted(map(tuple, bm25_store_topk(ds, one_root, terms, k=10).collect()))
+    assert got_inc == want and got_one == want and want
+
+
+def test_text_index_replay_heals_partial_ingest(spark, sf_dir, tmp_path):
+    from x_spark.operators.text_search import bm25_store_topk, update_text_index
+    from x_spark.session import load_table
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    ds = init_datasource("txlog", spark)
+    root = str(tmp_path / "idx")
+    update_text_index(ds, root, docs, txn=("app", 1))
+    tf_n = ds.read(TableRef(path=root + "/tf")).count()
+    dl_n = ds.read(TableRef(path=root + "/dl")).count()
+    # full replay of the same epoch: both halves detected, nothing lands
+    update_text_index(ds, root, docs, txn=("app", 1))
+    assert ds.read(TableRef(path=root + "/tf")).count() == tf_n
+    assert ds.read(TableRef(path=root + "/dl")).count() == dl_n
+    assert bm25_store_topk(ds, root, ["spark"], k=3).count() <= 3
+
+
+def test_text_index_query_prunes_token_buckets(spark, sf_dir, tmp_path):
+    from x_spark.operators.text_search import bm25_store_topk, update_text_index
+    from x_spark.session import load_table
+    from x_spark.sources import init_datasource
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    ds = init_datasource("txlog", spark)
+    root = str(tmp_path / "idx")
+    update_text_index(ds, root, docs)
+    out = bm25_store_topk(ds, root, ["spark"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the tf scans carry a non-empty PartitionFilter on the bucket
+    # directory column (e.g. "PartitionFilters: [isnotnull(tok_bucket),
+    # (tok_bucket = 9)]")
+    assert any(
+        "PartitionFilters" in ln and "tok_bucket" in ln
+        and "PartitionFilters: []" not in ln
+        for ln in plan.split("\n")
+    )

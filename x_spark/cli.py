@@ -262,6 +262,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     det.add_argument("path", help="txlog table directory")
 
+    skt = sub.add_parser(
+        "sketch",
+        help="maintained HLL distinct sketches: ingest a parquet batch "
+        "into a txlog sketch store, or print distinct estimates",
+    )
+    skt.add_argument("store", help="txlog sketch-store directory")
+    skt.add_argument("--ingest", default=None, help="parquet path to ingest")
+    skt.add_argument("--value-col", default="user_id")
+    skt.add_argument("--unit-cols", default="day",
+                     help="comma-separated unit columns")
+    skt.add_argument("--where", default=None,
+                     help="unit filter for the estimate (e.g. \"day >= 'd2'\")")
+
     cln = sub.add_parser(
         "clone",
         help="zero-copy CLONE of a txlog table (hardlinked data files; "
@@ -485,6 +498,25 @@ def main(argv: list[str] | None = None) -> int:
             snap = resolve_snapshot(ds._table_path(ref))
             for name, expr in sorted((snap.constraints if snap else {}).items()):
                 print(f"{name}: CHECK ({expr})")
+        return 0
+
+    if args.command == "sketch":
+        from x_spark.operators.sketches import estimate_from_store, update_sketch_store
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        spark = get_session()
+        ds = init_datasource("txlog", spark)
+        ref = TableRef(path=args.store)
+        units = [c.strip() for c in args.unit_cols.split(",") if c.strip()]
+        if args.ingest:
+            batch = spark.read.parquet(args.ingest)
+            update_sketch_store(ds, ref, batch, args.value_col, units)
+            print(f"ingested {args.ingest} into {args.store}")
+        else:
+            for row in estimate_from_store(ds, ref, units, where=args.where).collect():
+                print(row.asDict())
         return 0
 
     if args.command == "clone":

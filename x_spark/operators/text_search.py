@@ -215,3 +215,119 @@ def bm25_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained (incremental) text index: the catalog-table index above is
+# rebuilt per corpus; at 100 TB the posting lists must be a MAINTAINED
+# artifact that each ingest batch extends in O(batch). Two txlog tables
+# under one root: tf (doc_id, token, tf) partitioned by a token hash
+# bucket (query terms prune to their buckets' partition directories)
+# and dl (doc_id, dl). Corpus statistics (n_docs, avgdl) and df(t) are
+# DERIVED at query time — n_docs/avgdl from one agg over the doc-sized
+# dl table, df(t) from the pruned posting slice — so ingest never
+# read-modify-writes global state and BM25 scores always reflect the
+# full current index.
+
+TEXT_INDEX_BUCKETS = 16  # index layout constant: term -> pmod(hash60, THIS)
+
+
+def _tok_bucket(col: str = "token") -> F.Column:
+    from x_spark.functions.portable import hash60
+
+    return F.pmod(hash60(col), F.lit(TEXT_INDEX_BUCKETS)).cast("int")
+
+
+def update_text_index(
+    ds,
+    root: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """Append one ingest batch's postings to the maintained index —
+    O(batch) (the existing corpus is never re-tokenized). Each doc must
+    be ingested once (append-only posting lists). With ``txn`` the
+    ingest is exactly-once PER TABLE: a replay that already landed one
+    of the two appends skips it and completes the other, so a crash
+    between the tf and dl commits heals on retry."""
+    import os as _os
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    toks = tokenize(batch, id_col, text_col)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("tok_bucket", _tok_bucket())
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    tf_ref = TableRef(path=_os.path.join(root, "tf"))
+    dl_ref = TableRef(path=_os.path.join(root, "dl"))
+    if not ds.table_exists(tf_ref):
+        ds.create(tf_ref, tf.schema, partition_by=["tok_bucket"])
+    if not ds.table_exists(dl_ref):
+        ds.create(dl_ref, dl.schema)
+    for df, ref in ((tf, tf_ref), (dl, dl_ref)):
+        try:
+            ds.append(df, ref, txn=txn)
+        except TxnAlreadyCommittedException:
+            continue  # this half already landed (crash-replay heal)
+
+
+def bm25_store_topk(
+    ds,
+    root: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k over the maintained index: the tf scan prunes to the
+    query terms' hash-bucket PARTITIONS (PartitionFilters — pinned by
+    test), df/n_docs/avgdl derive from the current index state, and
+    the scoring tree is identical to :func:`bm25_topk`, so results
+    match the direct corpus computation exactly."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from x_spark.sources.base import TableRef
+
+    buckets = sorted({
+        int(h) for h in (
+            int(__import__("hashlib").md5(t.encode()).hexdigest()[:15], 16)
+            % TEXT_INDEX_BUCKETS for t in query_terms
+        )
+    })
+    tf = (
+        ds.read(TableRef(path=_os.path.join(root, "tf")))
+        .filter(F.col("tok_bucket").isin(buckets))
+        .filter(F.col("token").isin(query_terms))
+    )
+    dl = ds.read(TableRef(path=_os.path.join(root, "dl")))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("dft"))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
+    idf = F.log((n - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5)) + F.lit(1.0))
+    sat = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
