@@ -1976,6 +1976,37 @@ def _bm25_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# The MAINTAINED BM25 index driven against the same oracle as the
+# direct computation: the index is built incrementally inside the
+# query (three ingest batches into the token-bucket-partitioned txlog
+# postings store), then searched through the pruned-scan path. A
+# drifted posting count, a lost batch, or a broken derived-stats
+# formula all hash-diverge from the direct-BM25 oracle.
+def q_bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.operators.text_search import bm25_store_topk, update_text_index
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_bm25_idx_")
+    try:
+        ds = TxLogDataSource(spark)
+        root = os.path.join(workdir, "idx")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        for b in range(3):
+            update_text_index(
+                ds, root, docs.filter(F.col("doc_id") % 3 == b), txn=("ing", b)
+            )
+        return bm25_store_topk(ds, root, _BM25_TERMS, k=15).localCheckpoint(
+            eager=True  # materialize before the temp store disappears
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # PII audit: the synthetic corpus carries no natural PII, so the query
 # injects deterministic emails/phones/IPs (mirrored in the oracle) and
 # audits detection + redaction completeness per source.
@@ -2309,6 +2340,7 @@ PIPELINE_QUERIES = {
     "source_data_cards": q_source_data_cards,
     "token_budget_selection": q_token_budget_selection,
     "rolling_value_anomalies": q_rolling_value_anomalies,
+    "bm25_indexed_search": q_bm25_indexed_search,
     "hard_negative_mining": q_hard_negative_mining,
     "filter_attribution": q_filter_attribution,
     "curriculum_positions": q_curriculum_positions,
@@ -2370,6 +2402,7 @@ PIPELINE_ORACLES = {
     "source_data_cards": ORACLE_SOURCE_DATA_CARDS,
     "token_budget_selection": ORACLE_TOKEN_BUDGET_SELECTION,
     "rolling_value_anomalies": ORACLE_ROLLING_VALUE_ANOMALIES,
+    "bm25_indexed_search": _bm25_oracle(),
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "filter_attribution": ORACLE_FILTER_ATTRIBUTION,
     "curriculum_positions": ORACLE_CURRICULUM_POSITIONS,

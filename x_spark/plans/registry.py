@@ -148,6 +148,13 @@ _TAIL = [
                                # battery — drop shares sum to 100% by
                                # construction): locally hash-checked; r6
                                # rotation candidate
+    "bm25_indexed_search",     # late-round-5 addition (the MAINTAINED
+                               # incremental BM25 index — three txn-stamped
+                               # ingest batches then the bucket-pruned
+                               # search — against the SAME oracle as the
+                               # direct bm25_search, so any index drift
+                               # hash-diverges): locally hash-checked; r6
+                               # rotation candidate
     "hard_negative_mining",    # late-round-5 addition (contrastive hard-
                                # negative mining: banded-similarity top-k,
                                # band on the rounded score so membership is
