@@ -87,9 +87,40 @@ def test_indexed_bm25_matches_direct_and_prunes_buckets(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "SelectedBucketsCount" in plan
+        _assert_distributed_topk(plan)
     finally:
         for t in ("ii_test_tf", "ii_test_dl", "ii_test_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _assert_distributed_topk(plan: str):
+    """The scored set must reach the rank window only AFTER a
+    TakeOrderedAndProject (distributed per-partition top-k + merge):
+    the Window node sits ABOVE the take, so at most k rows ever cross
+    a single-partition boundary — never the corpus-sized scored set."""
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window ") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_topk_plans_never_sort_scored_set_on_one_partition(spark):
+    """Plan-shape pin for the registry top-k family: bm25_search and
+    token_topk rank via orderBy().limit(k) (TakeOrderedAndProject),
+    and top_supplier_revenue has no window at all (scalar max +
+    broadcast filter join)."""
+    from x_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("bm25_search", "token_topk"):
+        plan = (
+            QUERIES[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        _assert_distributed_topk(plan)
+    plan = (
+        QUERIES["top_supplier_revenue"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
 
 
 def test_bm25_invariants(spark):
@@ -179,3 +210,4 @@ def test_text_index_query_prunes_token_buckets(spark, sf_dir, tmp_path):
         and "PartitionFilters: []" not in ln
         for ln in plan.split("\n")
     )
+    _assert_distributed_topk(plan)

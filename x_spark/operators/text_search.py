@@ -29,6 +29,25 @@ K1 = 1.2
 B = 0.75
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed deterministic top-k with a dense ``rank`` column.
+
+    ``orderBy(...).limit(k)`` lets Spark keep at most ``k`` rows per
+    partition before anything crosses a shuffle (TakeOrderedAndProject
+    / LocalLimit+GlobalLimit), so the scored set — corpus-sized for a
+    common query term — is never funneled through a single-partition
+    global sort. The ``row_number`` window then orders only the ``k``
+    surviving rows, which is where a partitionless window is harmless.
+    (bm25 desc, doc_id asc) is a total order, so the k rows and their
+    ranks are identical to the old whole-set window formulation.
+    """
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    topk = scored.orderBy(*order).limit(k)
+    return topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("bigint")
+    )
+
+
 def tokenize(docs: DataFrame, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Posting rows (doc_id, token): lowercase, whitespace-split.
@@ -86,11 +105,7 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
     )
-    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def bm25_oracle_sql(query_terms: list[str], k: int = 10,
@@ -187,8 +202,6 @@ def bm25_topk_indexed(
     lists (tf holds one row per (doc, token)), and scoring is the same
     expression tree as :func:`bm25_topk`, so results are identical.
     """
-    from pyspark.sql import Window as W
-
     tf = spark.table(f"{name_prefix}_tf").filter(
         F.col("token").isin(query_terms)
     )
@@ -210,11 +223,7 @@ def bm25_topk_indexed(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
     )
-    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -292,8 +301,6 @@ def bm25_store_topk(
     match the direct corpus computation exactly."""
     import os as _os
 
-    from pyspark.sql import Window as W
-
     from x_spark.sources.base import TableRef
 
     buckets = sorted({
@@ -326,8 +333,4 @@ def bm25_store_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
     )
-    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)

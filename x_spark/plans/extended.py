@@ -563,10 +563,15 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
-    w = W.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+    # orderBy().limit() keeps at most 20 rows per partition before the
+    # merge — the full vocabulary never funnels through one partition;
+    # the rank window then orders only the 20 survivors. (n desc, token
+    # asc) is a total order, so output is identical to a whole-set
+    # row_number window.
+    order = [F.desc("n"), F.asc("token")]
+    topk = counts.orderBy(*order).limit(20)
+    return topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("bigint")
     )
 
 
@@ -807,11 +812,11 @@ FROM (
 
 # ---------------------------------------------------------------------------
 # TPC-H Q15 flavor: top supplier(s) by quarterly revenue — max-of-
-# aggregate without a self-join: one agg then a rank-1 window (ties all
-# kept, like Q15's = max subquery).
+# aggregate via a broadcast scalar max (ties all kept, like Q15's
+# = max subquery): the per-supplier aggregate is computed once and
+# filtered against its own broadcast 1-row max, so no window — let
+# alone an unpartitioned one — appears anywhere in the plan.
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -820,9 +825,14 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = rev.withColumn(
-        "rnk", F.rank().over(W.orderBy(F.desc("total_revenue")))
-    ).filter(F.col("rnk") == 1)
+    # rev feeds two jobs (the broadcast max build, then the filter
+    # join); persisting the supplier-cardinality aggregate keeps the
+    # lineitem scan single-pass — the broadcast build materializes it.
+    rev = rev.persist()
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    top = rev.join(F.broadcast(best)).filter(
+        F.col("total_revenue") == F.col("best_revenue")
+    )
     sup = _t(spark, sf_dir, "supplier")
     return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
