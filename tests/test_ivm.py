@@ -200,6 +200,137 @@ def test_join_view_rejects_bad_specs(spark, tmp_path):
         JoinView(ds, r, r, r, on=["k"], a_cols=["c"], b_cols=["c"])
 
 
+def test_join_view_stored_layout_wins_on_reopen(spark, tmp_path):
+    """An existing view's on-disk layout always beats the constructor:
+    (a) a view created with an explicit bucket count stores it in
+    schema metadata and a reopen with a DIFFERENT n_buckets keeps
+    folding into the stored hash space; (b) a small auto-mode view
+    (the default) stays unbucketed when reopened with an explicit
+    count."""
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+
+    def mk(suffix, **kw):
+        return JoinView(
+            ds, TableRef(path=str(tmp_path / f"a{suffix}")),
+            TableRef(path=str(tmp_path / f"b{suffix}")),
+            TableRef(path=str(tmp_path / f"j{suffix}")),
+            on=["k"], a_cols=["av"], b_cols=["bv"], **kw,
+        )
+
+    def want(suffix):
+        a = ds.read(TableRef(path=str(tmp_path / f"a{suffix}")))
+        b = ds.read(TableRef(path=str(tmp_path / f"b{suffix}")))
+        return sorted(map(tuple, (
+            a.join(b, "k").groupBy("k", "av", "bv")
+            .agg(F.count("*").alias("n_rows")).collect()
+        )))
+
+    # (a) explicit bucketed create, hostile reopen with n_buckets=3
+    v1 = mk("1", n_buckets=5)
+    ds.append(spark.createDataFrame(
+        [(k, k) for k in range(1, 9)], "k int, av int"),
+        TableRef(path=str(tmp_path / "a1")))
+    ds.append(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(1, 9)], "k int, bv string"),
+        TableRef(path=str(tmp_path / "b1")))
+    v1.refresh()
+    assert v1._effective_buckets() == 5
+    reopened = mk("1", n_buckets=3)
+    ds.append(spark.createDataFrame([(4, 40), (9, 90)], "k int, av int"),
+              TableRef(path=str(tmp_path / "a1")))
+    reopened.refresh()
+    assert reopened._effective_buckets() == 5  # stored count wins
+    assert sorted(map(tuple, reopened.read().collect())) == want("1")
+
+    # (b) small auto-mode view stays unbucketed under an explicit reopen
+    v2 = mk("2")
+    assert v2.n_buckets == "auto"
+    ds.append(spark.createDataFrame([(1, 10)], "k int, av int"),
+              TableRef(path=str(tmp_path / "a2")))
+    ds.append(spark.createDataFrame([(1, "x")], "k int, bv string"),
+              TableRef(path=str(tmp_path / "b2")))
+    v2.refresh()
+    assert v2._effective_buckets() is None
+    reopened2 = mk("2", n_buckets=7)
+    assert reopened2._effective_buckets() is None  # stored layout wins
+    ds.append(spark.createDataFrame([(2, 20)], "k int, av int"),
+              TableRef(path=str(tmp_path / "a2")))
+    ds.append(spark.createDataFrame([(2, "y")], "k int, bv string"),
+              TableRef(path=str(tmp_path / "b2")))
+    reopened2.refresh()
+    assert sorted(map(tuple, reopened2.read().collect())) == want("2")
+    assert "_bucket" not in ds.read(
+        TableRef(path=str(tmp_path / "j2"))).columns
+
+
+def test_join_view_auto_migrates_to_bucketed_when_grown(spark, tmp_path,
+                                                        monkeypatch):
+    """The auto default migrates a grown view to bucketed layout: the
+    full-rewrite refresh that finds the stored view at or past
+    AUTO_BUCKET_ROWS writes that rewrite bucketed (schema + partition
+    change in one stamped commit), subsequent refreshes take the
+    partition-scoped path, the maintained bag stays equal to the plain
+    join throughout, and replay idempotency survives the migration."""
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    monkeypatch.setattr(JoinView, "AUTO_BUCKET_ROWS", 10)
+    monkeypatch.setattr(JoinView, "DEFAULT_BUCKETS", 4)
+    ds = init_datasource("txlog", spark)
+    a_ref = TableRef(path=str(tmp_path / "a"))
+    b_ref = TableRef(path=str(tmp_path / "b"))
+    v_ref = TableRef(path=str(tmp_path / "j"))
+    view = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                    a_cols=["av"], b_cols=["bv"])
+
+    def check():
+        got = sorted(map(tuple, view.read().collect()))
+        want = sorted(map(tuple, (
+            ds.read(a_ref).join(ds.read(b_ref), "k")
+            .groupBy("k", "av", "bv").agg(F.count("*").alias("n_rows"))
+        ).collect()))
+        assert got == want, (got, want)
+
+    ds.append(spark.createDataFrame(
+        [(k, k) for k in range(5)], "k int, av int"), a_ref)
+    ds.append(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(30)], "k int, bv string"), b_ref)
+    view.refresh()
+    check()
+    assert view._effective_buckets() is None  # 5 rows < threshold
+
+    # grow past the threshold (the refresh that WRITES the growth
+    # still found the old 5-row store, so it stays unbucketed) ...
+    ds.append(spark.createDataFrame(
+        [(k, k) for k in range(5, 30)], "k int, av int"), a_ref)
+    view.refresh()
+    check()
+    assert view._effective_buckets() is None
+    # ... and the NEXT full rewrite finds 30 stored rows >= 10: migrate
+    ds.append(spark.createDataFrame([(3, 333)], "k int, av int"), a_ref)
+    va, vb = view.refresh()
+    check()
+    assert view._effective_buckets() == 4
+    assert "_bucket" in ds.read(v_ref).columns
+    assert view.refresh() == (va, vb)  # no-op detected post-migration
+
+    # post-migration refreshes take the partition-scoped path and
+    # still drain deletes correctly
+    ds.delete(b_ref, "k in (1, 2)")
+    ds.append(spark.createDataFrame([(0, 99)], "k int, av int"), a_ref)
+    view.refresh()
+    check()
+    # a fresh object (default ctor) reads the stored count back
+    again = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                     a_cols=["av"], b_cols=["bv"])
+    assert again._effective_buckets() == 4
+
+
 def test_bucketed_join_view_scopes_the_rewrite(spark, tmp_path):
     """n_buckets partitions the view on a join-key hash bucket so a
     refresh rewrites ONLY the buckets its deltas touch: (a) the

@@ -1168,3 +1168,44 @@ def test_clone_carries_generated_columns(spark, ds, tmp_path):
     assert (4, 8) in _rows(ds.read(dst))
     with pytest.raises(DataSourceException, match="generated"):
         ds.append(spark.createDataFrame([(5, 11)], "pk int, dbl int"), dst)
+
+
+def test_overwrite_schema_replaces_layout_atomically(spark, ds, tmp_path):
+    """Delta's overwriteSchema=true: one commit replaces data, schema
+    AND partitioning; time travel to earlier versions still reads the
+    old schema; the invalid compositions are rejected up front."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)  # pk/part/v, unpartitioned, v1
+    old = _rows(ds.read(ref))
+
+    new = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "pk int, bucket int, payload string"
+    )
+    ds.overwrite(new, ref, overwrite_schema=True, partition_by=["bucket"],
+                 txn=("osw", 7))
+    assert _rows(ds.read(ref)) == [(1, 0, "x"), (2, 1, "y")]
+    snap = resolve_snapshot(str(tmp_path / "t"))
+    assert snap.partition_cols == ["bucket"]
+    assert [f.name for f in snap.schema.fields] == ["pk", "bucket", "payload"]
+    # partition layout is live: a bucket-pruned read touches one dir
+    assert all("bucket=" in p for p in snap.files)
+    # time travel: version 1 still reads the ORIGINAL schema and rows
+    v1 = TableRef(path=str(tmp_path / "t"), options={"versionAsOf": "1"})
+    assert _rows(ds.read(v1)) == old
+    # txn stamp landed with the same commit
+    assert ds.last_txn_version(ref, "osw") == 7
+
+    # replay of the stamped migration is a detected no-op error
+    with pytest.raises(Exception):
+        ds.overwrite(new, ref, overwrite_schema=True,
+                     partition_by=["bucket"], txn=("osw", 7))
+
+    # invalid compositions
+    with pytest.raises(DataSourceException, match="full overwrite"):
+        ds.overwrite(new, ref, replace_where="bucket = 0",
+                     overwrite_schema=True)
+    with pytest.raises(DataSourceException, match="overwrite_schema"):
+        ds.overwrite(new, ref, partition_by=["bucket"])
+    with pytest.raises(DataSourceException, match="partition column"):
+        ds.overwrite(spark.createDataFrame([(1,)], "pk int"), ref,
+                     overwrite_schema=True, partition_by=["nope"])

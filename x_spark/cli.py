@@ -124,9 +124,12 @@ def build_parser() -> argparse.ArgumentParser:
     ivmj.add_argument("--a-cols", default="", help="side-A payload columns")
     ivmj.add_argument("--b-cols", default="", help="side-B payload columns")
     ivmj.add_argument(
-        "--buckets", type=int, default=None,
-        help="partition the view on a join-key hash bucket: refreshes "
-        "rewrite only touched buckets (size to the write unit)",
+        "--buckets", type=int, default=None, metavar="N",
+        help="join-key hash bucket count for a NEW view (refreshes "
+        "rewrite only touched buckets); default: automatic — the view "
+        "migrates to 32 buckets once it outgrows full rewrites; 0 = "
+        "never bucket; an existing bucketed view keeps its stored "
+        "count",
     )
     ivmj.add_argument(
         "--staleness", action="store_true",
@@ -693,11 +696,13 @@ def main(argv: list[str] | None = None) -> int:
 
         ds = init_datasource("txlog", get_session())
         split = lambda v: [c.strip() for c in v.split(",") if c.strip()]  # noqa: E731
+        nb = ("auto" if args.buckets is None
+              else (None if args.buckets == 0 else args.buckets))
         view = JoinView(
             ds, TableRef(path=args.a), TableRef(path=args.b),
             TableRef(path=args.view), on=split(args.on),
             a_cols=split(args.a_cols), b_cols=split(args.b_cols),
-            n_buckets=args.buckets,
+            n_buckets=nb,
         )
         if args.staleness:
             va, vb = view.staleness()

@@ -323,12 +323,34 @@ class JoinView:
     keys, footer stats prune its scan to the touched key range. The
     O(changed-data) claim covers the delta side; the pinned-side read
     is the inherent cost of join maintenance.
+
+    Bucketing — the partition-scoped refresh that still works when the
+    view ITSELF is large (rewrite only the join-key hash buckets the
+    deltas touch) — is automatic by DEFAULT (``n_buckets="auto"``):
+    the view starts unbucketed (small views rewrite whole faster than
+    they churn hive partitions), and the first full-rewrite refresh
+    that finds the stored view at or past ``AUTO_BUCKET_ROWS``
+    (metadata-only count) writes THAT rewrite in bucketed layout —
+    migration costs nothing, because the unbucketed refresh was
+    rewriting the whole view anyway. ``n_buckets=<int>`` buckets from
+    birth; ``n_buckets=None`` is the explicit never-bucket opt-in.
+    An EXISTING view's on-disk layout always wins over the
+    constructor: a bucketed store's count is read back from the
+    ``_bucket`` field's schema metadata (stamped at create), so
+    reopening with a different constructor value can never split a
+    key's rows across two hash spaces.
     """
+
+    DEFAULT_BUCKETS = 32
+    # auto-migration threshold: past this many stored view rows a full
+    # rewrite per refresh is the wrong plan; one metadata-only count
+    # per unbucketed refresh checks it
+    AUTO_BUCKET_ROWS = 2_000_000
 
     def __init__(self, ds: TxLogDataSource, a_ref: TableRef, b_ref: TableRef,
                  view_ref: TableRef, on: list[str],
                  a_cols: list[str], b_cols: list[str],
-                 n_buckets: int | None = None):
+                 n_buckets: int | None | str = "auto"):
         if not on:
             raise ValueError("JoinView requires at least one join key")
         overlap = set(a_cols) & set(b_cols)
@@ -337,25 +359,55 @@ class JoinView:
                 f"payload columns must be disjoint from each other and the "
                 f"keys (overlap: {sorted(overlap)})"
             )
-        if n_buckets is not None and n_buckets < 1:
+        if isinstance(n_buckets, str):
+            if n_buckets != "auto":
+                raise ValueError(f"n_buckets: int, None or 'auto', "
+                                 f"got {n_buckets!r}")
+        elif n_buckets is not None and n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
         self.ds = ds
         self.a_ref, self.b_ref, self.view_ref = a_ref, b_ref, view_ref
         self.on = list(on)
         self.a_cols, self.b_cols = list(a_cols), list(b_cols)
-        # n_buckets: partition the view table on a join-key hash bucket
-        # so a refresh rewrites ONLY the buckets its deltas touch
-        # (overwrite_dynamic) instead of the whole view — the
-        # partition-scoped refresh a large maintained join needs. Size
-        # n_buckets so a bucket ~ the write unit; deltas touching few
-        # keys then rewrite a few buckets, and untouched buckets'
-        # files are never read or written (byte-identical survival is
-        # pinned by test).
+        # n_buckets: the bucket count used IF this view is created by
+        # this object; once the view exists, _effective_buckets reads
+        # the mode back from the stored layout instead. Size n_buckets
+        # so a bucket ~ the write unit; deltas touching few keys then
+        # rewrite a few buckets, and untouched buckets' files are
+        # never read or written (byte-identical survival is pinned by
+        # test).
         self.n_buckets = n_buckets
         name = view_ref.table or view_ref.path or "join"
         self.app_a, self.app_b = f"ivmj:{name}:a", f"ivmj:{name}:b"
 
     # -- internals -----------------------------------------------------
+    def _effective_buckets(self) -> int | None:
+        """Bucket mode, stored-layout-first (see class docstring): a
+        view that does not exist yet buckets from birth only for an
+        explicit int; an existing view's schema decides — no
+        ``_bucket`` field means (currently) unbucketed, a ``_bucket``
+        field carries the count it was created with in its schema
+        metadata."""
+        snap = resolve_snapshot(self.ds._table_path(self.view_ref))
+        if snap is None:
+            return self.n_buckets if isinstance(self.n_buckets, int) else None
+        fields = {f.name: f for f in snap.schema.fields}
+        if "_bucket" not in fields:
+            return None
+        stored = (fields["_bucket"].metadata or {}).get("ivm_n_buckets")
+        if stored is not None:
+            return int(stored)
+        # bucketed view created before the metadata stamp existed: the
+        # constructor value is the only source of truth left, and
+        # silently guessing would scatter keys across hash spaces
+        if not isinstance(self.n_buckets, int):
+            raise ValueError(
+                f"view {self.ds._table_path(self.view_ref)!r} is bucket-"
+                "partitioned but carries no ivm_n_buckets metadata; pass "
+                "the n_buckets it was created with"
+            )
+        return self.n_buckets
+
     def _pos(self, app_id: str) -> int:
         if not self.ds.table_exists(self.view_ref):
             return -1
@@ -408,9 +460,11 @@ class JoinView:
             .groupBy(*out_cols)
             .agg(F.sum("_sign").cast("bigint").alias("n_rows"))
         )
-        if self.n_buckets is not None:
-            return self._apply_bucketed(delta_j, out_cols, app_id, current)
-        if self.ds.table_exists(self.view_ref):
+        nb = self._effective_buckets()
+        if nb is not None:
+            return self._apply_bucketed(delta_j, out_cols, app_id, current, nb)
+        exists = self.ds.table_exists(self.view_ref)
+        if exists:
             prior = self.ds.read(self.view_ref)
             merged = (
                 prior.unionByName(delta_j)
@@ -420,16 +474,32 @@ class JoinView:
         else:
             merged = delta_j
         result = merged.filter(F.col("n_rows") > 0)
-        if not self.ds.table_exists(self.view_ref):
+        if (exists and self.n_buckets == "auto"
+                and self.ds.count_rows(self.view_ref) >= self.AUTO_BUCKET_ROWS):
+            # the view outgrew full-rewrite refreshes: this refresh was
+            # going to rewrite everything anyway, so write THIS rewrite
+            # in bucketed layout (schema + partitioning replaced in the
+            # same atomic stamped commit) — every later refresh takes
+            # the partition-scoped path
+            nb = self.DEFAULT_BUCKETS
+            result_b = result.select(
+                "*",
+                self._bucket_col(nb).alias(
+                    "_bucket", metadata={"ivm_n_buckets": nb}),
+            )
+            self.ds.overwrite(result_b, self.view_ref, txn=(app_id, current),
+                              overwrite_schema=True, partition_by=["_bucket"])
+            return current
+        if not exists:
             self.ds.create(self.view_ref, result.schema)
         self.ds.overwrite(result, self.view_ref, txn=(app_id, current))
         return current
 
-    def _bucket_col(self) -> F.Column:
-        return F.pmod(F.hash(*self.on), F.lit(self.n_buckets)).cast("int")
+    def _bucket_col(self, n_buckets: int) -> F.Column:
+        return F.pmod(F.hash(*self.on), F.lit(n_buckets)).cast("int")
 
     def _apply_bucketed(self, delta_j: DataFrame, out_cols: list[str],
-                        app_id: str, current: int) -> int:
+                        app_id: str, current: int, n_buckets: int) -> int:
         """Partition-scoped apply: fold the deltas into ONLY the view
         partitions (join-key hash buckets) they touch, and land the new
         bucket contents + position via one stamped replaceWhere over
@@ -448,7 +518,7 @@ class JoinView:
         the merge union — without the checkpoint the expensive
         CDF-x-pinned-side join would execute once per consumer."""
         delta_b = (
-            delta_j.withColumn("_bucket", self._bucket_col())
+            delta_j.withColumn("_bucket", self._bucket_col(n_buckets))
             .localCheckpoint(eager=True)
         )
         # the touched-bucket list is metadata-sized (<= n_buckets)
@@ -471,8 +541,17 @@ class JoinView:
             *out_cols, "n_rows", "_bucket"
         )
         if not exists:
-            self.ds.create(self.view_ref, result.schema,
-                           partition_by=["_bucket"])
+            # stamp the bucket count into the _bucket field's schema
+            # metadata so a reopen can never mis-resolve the hash space
+            from pyspark.sql.types import StructField, StructType
+
+            stamped = StructType([
+                StructField(f.name, f.dataType, f.nullable,
+                            {"ivm_n_buckets": n_buckets}
+                            if f.name == "_bucket" else f.metadata)
+                for f in result.schema.fields
+            ])
+            self.ds.create(self.view_ref, stamped, partition_by=["_bucket"])
         if touched:
             self.ds.overwrite(
                 result, self.view_ref,
@@ -507,7 +586,7 @@ class JoinView:
         """The maintained bag: joined tuples + n_rows multiplicity
         (the internal bucket column, if any, is dropped)."""
         df = self.ds.read(self.view_ref)
-        return df.drop("_bucket") if self.n_buckets is not None else df
+        return df.drop("_bucket") if "_bucket" in df.columns else df
 
     def staleness(self) -> tuple[int, int]:
         """(a_behind, b_behind): versions each base has advanced past

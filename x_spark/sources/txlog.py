@@ -1001,20 +1001,62 @@ class TxLogDataSource(BaseDataSource):
 
     def overwrite(self, df: DataFrame, ref: TableRef,
                   replace_where: str | None = None,
-                  txn: tuple[str, int] | None = None) -> None:
+                  txn: tuple[str, int] | None = None,
+                  overwrite_schema: bool = False,
+                  partition_by: list[str] | None = None) -> None:
         """Full overwrite, or Delta replaceWhere: source rows violating
         the predicate abort; target rows where it is TRUE are replaced,
         FALSE or NULL survive. Partition-only predicates touch only
         matching partitions' files (data skipping); general predicates
         rewrite files that may hold surviving rows.
 
+        ``overwrite_schema`` (Delta's ``overwriteSchema=true``): the
+        full-overwrite commit also replaces the table's schema with
+        ``df``'s — including a new ``partition_by`` layout — in the
+        SAME atomic commit (metaData action + removes + adds). Time
+        travel to earlier versions still reads the schema that was
+        current then (log replay keeps the last metaData <= version).
+        Only valid for full overwrites: a replaceWhere keeps rows
+        written under the old schema live, so the two cannot compose.
+
         ``txn`` stamps the commit for idempotent replay (see
         :meth:`last_txn_version`)."""
+        if (overwrite_schema or partition_by is not None) and \
+                replace_where not in (None, "", "1=1"):
+            raise DataSourceException(
+                "overwrite_schema/partition_by require a full overwrite, "
+                "not replaceWhere"
+            )
+        if partition_by is not None and not overwrite_schema:
+            raise DataSourceException(
+                "partition_by on overwrite requires overwrite_schema=True"
+            )
         table = self._table_path(ref, create=True)
         if not self.table_exists(ref):
-            self.create(ref, df.schema)
+            self.create(ref, df.schema, partition_by=partition_by)
         snap = resolve_snapshot(table)
         base = snap.version
+        if overwrite_schema:
+            part_cols = (list(partition_by) if partition_by is not None
+                         else snap.partition_cols)
+            missing = [c for c in part_cols if c not in df.columns]
+            if missing:
+                raise DataSourceException(
+                    f"partition column(s) {missing} not in overwrite frame"
+                )
+            adds = self._write_files(df, table, part_cols)
+            actions: list[dict] = [{
+                "metaData": {
+                    "schemaJson": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": snap.configuration,
+                }
+            }]
+            actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
+            actions += [{"add": a} for a in adds]
+            self._commit(table, self._expect_unchanged(table, base), actions,
+                         "OVERWRITE", txn=txn)
+            return
         df = _conform(self._fill_generated(df, snap), snap.schema)
         if replace_where in (None, "", "1=1"):
             adds = self._write_files(df, table, snap.partition_cols)

@@ -651,14 +651,12 @@ def streaming_ivm_join(
     )
     ds.create(b_ref, dim.schema)
     ds.append(dim, b_ref)  # dim v1
-    # plain (unbucketed) view: at this benchmark's scale the whole
-    # view rewrites faster than 8 hive partitions' worth of small-file
-    # churn per epoch (measured: 5.6 s vs 10.4 s for n_buckets=8).
-    # When the accumulated view outgrows its refresh budget, pass
-    # JoinView(n_buckets=...) — the partition-scoped path whose
-    # untouched-bucket survival is pinned by test_ivm — and size
-    # buckets to the write unit; the crossover is when a bucket's
-    # rewrite is cheaper than the full view's.
+    # default auto-bucketing: at this benchmark's scale the whole view
+    # rewrites faster than hive partitions' worth of small-file churn
+    # per epoch (measured: 5.6 s vs 10.4 s for n_buckets=8), so auto
+    # keeps it unbucketed — and migrates to the partition-scoped path
+    # (untouched-bucket survival pinned by test_ivm) the refresh the
+    # accumulated view crosses JoinView.AUTO_BUCKET_ROWS.
     view = JoinView(
         ds, a_ref, b_ref, v_ref, on=["user_id"],
         a_cols=["event_type", "value"], b_cols=["tier"],
