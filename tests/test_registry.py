@@ -17,90 +17,61 @@ from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
 FAMILY_REPRESENTATIVES = [
     "pricing_summary",          # groupBy+agg battery (A1-A4)
     "quantity_cube",            # cube/rollup grouping sets
-    "table_profile",            # per-column data-quality profile
-                                # (also the exact-percentile rep since the
-                                # round-4 rotation demoted quantity_percentiles)
-    "txlog_version_diff",       # MERGE + DELETE on the txlog store + CDF diff
     "scalar_function_battery",  # scalar function library
-    "bpe_token_stats",          # BPE merge-table application (tokenizer)
-    "market_share",             # multi-join share-of-total
     "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
-    "customer_value_tiles",     # ntile/percent_rank/cume_dist
-    "asof_purchase_gap",        # as-of join
-    "range_click_context",      # range join
-    "embedding_near_dups",
-    "ann_topk_bucketed",
-    "contamination_bloom",      # eval-set n-gram decontamination (r4 swap:
-                                # Bloom-prefilter plan in, exact-join twin
-                                # benchmark_contamination to the tail —
-                                # identical oracle, stronger plan coverage)
-    "document_chunks",          # overlapping token-window chunking
-    "bm25_search",              # keyword search (inverted-index BM25)
+    "contamination_bloom",      # eval-set n-gram decontamination
     "pii_scan",                 # PII detection + redaction audit
     "multimodal_features",
-    "jdbc_dim_roundtrip",       # external-DB connector round trip (r4 swap:
-                                # the never-driver-checked JDBC/Derby path in,
-                                # thrice-green duckdb_dim_roundtrip out)
+    "jdbc_dim_roundtrip",       # external-DB connector round trip
     "stream_stateful_user_stats",
     "stream_dedup_events",      # dropDuplicatesWithinWatermark
-    "stream_stream_join",
-    "salted_event_totals",      # skew-mitigating salted two-stage agg
-    # round-3 promotions (never driver-checked before)
-    "token_fingerprints",       # rolling-hash document fingerprints
-    "corpus_mixture",           # proportional corpus mixing
-    "weighted_sample",          # weighted priority sampling
-    "stream_sliding_profile",   # sliding event-time windows
-    "dedup_survivors",          # per-component survivor selection
-    "stream_upsert_totals_txlog",  # exactly-once txlog streaming upsert
-    # second r3 swap (token_topk / stream_upsert_totals rotated out;
-    # rolling_revenue kept — only RANGE-frame query in the battery)
-    "line_dedup_boilerplate",   # C4 boilerplate line dedup
     "sequence_packing",         # token prefix-sum sequence packing
-    # third r3 swap: late-round operators promoted for driver rows
-    # (demoted: ngram_jaccard_dups, exact_dedup, text_statistics,
-    # dup_components, simhash_near_dups, ann_topk_pandas — all green
-    # r01+r02 with their family still head-represented)
-    "edit_distance_dups",       # LSH-candidate edit-distance verification
     "incremental_dedup",        # ingest-vs-fingerprint-store anti-join dedup
     "quality_classifier",       # hashed-feature linear quality scoring
-    "unigram_surprise",         # unigram-LM cross-entropy (perplexity filter)
     "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
     "set_similarity_dups",      # exact prefix-filtered set-similarity join
-    # round-4 promotions (verdict r3 tasks #1 and #6 + new operators;
-    # demoted with family justification in registry.py: corpus_splits
-    # — sampling family held by corpus_mixture + weighted_sample —
-    # and stream_tumbling_profile — sliding windows generalize
-    # tumbling)
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
-    # r4 second swap (demoted with justification in registry.py:
-    # top_customers — TakeOrdered family held by bm25/classifier/dsir;
-    # weekly_revenue_wow — lag family held by event_sessions;
-    # recon_lineitem — ReconJob + tolerance compare held by recon_3way)
     "event_sessions",           # gap-based sessionization (lag + cumsum)
     "signup_funnel",            # ordered funnel stage counting
     "cohort_retention",         # weekly cohort retention matrix
-    # r4 third swap: curation_pipeline (thrice-green composition;
-    # stages and composition shape keep head reps) out for
     "profile_drift",            # before/after profile drift gate
-    # round-5 promotions (verdict r4 tasks #1, #3, #6). Demoted with
-    # justification in registry.py: language_profile,
-    # repetition_profile, minhash_near_dups, stream_session_profile,
-    # scd2_customer — each green >= 3 consecutive rounds, family still
-    # head-represented.
     "lineitem_correlations",    # one-pass exact-decimal correlation matrix
-    "salted_brand_volume",      # skew-salted replicated JOIN (agg twin:
-                                # salted_event_totals, also head)
+    "salted_brand_volume",      # skew-salted replicated JOIN
     "stream_user_stats_agg",    # JVM state-store streaming aggregation
-                                # (same oracle as the applyInPandasWithState
-                                # twin — both implementations driver-pinned)
     "txlog_restore_roundtrip",  # RESTORE TO VERSION rollback + CDF audit
     "join_view_refresh",        # incrementally maintained equi-join view
     "stream_ivm_user_totals",   # streaming epoch-stamped append + CDF-fold
-                                # AggregateView refresh (exactly-once x2;
-                                # demoted: semantic_dedup_survivors, a
-                                # composition of head-covered parts)
+    # Round-6 rotation (verdict r5 task #1): the never-driver-checked
+    # round-5 plan families promoted; the 22 demotions each carry a
+    # family justification in registry.py's _TAIL comments (every one
+    # >= 3 consecutive driver-green rounds with a surviving head rep).
+    "supplier_pagerank",        # iterative graph kernel (PageRank)
+    "bm25_indexed_search",      # MAINTAINED incremental BM25 index (same
+                                # oracle as the demoted direct bm25_search)
+    "ivf_store_search",         # NEW: maintained IVF store — txn-stamped
+                                # ingest + replay detection + partition-
+                                # pruned probe search vs closed-form oracle
+    "bloom_point_lookup",       # Bloom file-skipping sidecar
+    "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
+    "stream_ivm_join_view",     # streaming facts + dim churn -> JoinView
+    "events_resampled_locf",    # per-key dense grid + LOCF (as-of family)
+    "events_resampled_interp",  # linear-interpolation twin
+    "rolling_value_anomalies",  # trailing-window z-score anomalies
+    "curriculum_positions",     # two-stage distributed global ranking
+    "token_budget_selection",   # budget cut via distributed running sum
+    "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
+    "bigram_collocations",      # PMI collocation mining
+    "price_histogram",          # fixed-width exact-bucket histogram
+    "trimmed_price_stats",      # deterministic-rank trimmed statistics
+    "hard_negative_mining",     # banded-similarity contrastive negatives
+    "filter_attribution",       # first-fail C4/Gopher rule attribution
+    "corpus_shuffle_shards",    # deterministic shuffle + shard manifest
+    "temperature_mixture",      # count^alpha temperature mixing
+    "source_data_cards",        # per-source governance card
+    "lineitem_key_skew",        # key-skew diagnostic top-N
+    "price_trend_by_flag",      # grouped OLS second-moment twin
 ]
 
 

@@ -1535,6 +1535,93 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Maintained IVF index STORE, driver-checkable end to end: ingest the
+# corpus into the cluster-partitioned txlog store in two txn-stamped
+# batches, REPLAY batch 1 (the detected no-op is load-bearing — a
+# double-applied batch would duplicate candidates and shift every rank
+# below them, hash-diverging), then search the stored assignments with
+# partition-pruned probes. Unlike ann_topk_ivf/pq the codebook here is
+# data-INDEPENDENT — one-hot unit centroids on the first 8 dims — so
+# DuckDB replicates the complete IVF semantics closed-form: assignment
+# = first argmax of the first 8 coords, probes = top-2 coords (ties:
+# lower index), candidates = probed clusters only, exact cosine
+# re-rank. Any drift in ingest, store layout, replay detection, probe
+# choice, pruning, or scoring hash-diverges.
+def q_ivf_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    dim = len(emb.select("embedding").head()["embedding"])
+    codebook = [
+        [1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)
+    ]
+    workdir = tempfile.mkdtemp(prefix="xs_ivf_store_")
+    try:
+        ds = init_datasource("txlog", spark)
+        ref = TableRef(path=os.path.join(workdir, "idx"))
+        b1 = corpus.filter(F.col("vec_id") % 2 == 0)
+        b2 = corpus.filter(F.col("vec_id") % 2 == 1)
+        S.update_ivf_store(ds, ref, b1, codebook, txn=("ivfq", 1))
+        S.update_ivf_store(ds, ref, b2, codebook, txn=("ivfq", 2))
+        try:
+            S.update_ivf_store(ds, ref, b1, codebook, txn=("ivfq", 1))
+            raise AssertionError("replayed IVF ingest batch not detected")
+        except TxnAlreadyCommittedException:
+            pass
+        return S.ivf_store_topk(
+            ds, ref, queries, codebook, k=10, n_probe=2
+        ).localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_IVF_STORE_SEARCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+dims AS (SELECT unnest(range(8)) AS i),
+probes AS (
+  SELECT query_id, i AS cluster FROM (
+    SELECT q.query_id, d.i,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY q.qv[d.i + 1] DESC, d.i ASC) AS pr
+    FROM q, dims d
+  ) WHERE pr <= 2
+),
+assigned AS (
+  SELECT cand_id, i AS cluster FROM (
+    SELECT c.cand_id, d.i,
+           row_number() OVER (PARTITION BY c.cand_id
+                              ORDER BY c.cv[d.i + 1] DESC, d.i ASC) AS rr
+    FROM c, dims d
+  ) WHERE rr = 1
+),
+scored AS (
+  SELECT p.query_id, a.cand_id,
+         round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * cv[i+1]))
+               / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))
+                  * sqrt(list_sum(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1])))), 6) AS cos_sim
+  FROM probes p
+  JOIN assigned a USING (cluster)
+  JOIN q USING (query_id)
+  JOIN c ON c.cand_id = a.cand_id
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 ORACLE_ANN_TOPK_BUCKETED = """
 WITH c AS (
   SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
@@ -2382,11 +2469,13 @@ PIPELINE_QUERIES = {
     "ann_topk_bucketed": q_ann_topk_bucketed,
     "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: data-dependent codebook
     "ann_topk_pq": q_ann_topk_pq,  # rows-only: the measured IVF-PQ+OPQ scale path
+    "ivf_store_search": q_ivf_store_search,
     "multimodal_features": q_multimodal_features,
 }
 
 PIPELINE_ORACLES = {
     "bm25_search": _bm25_oracle(),
+    "ivf_store_search": ORACLE_IVF_STORE_SEARCH,
     "pii_scan": ORACLE_PII_SCAN,
     "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -72,11 +72,101 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
-    "price_trend_by_flag",     # second-moment statistics family: head rep
-                               # is lineitem_correlations (r5 promotion, the
-                               # family's most expensive plan); the grouped
-                               # OLS twin shares the one-pass moment-sum
-                               # kernel — locally hash-checked + benched
+    # ------------------------------------------------------------------
+    # Round-6 rotation (verdict r5 task #1 — the largest head rotation
+    # yet): the ~21 never-driver-checked round-5 plan families promoted
+    # out of this tail (pagerank, maintained BM25 index, bloom lookup,
+    # MIN/MAX + streaming IVM, both time-series resamples, keywords
+    # trio, distribution pair, rolling anomalies, global ranking,
+    # token-budget cut, hard negatives, filter attribution, shuffle
+    # shards, temperature mixing, data cards, key skew, grouped OLS)
+    # plus the new ivf_store_search. Demoted to make room, each with
+    # its family's surviving head representative(s) noted — every one
+    # is >= 3-consecutive-rounds driver-green and stays hash-checked in
+    # the local suite + benched every round:
+    "salted_event_totals",     # green r03-r05; skew-mitigation family held
+                               # by salted_brand_volume (head, r5-green):
+                               # same two-stage salt algebra on the JOIN side
+    "ann_topk_bucketed",       # green r01-r05; ANN family held by
+                               # ivf_store_search (head, NEW: the maintained
+                               # cluster-partitioned store + pruned probe
+                               # search — strictly stronger evidence than the
+                               # per-query sign-bucket variant)
+    "embedding_near_dups",     # green r01-r05; embedding-similarity family
+                               # held by ivf_store_search +
+                               # hard_negative_mining (both head)
+    "bm25_search",             # green r02-r05; bm25_indexed_search (head)
+                               # hash-checks the IDENTICAL oracle through the
+                               # maintained incremental index — any scoring or
+                               # index drift still diverges
+    "market_share",            # green r01-r05; multi-join+agg family held by
+                               # salted_brand_volume + lineitem_correlations
+                               # (both head)
+    "asof_purchase_gap",       # green r02-r05; as-of family held by
+                               # events_resampled_locf (head): LOCF gap fill
+                               # IS the as-of join semantics, per key against
+                               # a dense grid
+    "range_click_context",     # green r02-r05; range-join family also
+                               # exercised by rolling_value_anomalies' bounded
+                               # trailing frames (head); the banded-join plan
+                               # shape is pinned by test_plans
+    "customer_value_tiles",    # green r01-r05; rank-spec family
+                               # (ntile/percent_rank/cume_dist) — 5 straight
+                               # driver rounds; ranking semantics stay
+                               # driver-checked via curriculum_positions'
+                               # global ranks + doc_keywords_tfidf's per-doc
+                               # windows (both head)
+    "token_fingerprints",      # green r03-r05; fingerprint family held by
+                               # incremental_dedup (head): the same rolling-
+                               # hash fingerprints feed its store anti-join
+    "document_chunks",         # green r02-r05; token-window family held by
+                               # sequence_packing (head) +
+                               # token_budget_selection (head)
+    "line_dedup_boilerplate",  # green r03-r05; line-level text-cleanup family
+                               # held by cross_doc_spans (head) +
+                               # filter_attribution (head)
+    "dedup_survivors",         # green r03-r05; the iterative-kernel slot goes
+                               # to supplier_pagerank (head, a strictly
+                               # stronger iterative plan: per-round join+agg
+                               # with checkpoint lineage cuts); survivor
+                               # selection stays pinned in test suite
+    "corpus_mixture",          # green r03-r05; mixing family held by
+                               # temperature_mixture (head, the count^alpha
+                               # generalization of proportional mixing)
+    "weighted_sample",         # green r03-r05; sampling family held by
+                               # temperature_mixture + corpus_shuffle_shards
+                               # (both head)
+    "unigram_surprise",        # green r03-r05; quality-signal family held by
+                               # quality_classifier (head)
+    "edit_distance_dups",      # green r03-r05; candidate-verify family held
+                               # by set_similarity_dups (head, the exact
+                               # prefix-filter variant)
+    "bpe_token_stats",         # green r03-r05; token-analytics family held by
+                               # doc_keywords_tfidf + bigram_collocations
+                               # (both head); BPE application also pinned by
+                               # test_bpe exact-match suite
+    "txlog_version_diff",      # green r03-r05; txlog merge+CDF family held by
+                               # txlog_restore_roundtrip (head: same merge
+                               # algebra + DELETE + CDF audit + RESTORE) and
+                               # bloom_point_lookup (head: store + skipping)
+    "table_profile",           # green r03-r05; profiling family held by
+                               # profile_drift (head, the same profile kernel
+                               # twice + drift gate) + price_histogram +
+                               # trimmed_price_stats (both head)
+    "stream_stream_join",      # green r01-r05; streaming keeps 5 head reps
+                               # (dedup-watermark, stateful, state-store agg,
+                               # ivm-totals, ivm-join-view) — the
+                               # watermark-bounded join state argument is
+                               # subsumed by stream_ivm_join_view's
+                               # stream-plus-dim composition
+    "stream_sliding_profile",  # green r03-r05; sliding windows family —
+                               # stream_user_stats_agg (head) drives the same
+                               # event-time agg through the JVM state store
+    "stream_upsert_totals_txlog",  # green r03-r05; exactly-once txlog sink
+                               # family held by stream_ivm_user_totals +
+                               # stream_ivm_join_view (both head, exactly-once
+                               # on BOTH the sink and the view layer)
+    # ------------------------------------------------------------------
     "language_profile",        # green r01-r04; text-stats family held by
                                # unigram_surprise + quality_classifier +
                                # cross_doc_spans (all head)
@@ -101,67 +191,6 @@ _TAIL = [
                                # stream_ivm_user_totals (streaming ingest +
                                # incremental view maintenance, exactly-once
                                # on both layers — a brand-new composition)
-    "events_resampled_locf",   # late-round-5 addition (dense per-key time
-                               # grid + LOCF gap fill — time_bucket_gapfill
-                               # shape): locally hash-checked; r6 head-
-                               # rotation candidate
-    "token_budget_selection",  # late-round-5 addition ("best N tokens"
-                               # budget cut via the two-stage distributed
-                               # running sum over an arbitrary sort key):
-                               # locally hash-checked; r6 rotation candidate
-    "lineitem_key_skew",       # late-round-5 addition (key-skew diagnostic
-                               # top-N): locally hash-checked; profiling
-                               # family held by table_profile/robust_outliers
-                               # (head) — r6 rotation candidate
-    "minmax_view_refresh",     # late-round-5 addition (MIN/MAX maintained
-                               # view: delete-the-extrema then incremental
-                               # refresh with targeted rescans): locally
-                               # hash-checked; r6 head-rotation candidate
-                               # (IVM family head reps: join_view_refresh +
-                               # stream_ivm_user_totals)
-    "source_data_cards",       # late-round-5 addition (per-source corpus
-                               # governance card: volume/dup/lang/size in one
-                               # grouped pass): locally hash-checked; r6
-                               # rotation candidate
-    "events_resampled_interp", # lerp twin of the LOCF resample (same grid
-                               # plan + a forward window; identical IEEE
-                               # expression tree mirrored in the oracle)
-    "temperature_mixture",     # late-round-5 addition (mT5 count^alpha
-                               # mixing at the IEEE-exact sqrt setting):
-                               # locally hash-checked; sampling family
-                               # held by corpus_mixture (head) — r6
-                               # rotation candidate
-    "stream_ivm_join_view",    # late-round-5 addition (streaming fact
-                               # appends + dim churn through a maintained
-                               # JoinView): locally hash-checked via
-                               # test_oracle_parity; r6 head-rotation
-                               # candidate alongside corpus_shuffle_shards
-                               # (head rep of the streaming-IVM composition
-                               # family: stream_ivm_user_totals)
-    "curriculum_positions",    # late-round-5 addition (global curriculum
-                               # ranks via the distributed two-stage
-                               # range-partition + offset pattern — never a
-                               # single-partition window): locally
-                               # hash-checked; r6 rotation candidate
-    "filter_attribution",      # late-round-5 addition (first-fail rule
-                               # attribution for the C4/Gopher filter
-                               # battery — drop shares sum to 100% by
-                               # construction): locally hash-checked; r6
-                               # rotation candidate
-    "bm25_indexed_search",     # late-round-5 addition (the MAINTAINED
-                               # incremental BM25 index — three txn-stamped
-                               # ingest batches then the bucket-pruned
-                               # search — against the SAME oracle as the
-                               # direct bm25_search, so any index drift
-                               # hash-diverges): locally hash-checked; r6
-                               # rotation candidate
-    "hard_negative_mining",    # late-round-5 addition (contrastive hard-
-                               # negative mining: banded-similarity top-k,
-                               # band on the rounded score so membership is
-                               # engine-reproducible): locally hash-checked;
-                               # r6 rotation candidate (exact-scoring family
-                               # shares the bruteforce shape; the band+rank
-                               # semantics are new)
     "sketch_distinct_rollup",  # late-round-5 addition — rows-only BY DESIGN
                                # (DataSketches HLL estimates are engine-
                                # specific, exactly the approx_distinct_users
@@ -170,49 +199,10 @@ _TAIL = [
                                # consistency, and the txlog-maintained
                                # append-only store flow incl. exactly-once
                                # replay
-    "supplier_pagerank",       # late-round-5 addition (fixed-iteration
-                               # PageRank over the purchase graph — the
-                               # link-centrality document prior; oracle
-                               # unrolls the identical 3 iterations as
-                               # chained CTEs): locally hash-checked; r6
-                               # rotation candidate (iterative family also
-                               # represented by dedup_survivors' CC kernel)
-    "bloom_point_lookup",      # late-round-5 addition (file-level Bloom
-                               # data-skipping sidecar on the txlog store —
-                               # point lookups over per-file-clustered ids
-                               # that min/max stats cannot prune; oracle is
-                               # the plain filter — a false negative would
-                               # hash-diverge): locally hash-checked; r6
-                               # head-rotation candidate
-    "rolling_value_anomalies", # late-round-5 addition (trailing-window
-                               # z-score anomaly flagging, exact decimal
-                               # moment sums over a rows-bounded frame):
-                               # locally hash-checked; r6 rotation candidate
-    "price_histogram",         # late-round-5 addition (fixed-width exact-
-                               # integer-bucket distribution histogram — the
-                               # cheap drift primitive): locally hash-checked;
-                               # r6 rotation candidate
-    "trimmed_price_stats",     # late-round-5 addition (deterministic-rank
-                               # trimmed interior statistics — the mean-family
-                               # robust screen): locally hash-checked; r6
-                               # rotation candidate
-    "doc_keywords_tfidf",      # late-round-5 addition (per-doc TF-IDF
-                               # keyword extraction, smoothed sklearn idf,
-                               # deterministic tie-broken ranks): locally
-                               # hash-checked; r6 head-rotation candidate
-    "bigram_collocations",     # late-round-5 addition (PMI collocation
-                               # mining via a narrow array-transform bigram
-                               # pass — tokenizer/phrase-vocab candidates):
-                               # locally hash-checked; r6 rotation candidate
     "corpus_vocab_overlap",    # late-round-5 addition (pairwise source
                                # vocabulary Jaccard — the cheap corpus
                                # redundancy screen ahead of document-level
                                # dedup): locally hash-checked; r6 candidate
-    "corpus_shuffle_shards",   # late-round-5 addition (deterministic
-                               # training-order shuffle + shard manifest):
-                               # locally hash-checked via test_oracle_parity;
-                               # r6 head-rotation candidate (the r5 head
-                               # already carries six never-checked entries)
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held
