@@ -16,7 +16,6 @@ from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
 # cumulative coverage only grows.
 FAMILY_REPRESENTATIVES = [
     "pricing_summary",          # groupBy+agg battery (A1-A4)
-    "quantity_cube",            # cube/rollup grouping sets
     "scalar_function_battery",  # scalar function library
     "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
     "contamination_bloom",      # eval-set n-gram decontamination
@@ -72,6 +71,9 @@ FAMILY_REPRESENTATIVES = [
     "source_data_cards",        # per-source governance card
     "lineitem_key_skew",        # key-skew diagnostic top-N
     "price_trend_by_flag",      # grouped OLS second-moment twin
+    "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
+                                # metadata subtraction + CDF mask delta
+                                # (demoted: quantity_cube, 4 straight greens)
 ]
 
 

@@ -166,6 +166,13 @@ _TAIL = [
                                # family held by stream_ivm_user_totals +
                                # stream_ivm_join_view (both head, exactly-once
                                # on BOTH the sink and the view layer)
+    "quantity_cube",           # green r02-r05; grouping-sets kernel (cube/
+                               # rollup/pivot) — 4 straight driver rounds,
+                               # pinned locally by oracle parity + bench;
+                               # slot goes to dv_delete_scan (deletion
+                               # vectors: merge-on-read DELETE + metadata
+                               # subtraction + CDF mask-delta — a brand-new
+                               # txlog surface with no prior driver row)
     # ------------------------------------------------------------------
     "language_profile",        # green r01-r04; text-stats family held by
                                # unigram_surprise + quality_classifier +

@@ -770,6 +770,98 @@ GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# Deletion vectors, driver-checked end to end: a lineitem slice lands
+# in a DV-enabled txlog store, two overlapping DELETEs mask rows
+# merge-on-read (the query ASSERTS the data-file set gained no files —
+# a rewrite would), and the output carries three independently audited
+# surfaces: (a) the per-flag/status aggregate of the surviving rows
+# (the masked reader), (b) the metadata-only row count — numRecords
+# minus mask cardinality, zero data bytes read — and (c) the change
+# feed's delete count across both DELETE commits, which must equal
+# |pred1 OR pred2| exactly because the second commit emits only its
+# mask DELTA. The oracle recomputes all three declaratively (DELETE
+# via DV vs EXCEPT); any drift in masking, mask merging, metadata
+# subtraction, or CDF delta emission hash-diverges.
+# (Extension surface: the reference's delta-core 0.8 era has no DVs;
+# semantics follow Delta Lake's enableDeletionVectors, public docs.)
+def q_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import (
+        DV_ENABLE_KEY, TxLogDataSource, resolve_snapshot,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="xs_dv_scan_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "li"))
+        s0 = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 7 == 0
+        ).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_tax",
+        )
+        ds.create(ref, s0.schema)
+        ds.append(s0, ref)                                   # v1
+        ds.set_properties(ref, {DV_ENABLE_KEY: "true"})      # v2
+        v2 = resolve_snapshot(ref.path).version
+        files_v2 = set(resolve_snapshot(ref.path).files)
+        ds.delete(ref, "l_tax > 0.06")                       # v3 (DV)
+        ds.delete(ref, "l_quantity < 10")                    # v4 (DV, overlaps)
+        snap = resolve_snapshot(ref.path)
+        grew = set(snap.files) - files_v2
+        assert not grew, f"DV delete wrote data files: {sorted(grew)[:3]}"
+        meta_rows = ds.count_rows(ref)  # metadata-only, masks subtracted
+        cdf_deletes = ds.changes(ref, v2, snap.version).filter(
+            F.col("_change_type") == "delete"
+        ).agg(F.count("*").cast("bigint").alias("cdf_deletes"))
+        return (
+            ds.read(ref)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("l_quantity").alias("sum_qty"),
+            )
+            .withColumn("meta_rows", F.lit(int(meta_rows)).cast("bigint"))
+            .crossJoin(F.broadcast(cdf_deletes))
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_DV_DELETE_SCAN = """
+WITH s0 AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         l_quantity, l_tax
+  FROM lineitem WHERE l_orderkey % 7 = 0
+),
+surv AS (
+  SELECT * FROM s0
+  WHERE NOT coalesce(l_tax > 0.06, FALSE)
+    AND NOT coalesce(l_quantity < 10, FALSE)
+),
+inv AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM surv) AS meta_rows,
+    (SELECT CAST(count(*) AS BIGINT) FROM s0
+      WHERE coalesce(l_tax > 0.06, FALSE)
+         OR coalesce(l_quantity < 10, FALSE)) AS cdf_deletes
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       meta_rows, cdf_deletes
+FROM surv, inv
+GROUP BY l_returnflag, l_linestatus, meta_rows, cdf_deletes
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVM JoinView, driver-checked end to end: materialize an equi-join of
 # two txlog tables, mutate BOTH bases (append to A; merge + delete on
 # B), refresh INCREMENTALLY (each side applies only its CDF deltas
@@ -1494,6 +1586,7 @@ RELATIONAL_QUERIES = {
     "merge_upsert_effect": q_merge_upsert_effect,
     "txlog_version_diff": q_txlog_version_diff,
     "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
+    "dv_delete_scan": q_dv_delete_scan,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -1527,6 +1620,7 @@ RELATIONAL_ORACLES = {
     "merge_upsert_effect": ORACLE_MERGE_UPSERT_EFFECT,
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
+    "dv_delete_scan": ORACLE_DV_DELETE_SCAN,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

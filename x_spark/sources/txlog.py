@@ -54,6 +54,16 @@ from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
 
 LOG_DIR = "_txlog"
 CHECKPOINT_INTERVAL = 20
+
+# Deletion vectors (Delta's merge-on-read soft deletes): when a table
+# sets this configuration key to "true", DELETE masks rows instead of
+# rewriting files — each affected file's add action gains a ``dv``
+# field {"path": <sidecar dir>, "cardinality": <masked rows>} pointing
+# at a parquet directory of (file_name, row_index) mask rows, and every
+# reader left-anti joins the mask via the parquet ``_metadata.row_index``
+# column. The dv field rides ON the add action, so checkpoints, RESTORE,
+# CLONE and time travel carry mask state with zero extra machinery.
+DV_ENABLE_KEY = "enableDeletionVectors"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -358,6 +368,25 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — the switch
+        # that turns on e.g. deletion vectors (enableDeletionVectors)
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+set\s+tblproperties\s*"
+            r"\((.*)\)\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            props = dict(re.findall(
+                r"'([^']+)'\s*=\s*'([^']*)'", m.group(2)
+            ))
+            if not props:
+                raise DataSourceException(
+                    f"no 'key'='value' pairs in TBLPROPERTIES: {m.group(2)!r}"
+                )
+            self.set_properties(
+                TableRef(table=_normalize_ident(m.group(1))), props
+            )
+            return done
         return None
 
     def _rewrite_table_changes(self, stmt: str) -> str:
@@ -485,17 +514,95 @@ class TxLogDataSource(BaseDataSource):
     def _read_snapshot(self, table: str, snap: Snapshot,
                        paths: list[str] | None = None) -> DataFrame:
         """DataFrame over ``paths`` (default: all live files) of a
-        snapshot. ``basePath`` keeps hive-style partition columns."""
+        snapshot. ``basePath`` keeps hive-style partition columns.
+
+        Files whose add action carries a deletion vector are read
+        through a left-anti join against their mask rows (merge-on-
+        read); files without one take the plain scan — a table that
+        never deletes pays zero overhead."""
         rel = sorted(snap.files) if paths is None else paths
         if not rel:
             return self.spark.createDataFrame([], snap.schema)
-        full = [os.path.join(table, p) for p in rel]
+        cols = [f.name for f in snap.schema.fields]
+        masked = [p for p in rel if (snap.files.get(p) or {}).get("dv")]
+        plain = [p for p in rel if p not in set(masked)]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(
+                self.spark.read.schema(snap.schema)
+                .option("basePath", table)
+                .parquet(*[os.path.join(table, p) for p in plain])
+                .select(*cols)
+            )
+        if masked:
+            df = self._read_files_with_meta(table, snap.schema, masked)
+            mask = self._dv_rows(table, snap, masked)
+            parts.append(
+                df.join(mask, ["__fn", "__ri"], "left_anti").select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_files_with_meta(self, table: str, schema: StructType,
+                              rels: list[str]) -> DataFrame:
+        """Scan of specific files with the two DV join keys attached:
+        ``__fn`` (file basename — uuid-unique per table by
+        construction) and ``__ri`` (parquet ``_metadata.row_index``)."""
         df = (
-            self.spark.read.schema(snap.schema)
+            self.spark.read.schema(schema)
             .option("basePath", table)
-            .parquet(*full)
+            .parquet(*[os.path.join(table, p) for p in rels])
         )
-        return df.select(*[f.name for f in snap.schema.fields])
+        return df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__fn"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
+    def _dv_rows(self, table: str, snap: Snapshot,
+                 rels: list[str]) -> DataFrame:
+        """Mask rows (``__fn``, ``__ri``) for live files of a snapshot
+        (see :meth:`_dv_rows_for`)."""
+        return self._dv_rows_for(
+            table,
+            [(p, (snap.files.get(p) or {}).get("dv")) for p in rels],
+        )
+
+    def _dv_rows_for(self, table: str,
+                     pairs: list[tuple[str, dict | None]]) -> DataFrame:
+        """Mask rows (``__fn``, ``__ri``) for (data file, dv dict)
+        pairs, read from each file's OWN referenced sidecar directory
+        (grouped by sidecar so a directory is scanned once). The
+        per-sidecar file-name filter is load-bearing: after a RESTORE,
+        two live files can reference sidecars from different points in
+        history, and a blanket union would resurrect masks the restore
+        rolled back."""
+        by_dv: dict[str, list[str]] = {}
+        for p, dv in pairs:
+            if dv:
+                by_dv.setdefault(dv["path"], []).append(os.path.basename(p))
+        parts = []
+        for dv_path, names in sorted(by_dv.items()):
+            parts.append(
+                self.spark.read.parquet(os.path.join(table, dv_path))
+                .filter(F.col("file_name").isin(names))
+                .select(
+                    F.col("file_name").alias("__fn"),
+                    F.col("row_index").alias("__ri"),
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "__fn string, __ri bigint"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- commit machinery ----------------------------------------------
     def _commit(self, table: str, expected_version: int, actions: list[dict],
@@ -776,6 +883,37 @@ class TxLogDataSource(BaseDataSource):
                 }
             }],
             "DROP GENERATED COLUMN",
+        )
+
+    def set_properties(self, ref: TableRef, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES: merge the given keys into the
+        table configuration via one metaData commit. The reserved
+        ``constraint.`` / ``generated.`` namespaces must go through
+        their dedicated DDL (they validate data)."""
+        reserved = [k for k in props
+                    if k.startswith(("constraint.", "generated."))]
+        if reserved:
+            raise DataSourceException(
+                f"propert{'ies' if len(reserved) > 1 else 'y'} {reserved} "
+                "use ADD CONSTRAINT / GENERATED ALWAYS AS DDL"
+            )
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        config = {**snap.configuration,
+                  **{k: str(v) for k, v in props.items()}}
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "SET TBLPROPERTIES",
         )
 
     def add_constraint(self, ref: TableRef, name: str, expr: str) -> None:
@@ -1186,11 +1324,20 @@ class TxLogDataSource(BaseDataSource):
     def delete(self, ref: TableRef, predicate: str) -> None:
         """ANSI DELETE: drop rows where the predicate is TRUE; FALSE or
         NULL survive. Partition-only predicates rewrite only matching
-        partitions' files."""
+        partitions' files.
+
+        With ``enableDeletionVectors=true`` in the table configuration
+        the delete is merge-on-read: matched rows are masked by a DV
+        sidecar instead of rewriting their files — a delete of k rows
+        costs O(k) writes, not O(files-containing-k-rows) rewrites.
+        The copy-on-write path below stays the default."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
+        if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
+            self._delete_with_dv(table, snap, predicate)
+            return
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
         survivors = self._read_snapshot(table, snap, candidates).filter(
@@ -1200,6 +1347,99 @@ class TxLogDataSource(BaseDataSource):
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
+
+    def _write_dv_dir(self, table: str, mask: DataFrame) -> tuple[str, dict]:
+        """Materialize mask rows (file_name, row_index) as an immutable
+        parquet DIRECTORY under the table root (staged, then moved —
+        invisible until an add action references it). A directory, not
+        a single file, so a 100-TB delete's mask writes stay
+        distributed. Returns (rel dir, {file_name: cardinality})."""
+        rel = f"dv-{uuid.uuid4().hex}"
+        staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+        (
+            mask.select("file_name", "row_index")
+            .write.mode("overwrite").parquet(staging)
+        )
+        # strip _SUCCESS and hidden .crc companions: the sidecar dir
+        # must hold ONLY parquet files so vacuum can account for (and
+        # eventually fully reap) every byte in it
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if name.startswith((".", "_")):
+                    try:
+                        os.remove(os.path.join(root, name))
+                    except OSError:
+                        pass
+        if not any(
+            name.endswith(".parquet")
+            for _root, _dirs, names in os.walk(staging) for name in names
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+            return rel, {}  # nothing matched: no sidecar, no re-points
+        counts = {
+            r["file_name"]: r["n"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy("file_name").agg(F.count("*").alias("n")).collect()
+        }
+        shutil.move(staging, os.path.join(table, rel))
+        # vacuum ages by mtime; restamp like _write_files does
+        now = None
+        for root, _dirs, names in os.walk(os.path.join(table, rel)):
+            for name in names:
+                os.utime(os.path.join(root, name), now)
+        return rel, counts
+
+    def _delete_with_dv(self, table: str, snap: Snapshot,
+                        predicate: str) -> None:
+        """Merge-on-read DELETE: one commit re-points each affected
+        file's add action at a new sidecar holding (old mask UNION
+        newly matched rows); untouched files keep their adds verbatim;
+        a file whose every row is now masked is plainly removed (so
+        fully-deleted files never linger as all-mask scans). The change
+        feed sees the remove+re-add pair and emits exactly the newly
+        masked rows as deletes."""
+        base = snap.version
+        candidates = self._files_matching_predicate(table, snap, predicate)
+        if candidates:
+            live = self._read_files_with_meta(table, snap.schema, candidates)
+            old_mask_all = self._dv_rows(table, snap, candidates)
+            live = live.join(old_mask_all, ["__fn", "__ri"], "left_anti")
+            matched = live.filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            ).select(
+                F.col("__fn").alias("file_name"),
+                F.col("__ri").alias("row_index"),
+            )
+            # only files with NEW matches re-point; their old mask rows
+            # must ride into the new sidecar (an add references exactly
+            # one sidecar)
+            touched = matched.select("file_name").distinct()
+            carried = old_mask_all.select(
+                F.col("__fn").alias("file_name"),
+                F.col("__ri").alias("row_index"),
+            ).join(touched, "file_name", "left_semi")
+            full_mask = matched.unionByName(carried)
+            rel_dv, counts = self._write_dv_dir(table, full_mask)
+        else:
+            counts = {}
+        actions: list[dict] = []
+        if counts:
+            by_name = {os.path.basename(p): p for p in candidates}
+            for fname, n in sorted(counts.items()):
+                p = by_name[fname]
+                add = snap.files[p]
+                total = add.get("numRecords")
+                if total is None:  # foreign add without footer stats
+                    total, _ = self._footer_stats(os.path.join(table, p))
+                total = int(total)
+                actions.append({"remove": {"path": p}})
+                if n < total:
+                    actions.append({"add": {
+                        **add, "dv": {"path": rel_dv, "cardinality": int(n)},
+                    }})
+                # n == total: fully masked -> plain remove, file dropped
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "DELETE")
 
     def truncate(self, ref: TableRef) -> None:
         table = self._table_path(ref)
@@ -1313,9 +1553,23 @@ class TxLogDataSource(BaseDataSource):
                 if v > latest - keep_last
             ] or [latest]
         referenced: set[str] = set()
+        dv_dirs: set[str] = set()
         for v in horizon_versions:
             snap = resolve_snapshot(table, v)
             referenced.update(snap.files)
+            dv_dirs.update(
+                add["dv"]["path"] for add in snap.files.values()
+                if add.get("dv")
+            )
+        # a referenced deletion-vector sidecar directory keeps every
+        # file inside it alive; superseded sidecars age out with the
+        # versions that referenced them
+        for dv in dv_dirs:
+            for root, _dirs, names in os.walk(os.path.join(table, dv)):
+                for name in names:
+                    referenced.add(
+                        os.path.relpath(os.path.join(root, name), table)
+                    )
         deleted: list[str] = []
         cutoff = _time.time() - min_age_sec
         for root, dirs, names in os.walk(table):
@@ -1370,32 +1624,93 @@ class TxLogDataSource(BaseDataSource):
         commits, _ = _list_log(table)
         live = dict(base.files) if from_version >= 0 else {}
         out: DataFrame | None = None
+        cols = [f.name for f in base.schema.fields]
+
+        def collect(part: DataFrame, kind: str, v: int) -> None:
+            nonlocal out
+            part = part.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+            )
+            out = part if out is None else out.unionByName(part)
+
         for fname in commits:
             v = _version_of(fname)
             if v <= from_version or v > to_version:
                 continue
-            added: list[str] = []
-            removed: list[str] = []
+            added: dict[str, dict] = {}
+            removed: dict[str, dict] = {}
             with open(os.path.join(_log_path(table), fname)) as fh:
                 for line in fh:
                     action = json.loads(line)
                     if "add" in action:
-                        live[action["add"]["path"]] = action["add"]
-                        added.append(action["add"]["path"])
+                        a = action["add"]
+                        live[a["path"]] = a
+                        added[a["path"]] = a
                     elif "remove" in action:
-                        # only files that were live count as deletes
-                        if live.pop(action["remove"]["path"], None) is not None:
-                            removed.append(action["remove"]["path"])
-            snap_like = Snapshot(v, base.schema_json, base.partition_cols, live)
-            for paths, kind in ((added, "insert"), (removed, "delete")):
-                if not paths:
+                        # only files that were live count as deletes;
+                        # the popped add dict carries the file's mask
+                        # AT REMOVAL TIME, so already-masked rows are
+                        # not re-emitted as deletes
+                        popped = live.pop(action["remove"]["path"], None)
+                        if popped is not None:
+                            removed[action["remove"]["path"]] = popped
+            # a path removed AND re-added in one commit is a deletion-
+            # vector re-point (DELETE with DVs, or a RESTORE
+            # re-asserting earlier mask state): the row-level change is
+            # exactly the mask DELTA, in both directions
+            pure_add = [added[p] for p in added if p not in removed]
+            pure_rem = [removed[p] for p in removed if p not in added]
+            for entries, kind in ((pure_add, "insert"), (pure_rem, "delete")):
+                plain = [e["path"] for e in entries if not e.get("dv")]
+                masked = [e for e in entries if e.get("dv")]
+                if plain:
+                    collect(
+                        self.spark.read.schema(base.schema)
+                        .option("basePath", table)
+                        .parquet(*[os.path.join(table, p) for p in plain]),
+                        kind, v,
+                    )
+                if masked:
+                    rows = self._read_files_with_meta(
+                        table, base.schema, [e["path"] for e in masked]
+                    )
+                    mask = self._dv_rows_for(
+                        table, [(e["path"], e["dv"]) for e in masked]
+                    )
+                    collect(rows.join(mask, ["__fn", "__ri"], "left_anti"),
+                            kind, v)
+            groups: dict[tuple, list[str]] = {}
+            for p in added:
+                if p not in removed or added[p] == removed[p]:
                     continue
-                part = self._read_snapshot(table, snap_like, paths).select(
-                    "*",
-                    F.lit(kind).alias("_change_type"),
-                    F.lit(v).cast("bigint").alias("_commit_version"),
+                old_dv, new_dv = removed[p].get("dv"), added[p].get("dv")
+                if old_dv == new_dv:
+                    continue  # re-assert with no mask change: no rows
+                key = (
+                    old_dv["path"] if old_dv else None,
+                    new_dv["path"] if new_dv else None,
                 )
-                out = part if out is None else out.unionByName(part)
+                groups.setdefault(key, []).append(p)
+            for (old_dir, new_dir), paths in sorted(groups.items()):
+                old_mask = self._dv_rows_for(
+                    table,
+                    [(p, {"path": old_dir} if old_dir else None)
+                     for p in paths],
+                )
+                new_mask = self._dv_rows_for(
+                    table,
+                    [(p, {"path": new_dir} if new_dir else None)
+                     for p in paths],
+                )
+                rows = self._read_files_with_meta(table, base.schema, paths)
+                newly_masked = new_mask.exceptAll(old_mask)
+                newly_unmasked = old_mask.exceptAll(new_mask)
+                collect(rows.join(newly_masked, ["__fn", "__ri"],
+                                  "left_semi"), "delete", v)
+                collect(rows.join(newly_unmasked, ["__fn", "__ri"],
+                                  "left_semi"), "insert", v)
         if out is None:
             schema = base.schema.add("_change_type", "string").add(
                 "_commit_version", "long"
@@ -1465,6 +1780,12 @@ class TxLogDataSource(BaseDataSource):
             rel for rel in sorted(target.files)
             if not os.path.exists(os.path.join(table, rel))
         ]
+        missing += [
+            dv["path"]
+            for rel in sorted(target.files)
+            if (dv := target.files[rel].get("dv"))
+            and not os.path.exists(os.path.join(table, dv["path"]))
+        ]
         if missing:
             raise DataSourceException(
                 f"cannot restore {table!r} to v{version}: {len(missing)} "
@@ -1479,13 +1800,21 @@ class TxLogDataSource(BaseDataSource):
                 }
             }
         ]
+        # a path live at BOTH versions whose add action differs (e.g. a
+        # deletion-vector change) must be re-asserted too: remove+add in
+        # this same commit re-points it at the target's state, and the
+        # change feed's pair logic turns the mask delta into row events
+        changed = [
+            p for p in sorted(set(current.files) & set(target.files))
+            if current.files[p] != target.files[p]
+        ]
         actions += [
             {"remove": {"path": p}}
-            for p in sorted(set(current.files) - set(target.files))
+            for p in sorted(set(current.files) - set(target.files)) + changed
         ]
         actions += [
             {"add": target.files[p]}
-            for p in sorted(set(target.files) - set(current.files))
+            for p in sorted(set(target.files) - set(current.files)) + changed
         ]
         return self._commit(
             table,
@@ -1511,7 +1840,7 @@ class TxLogDataSource(BaseDataSource):
             n = add.get("numRecords")
             if n is None:
                 n, _ = self._footer_stats(os.path.join(table, rel))
-            total += int(n)
+            total += int(n) - int((add.get("dv") or {}).get("cardinality", 0))
         return total
 
     def partition_counts(self, ref: TableRef,
@@ -1532,7 +1861,9 @@ class TxLogDataSource(BaseDataSource):
             n = add.get("numRecords")
             if n is None:
                 n, _ = self._footer_stats(os.path.join(table, rel))
-            slot["n_rows"] += int(n)
+            slot["n_rows"] += (
+                int(n) - int((add.get("dv") or {}).get("cardinality", 0))
+            )
         return [
             {**dict(key), "n_files": v["n_files"], "n_rows": v["n_rows"]}
             for key, v in sorted(acc.items())
@@ -1577,13 +1908,27 @@ class TxLogDataSource(BaseDataSource):
                 "configuration": dict(snap.configuration),
             }
         }]
-        for rel in sorted(snap.files):
-            s, d = os.path.join(src, rel), os.path.join(dst, rel)
+        def link(rel_file: str) -> None:
+            s, d = os.path.join(src, rel_file), os.path.join(dst, rel_file)
+            if os.path.exists(d):
+                return
             os.makedirs(os.path.dirname(d), exist_ok=True)
             try:
                 os.link(s, d)
             except OSError:
                 shutil.copy2(s, d)
+
+        linked_dvs: set[str] = set()
+        for rel in sorted(snap.files):
+            link(rel)
+            dv = snap.files[rel].get("dv")
+            if dv and dv["path"] not in linked_dvs:
+                # deletion-vector sidecar directories travel with their
+                # referencing adds (relative paths stay valid)
+                for root, _dirs, names in os.walk(os.path.join(src, dv["path"])):
+                    for name in names:
+                        link(os.path.relpath(os.path.join(root, name), src))
+                linked_dvs.add(dv["path"])
             actions.append({"add": dict(snap.files[rel])})
         return self._commit(dst, 0, actions, "CLONE")
 
@@ -1609,6 +1954,15 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table, version)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
+        dv_files = [p for p in sorted(snap.files) if snap.files[p].get("dv")]
+        if dv_files:
+            # Delta parity: external engines read listed files verbatim
+            # and would resurrect masked rows — purge (compact) first
+            raise DataSourceException(
+                f"cannot generate a manifest for {table!r}: "
+                f"{len(dv_files)} live file(s) carry deletion vectors; "
+                "compact the table to purge them first"
+            )
         d = os.path.join(table, "_symlink_format_manifest")
         os.makedirs(d, exist_ok=True)
         out = os.path.join(d, "manifest")
@@ -1635,7 +1989,7 @@ class TxLogDataSource(BaseDataSource):
             n = add.get("numRecords")
             if n is None:
                 n, _ = self._footer_stats(os.path.join(table, rel))
-            n_rows += int(n)
+            n_rows += int(n) - int((add.get("dv") or {}).get("cardinality", 0))
             try:
                 size += os.path.getsize(os.path.join(table, rel))
             except OSError:
