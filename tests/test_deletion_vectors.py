@@ -312,3 +312,130 @@ def test_dv_sql_surface(spark, ds, tmp_path):
         ]
     finally:
         ds.drop_table(ref)
+
+
+def test_dv_merge_masks_matched_rows_instead_of_rewriting(
+        spark, ds, tmp_path):
+    """With DVs on, MERGE masks matched target rows and appends only
+    the new images + inserts — candidate files survive untouched; the
+    result is row-identical to the copy-on-write merge; the change
+    feed carries the delete(old)+insert(new) decomposition."""
+    ref = _mk(spark, ds, tmp_path, batches=1)
+    table = str(tmp_path / "t")
+    files_before = set(resolve_snapshot(table).files)
+    v0 = resolve_snapshot(table).version
+    src = spark.createDataFrame(
+        [(2, 99, "u2"), (4, 98, "u4"), (777, 1, "new")],
+        "pk int, g int, s string",
+    )
+    ds.merge(src, ref, MergeSpec(["pk"], ["g", "s"],
+                                 insert_when_not_matched=True),
+             txn=("dvmerge", 1))
+    snap = resolve_snapshot(table)
+    # old files all still live (masked, not rewritten); new files added
+    assert files_before <= set(snap.files)
+    assert len(snap.files) > len(files_before)
+    masked = {p: a for p, a in snap.files.items() if a.get("dv")}
+    assert sum(a["dv"]["cardinality"] for a in masked.values()) == 2
+    got = {r.pk: (r.g, r.s) for r in ds.read(ref).collect()}
+    assert got[2] == (99, "u2") and got[4] == (98, "u4")
+    assert got[777] == (1, "new")
+    assert len(got) == 21
+    assert ds.count_rows(ref) == 21  # metadata agrees
+    # CDF: old images deleted, new images inserted
+    ch = ds.changes(ref, v0, snap.version)
+    ev = sorted((r.pk, r.g, r._change_type) for r in ch.collect())
+    assert ev == [
+        (2, 2 % 4, "delete"), (2, 99, "insert"),
+        (4, 4 % 4, "delete"), (4, 98, "insert"),
+        (777, 1, "insert"),
+    ]
+    # txn replay detected before anything lands
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.merge(src, ref, MergeSpec(["pk"], ["g", "s"],
+                                     insert_when_not_matched=True),
+                 txn=("dvmerge", 1))
+
+
+def test_update_cow_ansi_semantics(spark, ds, tmp_path):
+    """Copy-on-write UPDATE: every SET expression evaluates against the
+    OLD row image (a, b swap works), and the predicate is matched on
+    old values even when an assignment changes the predicate column."""
+    ref = TableRef(path=str(tmp_path / "u"))
+    ds.append(spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40), (3, 4, 50)], "pk int, a int, b int"
+    ), ref)
+    ds.update(ref, {"a": "b", "b": "a"}, "pk <= 2")  # swap
+    got = {r.pk: (r.a, r.b) for r in ds.read(ref).collect()}
+    assert got == {1: (20, 10), 2: (40, 30), 3: (4, 50)}
+    # predicate on a column the update changes: old-value matching
+    ds.update(ref, {"a": "a + 100"}, "a < 30")
+    got = {r.pk: r.a for r in ds.read(ref).collect()}
+    assert got == {1: 120, 2: 40, 3: 104}
+    # unknown column rejected
+    with pytest.raises(DataSourceException, match="unknown column"):
+        ds.update(ref, {"nope": "1"}, "TRUE")
+
+
+def test_update_recomputes_generated_columns(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "g"))
+    ds.append(spark.createDataFrame(
+        [(1, 5, 10), (2, 6, 12)], "pk int, v int, dbl int"
+    ), ref)
+    ds.set_generated_column(ref, "dbl", "v * 2")
+    ds.update(ref, {"v": "v + 1"}, "pk = 1")
+    got = {r.pk: (r.v, r.dbl) for r in ds.read(ref).collect()}
+    assert got == {1: (6, 12), 2: (6, 12)}
+
+
+def test_update_with_dv_masks_old_images(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path, batches=1)
+    table = str(tmp_path / "t")
+    files_before = set(resolve_snapshot(table).files)
+    v0 = resolve_snapshot(table).version
+    ds.update(ref, {"s": "concat(s, '!')"}, "pk < 3")
+    snap = resolve_snapshot(table)
+    assert files_before <= set(snap.files)  # masked, not rewritten
+    assert len(snap.files) > len(files_before)  # new images appended
+    got = {r.pk: r.s for r in ds.read(ref).collect()}
+    assert got[0] == "r0!" and got[2] == "r2!" and got[3] == "r3"
+    assert len(got) == 20 and ds.count_rows(ref) == 20
+    ch = ds.changes(ref, v0, snap.version)
+    ev = sorted((r.pk, r.s, r._change_type) for r in ch.collect())
+    assert ev == [
+        (0, "r0", "delete"), (0, "r0!", "insert"),
+        (1, "r1", "delete"), (1, "r1!", "insert"),
+        (2, "r2", "delete"), (2, "r2!", "insert"),
+    ]
+
+
+def test_update_sql_dispatch_with_nested_commas(spark, ds, tmp_path):
+    import uuid as _uuid
+
+    from x_spark.sources.txlog import _parse_update_statement
+
+    # parser: top-level comma split, quoted 'where', no-WHERE form
+    tgt, asg, pred = _parse_update_statement(
+        "UPDATE t SET note = concat(a, ', where ', b), n = n + 1 "
+        "WHERE x = 'where'"
+    )
+    assert tgt == "t" and pred == "x = 'where'"
+    assert asg == {"note": "concat(a, ', where ', b)", "n": "n + 1"}
+    assert _parse_update_statement("update `db`.`t` set a = 1")[2] == "TRUE"
+    assert _parse_update_statement("select 1") is None
+
+    name = f"upd_sql_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2)], "pk int, s string, n int"
+    ), ref)
+    try:
+        ds._execute_statement(
+            f"UPDATE {name} SET s = concat(s, ',', 'z'), n = n * 10 "
+            f"WHERE pk = 2"
+        )
+        got = {r.pk: (r.s, r.n) for r in ds.read(ref).collect()}
+        assert got == {1: ("x", 1), 2: ("y,z", 20)}
+    finally:
+        ds.drop_table(ref)

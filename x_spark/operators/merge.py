@@ -93,3 +93,69 @@ def merge_frames(tgt: DataFrame, src: DataFrame, spec: MergeSpec) -> DataFrame:
         ]
     )
     return updated.unionByName(inserts)
+
+
+def merge_split_frames(
+    tgt: DataFrame, src: DataFrame, spec: MergeSpec, meta_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge-on-read decomposition of the same MERGE algebra: instead
+    of the full post-merge state, return
+
+    - ``matched_meta``: the ``meta_cols`` (row-position columns the
+      caller threaded through ``tgt``, e.g. file name + row index) of
+      every target row that MATCHES — the rows to mask, and
+    - ``new_rows``: the post-merge images of those matched rows plus
+      (upsert) the unmatched source inserts — the rows to append.
+
+    Untouched target rows never appear in either frame: at 100 TB this
+    is the difference between a MERGE whose write cost tracks the
+    CHANGED rows and one that rewrites every candidate file.
+    Row-for-row equivalent to :func:`merge_frames` by construction:
+    matched images here are the inner-join restriction of its
+    left-join ``when(matched, ...)`` images, and the insert branch is
+    identical. The matched join is eagerly checkpointed — it feeds two
+    write jobs (mask + data), and the expensive target-slice x source
+    join must not run twice.
+    """
+    if spec.validate_unique_source_keys:
+        check_unique_source_keys(src, spec)
+    tgt_cols = [c for c in tgt.columns if c not in set(meta_cols)]
+    tgt_dtypes = dict(tgt.dtypes)
+    set_cols = set(spec.all_set_columns)
+    missing = [c for c in set_cols if c not in tgt_cols]
+    if missing:
+        raise ETLJobException(f"merge columns {missing} not present in target")
+
+    src_marked = src.withColumn(_SRC_MARKER, F.lit(True)).alias("SRC")
+    pk_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"TGT.{c}") == F.col(f"SRC.{c}") for c in spec.primary_key_columns],
+    )
+    cond = pk_cond & F.expr(spec.extra_target_predicate)
+
+    matched_j = tgt.alias("TGT").join(src_marked, cond, "inner").select(
+        *[F.col(f"TGT.{m}").alias(m) for m in meta_cols],
+        *[
+            (
+                F.col(f"SRC.{c}").alias(c)
+                if c in set_cols
+                else F.col(f"TGT.{c}").alias(c)
+            )
+            for c in tgt_cols
+        ],
+    ).localCheckpoint(eager=True)
+    matched_meta = matched_j.select(*meta_cols)
+    new_rows = matched_j.select(*tgt_cols)
+    if not spec.insert_when_not_matched:
+        return matched_meta, new_rows
+    inserts = src_marked.join(tgt.alias("TGT"), cond, "left_anti").select(
+        *[
+            (
+                F.col(f"SRC.{c}").alias(c)
+                if c in set_cols
+                else F.lit(None).cast(tgt_dtypes[c]).alias(c)
+            )
+            for c in tgt_cols
+        ]
+    )
+    return matched_meta, new_rows.unionByName(inserts)

@@ -148,6 +148,76 @@ def _normalize_ident(ident: str) -> str:
     return ".".join(p[1:-1] if p.startswith("`") else p for p in parts)
 
 
+def _parse_update_statement(stmt: str):
+    """``UPDATE t SET c1 = e1, c2 = e2 [WHERE pred]`` ->
+    (normalized target, {col: expr}, predicate) or None. The SET list
+    is split on TOP-LEVEL commas (a scanner tracking paren depth and
+    string literals — ``SET note = concat(a, ',', b)`` must stay one
+    assignment) and the WHERE keyword is matched only at top level."""
+    import re
+
+    ident = r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)"
+    m = re.match(rf"\s*update\s+{ident}\s+set\s+", stmt, re.I)
+    if not m:
+        return None
+    rest = stmt.rstrip().rstrip(";")[m.end():]
+    depth, in_str, where_at, i = 0, False, None, 0
+    while i < len(rest):
+        ch = rest[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(rest) and rest[i + 1] == "'":
+                    i += 1  # '' escape stays inside the literal
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and rest[i:i + 5].lower() == "where"
+              and (i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_"))
+              and (i + 5 == len(rest)
+                   or not (rest[i + 5].isalnum() or rest[i + 5] == "_"))):
+            where_at = i
+            break
+        i += 1
+    set_part = rest[:where_at] if where_at is not None else rest
+    predicate = (rest[where_at + 5:].strip()
+                 if where_at is not None else "TRUE")
+    parts, buf, depth, in_str = [], [], 0, False
+    for j, ch in enumerate(set_part):
+        if in_str:
+            buf.append(ch)
+            if ch == "'" and not (j + 1 < len(set_part)
+                                  and set_part[j + 1] == "'"):
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    assignments: dict[str, str] = {}
+    for p in parts:
+        pm = re.match(r"\s*(`[^`]+`|\w+)\s*=\s*(.+?)\s*$", p, re.S)
+        if not pm:
+            return None
+        assignments[pm.group(1).strip("`")] = pm.group(2)
+    if not assignments:
+        return None
+    return _normalize_ident(m.group(1)), assignments, predicate
+
+
 def _list_log(table: str) -> tuple[list[str], list[str]]:
     """(commit files, checkpoint files), each sorted by version."""
     d = _log_path(table)
@@ -322,6 +392,10 @@ class TxLogDataSource(BaseDataSource):
         if m and _normalize_ident(m.group(1)) in self._known_names():
             ref = TableRef(table=_normalize_ident(m.group(1)))
             self.delete(ref, m.group(2) or "TRUE")
+            return done
+        parsed = _parse_update_statement(stmt)
+        if parsed is not None and parsed[0] in self._known_names():
+            self.update(TableRef(table=parsed[0]), parsed[1], parsed[2])
             return done
         # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) — Delta's
         # constraint DDL, routed to the native invariant store
@@ -1281,6 +1355,9 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
+        if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
+            self._merge_with_dv(table, snap, df, spec, txn)
+            return
         base = snap.version
         candidates = self._files_overlapping_keys(df, snap, spec.primary_key_columns[0])
         target_slice = self._read_snapshot(table, snap, candidates)
@@ -1299,6 +1376,53 @@ class TxLogDataSource(BaseDataSource):
                 )
         adds = self._write_files(result, table, snap.partition_cols)
         actions = [{"remove": {"path": p}} for p in candidates]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "MERGE", txn=txn)
+
+    def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
+                       spec: MergeSpec, txn: tuple[str, int] | None) -> None:
+        """Merge-on-read MERGE: matched target rows are MASKED (their
+        new images plus upsert inserts land in fresh files) and
+        untouched rows co-located in candidate files are never
+        rewritten — write cost tracks the CHANGED rows, not the
+        candidate files. One atomic commit carries the sidecar
+        re-points and the new adds; the change feed therefore emits
+        the standard delete(old image)+insert(new image) decomposition
+        with zero extra machinery."""
+        from x_spark.operators.merge import merge_split_frames
+
+        base = snap.version
+        candidates = self._files_overlapping_keys(
+            src, snap, spec.primary_key_columns[0]
+        )
+        if candidates:
+            tgt = self._read_files_with_meta(table, snap.schema, candidates)
+            tgt = tgt.join(self._dv_rows(table, snap, candidates),
+                           ["__fn", "__ri"], "left_anti")
+        else:
+            tgt = self.spark.createDataFrame(
+                [], snap.schema.add("__fn", "string").add("__ri", "long")
+            )
+        matched_meta, new_rows = merge_split_frames(
+            tgt, src, spec, ["__fn", "__ri"]
+        )
+        # generated columns on MERGE: NULL-filled insert columns mean
+        # "not set" — compute the expression there (mirrors the
+        # copy-on-write path)
+        for col, expr in sorted(snap.generated.items()):
+            if col in new_rows.columns:
+                new_rows = new_rows.withColumn(
+                    col,
+                    F.when(F.col(col).isNull(), F.expr(expr))
+                    .otherwise(F.col(col)),
+                )
+        mask = matched_meta.select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").alias("row_index"),
+        )
+        actions = self._mask_actions(table, snap, candidates, mask)
+        adds = self._write_files(new_rows, table, snap.partition_cols)
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
@@ -1389,57 +1513,168 @@ class TxLogDataSource(BaseDataSource):
                 os.utime(os.path.join(root, name), now)
         return rel, counts
 
+    def _mask_actions(self, table: str, snap: Snapshot,
+                      candidates: list[str],
+                      new_mask: DataFrame) -> list[dict]:
+        """Actions re-pointing candidate files at a fresh sidecar
+        holding (old mask UNION ``new_mask``). ``new_mask`` is
+        (file_name, row_index) rows that must reference only candidate
+        files and rows not already masked. Files with no new mask rows
+        keep their adds verbatim; a file whose every row is now masked
+        is plainly removed (fully-deleted files never linger as
+        all-mask scans). The change feed sees each remove+re-add pair
+        and emits exactly the newly masked rows as deletes."""
+        old_mask_all = self._dv_rows(table, snap, candidates)
+        # only files with NEW mask rows re-point; their old mask rows
+        # must ride into the new sidecar (an add references exactly one
+        # sidecar)
+        touched = new_mask.select("file_name").distinct()
+        carried = old_mask_all.select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").alias("row_index"),
+        ).join(touched, "file_name", "left_semi")
+        rel_dv, counts = self._write_dv_dir(
+            table, new_mask.unionByName(carried)
+        )
+        actions: list[dict] = []
+        by_name = {os.path.basename(p): p for p in candidates}
+        for fname, n in sorted(counts.items()):
+            p = by_name[fname]
+            add = snap.files[p]
+            total = add.get("numRecords")
+            if total is None:  # foreign add without footer stats
+                total, _ = self._footer_stats(os.path.join(table, p))
+            total = int(total)
+            actions.append({"remove": {"path": p}})
+            if n < total:
+                actions.append({"add": {
+                    **add, "dv": {"path": rel_dv, "cardinality": int(n)},
+                }})
+            # n == total: fully masked -> plain remove, file dropped
+        return actions
+
     def _delete_with_dv(self, table: str, snap: Snapshot,
                         predicate: str) -> None:
-        """Merge-on-read DELETE: one commit re-points each affected
-        file's add action at a new sidecar holding (old mask UNION
-        newly matched rows); untouched files keep their adds verbatim;
-        a file whose every row is now masked is plainly removed (so
-        fully-deleted files never linger as all-mask scans). The change
-        feed sees the remove+re-add pair and emits exactly the newly
-        masked rows as deletes."""
+        """Merge-on-read DELETE: one commit of :meth:`_mask_actions`
+        over the matched rows — no data file is read beyond the
+        predicate scan, none is rewritten."""
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
+        actions: list[dict] = []
         if candidates:
             live = self._read_files_with_meta(table, snap.schema, candidates)
-            old_mask_all = self._dv_rows(table, snap, candidates)
-            live = live.join(old_mask_all, ["__fn", "__ri"], "left_anti")
+            live = live.join(self._dv_rows(table, snap, candidates),
+                             ["__fn", "__ri"], "left_anti")
             matched = live.filter(
                 F.coalesce(F.expr(predicate), F.lit(False))
             ).select(
                 F.col("__fn").alias("file_name"),
                 F.col("__ri").alias("row_index"),
             )
-            # only files with NEW matches re-point; their old mask rows
-            # must ride into the new sidecar (an add references exactly
-            # one sidecar)
-            touched = matched.select("file_name").distinct()
-            carried = old_mask_all.select(
-                F.col("__fn").alias("file_name"),
-                F.col("__ri").alias("row_index"),
-            ).join(touched, "file_name", "left_semi")
-            full_mask = matched.unionByName(carried)
-            rel_dv, counts = self._write_dv_dir(table, full_mask)
-        else:
-            counts = {}
-        actions: list[dict] = []
-        if counts:
-            by_name = {os.path.basename(p): p for p in candidates}
-            for fname, n in sorted(counts.items()):
-                p = by_name[fname]
-                add = snap.files[p]
-                total = add.get("numRecords")
-                if total is None:  # foreign add without footer stats
-                    total, _ = self._footer_stats(os.path.join(table, p))
-                total = int(total)
-                actions.append({"remove": {"path": p}})
-                if n < total:
-                    actions.append({"add": {
-                        **add, "dv": {"path": rel_dv, "cardinality": int(n)},
-                    }})
-                # n == total: fully masked -> plain remove, file dropped
+            actions = self._mask_actions(table, snap, candidates, matched)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "DELETE")
+
+    def update(self, ref: TableRef, assignments: dict[str, str],
+               predicate: str = "TRUE") -> None:
+        """ANSI UPDATE: for rows where the predicate is TRUE, assign
+        each column its expression — ALL expressions evaluate against
+        the OLD row image (one select, not sequential withColumns), the
+        standard that makes ``SET a = b, b = a`` a swap. Generated
+        columns not explicitly assigned are recomputed from the
+        post-assignment values for updated rows; explicitly assigned
+        ones are validated by the generated:<col> constraint like any
+        write.
+
+        Copy-on-write by default (rewrite candidate files, Delta's
+        UPDATE shape, partition-pruned). With ``enableDeletionVectors``
+        the update is merge-on-read: old images are masked and only the
+        NEW images are written — cost tracks the updated rows."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        unknown = [c for c in assignments
+                   if c not in {f.name for f in snap.schema.fields}]
+        if unknown:
+            raise DataSourceException(
+                f"UPDATE assigns unknown column(s) {unknown}"
+            )
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+
+        def new_image(df: DataFrame, only_matched: bool) -> DataFrame:
+            """Post-update image. ``only_matched``: df holds matched
+            rows only, so assignments apply unconditionally. Otherwise
+            the match flag is computed ONCE from the old row image —
+            the predicate must not be re-evaluated against updated
+            values (SET v = v + 1 WHERE v < 5 would misfire)."""
+            cols = [f.name for f in snap.schema.fields]
+            regen = {c: e for c, e in snap.generated.items()
+                     if c in cols and c not in assignments}
+            if only_matched:
+                out = df.select(*[
+                    F.expr(assignments[c]).alias(c)
+                    if c in assignments else F.col(c)
+                    for c in df.columns
+                ])
+                for c, e in sorted(regen.items()):
+                    out = out.withColumn(c, F.expr(e))
+                return out
+            marked = df.withColumn("__upd", pred)
+            out = marked.select(
+                "__upd",
+                *[
+                    F.when(F.col("__upd"), F.expr(assignments[c]))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in assignments else F.col(c)
+                    for c in df.columns
+                ],
+            )
+            # recompute unassigned generated columns from the NEW values
+            for c, e in sorted(regen.items()):
+                out = out.withColumn(
+                    c,
+                    F.when(F.col("__upd"), F.expr(e)).otherwise(F.col(c)),
+                )
+            return out.drop("__upd")
+
+        if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
+            base = snap.version
+            candidates = self._files_matching_predicate(
+                table, snap, predicate
+            )
+            actions: list[dict] = []
+            adds: list[dict] = []
+            if candidates:
+                live = self._read_files_with_meta(
+                    table, snap.schema, candidates
+                ).join(self._dv_rows(table, snap, candidates),
+                       ["__fn", "__ri"], "left_anti")
+                matched = live.filter(pred).localCheckpoint(eager=True)
+                mask = matched.select(
+                    F.col("__fn").alias("file_name"),
+                    F.col("__ri").alias("row_index"),
+                )
+                actions = self._mask_actions(table, snap, candidates, mask)
+                adds = self._write_files(
+                    new_image(matched.drop("__fn", "__ri"), True),
+                    table, snap.partition_cols,
+                )
+            self._commit(
+                table, self._expect_unchanged(table, base),
+                actions + [{"add": a} for a in adds], "UPDATE",
+            )
+            return
+        base = snap.version
+        candidates = self._files_matching_predicate(table, snap, predicate)
+        rewritten = new_image(
+            self._read_snapshot(table, snap, candidates), False
+        )
+        adds = self._write_files(rewritten, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in candidates]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, base), actions,
+                     "UPDATE")
 
     def truncate(self, ref: TableRef) -> None:
         table = self._table_path(ref)
@@ -2195,6 +2430,18 @@ class DeltaFallbackDataSource(TxLogDataSource):
             d.delete(ref, predicate)
         else:
             super().delete(ref, predicate)
+
+    def update(self, ref: TableRef, assignments: dict[str, str],
+               predicate: str = "TRUE") -> None:
+        d = self._catalog_delegate(ref)
+        if d:
+            raise DataSourceException(
+                "UPDATE routes to the Spark catalog connector for this "
+                "table name, which has no predicate-update surface; use "
+                "merge or overwrite, or address the transactional store "
+                "by path"
+            )
+        super().update(ref, assignments, predicate)
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
         d = self._catalog_delegate(ref)
