@@ -114,3 +114,55 @@ def test_missing_path_or_table_raise(spark, ds, tmp_path):
         spark.read.format("txlog").option(
             "path", str(tmp_path / "nope")
         ).load().collect()
+
+
+def test_batch_and_stream_reads_apply_deletion_vectors(spark, ds, tmp_path):
+    """format("txlog") must not resurrect DV-masked rows: the batch
+    reader applies each file's mask (time travel reads each version's
+    own mask state), and a stream with ignoreChanges=true re-reads a
+    re-pointed file's CURRENT (masked) content."""
+    from x_spark.sources.txlog import DV_ENABLE_KEY
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(
+        spark.createDataFrame(
+            [(i, "a", i * 10) for i in range(10)], "pk int, part string, v int"
+        ).coalesce(1),
+        ref,
+    )
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})
+    v_before = 2
+    ds.delete(ref, "pk < 4")
+
+    df = spark.read.format("txlog").option("path", ref.path).load()
+    assert sorted(r.pk for r in df.collect()) == list(range(4, 10))
+    # connector and datasource agree post-mask
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, ds.read(ref).collect())
+    )
+    # time travel to the pre-delete version reads no mask
+    old = (
+        spark.read.format("txlog").option("path", ref.path)
+        .option("versionAsOf", v_before).load()
+    )
+    assert old.count() == 10
+
+    # streaming with ignoreChanges: the re-added file carries its mask
+    sdf = (
+        spark.readStream.format("txlog").option("path", ref.path)
+        .option("ignoreChanges", "true").load()
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # initial add (10 unmasked rows at v1... the add's dv is version-
+    # local: v1's add has no dv; the DELETE re-add carries it) plus the
+    # re-pointed file: 10 + 6 rows
+    pks = sorted(r.pk for r in got.collect())
+    assert pks == sorted(list(range(10)) + list(range(4, 10)))

@@ -44,15 +44,47 @@ from x_spark.errors import DataSourceException
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, table: str, rel: str, partition_values: dict):
+    def __init__(self, table: str, rel: str, partition_values: dict,
+                 dv: dict | None = None):
         self.table = table
         self.rel = rel
         self.partition_values = partition_values
+        self.dv = dv  # deletion-vector ref from the add action, if any
 
 
-def _read_file_batches(table: str, rel: str, partition_values: dict, schema):
+def _masked_row_indexes(table: str, rel: str, dv: dict | None):
+    """This file's deletion-vector row indexes as a sorted numpy array
+    (None when unmasked). Executor-side pyarrow read of the referenced
+    sidecar directory, filtered to THIS file's basename — the same
+    per-sidecar scoping rule as the connector reader."""
+    if not dv:
+        return None
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(rel)
+    idx: list = []
+    dv_dir = os.path.join(table, dv["path"])
+    for root, _dirs, names in os.walk(dv_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, name),
+                              columns=["file_name", "row_index"])
+            hit = t.filter(pc.equal(t.column("file_name"), base))
+            idx.extend(hit.column("row_index").to_pylist())
+    return np.sort(np.asarray(idx, dtype="int64")) if idx else None
+
+
+def _read_file_batches(table: str, rel: str, partition_values: dict, schema,
+                       dv: dict | None = None):
     """Arrow record batches for one data file, with hive partition
-    columns re-attached as constant columns in declared schema order."""
+    columns re-attached as constant columns in declared schema order
+    and deletion-vector rows dropped (row ordinals are stable per
+    parquet file — the same contract ``_metadata.row_index`` gives the
+    JVM reader)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute  # noqa: F401
     import pyarrow.parquet as pq
@@ -60,8 +92,18 @@ def _read_file_batches(table: str, rel: str, partition_values: dict, schema):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
+    masked = _masked_row_indexes(table, rel, dv)
     pf = pq.ParquetFile(os.path.join(table, rel))
+    offset = 0
     for batch in pf.iter_batches():
+        n = batch.num_rows
+        if masked is not None:
+            keep = ~np.isin(np.arange(offset, offset + n), masked,
+                            assume_unique=True)
+            offset += n
+            if not keep.any():
+                continue
+            batch = batch.filter(pa.array(keep))
         cols = []
         for field in arrow_schema:
             if field.name in batch.schema.names:
@@ -114,14 +156,17 @@ class TxLogBatchReader(DataSourceReader):
         )
         return [
             _FilePartition(
-                self.table, rel, self.snap.files[rel].get("partitionValues") or {}
+                self.table, rel,
+                self.snap.files[rel].get("partitionValues") or {},
+                self.snap.files[rel].get("dv"),
             )
             for rel in rels
         ]
 
     def read(self, partition: _FilePartition):
         yield from _read_file_batches(
-            partition.table, partition.rel, partition.partition_values, self.schema
+            partition.table, partition.rel, partition.partition_values,
+            self.schema, partition.dv,
         )
 
 
@@ -175,6 +220,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                                 self.table,
                                 action["add"]["path"],
                                 action["add"].get("partitionValues") or {},
+                                action["add"].get("dv"),
                             )
                         )
         return parts or [None]  # Spark requires >=1 partition per batch
@@ -183,7 +229,8 @@ class TxLogStreamReader(DataSourceStreamReader):
         if partition is None:
             return iter(())
         return _read_file_batches(
-            partition.table, partition.rel, partition.partition_values, self.schema
+            partition.table, partition.rel, partition.partition_values,
+            self.schema, partition.dv,
         )
 
     def commit(self, end: dict) -> None:
