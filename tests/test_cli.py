@@ -102,6 +102,27 @@ def test_cli_compact(tmp_path, spark, capsys):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_cli_purge(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import DV_ENABLE_KEY
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "dvt")
+    ref = TableRef(path=path)
+    ds.append(spark.createDataFrame([(i,) for i in range(10)], "pk int"), ref)
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})
+    ds.delete(ref, "pk < 3")
+    assert main(["purge", path]) == 0
+    assert "purged deletion vectors" in capsys.readouterr().out
+    assert ds.read(ref).count() == 7
+    from x_spark.sources.txlog import resolve_snapshot
+
+    assert not any(
+        a.get("dv") for a in resolve_snapshot(path).files.values()
+    )
+
+
 def test_cli_dry_run_merge_sql(tmp_path, spark):
     p = tmp_path / "upsert.yaml"
     p.write_text(

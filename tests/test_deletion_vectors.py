@@ -219,6 +219,75 @@ def test_dv_compact_purges_masks_physically(spark, ds, tmp_path):
     ds.generate_manifest(ref)
 
 
+def test_dv_reorg_purge_rewrites_only_masked_files(spark, ds, tmp_path):
+    """REORG ... APPLY (PURGE): masked files are physically rewritten
+    (masks applied, dv refs dropped); UNMASKED files keep byte/path
+    identity — the point of PURGE over a full compact when 1% of a
+    100-TB table carries masks."""
+    ref = _mk(spark, ds, tmp_path)  # files: pks 0-19 and 20-39
+    table = str(tmp_path / "t")
+    ds.delete(ref, "pk in (2, 5)")  # masks land only on the first file
+    snap = resolve_snapshot(table)
+    masked = {p for p, a in snap.files.items() if a.get("dv")}
+    untouched = set(snap.files) - masked
+    assert masked and untouched
+    want = _pks(ds.read(ref))
+    v0 = snap.version
+
+    assert ds.purge_dvs(ref) == len(masked)
+    snap = resolve_snapshot(table)
+    assert snap.version == v0 + 1
+    assert not any(a.get("dv") for a in snap.files.values())
+    assert untouched <= set(snap.files)  # unmasked files never rewritten
+    assert not masked & set(snap.files)  # masked files replaced
+    assert _pks(ds.read(ref)) == want  # logically a no-op
+    assert ds.count_rows(ref) == len(want)
+    # rewritten files physically lack the masked rows now
+    raw = spark.read.schema(snap.schema).parquet(
+        *[os.path.join(table, p) for p in snap.files]
+    )
+    assert raw.count() == len(want)
+    # ... so manifest export works again
+    ds.generate_manifest(ref)
+    # logical no-op: the purge commit nets zero row-level change
+    assert ds.semantic_diff(ref, v0, v0 + 1).count() == 0
+
+    # nothing masked -> nothing to do, NO commit burned
+    assert ds.purge_dvs(ref) == 0
+    assert resolve_snapshot(table).version == v0 + 1
+
+    # post-purge vacuum reaps the orphaned sidecars and old data files
+    ds.vacuum(ref, keep_last=1, min_age_sec=0)
+    for p in masked:
+        assert not os.path.exists(os.path.join(table, p))
+
+
+def test_dv_reorg_purge_sql_and_partitioned(spark, ds, tmp_path):
+    import uuid as _uuid
+
+    name = f"dv_purge_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", i * 2) for i in range(20)],
+        "pk int, part string, v int",
+    )
+    try:
+        ds.create(ref, df.schema, partition_by=["part"])
+        ds.append(df, ref)
+        ds.set_properties(ref, {DV_ENABLE_KEY: "true"})
+        ds.delete(ref, "pk in (1, 11)")
+        want = _pks(ds.read(ref))
+
+        ds._execute_statement(f"REORG TABLE {name} APPLY (PURGE)")
+        snap = resolve_snapshot(ds._table_path(ref))
+        assert not any(a.get("dv") for a in snap.files.values())
+        assert _pks(ds.read(ref)) == want
+        # hive partition values survive the rewrite
+        assert ds.read(ref).filter("part = 'a'").count() == 9
+    finally:
+        ds.drop_table(ref)
+
+
 def test_dv_manifest_refuses_while_masks_live(spark, ds, tmp_path):
     ref = _mk(spark, ds, tmp_path)
     ds.delete(ref, "pk = 1")

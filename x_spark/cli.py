@@ -320,6 +320,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="filter size in bits per file (multiple of 64)",
     )
 
+    prg = sub.add_parser(
+        "purge",
+        help="REORG APPLY (PURGE): rewrite only deletion-vector-masked files",
+    )
+    prg.add_argument("path", help="txlog table directory")
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -723,7 +729,8 @@ def main(argv: list[str] | None = None) -> int:
         ).orderBy("net").show(args.limit, truncate=False)
         return 0
 
-    if args.command in ("history", "show", "changes", "vacuum", "cluster"):
+    if args.command in ("history", "show", "changes", "vacuum", "cluster",
+                        "purge"):
         from x_spark.session import get_session
         from x_spark.sources import init_datasource
         from x_spark.sources.base import TableRef
@@ -754,6 +761,10 @@ def main(argv: list[str] | None = None) -> int:
                 strategy=args.strategy,
             )
             print(f"clustered into {n} file(s)")
+            return 0
+        if args.command == "purge":
+            n = ds.purge_dvs(TableRef(path=args.path))
+            print(f"purged deletion vectors from {n} file(s)")
             return 0
         deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last,
                             min_age_sec=args.min_age_sec)

@@ -442,6 +442,15 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # REORG TABLE t APPLY (PURGE) — Delta's DV purge: physically
+        # rewrite only the mask-carrying files, drop their dv refs
+        m = re.fullmatch(
+            rf"\s*reorg\s+table\s+{ident}\s+apply\s*\(\s*purge\s*\)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.purge_dvs(TableRef(table=_normalize_ident(m.group(1))))
+            return done
         # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — the switch
         # that turns on e.g. deletion vectors (enableDeletionVectors)
         m = re.fullmatch(
@@ -1683,6 +1692,29 @@ class TxLogDataSource(BaseDataSource):
             return
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         self._commit(table, snap.version + 1, actions, "TRUNCATE")
+
+    def purge_dvs(self, ref: TableRef) -> int:
+        """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): physically
+        rewrite ONLY the files carrying deletion vectors — masks
+        applied, dv references dropped — in one atomic, logically-no-op
+        commit. Unmasked files are never read or written, which is the
+        difference from a full compact when 1% of a 100-TB table is
+        masked. Superseded sidecars age out via vacuum. Returns the
+        number of files purged."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        masked = sorted(p for p, a in snap.files.items() if a.get("dv"))
+        if not masked:
+            return 0
+        df = self._read_snapshot(table, snap, masked)  # mask-applied
+        adds = self._write_files(df, table, snap.partition_cols)
+        actions = [{"remove": {"path": p}} for p in masked]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, snap.version),
+                     actions, "PURGE")
+        return len(masked)
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
         """Compaction commit: logically a no-op (remove small files, add
