@@ -34,7 +34,10 @@ FAMILY_REPRESENTATIVES = [
     "robust_outliers",          # median/MAD robust outlier screen
     "event_sessions",           # gap-based sessionization (lag + cumsum)
     "signup_funnel",            # ordered funnel stage counting
-    "cohort_retention",         # weekly cohort retention matrix
+    # cohort_retention demoted round 6 (5 straight green rounds; the
+    # sessionization family keeps event_sessions + signup_funnel in
+    # the head) — slot went to schema_evolution_scan
+    "schema_evolution_scan",    # column mapping: RENAME/ADD/DROP COLUMN
     "profile_drift",            # before/after profile drift gate
     "lineitem_correlations",    # one-pass exact-decimal correlation matrix
     "salted_brand_volume",      # skew-salted replicated JOIN

@@ -1,0 +1,282 @@
+"""Schema evolution DDL: ADD COLUMNS (metadata-only widening) and
+column mapping (Delta's columnMapping.mode = "name") enabling
+RENAME/DROP COLUMN as metadata-only commits — no data file is read or
+written by any of them, which is what makes them O(1) at 100 TB.
+
+Reference surface: Delta Lake's ALTER TABLE ADD COLUMNS / RENAME
+COLUMN / DROP COLUMN + column mapping (public docs). Physical names
+ride in StructField metadata; translation happens only in
+``_write_files`` and the pinned-schema readers.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from x_spark.errors import DataSourceException
+from x_spark.sources import init_datasource
+from x_spark.sources.base import MergeSpec, TableRef
+from x_spark.sources.txlog import (
+    COLUMN_MAPPING_KEY,
+    DV_ENABLE_KEY,
+    _physical_name,
+    resolve_snapshot,
+)
+
+
+@pytest.fixture()
+def ds(spark):
+    return init_datasource("txlog", spark)
+
+
+def _mk(spark, ds, tmp_path, part=False):
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i * 10) for i in range(10)],
+        "pk int, g string, v int",
+    )
+    if part:
+        ds.create(ref, df.schema, partition_by=["g"])
+    ds.append(df.coalesce(1), ref)
+    return ref
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_add_columns_metadata_only(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+    files_before = set(resolve_snapshot(table).files)
+
+    ds.add_columns(ref, "c int, d string")
+    snap = resolve_snapshot(table)
+    assert set(snap.files) == files_before  # no data movement
+    assert [f.name for f in snap.schema.fields] == ["pk", "g", "v", "c", "d"]
+    got = ds.read(ref).filter("pk = 1").first()
+    assert (got.c, got.d) == (None, None)  # old rows NULL-fill
+
+    # appends after the widening carry the new columns
+    ds.append(
+        spark.createDataFrame([(100, "a", 7, 42, "x")],
+                              "pk int, g string, v int, c int, d string"),
+        ref,
+    )
+    got = ds.read(ref).filter("pk = 100").first()
+    assert (got.c, got.d) == (42, "x")
+    # a narrow append NULL-fills through merge_schema (plain append
+    # keeps the pinned hard-error on missing columns)
+    ds.append(spark.createDataFrame([(101, "b", 8)],
+                                    "pk int, g string, v int"), ref,
+              merge_schema=True)
+    assert ds.read(ref).filter("pk = 101").first().c is None
+
+    with pytest.raises(DataSourceException, match="already exist"):
+        ds.add_columns(ref, "v long")
+
+
+def test_add_columns_sql_dispatch(spark, ds, tmp_path):
+    name = f"se_add_{uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1,)], "pk int"), ref)
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {name} ADD COLUMNS (price decimal(10,2), note string)"
+        )
+        schema = resolve_snapshot(ds._table_path(ref)).schema
+        assert [f.name for f in schema.fields] == ["pk", "price", "note"]
+        assert schema["price"].dataType.simpleString() == "decimal(10,2)"
+        # singular, unparenthesized flavor with a parameterized type
+        ds._execute_statement(
+            f"ALTER TABLE {name} ADD COLUMN ratio decimal(5,4)"
+        )
+        schema = resolve_snapshot(ds._table_path(ref)).schema
+        assert schema["ratio"].dataType.simpleString() == "decimal(5,4)"
+    finally:
+        ds.drop_table(ref)
+
+
+def test_rename_column_is_metadata_only(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+    want = _rows(ds.read(ref))
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    files_before = set(resolve_snapshot(table).files)
+
+    ds.rename_column(ref, "v", "value")
+    snap = resolve_snapshot(table)
+    assert set(snap.files) == files_before  # zero data movement
+    assert [f.name for f in snap.schema.fields] == ["pk", "g", "value"]
+    # physical name is the stable pre-rename logical name
+    assert _physical_name(snap.schema["value"]) == "v"
+    assert _rows(ds.read(ref).select("pk", "g", "value")) == want
+
+    # writes after the rename land under the physical name and read back
+    ds.append(spark.createDataFrame([(50, "c", 500)],
+                                    "pk int, g string, value int"), ref)
+    assert ds.read(ref).filter("pk = 50").first().value == 500
+    # min/max file skipping keys re-map: merge on the renamed column
+    ds.merge(
+        spark.createDataFrame([(50, "c", 555)],
+                              "pk int, g string, value int"),
+        ref, MergeSpec(["pk"], ["value"]),
+    )
+    assert ds.read(ref).filter("pk = 50").first().value == 555
+    # DELETE (CoW rewrite path) on the mapped table
+    ds.delete(ref, "pk = 0")
+    assert ds.read(ref).filter("pk = 0").count() == 0
+
+    # SQL dispatch flavor
+    name = f"se_ren_{uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, 2)], "a int, b int"), nref)
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {name} SET TBLPROPERTIES "
+            f"('{COLUMN_MAPPING_KEY}'='name')"
+        )
+        ds._execute_statement(f"ALTER TABLE {name} RENAME COLUMN b TO c")
+        assert ds.read(nref).columns == ["a", "c"]
+    finally:
+        ds.drop_table(nref)
+
+
+def test_rename_partition_column(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path, part=True)
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    ds.rename_column(ref, "g", "grp")
+    snap = resolve_snapshot(str(tmp_path / "t"))
+    assert snap.partition_cols == ["grp"]
+    assert ds.read(ref).filter("grp = 'a'").count() == 5
+    # new writes keep partition pruning / partition_counts consistent
+    ds.append(spark.createDataFrame([(20, "c", 1)],
+                                    "pk int, grp string, v int"), ref)
+    counts = {d["grp"]: d["n_rows"] for d in ds.partition_counts(ref)}
+    assert counts == {"a": 5, "b": 5, "c": 1}
+    # partition-scoped DELETE prunes on the renamed column
+    ds.delete(ref, "grp = 'c'")
+    assert ds.read(ref).filter("grp = 'c'").count() == 0
+
+
+def test_drop_column_never_resurrects(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    ds.drop_column(ref, "v")
+    assert ds.read(ref).columns == ["pk", "g"]
+
+    # re-adding the SAME logical name binds a FRESH physical name:
+    # the dropped column's bytes stay dead
+    ds.add_columns(ref, "v int")
+    snap = resolve_snapshot(str(tmp_path / "t"))
+    assert _physical_name(snap.schema["v"]).startswith("col-")
+    assert ds.read(ref).filter("v is not null").count() == 0
+    ds.append(spark.createDataFrame([(99, "z", 9)],
+                                    "pk int, g string, v int"), ref)
+    assert ds.read(ref).filter("v is not null").count() == 1
+
+
+def test_schema_evolution_guards(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path, part=True)
+    with pytest.raises(DataSourceException, match="requires"):
+        ds.rename_column(ref, "v", "value")
+    with pytest.raises(DataSourceException, match="requires"):
+        ds.drop_column(ref, "v")
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    with pytest.raises(DataSourceException, match="cannot be disabled"):
+        ds.set_properties(ref, {COLUMN_MAPPING_KEY: "none"})
+    with pytest.raises(DataSourceException, match="partition column"):
+        ds.drop_column(ref, "g")
+    with pytest.raises(DataSourceException, match="already exists"):
+        ds.rename_column(ref, "v", "pk")
+    with pytest.raises(DataSourceException, match="no column"):
+        ds.rename_column(ref, "nope", "x")
+    ds.add_constraint(ref, "v_pos", "v >= 0")
+    with pytest.raises(DataSourceException, match="constraint"):
+        ds.rename_column(ref, "v", "value")
+    with pytest.raises(DataSourceException, match="constraint"):
+        ds.drop_column(ref, "v")
+    ds.drop_constraint(ref, "v_pos")
+    ds.set_generated_column(ref, "v", "pk * 10")
+    with pytest.raises(DataSourceException, match="generated"):
+        ds.drop_column(ref, "v")
+    with pytest.raises(DataSourceException, match="generated"):
+        ds.rename_column(ref, "pk", "id")  # referenced by the expr
+
+
+def test_mapping_interplay_dv_cdf_restore_clone(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name",
+                            DV_ENABLE_KEY: "true"})
+    v_pre = resolve_snapshot(table).version
+    ds.rename_column(ref, "v", "value")
+
+    # DV delete on the mapped+renamed table: mask applies, reader drops
+    ds.delete(ref, "pk in (1, 2)")
+    snap = resolve_snapshot(table)
+    assert any(a.get("dv") for a in snap.files.values())
+    assert ds.read(ref).filter("pk in (1, 2)").count() == 0
+    assert ds.count_rows(ref) == 8
+
+    # CDF across the rename interval: base schema = base names
+    ch = ds.changes(ref, snap.version - 1, snap.version)
+    assert "value" in ch.columns
+    assert sorted(r.pk for r in ch.filter("_change_type = 'delete'")
+                  .collect()) == [1, 2]
+
+    # RESTORE to the pre-rename version re-asserts the OLD schema
+    ds.restore(ref, v_pre)
+    snap = resolve_snapshot(table)
+    assert [f.name for f in snap.schema.fields] == ["pk", "g", "v"]
+    assert ds.read(ref).filter("pk in (1, 2)").count() == 2
+
+    # CLONE carries the mapping metadata
+    ds.rename_column(ref, "v", "val2")
+    dst = TableRef(path=str(tmp_path / "c"))
+    ds.clone(ref, dst)
+    csnap = resolve_snapshot(str(tmp_path / "c"))
+    assert _physical_name(csnap.schema["val2"]) == "v"
+    assert ds.read(dst).columns == ["pk", "g", "val2"]
+    assert ds.read(dst).count() == 10
+
+
+def test_datasource_reader_respects_mapping(spark, ds, tmp_path):
+    from x_spark.sources.txlog_datasource import TxLogSparkDataSource
+
+    spark.dataSource.register(TxLogSparkDataSource)
+    ref = _mk(spark, ds, tmp_path, part=True)
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    ds.rename_column(ref, "v", "value")
+    ds.rename_column(ref, "g", "grp")
+    ds.add_columns(ref, "extra int")
+    df = (
+        spark.read.format("txlog")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    assert df.columns == ["pk", "grp", "value", "extra"]
+    assert df.filter("grp = 'a'").count() == 5
+    assert df.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(10))
+    assert df.filter("extra is not null").count() == 0
+
+
+def test_compact_and_cluster_on_mapped_table(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    ds.rename_column(ref, "v", "value")
+    ds.append(spark.createDataFrame([(10 + i, "c", i) for i in range(5)],
+                                    "pk int, g string, value int"), ref)
+    want = _rows(ds.read(ref))
+    ds._compact_rewrite(ds.read(ref), ref)
+    assert _rows(ds.read(ref)) == want
+    ds.cluster(ref, ["pk"], target_files=2)
+    assert _rows(ds.read(ref)) == want
+    # footer-stat file skipping still prunes on the LOGICAL name:
+    # stats in add actions are re-keyed, so merge key pruning works
+    snap = resolve_snapshot(str(tmp_path / "t"))
+    assert all(
+        "pk" in (a.get("stats") or {}).get("minValues", {})
+        for a in snap.files.values()
+    )

@@ -223,8 +223,8 @@ def test_concurrent_modification_aborts_read_modify_write(spark, ds, tmp_path):
     _seed(spark, ds, ref)
     orig = ds._write_files
 
-    def racing_write(df, table, part_cols):
-        adds = orig(df, table, part_cols)
+    def racing_write(df, table, part_cols, **kw):
+        adds = orig(df, table, part_cols, **kw)
         # another writer commits between this writer's read and commit
         ds._commit(table, resolve_snapshot(table).version + 1, [], "RACER")
         ds._write_files = orig

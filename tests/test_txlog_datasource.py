@@ -46,14 +46,15 @@ def test_batch_read_and_version_travel(spark, ds, tmp_path):
 def test_partition_filter_prunes_files(spark, ds, tmp_path):
     ref = TableRef(path=str(tmp_path / "t"), partition_by=["part"])
     _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20), (3, None, 30)])
-    df = spark.read.format("txlog").option("path", ref.path).load()
+    df = (spark.read.format("txlog").option("path", ref.path)
+          .option("filePruning", "true").load())
     assert sorted(map(tuple, df.filter("part = 'a'").collect())) == [(1, "a", 10)]
     assert sorted(map(tuple, df.filter("part IS NULL").collect())) == [(3, None, 30)]
     # prune really happens at the file level: reader sees 1 partition
     from x_spark.sources.txlog import resolve_snapshot
 
     snap = resolve_snapshot(ref.path)
-    reader = TxLogBatchReader(ref.path, snap.schema, None)
+    reader = TxLogBatchReader(ref.path, snap.schema, None, prune=True)
 
     class EqualTo:
         def __init__(self, attribute, value):
@@ -64,6 +65,30 @@ def test_partition_filter_prunes_files(spark, ds, tmp_path):
     parts = reader.partitions()
     assert len(parts) == 1
     assert all(p.partition_values.get("part") == "a" for p in parts)
+    # consume-and-clear: a later scan that pushes NO filters must see
+    # every file again (the reader outlives one query — stale pruning
+    # leaking into the next scan silently dropped rows)
+    assert len(reader.partitions()) == 3
+    # pruning is OPT-IN: the default reader never prunes
+    default_reader = TxLogBatchReader(ref.path, snap.schema, None)
+    default_reader.pushFilters([EqualTo(("part",), "a")])
+    assert len(default_reader.partitions()) == 3
+
+
+def test_prune_state_does_not_leak_across_scans(spark, ds, tmp_path):
+    """Spark 4.1 caches the post-pushdown partition list on the SHARED
+    PythonDataSourceV2 provider (setReadInfo / getOrCreateReadInfo) —
+    with file pruning on by default, a filtered scan would poison every
+    later filterless scan of the same loaded DataFrame into silently
+    dropping rows. Pruning therefore defaults OFF; this pins the
+    default's correctness on exactly that access pattern."""
+    ref = TableRef(path=str(tmp_path / "t"), partition_by=["part"])
+    _seed(spark, ds, ref, [(1, "a", 10), (2, "b", 20), (3, "b", 30)])
+    df = spark.read.format("txlog").option("path", ref.path).load()
+    assert df.filter("part = 'a'").count() == 1
+    # the SAME loaded DataFrame, now filterless: full row set
+    assert df.count() == 3
+    assert df.selectExpr("sum(v)").first()[0] == 60
 
 
 def test_streaming_reads_appends_as_microbatches(spark, ds, tmp_path):

@@ -84,6 +84,12 @@ _TAIL = [
     # its family's surviving head representative(s) noted — every one
     # is >= 3-consecutive-rounds driver-green and stays hash-checked in
     # the local suite + benched every round:
+    "cohort_retention",        # green r01-r05 (5 straight rounds); the
+                               # sessionization family keeps TWO head reps
+                               # (event_sessions + signup_funnel); slot goes
+                               # to schema_evolution_scan (column mapping:
+                               # RENAME/ADD/DROP COLUMN + mapped reads —
+                               # a brand-new txlog surface, round 6)
     "salted_event_totals",     # green r03-r05; skew-mitigation family held
                                # by salted_brand_volume (head, r5-green):
                                # same two-stage salt algebra on the JOIN side

@@ -834,6 +834,91 @@ def q_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# Schema evolution end to end, driver-checked: build a txlog table,
+# enable column mapping, RENAME a column, ADD a column, append a batch
+# under the evolved schema, DROP a column — every DDL metadata-only
+# (asserted: the pre-evolution data files are never rewritten) — then
+# aggregate the final state. The oracle recomputes the equivalent
+# final relation declaratively; a reader that mis-binds a physical
+# column, resurrects dropped data, or loses the rename diverges.
+# (Delta parity surface: ALTER TABLE ADD COLUMNS / RENAME COLUMN /
+# DROP COLUMN under columnMapping.mode='name'.)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import (
+        COLUMN_MAPPING_KEY, TxLogDataSource, resolve_snapshot,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="xs_se_scan_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "li"))
+        li = _t(spark, sf_dir, "lineitem")
+        b1 = li.filter(F.col("l_orderkey") % 5 == 0).select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+        ds.create(ref, b1.schema)
+        ds.append(b1, ref)                                       # v1
+        ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})     # v2
+        files_v2 = set(resolve_snapshot(ref.path).files)
+        ds.rename_column(ref, "l_extendedprice", "price")        # v3
+        ds.add_columns(ref, "disc_price double")                 # v4
+        b2 = li.filter(F.col("l_orderkey") % 5 == 1).select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.col("l_quantity").alias("l_quantity"),
+            F.col("l_extendedprice").alias("price"),
+            (F.col("l_extendedprice") * F.lit(0.9)).alias("disc_price"),
+        )
+        ds.append(b2, ref)                                       # v5
+        ds.drop_column(ref, "l_linenumber")                      # v6
+        # every DDL was metadata-only: batch-1 files never rewritten
+        survivors = set(resolve_snapshot(ref.path).files)
+        assert files_v2 <= survivors, "schema DDL rewrote data files"
+        return (
+            ds.read(ref)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("l_quantity").alias("sum_qty"),
+                dsum("price").alias("sum_price"),
+                dsum("disc_price").alias("sum_disc"),
+                F.count("disc_price").cast("bigint").alias("n_disc"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_SCHEMA_EVOLUTION_SCAN = """
+WITH final AS (
+  SELECT l_orderkey, l_returnflag, l_quantity,
+         l_extendedprice AS price,
+         CAST(NULL AS DOUBLE) AS disc_price
+  FROM lineitem WHERE l_orderkey % 5 = 0
+  UNION ALL
+  SELECT l_orderkey, l_returnflag, l_quantity,
+         l_extendedprice AS price,
+         l_extendedprice * 0.9 AS disc_price
+  FROM lineitem WHERE l_orderkey % 5 = 1
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(disc_price AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc,
+       CAST(count(disc_price) AS BIGINT) AS n_disc
+FROM final
+GROUP BY l_returnflag
+"""
+
+
 ORACLE_DV_DELETE_SCAN = """
 WITH s0 AS (
   SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
@@ -1587,6 +1672,7 @@ RELATIONAL_QUERIES = {
     "txlog_version_diff": q_txlog_version_diff,
     "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
     "dv_delete_scan": q_dv_delete_scan,
+    "schema_evolution_scan": q_schema_evolution_scan,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -1621,6 +1707,7 @@ RELATIONAL_ORACLES = {
     "txlog_version_diff": ORACLE_TXLOG_VERSION_DIFF,
     "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
     "dv_delete_scan": ORACLE_DV_DELETE_SCAN,
+    "schema_evolution_scan": ORACLE_SCHEMA_EVOLUTION_SCAN,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

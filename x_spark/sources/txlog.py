@@ -47,7 +47,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from x_spark.errors import DataSourceException
 from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
@@ -65,6 +65,66 @@ CHECKPOINT_INTERVAL = 20
 # CLONE and time travel carry mask state with zero extra machinery.
 DV_ENABLE_KEY = "enableDeletionVectors"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Column mapping (Delta's columnMapping.mode = "name"): data files
+# store columns under stable PHYSICAL names (StructField metadata key
+# below, stamped physical=logical at enablement, col-<uuid> for columns
+# added afterwards) while the schema's field names stay the user-facing
+# LOGICAL names. RENAME COLUMN then only edits the logical name and
+# DROP COLUMN only removes the field — both metadata-only commits that
+# never touch a data file, which is the difference between O(1) and a
+# 100-TB rewrite. A re-added column gets a FRESH physical name, so
+# dropped data can never resurrect (Delta semantics). Translation
+# happens at exactly two choke points: ``_write_files`` renames
+# logical->physical before the parquet write (add actions keep
+# PHYSICAL-keyed partitionValues/stats — rename-stable, so a file
+# written years before a rename still prunes), and the pinned-schema
+# readers scan with the physical schema and alias back. Metadata
+# consumers translate logical->physical at lookup. Tables that never
+# enable mapping use identity names and pay nothing.
+COLUMN_MAPPING_KEY = "columnMapping.mode"
+PHYSICAL_NAME_KEY = "x_spark.columnMapping.physicalName"
+
+
+def _physical_name(field: StructField) -> str:
+    return (field.metadata or {}).get(PHYSICAL_NAME_KEY, field.name)
+
+
+def _physical_map(schema: StructType) -> dict[str, str]:
+    """logical -> physical column name (identity when unstamped)."""
+    return {f.name: _physical_name(f) for f in schema.fields}
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    """The schema as it lives in data files: physical field names."""
+    return StructType([
+        StructField(_physical_name(f), f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+
+
+def _fresh_physical() -> str:
+    return f"col-{uuid.uuid4().hex[:12]}"
+
+
+def _stamp_physical(new_schema: StructType, old_schema: StructType,
+                    configuration: dict[str, str]) -> StructType:
+    """Physical-name stamping for a schema REPLACEMENT under column
+    mapping: a column whose logical name survives keeps its stable
+    physical name (old files keep binding); a brand-new column gets a
+    FRESH one (a previously dropped column of the same name can never
+    resurrect). Identity when mapping is off."""
+    if (configuration or {}).get(COLUMN_MAPPING_KEY) != "name":
+        return new_schema
+    old = {f.name: _physical_name(f) for f in old_schema.fields}
+    return StructType([
+        StructField(
+            f.name, f.dataType, f.nullable,
+            {**(f.metadata or {}),
+             PHYSICAL_NAME_KEY: old.get(f.name, _fresh_physical())},
+        )
+        for f in new_schema.fields
+    ])
 
 
 class ConcurrentWriteException(DataSourceException):
@@ -442,6 +502,41 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # Schema evolution DDL (metadata-only commits): ADD COLUMN(S),
+        # RENAME COLUMN (mapping required), DROP COLUMN (mapping
+        # required)
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+add\s+columns?\s+(.+?)\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            cols = m.group(2).strip()
+            if cols.startswith("(") and cols.endswith(")"):
+                cols = cols[1:-1]
+            self.add_columns(
+                TableRef(table=_normalize_ident(m.group(1))), cols
+            )
+            return done
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+rename\s+column\s+(\w+)\s+"
+            r"to\s+(\w+)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.rename_column(
+                TableRef(table=_normalize_ident(m.group(1))),
+                m.group(2), m.group(3),
+            )
+            return done
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+drop\s+column\s+(\w+)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.drop_column(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
         # REORG TABLE t APPLY (PURGE) — Delta's DV purge: physically
         # rewrite only the mask-carrying files, drop their dv refs
         m = re.fullmatch(
@@ -611,11 +706,14 @@ class TxLogDataSource(BaseDataSource):
         plain = [p for p in rel if p not in set(masked)]
         parts: list[DataFrame] = []
         if plain:
+            # column mapping: files store physical names; scan with the
+            # physical schema, alias back to logical (identity when off)
             parts.append(
-                self.spark.read.schema(snap.schema)
+                self.spark.read.schema(_physical_schema(snap.schema))
                 .option("basePath", table)
                 .parquet(*[os.path.join(table, p) for p in plain])
-                .select(*cols)
+                .select(*[F.col(_physical_name(f)).alias(f.name)
+                          for f in snap.schema.fields])
             )
         if masked:
             df = self._read_files_with_meta(table, snap.schema, masked)
@@ -634,12 +732,13 @@ class TxLogDataSource(BaseDataSource):
         ``__fn`` (file basename — uuid-unique per table by
         construction) and ``__ri`` (parquet ``_metadata.row_index``)."""
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(_physical_schema(schema))
             .option("basePath", table)
             .parquet(*[os.path.join(table, p) for p in rels])
         )
         return df.select(
-            "*",
+            *[F.col(_physical_name(f)).alias(f.name)
+              for f in schema.fields],
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__fn"),
@@ -798,7 +897,8 @@ class TxLogDataSource(BaseDataSource):
 
     # -- data-file writing ---------------------------------------------
     def _write_files(self, df: DataFrame, table: str,
-                     part_cols: list[str]) -> list[dict]:
+                     part_cols: list[str],
+                     schema: StructType | None = None) -> list[dict]:
         """Materialize ``df`` as immutable parquet files inside the
         table directory (staged under a unique name, then moved — the
         files are invisible until an add action commits them). Returns
@@ -812,12 +912,27 @@ class TxLogDataSource(BaseDataSource):
         (Delta's InvariantViolationException shape). SQL semantics: a
         row violates only when the expression is FALSE (NULL passes,
         the standard CHECK rule); cost is one validation job per
-        write, and only when constraints exist."""
+        write, and only when constraints exist.
+
+        Column mapping: constraints/generated columns validate on the
+        LOGICAL df, then columns rename to their stable physical names
+        for the parquet write. The add action's partitionValues and
+        footer stats stay PHYSICAL-keyed — physical names never change,
+        so this metadata survives any later RENAME COLUMN; consumers
+        translate logical->physical at lookup (identity for unmapped
+        tables). ``schema`` supplies the mapping.
+        """
         self._enforce_constraints(df, table)
+        phys = _physical_map(schema) if schema is not None else {}
+        if any(phys.get(c, c) != c for c in df.columns):
+            df = df.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+            )
+        write_part_cols = [phys.get(c, c) for c in part_cols]
         staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        if write_part_cols:
+            writer = writer.partitionBy(*write_part_cols)
         writer.parquet(staging)
         adds: list[dict] = []
         try:
@@ -827,7 +942,9 @@ class TxLogDataSource(BaseDataSource):
                         continue
                     src = os.path.join(root, name)
                     relpart = os.path.relpath(root, staging)
-                    part_values = self._parse_partition_values(relpart, part_cols)
+                    part_values = self._parse_partition_values(
+                        relpart, write_part_cols
+                    )
                     fname = f"part-{uuid.uuid4().hex}.parquet"
                     rel = fname if relpart == "." else os.path.join(relpart, fname)
                     dst = os.path.join(table, rel)
@@ -986,12 +1103,28 @@ class TxLogDataSource(BaseDataSource):
             raise DataSourceException(f"txlog table {table!r} does not exist")
         config = {**snap.configuration,
                   **{k: str(v) for k, v in props.items()}}
+        schema_json = snap.schema_json
+        if COLUMN_MAPPING_KEY in props:
+            mode = str(props[COLUMN_MAPPING_KEY])
+            on = snap.configuration.get(COLUMN_MAPPING_KEY) == "name"
+            if mode not in ("name",) or (on and mode != "name"):
+                raise DataSourceException(
+                    f"'{COLUMN_MAPPING_KEY}' only supports 'name', and "
+                    "mapping cannot be disabled once enabled (files "
+                    "already carry physical names)"
+                )
+            # enablement stamps physical = current logical on every
+            # field, so every existing file keeps binding; idempotent
+            # on re-enable (already-stamped fields keep their name)
+            schema_json = _stamp_physical(
+                snap.schema, snap.schema, {COLUMN_MAPPING_KEY: "name"}
+            ).json()
         self._commit(
             table,
             self._expect_unchanged(table, snap.version),
             [{
                 "metaData": {
-                    "schemaJson": snap.schema_json,
+                    "schemaJson": schema_json,
                     "partitionColumns": snap.partition_cols,
                     "configuration": config,
                 }
@@ -1065,6 +1198,140 @@ class TxLogDataSource(BaseDataSource):
             }],
             "DROP CONSTRAINT",
         )
+
+    # -- schema evolution DDL -------------------------------------------
+    def _commit_schema(self, table: str, snap: Snapshot,
+                       schema: StructType, partition_cols: list[str],
+                       operation: str) -> None:
+        """One metaData commit replacing the schema — the shape every
+        schema-evolution DDL shares. Metadata-only: no data file is
+        read or written, O(1) at any table size."""
+        self._commit(
+            table,
+            self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": schema.json(),
+                    "partitionColumns": partition_cols,
+                    "configuration": snap.configuration,
+                }
+            }],
+            operation,
+        )
+
+    def _require_snapshot(self, ref: TableRef) -> tuple[str, Snapshot]:
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        return table, snap
+
+    def _column_refs(self, snap: Snapshot, col: str) -> list[str]:
+        """Configuration entries (CHECK constraints, generated-column
+        expressions) that reference ``col`` — renaming or dropping the
+        column would silently break them, so the DDL refuses and names
+        the blockers (Delta's dependency check)."""
+        import re
+
+        pat = re.compile(rf"(?i)(?<![\w`.]){re.escape(col)}(?![\w`])")
+        refs = [
+            k for k, v in snap.configuration.items()
+            if k.startswith(("constraint.", "generated.")) and pat.search(v)
+        ]
+        if f"generated.{col}" in snap.configuration:
+            refs.append(f"generated.{col}")  # the column IS generated
+        return sorted(set(refs))
+
+    def add_columns(self, ref: TableRef, cols_ddl: str) -> None:
+        """ALTER TABLE ... ADD COLUMNS ("c1 int, c2 string"): widen the
+        schema by one metaData commit. Existing files surface NULL for
+        the new columns through the pinned-schema reader — zero data
+        movement. Under column mapping the new columns get FRESH
+        physical names, so a re-added name never binds to a previously
+        dropped column's bytes."""
+        table, snap = self._require_snapshot(ref)
+        new_fields = list(StructType.fromDDL(cols_ddl).fields)
+        existing = {f.name for f in snap.schema.fields}
+        dups = [f.name for f in new_fields if f.name in existing]
+        if dups:
+            raise DataSourceException(
+                f"column(s) {dups} already exist on {table!r}"
+            )
+        if snap.configuration.get(COLUMN_MAPPING_KEY) == "name":
+            new_fields = [
+                StructField(f.name, f.dataType, f.nullable,
+                            {**(f.metadata or {}),
+                             PHYSICAL_NAME_KEY: _fresh_physical()})
+                for f in new_fields
+            ]
+        merged = StructType(list(snap.schema.fields) + new_fields)
+        self._commit_schema(table, snap, merged, snap.partition_cols,
+                            "ADD COLUMNS")
+
+    def rename_column(self, ref: TableRef, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only:
+        the logical field name changes, the stable PHYSICAL name the
+        data files carry does not, so a 100-TB table renames in one
+        commit. Requires ``columnMapping.mode = 'name'`` (without the
+        mapping, files store logical names and a rename would orphan
+        every existing file — the same reason Delta requires it)."""
+        table, snap = self._require_snapshot(ref)
+        if snap.configuration.get(COLUMN_MAPPING_KEY) != "name":
+            raise DataSourceException(
+                f"RENAME COLUMN requires '{COLUMN_MAPPING_KEY}'='name' "
+                f"(ALTER TABLE ... SET TBLPROPERTIES) on {table!r}"
+            )
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise DataSourceException(f"no column {old!r} on {table!r}")
+        if new in names:
+            raise DataSourceException(f"column {new!r} already exists")
+        refs = self._column_refs(snap, old)
+        if refs:
+            raise DataSourceException(
+                f"cannot rename {old!r}: referenced by {refs} — drop the "
+                "constraint / generation expression first"
+            )
+        fields = [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in snap.schema.fields
+        ]
+        part_cols = [new if c == old else c for c in snap.partition_cols]
+        self._commit_schema(table, snap, StructType(fields), part_cols,
+                            "RENAME COLUMN")
+
+    def drop_column(self, ref: TableRef, col: str) -> None:
+        """ALTER TABLE ... DROP COLUMN — metadata-only soft drop: the
+        field leaves the schema, the bytes stay in the files but no
+        reader can ever bind them again (fresh physical names on
+        re-add). Requires column mapping, like Delta; refuses partition
+        columns and columns referenced by constraints / generation
+        expressions."""
+        table, snap = self._require_snapshot(ref)
+        if snap.configuration.get(COLUMN_MAPPING_KEY) != "name":
+            raise DataSourceException(
+                f"DROP COLUMN requires '{COLUMN_MAPPING_KEY}'='name' "
+                f"(ALTER TABLE ... SET TBLPROPERTIES) on {table!r}"
+            )
+        names = [f.name for f in snap.schema.fields]
+        if col not in names:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        if len(names) == 1:
+            raise DataSourceException("cannot drop the only column")
+        if col in snap.partition_cols:
+            raise DataSourceException(
+                f"cannot drop partition column {col!r}"
+            )
+        refs = self._column_refs(snap, col)
+        if refs:
+            raise DataSourceException(
+                f"cannot drop {col!r}: referenced by {refs} — drop the "
+                "constraint / generation expression first"
+            )
+        fields = [f for f in snap.schema.fields if f.name != col]
+        self._commit_schema(table, snap, StructType(fields),
+                            snap.partition_cols, "DROP COLUMN")
 
     @staticmethod
     def _parse_partition_values(relpart: str, part_cols: list[str]) -> dict:
@@ -1165,6 +1432,15 @@ class TxLogDataSource(BaseDataSource):
             new_fields = [f for f in df.schema.fields if f.name not in existing]
             if not new_fields:
                 return []
+            if current.configuration.get(COLUMN_MAPPING_KEY) == "name":
+                # fresh physical names: a re-added column never binds
+                # to a dropped column's data
+                new_fields = [
+                    StructField(f.name, f.dataType, f.nullable,
+                                {**(f.metadata or {}),
+                                 PHYSICAL_NAME_KEY: _fresh_physical()})
+                    for f in new_fields
+                ]
             merged = StructType(list(current.schema.fields) + new_fields)
             return [{
                 "metaData": {
@@ -1190,8 +1466,10 @@ class TxLogDataSource(BaseDataSource):
             ])
         else:
             meta_actions = []
+            write_schema = snap.schema
             df = _conform(self._fill_generated(df, snap), snap.schema)  # by-name + assignment cast, like Delta
-        adds = self._write_files(df, table, snap.partition_cols)
+        adds = self._write_files(df, table, snap.partition_cols,
+                                 schema=write_schema)
         add_actions = [{"add": a} for a in adds]
         for _ in range(10):
             try:
@@ -1265,10 +1543,12 @@ class TxLogDataSource(BaseDataSource):
                 raise DataSourceException(
                     f"partition column(s) {missing} not in overwrite frame"
                 )
-            adds = self._write_files(df, table, part_cols)
+            stamped = _stamp_physical(df.schema, snap.schema,
+                                      snap.configuration)
+            adds = self._write_files(df, table, part_cols, schema=stamped)
             actions: list[dict] = [{
                 "metaData": {
-                    "schemaJson": df.schema.json(),
+                    "schemaJson": stamped.json(),
                     "partitionColumns": part_cols,
                     "configuration": snap.configuration,
                 }
@@ -1280,7 +1560,8 @@ class TxLogDataSource(BaseDataSource):
             return
         df = _conform(self._fill_generated(df, snap), snap.schema)
         if replace_where in (None, "", "1=1"):
-            adds = self._write_files(df, table, snap.partition_cols)
+            adds = self._write_files(df, table, snap.partition_cols,
+                                 schema=snap.schema)
             actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
             actions += [{"add": a} for a in adds]
             # RMW commit: a concurrent append's files are not in the
@@ -1299,7 +1580,8 @@ class TxLogDataSource(BaseDataSource):
         candidates = self._files_matching_predicate(table, snap, replace_where)
         survivors = self._read_snapshot(table, snap, candidates).filter(~pred)
         new_data = survivors.unionByName(checked)
-        adds = self._write_files(new_data, table, snap.partition_cols)
+        adds = self._write_files(new_data, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
@@ -1334,16 +1616,19 @@ class TxLogDataSource(BaseDataSource):
             tuple(render(row[c]) for c in snap.partition_cols)
             for row in df.select(*snap.partition_cols).distinct().collect()
         }
+        pmap = _physical_map(snap.schema)  # pv keys are PHYSICAL
         removes = [
             rel
             for rel in sorted(snap.files)
             if tuple(
-                (snap.files[rel].get("partitionValues") or {}).get(c)
+                (snap.files[rel].get("partitionValues") or {})
+                .get(pmap.get(c, c))
                 for c in snap.partition_cols
             )
             in incoming
         ]
-        adds = self._write_files(df, table, snap.partition_cols)
+        adds = self._write_files(df, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in removes]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
@@ -1383,7 +1668,8 @@ class TxLogDataSource(BaseDataSource):
                     col,
                     F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
                 )
-        adds = self._write_files(result, table, snap.partition_cols)
+        adds = self._write_files(result, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
@@ -1431,7 +1717,8 @@ class TxLogDataSource(BaseDataSource):
             F.col("__ri").alias("row_index"),
         )
         actions = self._mask_actions(table, snap, candidates, mask)
-        adds = self._write_files(new_rows, table, snap.partition_cols)
+        adds = self._write_files(new_rows, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
@@ -1476,7 +1763,8 @@ class TxLogDataSource(BaseDataSource):
         survivors = self._read_snapshot(table, snap, candidates).filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
-        adds = self._write_files(survivors, table, snap.partition_cols)
+        adds = self._write_files(survivors, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
@@ -1667,7 +1955,7 @@ class TxLogDataSource(BaseDataSource):
                 actions = self._mask_actions(table, snap, candidates, mask)
                 adds = self._write_files(
                     new_image(matched.drop("__fn", "__ri"), True),
-                    table, snap.partition_cols,
+                    table, snap.partition_cols, schema=snap.schema,
                 )
             self._commit(
                 table, self._expect_unchanged(table, base),
@@ -1679,7 +1967,8 @@ class TxLogDataSource(BaseDataSource):
         rewritten = new_image(
             self._read_snapshot(table, snap, candidates), False
         )
-        adds = self._write_files(rewritten, table, snap.partition_cols)
+        adds = self._write_files(rewritten, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
@@ -1709,7 +1998,8 @@ class TxLogDataSource(BaseDataSource):
         if not masked:
             return 0
         df = self._read_snapshot(table, snap, masked)  # mask-applied
-        adds = self._write_files(df, table, snap.partition_cols)
+        adds = self._write_files(df, table, snap.partition_cols,
+                                 schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in masked]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version),
@@ -1723,7 +2013,7 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table)
         adds = self._write_files(
             df.select(*[f.name for f in snap.schema.fields]), table,
-            snap.partition_cols,
+            snap.partition_cols, schema=snap.schema,
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += [{"add": a} for a in adds]
@@ -1779,7 +2069,7 @@ class TxLogDataSource(BaseDataSource):
             )
         adds = self._write_files(
             clustered.select(*[f.name for f in snap.schema.fields]), table,
-            snap.partition_cols,
+            snap.partition_cols, schema=snap.schema,
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += [{"add": a} for a in adds]
@@ -1934,9 +2224,12 @@ class TxLogDataSource(BaseDataSource):
                 masked = [e for e in entries if e.get("dv")]
                 if plain:
                     collect(
-                        self.spark.read.schema(base.schema)
+                        self.spark.read
+                        .schema(_physical_schema(base.schema))
                         .option("basePath", table)
-                        .parquet(*[os.path.join(table, p) for p in plain]),
+                        .parquet(*[os.path.join(table, p) for p in plain])
+                        .select(*[F.col(_physical_name(f)).alias(f.name)
+                                  for f in base.schema.fields]),
                         kind, v,
                     )
                 if masked:
@@ -2120,8 +2413,13 @@ class TxLogDataSource(BaseDataSource):
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
         acc: dict[tuple, dict] = {}
+        # pv keys are PHYSICAL (rename-stable); present them logical
+        back = {_physical_name(f): f.name for f in snap.schema.fields}
         for rel, add in snap.files.items():
-            pv = add.get("partitionValues") or {}
+            pv = {
+                back.get(k, k): v
+                for k, v in (add.get("partitionValues") or {}).items()
+            }
             key = tuple(sorted(pv.items()))
             slot = acc.setdefault(key, {"n_files": 0, "n_rows": 0})
             slot["n_files"] += 1
@@ -2308,11 +2606,12 @@ class TxLogDataSource(BaseDataSource):
         lo, hi = row["lo"], row["hi"]
         if lo is None:
             return []  # empty source: no file can match
+        pkey = _physical_map(snap.schema).get(key, key)  # stats keys are PHYSICAL
         keep = []
         for rel in sorted(snap.files):
             st = snap.files[rel].get("stats") or {}
-            fmin = (st.get("minValues") or {}).get(key)
-            fmax = (st.get("maxValues") or {}).get(key)
+            fmin = (st.get("minValues") or {}).get(pkey)
+            fmax = (st.get("maxValues") or {}).get(pkey)
             if fmin is None or fmax is None:
                 keep.append(rel)
                 continue
@@ -2342,9 +2641,11 @@ class TxLogDataSource(BaseDataSource):
             return []
         by_name = {f.name: f for f in snap.schema.fields}
         part_fields = [by_name[c] for c in snap.partition_cols]
+        pmap = _physical_map(snap.schema)  # pv keys are PHYSICAL
         rows = [
             tuple(
-                (snap.files[rel].get("partitionValues") or {}).get(c)
+                (snap.files[rel].get("partitionValues") or {})
+                .get(pmap.get(c, c))
                 for c in snap.partition_cols
             )
             for rel in rels

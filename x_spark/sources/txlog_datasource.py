@@ -91,7 +91,13 @@ def _read_file_batches(table: str, rel: str, partition_values: dict, schema,
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from x_spark.sources.txlog import _physical_map
+
     arrow_schema = to_arrow_schema(schema)
+    # column mapping: files store stable PHYSICAL names — bind each
+    # logical field to its physical column (identity when unmapped);
+    # a file predating the column's ADD simply lacks it -> NULL fill
+    phys = _physical_map(schema)
     masked = _masked_row_indexes(table, rel, dv)
     pf = pq.ParquetFile(os.path.join(table, rel))
     offset = 0
@@ -106,17 +112,18 @@ def _read_file_batches(table: str, rel: str, partition_values: dict, schema,
             batch = batch.filter(pa.array(keep))
         cols = []
         for field in arrow_schema:
-            if field.name in batch.schema.names:
-                cols.append(batch.column(field.name).cast(field.type))
+            pname = phys.get(field.name, field.name)
+            if pname in batch.schema.names:
+                cols.append(batch.column(pname).cast(field.type))
             else:
-                v = partition_values.get(field.name)
+                v = partition_values.get(pname)  # pv keys are PHYSICAL
                 str_arr = pa.array([v] * batch.num_rows, type=pa.string())
                 cols.append(str_arr.cast(field.type))
         yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 class TxLogBatchReader(DataSourceReader):
-    def __init__(self, table: str, schema, version):
+    def __init__(self, table: str, schema, version, prune: bool = False):
         from x_spark.sources.txlog import resolve_snapshot
 
         self.table = table
@@ -125,22 +132,37 @@ class TxLogBatchReader(DataSourceReader):
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
         self.snap = snap
+        self.prune = prune
         self._pruned: set[str] | None = None
 
     def pushFilters(self, filters):
         """Prune files by EqualTo/IsNull on partition columns; every
         filter is also returned to Spark (we prune, Spark still
-        evaluates — required for correctness on partial pruning)."""
+        evaluates — required for correctness on partial pruning).
+
+        Pruning is OPT-IN (``option("filePruning", "true")``) because
+        Spark 4.1 caches the post-pushdown partition list on the shared
+        ``PythonDataSourceV2`` provider (``setReadInfo`` /
+        ``getOrCreateReadInfo`` return the cached value unconditionally)
+        — so with one loaded DataFrame reused across queries, a
+        filtered scan's pruned file list would silently DROP ROWS from
+        a later filterless scan. Safe only in load-per-query patterns;
+        default off, correctness over pruning."""
+        if not self.prune:
+            return filters
+        from x_spark.sources.txlog import _physical_map
+
         part_cols = set(self.snap.partition_cols)
+        phys = _physical_map(self.snap.schema)  # pv keys are PHYSICAL
         constraints: dict[str, object] = {}
         for f in filters:
             name = type(f).__name__
             col = getattr(f, "attribute", None)
             col = col[0] if isinstance(col, (list, tuple)) else col
             if name == "EqualTo" and col in part_cols:
-                constraints[col] = str(f.value)
+                constraints[phys.get(col, col)] = str(f.value)
             elif name == "IsNull" and col in part_cols:
-                constraints[col] = None
+                constraints[phys.get(col, col)] = None
         if constraints:
             keep = set()
             for rel, add in self.snap.files.items():
@@ -151,9 +173,15 @@ class TxLogBatchReader(DataSourceReader):
         return filters  # Spark re-evaluates everything
 
     def partitions(self):
-        rels = sorted(
-            self.snap.files if self._pruned is None else self._pruned
-        )
+        # consume-and-clear: the reader instance OUTLIVES one query (it
+        # is embedded in the loaded DataFrame's relation), so pruning
+        # set by THIS scan's pushFilters must not leak into a later
+        # scan that pushed no filters — that would silently drop rows.
+        # Clearing errs toward returning MORE files, which is always
+        # correct: every filter is also returned to Spark above, so
+        # rows are re-filtered either way.
+        pruned, self._pruned = self._pruned, None
+        rels = sorted(self.snap.files if pruned is None else pruned)
         return [
             _FilePartition(
                 self.table, rel,
@@ -267,8 +295,10 @@ class TxLogSparkDataSource(DataSource):
 
     def reader(self, schema) -> TxLogBatchReader:
         v = self.options.get("versionAsOf")
+        prune = str(self.options.get("filePruning", "false")).lower() == "true"
         return TxLogBatchReader(
-            self._table(), schema, int(v) if v is not None else None
+            self._table(), schema, int(v) if v is not None else None,
+            prune=prune,
         )
 
     def streamReader(self, schema) -> TxLogStreamReader:
