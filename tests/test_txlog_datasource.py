@@ -106,6 +106,133 @@ def test_streaming_reads_appends_as_microbatches(spark, ds, tmp_path):
     ]
 
 
+def test_stream_rate_limit_offsets(spark, ds, tmp_path):
+    """maxFilesPerTrigger / maxVersionsPerTrigger: latestOffset
+    advances only to a commit boundary within the admission budget, and
+    repeated calls walk the whole backlog — no version skipped, none
+    split."""
+    from x_spark.sources.txlog import resolve_snapshot
+    from x_spark.sources.txlog_datasource import TxLogStreamReader
+
+    ref = TableRef(path=str(tmp_path / "t"))
+
+    def seed1(rows):  # exactly ONE add action per append
+        ds.append(
+            spark.createDataFrame(rows, "pk int, part string, v int")
+            .coalesce(1),
+            ref,
+        )
+
+    seed1([(1, "a", 10)])                                      # v1: 1 file
+    seed1([(2, "b", 20)])                                      # v2: 1 file
+    seed1([(3, "c", 30)])                                      # v3: 1 file
+    ds.append(                                                 # v4: 2 files
+        spark.createDataFrame([(4, "d", 40), (5, "e", 50)],
+                              "pk int, part string, v int").repartition(2),
+        ref,
+    )
+    snap = resolve_snapshot(ref.path)
+    schema = snap.schema
+    adds_by_version = {1: 1, 2: 1, 3: 1, 4: 2}
+    assert len(snap.files) == sum(adds_by_version.values())
+
+    r = TxLogStreamReader(ref.path, schema, {"maxFilesPerTrigger": "2"})
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}   # v1+v2 = 2 files
+    # v3 (1 file) under budget, v4 tips it — admitted to the boundary
+    assert r.latestOffset() == {"version": 4}
+    assert r.latestOffset() == {"version": 4}   # drained: stable
+
+    r = TxLogStreamReader(ref.path, schema, {"maxVersionsPerTrigger": "1"})
+    assert [r.latestOffset()["version"] for _ in range(5)] == [1, 2, 3, 4, 4]
+    # progress guarantee: a version larger than the file budget still
+    # admits (at least one version per batch)
+    r = TxLogStreamReader(ref.path, schema, {"maxFilesPerTrigger": "1"})
+    r._pos = 3
+    assert r.latestOffset() == {"version": 4}
+
+    # a replayed batch advances the cursor past served offsets
+    r = TxLogStreamReader(ref.path, schema, {"maxFilesPerTrigger": "1"})
+    parts = r.partitions({"version": 0}, {"version": 3})
+    assert len(parts) == 3
+    assert r.latestOffset() == {"version": 4}   # not re-admitting v1
+
+
+def test_stream_rate_limit_end_to_end(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"))
+    for i in range(4):
+        _seed(spark, ds, ref, [(i, "a", i * 10)])
+    sdf = (
+        spark.readStream.format("txlog").option("path", ref.path)
+        .option("maxVersionsPerTrigger", "1").load()
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("txlog_rate_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("txlog_rate_t").collect()))
+        assert got == [(i, "a", i * 10) for i in range(4)]
+        # the backlog drained in multiple micro-batches, not one
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 4
+    finally:
+        q.stop()
+
+
+def test_read_change_feed_batch(spark, ds, tmp_path):
+    """readChangeFeed (Delta parity): inserts from appends, deletes
+    from CoW rewrites (with the co-located rewrite pairs), DV
+    mask-deltas in both directions — and the result row-matches the
+    connector's changes() over the same interval."""
+    from x_spark.sources.txlog import DV_ENABLE_KEY
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(spark.createDataFrame(
+        [(i, "a", i * 10) for i in range(6)],
+        "pk int, part string, v int").coalesce(1), ref)         # v1
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})             # v2
+    ds.delete(ref, "pk in (1, 2)")                              # v3 DV masks
+    ds.append(spark.createDataFrame([(10, "b", 100)],
+                                    "pk int, part string, v int"), ref)  # v4
+
+    def feed(start, end=None):
+        r = (spark.read.format("txlog").option("path", ref.path)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", str(start)))
+        if end is not None:
+            r = r.option("endingVersion", str(end))
+        return r.load()
+
+    got = feed(1)
+    assert got.columns == ["pk", "part", "v", "_change_type",
+                           "_commit_version"]
+    rows = sorted((r.pk, r._change_type, r._commit_version)
+                  for r in got.collect())
+    assert rows == sorted(
+        [(i, "insert", 1) for i in range(6)]
+        + [(1, "delete", 3), (2, "delete", 3), (10, "insert", 4)]
+    )
+    # inclusive startingVersion, bounded endingVersion
+    assert sorted((r.pk, r._change_type) for r in feed(3, 3).collect()) == [
+        (1, "delete"), (2, "delete"),
+    ]
+    # row-parity with the connector CDF over the same interval
+    want = sorted(
+        (r.pk, r._change_type, r._commit_version)
+        for r in ds.changes(ref, 0, 4).collect()
+    )
+    assert rows == want
+    # RESTORE un-deletes emit inserts (mask delta, other direction)
+    ds.restore(ref, 2)                                          # v5
+    back = sorted((r.pk, r._change_type) for r in feed(5, 5).collect())
+    assert (1, "insert") in back and (2, "insert") in back
+    with pytest.raises(Exception, match="startingVersion"):
+        (spark.read.format("txlog").option("path", ref.path)
+         .option("readChangeFeed", "true").load().collect())
+
+
 def test_streaming_aborts_on_rewrites_unless_ignore_changes(spark, ds, tmp_path):
     ref = TableRef(path=str(tmp_path / "t"))
     _seed(spark, ds, ref, [(1, "a", 10)])

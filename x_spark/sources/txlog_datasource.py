@@ -78,12 +78,14 @@ def _masked_row_indexes(table: str, rel: str, dv: dict | None):
 
 
 def _read_file_batches(table: str, rel: str, partition_values: dict, schema,
-                       dv: dict | None = None):
+                       dv: dict | None = None, keep_indexes=None):
     """Arrow record batches for one data file, with hive partition
     columns re-attached as constant columns in declared schema order
     and deletion-vector rows dropped (row ordinals are stable per
     parquet file — the same contract ``_metadata.row_index`` gives the
-    JVM reader)."""
+    JVM reader). ``keep_indexes`` INVERTS the selection mode: only the
+    given row ordinals are emitted (the change-feed mask-delta path);
+    mutually exclusive with ``dv``."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute  # noqa: F401
@@ -103,7 +105,14 @@ def _read_file_batches(table: str, rel: str, partition_values: dict, schema,
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
-        if masked is not None:
+        if keep_indexes is not None:
+            keep = np.isin(np.arange(offset, offset + n),
+                           np.asarray(keep_indexes, dtype="int64"))
+            offset += n
+            if not keep.any():
+                continue
+            batch = batch.filter(pa.array(keep))
+        elif masked is not None:
             keep = ~np.isin(np.arange(offset, offset + n), masked,
                             assume_unique=True)
             offset += n
@@ -198,9 +207,151 @@ class TxLogBatchReader(DataSourceReader):
         )
 
 
+class _CDFPartition(InputPartition):
+    """One change-feed work unit. ``mode="rows"``: emit the file's live
+    rows (minus ``dv``) stamped ``kind``. ``mode="mask_delta"``: emit
+    only the rows whose ordinal is in (``dv`` minus ``dv_old``) — the
+    deletion-vector re-point delta, computed executor-side."""
+
+    def __init__(self, table: str, rel: str, partition_values: dict,
+                 version: int, kind: str, dv: dict | None = None,
+                 dv_old: dict | None = None, mode: str = "rows"):
+        self.table = table
+        self.rel = rel
+        self.partition_values = dict(partition_values)
+        self.partition_values["_change_type"] = kind
+        self.partition_values["_commit_version"] = str(version)
+        self.dv = dv
+        self.dv_old = dv_old
+        self.mode = mode
+
+
+class TxLogChangeFeedReader(DataSourceReader):
+    """Batch CDF (Delta's ``readChangeFeed``): rows changed in
+    [startingVersion, endingVersion (default latest)] with
+    ``_change_type`` / ``_commit_version`` attached. The commit walk is
+    driver-side metadata only; row work is one partition per touched
+    file per commit — cost tracks the CHURN in the interval, never the
+    table. Deletion-vector re-points emit exactly the mask delta in
+    both directions (same rule as the connector's ``changes``)."""
+
+    def __init__(self, table: str, schema, options):
+        from x_spark.sources.txlog import resolve_snapshot
+
+        self.table = table
+        self.schema = schema
+        start = options.get("startingVersion")
+        if start is None:
+            raise DataSourceException(
+                "readChangeFeed requires option 'startingVersion' "
+                "(inclusive, Delta convention)"
+            )
+        self.from_version = int(start)
+        end = options.get("endingVersion")
+        self.to_version = int(end) if end is not None else None
+        if resolve_snapshot(table) is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+
+    def partitions(self):
+        from x_spark.sources.txlog import (
+            _list_log, _log_path, _version_of, resolve_snapshot,
+        )
+
+        base_v = self.from_version - 1
+        base = resolve_snapshot(self.table, base_v) if base_v >= 0 else None
+        live: dict[str, dict] = dict(base.files) if base else {}
+        commits, _ = _list_log(self.table)
+        to = (self.to_version if self.to_version is not None
+              else (_version_of(commits[-1]) if commits else 0))
+        parts: list[_CDFPartition] = []
+        for fname in commits:
+            v = _version_of(fname)
+            if v <= base_v or v > to:
+                continue
+            added: dict[str, dict] = {}
+            removed: dict[str, dict] = {}
+            with open(os.path.join(_log_path(self.table), fname)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "add" in action:
+                        a = action["add"]
+                        live[a["path"]] = a
+                        added[a["path"]] = a
+                    elif "remove" in action:
+                        popped = live.pop(action["remove"]["path"], None)
+                        if popped is not None:
+                            removed[action["remove"]["path"]] = popped
+            for p in added:
+                if p in removed:
+                    continue
+                a = added[p]
+                parts.append(_CDFPartition(
+                    self.table, p, a.get("partitionValues") or {}, v,
+                    "insert", dv=a.get("dv"),
+                ))
+            for p in removed:
+                if p in added:
+                    continue
+                a = removed[p]  # carries the mask AT REMOVAL TIME
+                parts.append(_CDFPartition(
+                    self.table, p, a.get("partitionValues") or {}, v,
+                    "delete", dv=a.get("dv"),
+                ))
+            for p in added:
+                if p not in removed or added[p] == removed[p]:
+                    continue
+                old_dv = removed[p].get("dv")
+                new_dv = added[p].get("dv")
+                if old_dv == new_dv:
+                    continue  # re-assert with no mask change: no rows
+                pv = added[p].get("partitionValues") or {}
+                parts.append(_CDFPartition(          # newly masked
+                    self.table, p, pv, v, "delete",
+                    dv=new_dv, dv_old=old_dv, mode="mask_delta",
+                ))
+                parts.append(_CDFPartition(          # newly unmasked
+                    self.table, p, pv, v, "insert",
+                    dv=old_dv, dv_old=new_dv, mode="mask_delta",
+                ))
+        return parts or [None]
+
+    def read(self, partition):
+        if partition is None:
+            return iter(())
+        if partition.mode == "mask_delta":
+            import numpy as np
+
+            empty = np.empty(0, dtype="int64")
+            new = _masked_row_indexes(partition.table, partition.rel,
+                                      partition.dv)
+            old = _masked_row_indexes(partition.table, partition.rel,
+                                      partition.dv_old)
+            keep = np.setdiff1d(new if new is not None else empty,
+                                old if old is not None else empty)
+            if keep.size == 0:
+                return iter(())
+            return _read_file_batches(
+                partition.table, partition.rel, partition.partition_values,
+                self.schema, keep_indexes=keep,
+            )
+        return _read_file_batches(
+            partition.table, partition.rel, partition.partition_values,
+            self.schema, dv=partition.dv,
+        )
+
+
 class TxLogStreamReader(DataSourceStreamReader):
     """Versions are offsets: micro-batch (start, end] reads the files
-    those commits added."""
+    those commits added.
+
+    Admission control (Delta's maxFilesPerTrigger /
+    DataStreamReader rate limits): ``maxFilesPerTrigger`` caps how many
+    ADD actions one micro-batch admits, ``maxVersionsPerTrigger`` caps
+    commits — both advance the end offset only to a COMMIT boundary
+    (a version is never split, so each batch is still an exact log
+    slice) and always admit at least one version (progress guarantee).
+    Without a cap, a stream starting against a 100-TB backlog would
+    plan the whole history as one micro-batch."""
 
     def __init__(self, table: str, schema, options):
         from x_spark.sources.txlog import resolve_snapshot
@@ -214,14 +365,54 @@ class TxLogStreamReader(DataSourceStreamReader):
         start = options.get("startingVersion")
         self._initial = int(start) if start is not None else 0
 
+        def _cap(key):
+            v = options.get(key)
+            if v is None:
+                return None
+            n = int(v)
+            if n <= 0:
+                raise DataSourceException(f"{key} must be >= 1, got {n}")
+            return n
+
+        self.max_files = _cap("maxFilesPerTrigger")
+        self.max_versions = _cap("maxVersionsPerTrigger")
+        # admission cursor: the highest end offset this reader already
+        # handed out (or replayed) — capping below never regresses it
+        self._pos = self._initial
+
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        from x_spark.sources.txlog import _list_log, _version_of
+        from x_spark.sources.txlog import _list_log, _log_path, _version_of
 
         commits, _ = _list_log(self.table)
-        return {"version": _version_of(commits[-1]) if commits else 0}
+        latest = _version_of(commits[-1]) if commits else 0
+        if (self.max_files is None and self.max_versions is None) \
+                or latest <= self._pos:
+            self._pos = max(self._pos, latest)
+            return {"version": latest}
+        admitted = 0
+        files = 0
+        end = self._pos
+        for fname in commits:
+            v = _version_of(fname)
+            if v <= self._pos:
+                continue
+            n_adds = 0
+            with open(os.path.join(_log_path(self.table), fname)) as fh:
+                for line in fh:
+                    if '"add"' in line and "add" in json.loads(line):
+                        n_adds += 1
+            admitted += 1
+            files += n_adds
+            end = v
+            if self.max_versions is not None and admitted >= self.max_versions:
+                break
+            if self.max_files is not None and files >= self.max_files:
+                break
+        self._pos = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from x_spark.sources.txlog import _list_log, _log_path, _version_of
@@ -251,6 +442,9 @@ class TxLogStreamReader(DataSourceStreamReader):
                                 action["add"].get("dv"),
                             )
                         )
+        # a replayed checkpointed batch may run before any latestOffset
+        # call — keep the admission cursor ahead of everything served
+        self._pos = max(self._pos, end["version"])
         return parts or [None]  # Spark requires >=1 partition per batch
 
     def read(self, partition):
@@ -270,8 +464,11 @@ class TxLogStreamReader(DataSourceStreamReader):
 
 class TxLogSparkDataSource(DataSource):
     """``format("txlog")`` — options: ``path`` (required),
-    ``versionAsOf`` (batch), ``startingVersion``/``ignoreChanges``
-    (streaming)."""
+    ``versionAsOf`` / ``filePruning`` (batch),
+    ``readChangeFeed`` + ``startingVersion``/``endingVersion``
+    (batch CDF),
+    ``startingVersion`` / ``ignoreChanges`` / ``maxFilesPerTrigger`` /
+    ``maxVersionsPerTrigger`` (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -283,7 +480,12 @@ class TxLogSparkDataSource(DataSource):
             raise DataSourceException("txlog datasource requires option 'path'")
         return path
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readChangeFeed", "false")).lower() == "true"
+
     def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+
         from x_spark.sources.txlog import resolve_snapshot
 
         snap = resolve_snapshot(self._table())
@@ -291,9 +493,17 @@ class TxLogSparkDataSource(DataSource):
             raise DataSourceException(
                 f"txlog table {self._table()!r} does not exist"
             )
+        if self._cdf():
+            return type(snap.schema)(
+                list(snap.schema.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
         return snap.schema
 
-    def reader(self, schema) -> TxLogBatchReader:
+    def reader(self, schema):
+        if self._cdf():
+            return TxLogChangeFeedReader(self._table(), schema, self.options)
         v = self.options.get("versionAsOf")
         prune = str(self.options.get("filePruning", "false")).lower() == "true"
         return TxLogBatchReader(
