@@ -205,6 +205,94 @@ def test_schema_evolution_guards(spark, ds, tmp_path):
         ds.rename_column(ref, "pk", "id")  # referenced by the expr
 
 
+def test_type_widening_ddl(spark, ds, tmp_path):
+    """ALTER COLUMN TYPE: metadata-only widening — old (narrow) files
+    upcast through the pinned-schema read, new appends land wide,
+    lossy/incompatible changes refuse."""
+    ref = _mk(spark, ds, tmp_path)  # v int
+    table = str(tmp_path / "t")
+    files_before = set(resolve_snapshot(table).files)
+    want = sorted(r.v for r in ds.read(ref).collect())
+
+    ds.widen_column(ref, "v", "bigint")
+    snap = resolve_snapshot(table)
+    assert set(snap.files) == files_before  # zero data movement
+    assert snap.schema["v"].dataType.simpleString() == "bigint"
+    assert sorted(r.v for r in ds.read(ref).collect()) == want
+    # new appends land wide; value above int range round-trips
+    ds.append(spark.createDataFrame([(100, "z", 2**40)],
+                                    "pk int, g string, v long"), ref)
+    assert ds.read(ref).filter("pk = 100").first().v == 2**40
+
+    with pytest.raises(DataSourceException, match="not a supported"):
+        ds.widen_column(ref, "v", "int")       # narrowing
+    with pytest.raises(DataSourceException, match="not a supported"):
+        ds.widen_column(ref, "g", "int")       # incompatible
+    with pytest.raises(DataSourceException, match="not a supported"):
+        ds.widen_column(ref, "v", "double")    # long->double is lossy
+    with pytest.raises(DataSourceException, match="no column"):
+        ds.widen_column(ref, "nope", "long")
+
+    # decimal growth; integer digits may never shrink
+    ds.widen_column(ref, "pk", "decimal(12,2)")
+    assert ds.read(ref).filter("g = 'z'").first().pk == 100
+    with pytest.raises(DataSourceException, match="not a supported"):
+        ds.widen_column(ref, "pk", "decimal(12,4)")
+
+    # SQL dispatch
+    import uuid as _uuid
+
+    name = f"se_widen_{_uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, 1.5)], "a int, b float")
+              .coalesce(1), nref)
+    try:
+        ds._execute_statement(f"ALTER TABLE {name} ALTER COLUMN a TYPE bigint")
+        ds._execute_statement(f"ALTER TABLE {name} ALTER COLUMN b TYPE double")
+        schema = resolve_snapshot(ds._table_path(nref)).schema
+        assert [f.dataType.simpleString() for f in schema.fields] == \
+            ["bigint", "double"]
+        assert ds.read(nref).first().b == 1.5
+    finally:
+        ds.drop_table(nref)
+
+
+def test_type_widening_merge_schema_and_mapping(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+    # mergeSchema widens v int->long AND adds a column in one commit
+    ds.append(
+        spark.createDataFrame([(200, "m", 2**40, 7)],
+                              "pk int, g string, v long, extra int"),
+        ref, merge_schema=True,
+    )
+    snap = resolve_snapshot(table)
+    assert snap.schema["v"].dataType.simpleString() == "bigint"
+    assert ds.read(ref).filter("pk = 200").first().v == 2**40
+    assert ds.read(ref).filter("pk = 0").first().extra is None
+    # narrower incoming after the widening: assignment-cast, no commit churn
+    ds.append(
+        spark.createDataFrame([(201, "m", 5, 8)],
+                              "pk int, g string, v int, extra int"),
+        ref, merge_schema=True,
+    )
+    assert ds.read(ref).filter("pk = 201").first().v == 5
+    # incompatible type change still refuses
+    with pytest.raises(DataSourceException, match="mergeSchema cannot"):
+        ds.append(
+            spark.createDataFrame([(1, "x", "oops", 1)],
+                                  "pk int, g string, v string, extra int"),
+            ref, merge_schema=True,
+        )
+    # widening composes with column mapping: physical name survives
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name"})
+    ds.rename_column(ref, "extra", "bonus")
+    ds.widen_column(ref, "bonus", "bigint")
+    snap = resolve_snapshot(table)
+    assert _physical_name(snap.schema["bonus"]) == "extra"
+    assert ds.read(ref).filter("pk = 201").first().bonus == 8
+
+
 def test_mapping_interplay_dv_cdf_restore_clone(spark, ds, tmp_path):
     ref = _mk(spark, ds, tmp_path)
     table = str(tmp_path / "t")

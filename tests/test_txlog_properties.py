@@ -115,6 +115,10 @@ def test_txlog_matches_model_over_random_op_sequences(spark, tmp_path_factory, o
 
 
 def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
+    """Timestamp travel resolves by the IN-COMMIT timestamp (Delta
+    ICT): mtime scrambling cannot move commit times; legacy commits
+    without an ICT fall back to mtime."""
+    import json
     import os
     import time
 
@@ -122,12 +126,32 @@ def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
     ref = TableRef(path=str(tmp_path / "ts"))
     ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)
     ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"), ref)
-    # place commit mtimes at known epochs (0=create, 1=append, 2=append)
     log = os.path.join(ref.path, "_txlog")
     base = time.time() - 1000
-    for fname in sorted(os.listdir(log)):
-        v = int(fname.split(".")[0])
-        os.utime(os.path.join(log, fname), (base + 100 * v, base + 100 * v))
+
+    def set_ict(epoch_of):  # rewrite each commit's in-commit timestamp
+        for fname in sorted(os.listdir(log)):
+            if not fname.endswith(".json") or "checkpoint" in fname:
+                continue
+            v = int(fname.split(".")[0])
+            path = os.path.join(log, fname)
+            lines = []
+            for line in open(path):
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    if epoch_of is None:
+                        a["commitInfo"].pop("timestamp", None)  # pre-ICT
+                    else:
+                        a["commitInfo"]["timestamp"] = int(
+                            epoch_of(v) * 1000
+                        )
+                lines.append(json.dumps(a) + "\n")
+            open(path, "w").write("".join(lines))
+
+    set_ict(lambda v: base + 100 * v)  # 0=create, 1=append, 2=append
+    # scramble mtimes to a single wrong instant: ICT must win
+    for fname in os.listdir(log):
+        os.utime(os.path.join(log, fname), (base + 9999, base + 9999))
     at = lambda epoch: TableRef(path=ref.path, options={"timestampAsOf": epoch})
     assert ds.read(at(base + 150)).count() == 1   # after v1, before v2
     assert ds.read(at(base + 250)).count() == 2   # after v2
@@ -137,6 +161,21 @@ def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
 
     with pytest.raises(DataSourceException, match="no commit"):
         ds.read(at(base - 1))
+
+    # pre-ICT table (no in-commit timestamps): mtime fallback rules
+    set_ict(None)
+    for fname in sorted(os.listdir(log)):
+        v = int(fname.split(".")[0])
+        os.utime(os.path.join(log, fname), (base + 100 * v,) * 2)
+    assert ds.read(at(base + 150)).count() == 1
+    assert ds.read(at(base + 250)).count() == 2
+
+    # new commits stamp a MONOTONE ICT and history() surfaces it
+    ds.append(spark.createDataFrame([(3, 30)], "pk int, v int"), ref)
+    hist = ds.history(ref)
+    assert hist[-1]["timestamp"] is not None
+    stamped = [h["timestamp"] for h in hist if h["timestamp"] is not None]
+    assert stamped == sorted(stamped)
 
 
 # -- checkpoint compaction & vacuum under contention -------------------------

@@ -738,7 +738,15 @@ def main(argv: list[str] | None = None) -> int:
         ds = init_datasource("txlog", get_session())
         if args.command == "history":
             for h in ds.history(TableRef(path=args.path)):
-                print(f"v{h['version']:>6} {h['operation']}")
+                ts = h.get("timestamp")
+                when = ""
+                if ts is not None:
+                    import datetime
+
+                    when = " " + datetime.datetime.fromtimestamp(
+                        ts / 1000.0, tz=datetime.timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S")
+                print(f"v{h['version']:>6}{when} {h['operation']}")
             return 0
         if args.command == "show":
             opts = (

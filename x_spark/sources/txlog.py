@@ -107,6 +107,59 @@ def _fresh_physical() -> str:
     return f"col-{uuid.uuid4().hex[:12]}"
 
 
+def _commit_timestamp_ms(path: str) -> int | None:
+    """The in-commit timestamp (epoch ms) of a commit file, None for
+    pre-ICT commits. The commitInfo action is written LAST, so the
+    scan reads the tail line first."""
+    try:
+        with open(path) as fh:
+            lines = fh.readlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        try:
+            info = json.loads(line).get("commitInfo")
+        except json.JSONDecodeError:
+            continue
+        if info is not None:
+            ts = info.get("timestamp")
+            return int(ts) if ts is not None else None
+    return None
+
+
+def _is_widening(frm, to) -> bool:
+    """True when values written as ``frm`` can be read through a table
+    schema pinned at ``to`` by Spark's parquet reader with no rewrite
+    (Delta's type-widening matrix, each cell verified against Spark
+    4.1: integral upcasts byte<short<int<long, float->double,
+    byte/short/int->double (long->double is lossy past 2^53 and
+    refused), integral->decimal with enough integer digits, and
+    decimal growth that never shrinks scale or integer digits)."""
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType,
+    )
+
+    order = [ByteType, ShortType, IntegerType, LongType]
+    if type(frm) in order and type(to) in order:
+        return order.index(type(frm)) < order.index(type(to))
+    if isinstance(frm, FloatType) and isinstance(to, DoubleType):
+        return True
+    if type(frm) in (ByteType, ShortType, IntegerType) \
+            and isinstance(to, DoubleType):
+        return True
+    digits = {ByteType: 3, ShortType: 5, IntegerType: 10, LongType: 19}
+    if type(frm) in digits and isinstance(to, DecimalType):
+        return to.precision - to.scale >= digits[type(frm)]
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return (
+            to.scale >= frm.scale
+            and to.precision - to.scale >= frm.precision - frm.scale
+            and (to.precision, to.scale) != (frm.precision, frm.scale)
+        )
+    return False
+
+
 def _stamp_physical(new_schema: StructType, old_schema: StructType,
                     configuration: dict[str, str]) -> StructType:
     """Physical-name stamping for a schema REPLACEMENT under column
@@ -518,6 +571,17 @@ class TxLogDataSource(BaseDataSource):
             )
             return done
         m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"type\s+(.+?)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.widen_column(
+                TableRef(table=_normalize_ident(m.group(1))),
+                m.group(2), m.group(3).strip(),
+            )
+            return done
+        m = re.fullmatch(
             rf"\s*alter\s+table\s+{ident}\s+rename\s+column\s+(\w+)\s+"
             r"to\s+(\w+)\s*",
             stmt, re.I,
@@ -669,8 +733,10 @@ class TxLogDataSource(BaseDataSource):
     @staticmethod
     def _version_at_timestamp(table: str, ts) -> int:
         """Latest committed version at or before ``ts`` (ISO-8601
-        string or epoch seconds). Commit time is the log file's mtime —
-        single-writer-commit makes it monotone per version."""
+        string or epoch seconds). Commit time is the IN-COMMIT
+        timestamp when the commit carries one (monotone by
+        construction, survives file copies/restores-from-backup);
+        the log file's mtime is the fallback for pre-ICT commits."""
         import datetime
 
         if isinstance(ts, (int, float)):
@@ -680,8 +746,11 @@ class TxLogDataSource(BaseDataSource):
         commits, _ = _list_log(table)
         best = None
         for fname in commits:
-            mtime = os.path.getmtime(os.path.join(_log_path(table), fname))
-            if mtime <= epoch:
+            full = os.path.join(_log_path(table), fname)
+            ict = _commit_timestamp_ms(full)
+            ctime = ict / 1000.0 if ict is not None \
+                else os.path.getmtime(full)
+            if ctime <= epoch:
                 best = _version_of(fname)
         if best is None:
             raise DataSourceException(
@@ -820,6 +889,20 @@ class TxLogDataSource(BaseDataSource):
                 )
         path = os.path.join(d, f"{expected_version:020d}.json")
         info: dict = {"operation": operation}
+        # in-commit timestamp (Delta ICT): commit time rides IN the
+        # commit payload, clamped monotone against the previous
+        # version, so timestamp time travel survives file copies,
+        # restores from backup, and clock skew — mtime is only the
+        # fallback for pre-ICT commits
+        import time
+
+        ts_ms = int(time.time() * 1000)
+        prev = os.path.join(d, f"{expected_version - 1:020d}.json")
+        if expected_version > 0 and os.path.isfile(prev):
+            prev_ts = _commit_timestamp_ms(prev)
+            if prev_ts is not None:
+                ts_ms = max(ts_ms, prev_ts + 1)
+        info["timestamp"] = ts_ms
         if txn is not None:
             info["txn"] = {"appId": txn[0], "version": int(txn[1])}
         payload = "".join(
@@ -1268,6 +1351,32 @@ class TxLogDataSource(BaseDataSource):
         self._commit_schema(table, snap, merged, snap.partition_cols,
                             "ADD COLUMNS")
 
+    def widen_column(self, ref: TableRef, col: str, type_ddl: str) -> None:
+        """ALTER TABLE ... ALTER COLUMN c TYPE <wider> (Delta's type
+        widening): one metaData commit; existing files keep their
+        narrow values and upcast through the pinned-schema read —
+        no rewrite at any table size. Only the verified widening
+        matrix is allowed (``_is_widening``); anything lossy or
+        incompatible is refused."""
+        table, snap = self._require_snapshot(ref)
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        new_type = StructType.fromDDL(f"c {type_ddl}").fields[0].dataType
+        cur = by_name[col].dataType
+        if not _is_widening(cur, new_type):
+            raise DataSourceException(
+                f"cannot change column {col!r} from {cur.simpleString()} "
+                f"to {new_type.simpleString()}: not a supported widening"
+            )
+        fields = [
+            StructField(f.name, new_type if f.name == col else f.dataType,
+                        f.nullable, f.metadata)  # physical name survives
+            for f in snap.schema.fields
+        ]
+        self._commit_schema(table, snap, StructType(fields),
+                            snap.partition_cols, "ALTER COLUMN TYPE")
+
     def rename_column(self, ref: TableRef, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only:
         the logical field name changes, the stable PHYSICAL name the
@@ -1420,17 +1529,27 @@ class TxLogDataSource(BaseDataSource):
 
         def schema_actions(current: Snapshot) -> list[dict]:
             """metaData action widening ``current`` with df's new
-            columns ([] when nothing to widen)."""
+            columns and/or wider types ([] when nothing to widen)."""
             existing = {f.name: f.dataType for f in current.schema.fields}
+            widened: dict[str, object] = {}
             for f in df.schema.fields:
-                if f.name in existing and f.dataType != existing[f.name]:
+                if f.name not in existing or f.dataType == existing[f.name]:
+                    continue
+                if _is_widening(existing[f.name], f.dataType):
+                    # type widening: the merged schema adopts the wider
+                    # type; OLD files upcast through the pinned-schema
+                    # read (verified reader matrix) — no rewrite
+                    widened[f.name] = f.dataType
+                elif _is_widening(f.dataType, existing[f.name]):
+                    pass  # narrower incoming: assignment-cast on write
+                else:
                     raise DataSourceException(
                         f"mergeSchema cannot change column {f.name!r} from "
                         f"{existing[f.name].simpleString()} to "
                         f"{f.dataType.simpleString()}"
                     )
             new_fields = [f for f in df.schema.fields if f.name not in existing]
-            if not new_fields:
+            if not new_fields and not widened:
                 return []
             if current.configuration.get(COLUMN_MAPPING_KEY) == "name":
                 # fresh physical names: a re-added column never binds
@@ -1441,7 +1560,12 @@ class TxLogDataSource(BaseDataSource):
                                  PHYSICAL_NAME_KEY: _fresh_physical()})
                     for f in new_fields
                 ]
-            merged = StructType(list(current.schema.fields) + new_fields)
+            merged = StructType([
+                # widened fields keep name/metadata (physical name!)
+                StructField(f.name, widened.get(f.name, f.dataType),
+                            f.nullable, f.metadata)
+                for f in current.schema.fields
+            ] + new_fields)
             return [{
                 "metaData": {
                     "schemaJson": merged.json(),
@@ -1460,7 +1584,9 @@ class TxLogDataSource(BaseDataSource):
             else:
                 write_schema = snap.schema
             df = df.select(*[
-                F.col(f.name) if f.name in df.columns
+                # assignment cast to the (possibly widened) table type
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in write_schema.fields
             ])
@@ -2570,18 +2696,23 @@ class TxLogDataSource(BaseDataSource):
         }
 
     def history(self, ref: TableRef) -> list[dict]:
-        """(version, operation) for every commit — DESCRIBE HISTORY."""
+        """(version, operation, timestamp) for every commit — DESCRIBE
+        HISTORY. ``timestamp`` is the in-commit epoch-ms value (None
+        for pre-ICT commits)."""
         table = self._table_path(ref)
         commits, _ = _list_log(table)
         out = []
         for fname in commits:
             op = None
+            ts = None
             with open(os.path.join(_log_path(table), fname)) as fh:
                 for line in fh:
                     action = json.loads(line)
                     if "commitInfo" in action:
                         op = action["commitInfo"].get("operation")
-            out.append({"version": _version_of(fname), "operation": op})
+                        ts = action["commitInfo"].get("timestamp")
+            out.append({"version": _version_of(fname), "operation": op,
+                        "timestamp": ts})
         return out
 
     # -- pruning -------------------------------------------------------
