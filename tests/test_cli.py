@@ -123,6 +123,20 @@ def test_cli_purge(tmp_path, spark, capsys):
     )
 
 
+def test_cli_optimize(tmp_path, spark, capsys):
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "opt")
+    ref = TableRef(path=path)
+    for i in range(3):
+        ds.append(spark.createDataFrame([(i,)], "pk int").coalesce(1), ref)
+    assert main(["optimize", path]) == 0
+    assert "optimized" in capsys.readouterr().out
+    assert ds.read(ref).count() == 3
+
+
 def test_cli_dry_run_merge_sql(tmp_path, spark):
     p = tmp_path / "upsert.yaml"
     p.write_text(

@@ -293,6 +293,128 @@ def test_type_widening_merge_schema_and_mapping(spark, ds, tmp_path):
     assert ds.read(ref).filter("pk = 201").first().bonus == 8
 
 
+def _mk_identity(spark, ds, tmp_path, name="idt", **kw):
+    from pyspark.sql.types import StructType
+
+    ref = TableRef(path=str(tmp_path / name))
+    schema = StructType.fromDDL("id bigint, s string")
+    ds.create(ref, schema)
+    ds.set_identity_column(ref, "id", **kw)
+    return ref
+
+
+def test_identity_column_allocation(spark, ds, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: appends omit the column, values
+    are unique and strictly beyond the committed high-water mark, the
+    mark advances atomically with the data."""
+    ref = _mk_identity(spark, ds, tmp_path, start=100, step=10)
+    ds.append(spark.createDataFrame([("a",), ("b",), ("c",)], "s string"),
+              ref)
+    first = sorted(r.id for r in ds.read(ref).collect())
+    assert len(first) == len(set(first)) == 3
+    assert min(first) >= 100
+    assert all(v % 10 == 0 for v in first)
+
+    ds.append(spark.createDataFrame([("d",), ("e",)], "s string"), ref)
+    rows = {r.s: r.id for r in ds.read(ref).collect()}
+    assert len(set(rows.values())) == 5
+    assert min(rows["d"], rows["e"]) > max(first)  # beyond the mark
+
+    with pytest.raises(DataSourceException, match="IDENTITY"):
+        ds.append(spark.createDataFrame([(1, "x")], "id long, s string"),
+                  ref)
+    # the mark rides the commit: a fresh snapshot agrees
+    spec = resolve_snapshot(str(tmp_path / "idt")).identity["id"]
+    assert spec["high"] == max(rows.values())
+
+
+def test_identity_negative_step_and_sql(spark, ds, tmp_path):
+    ref = _mk_identity(spark, ds, tmp_path, start=0, step=-5)
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    vals = sorted(r.id for r in ds.read(ref).collect())
+    assert len(set(vals)) == 2 and max(vals) <= 0
+    ds.append(spark.createDataFrame([("c",)], "s string"), ref)
+    v3 = ds.read(ref).filter("s = 'c'").first().id
+    assert v3 < min(vals)  # strictly in the step's direction
+
+    import uuid as _uuid
+
+    name = f"se_idt_{_uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    from pyspark.sql.types import StructType
+
+    ds.create(nref, StructType.fromDDL("id bigint, s string"))
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {name} ALTER COLUMN id SET IDENTITY "
+            "(START WITH 7 STEP 2)"
+        )
+        ds.append(spark.createDataFrame([("x",)], "s string"), nref)
+        got = ds.read(nref).first().id
+        assert got >= 7 and (got - 7) % 2 == 0
+    finally:
+        ds.drop_table(nref)
+
+
+def test_identity_guards_and_race(spark, ds, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from x_spark.sources.txlog import ConcurrentWriteException
+
+    ref = TableRef(path=str(tmp_path / "g"))
+    ds.create(ref, StructType.fromDDL("id bigint, n int, s string"))
+    with pytest.raises(DataSourceException, match="BIGINT"):
+        ds.set_identity_column(ref, "n")
+    with pytest.raises(DataSourceException, match="no column"):
+        ds.set_identity_column(ref, "nope")
+    with pytest.raises(DataSourceException, match="STEP"):
+        ds.set_identity_column(ref, "id", step=0)
+    with pytest.raises(DataSourceException, match="SET IDENTITY DDL"):
+        ds.set_properties(ref, {"identity.id": "{}"})
+    ds.append(spark.createDataFrame([(1, 2, "x")],
+                                    "id long, n int, s string"), ref)
+    with pytest.raises(DataSourceException, match="empty table"):
+        ds.set_identity_column(ref, "id")
+
+    # allocation is read-modify-write: a racer landing between the
+    # snapshot read and the commit aborts the append (no silent
+    # double-allocation of the same range)
+    iref = _mk_identity(spark, ds, tmp_path, name="race")
+    table = str(tmp_path / "race")
+    orig = ds._write_files
+
+    def racing_write(df, t, part_cols, **kw):
+        adds = orig(df, t, part_cols, **kw)
+        ds._write_files = orig
+        ds._commit(t, resolve_snapshot(t).version + 1, [], "RACER")
+        return adds
+
+    ds._write_files = racing_write
+    with pytest.raises(ConcurrentWriteException):
+        ds.append(spark.createDataFrame([("a",)], "s string"), iref)
+    ds.append(spark.createDataFrame([("b",)], "s string"), iref)  # retry
+    vals = [r.id for r in ds.read(iref).collect()]
+    assert len(vals) == len(set(vals)) == 1
+
+
+def test_identity_survives_checkpoint_and_merge_schema(
+        spark, ds, tmp_path, monkeypatch):
+    import x_spark.sources.txlog as T
+
+    monkeypatch.setattr(T, "CHECKPOINT_INTERVAL", 2)
+    ref = _mk_identity(spark, ds, tmp_path)
+    for c in "abcde":  # forces a checkpoint past the identity config
+        ds.append(spark.createDataFrame([(c,)], "s string"), ref)
+    vals = [r.id for r in ds.read(ref).collect()]
+    assert len(vals) == len(set(vals)) == 5
+    # mergeSchema append widens AND allocates in the same commit
+    ds.append(spark.createDataFrame([("f", 1)], "s string, extra int"),
+              ref, merge_schema=True)
+    got = ds.read(ref).filter("s = 'f'").first()
+    assert got.id is not None and got.id not in vals
+    assert got.extra == 1
+
+
 def test_mapping_interplay_dv_cdf_restore_clone(spark, ds, tmp_path):
     ref = _mk(spark, ds, tmp_path)
     table = str(tmp_path / "t")

@@ -125,6 +125,81 @@ def test_compact_is_logically_noop(spark, ds, tmp_path):
     assert _rows(ds.read(ref)) == before
 
 
+def test_optimize_binpacks_only_small_files_in_scope(spark, ds, tmp_path):
+    """OPTIMIZE [WHERE]: only sub-threshold files in the matching
+    partitions rewrite; large files and out-of-scope partitions keep
+    path identity; the commit is logically a no-op."""
+    ref = TableRef(path=str(tmp_path / "opt"), partition_by=["part"])
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i) for i in range(40)],
+        "pk int, part string, v int",
+    )
+    ds.create(ref, df.schema, partition_by=["part"])
+    for lo in range(0, 40, 10):  # 4 appends x 2 partitions = 8 small files
+        ds.append(df.filter(f"pk >= {lo} and pk < {lo + 10}").coalesce(1),
+                  ref)
+    before = _rows(ds.read(ref))
+    snap = resolve_snapshot(ref.path)
+    a_files = {p for p, add in snap.files.items()
+               if add["partitionValues"].get("part") == "a"}
+    b_files = set(snap.files) - a_files
+    assert len(a_files) == len(b_files) == 4
+
+    out = ds.optimize(ref, where="part = 'a'")
+    assert out["rewritten"] == 4 and out["new_files"] >= 1
+    snap = resolve_snapshot(ref.path)
+    assert b_files <= set(snap.files)          # out of scope: untouched
+    assert not a_files & set(snap.files)       # in scope: bin-packed
+    assert _rows(ds.read(ref)) == before       # logically a no-op
+    assert ds.semantic_diff(ref, snap.version - 1,
+                            snap.version).count() == 0
+
+    # second pass: partition 'a' already compacted -> no-op, no commit
+    v = snap.version
+    assert ds.optimize(ref, where="part = 'a'") == {
+        "rewritten": 0, "new_files": 0,
+    }
+    assert resolve_snapshot(ref.path).version == v
+
+    # large files never rewrite: with a tiny threshold nothing is small
+    assert ds.optimize(ref, target_size_mb=0) == {
+        "rewritten": 0, "new_files": 0,
+    }
+
+    # WHERE must be partition-only
+    import pytest as _pytest
+
+    with _pytest.raises(DataSourceException, match="partition columns"):
+        ds.optimize(ref, where="v > 3")
+    # unscoped optimize packs the rest
+    out = ds.optimize(ref)
+    assert out["rewritten"] >= 4
+    assert _rows(ds.read(ref)) == before
+
+
+def test_optimize_purges_dv_masks_and_sql_dispatch(spark, ds, tmp_path):
+    from x_spark.sources.txlog import DV_ENABLE_KEY
+
+    import uuid as _uuid
+
+    name = f"opt_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(i, i) for i in range(10)],
+                                    "pk int, v int").coalesce(1), ref)
+    ds.append(spark.createDataFrame([(10, 10)], "pk int, v int")
+              .coalesce(1), ref)
+    try:
+        ds.set_properties(ref, {DV_ENABLE_KEY: "true"})
+        ds.delete(ref, "pk < 2")
+        want = sorted(r.pk for r in ds.read(ref).collect())
+        ds._execute_statement(f"OPTIMIZE {name}")
+        snap = resolve_snapshot(ds._table_path(ref))
+        assert not any(a.get("dv") for a in snap.files.values())
+        assert sorted(r.pk for r in ds.read(ref).collect()) == want
+    finally:
+        ds.drop_table(ref)
+
+
 # -- transactional mechanics ------------------------------------------------
 def test_time_travel_and_history(spark, ds, tmp_path):
     ref = _ref(tmp_path)
@@ -831,7 +906,8 @@ def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
     v3 = ds.read(TableRef(path=ref.path, options={"versionAsOf": "3"}))
     assert sorted(map(tuple, v3.collect())) == pre
     # history records the restore
-    assert ds.history(ref)[-1] == {"version": 4, "operation": "RESTORE"}
+    last = ds.history(ref)[-1]
+    assert (last["version"], last["operation"]) == (4, "RESTORE")
     # writes continue normally after a restore
     ds.append(spark.createDataFrame([(4, 40)], "pk int, v int"), ref)
     assert sorted(map(tuple, ds.read(ref).collect())) == [

@@ -326,6 +326,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     prg.add_argument("path", help="txlog table directory")
 
+    opt = sub.add_parser(
+        "optimize",
+        help="bin-pack small files (optionally scoped to partitions)",
+    )
+    opt.add_argument("path", help="txlog table directory")
+    opt.add_argument("--where", default=None,
+                     help="partition predicate scoping the compaction")
+    opt.add_argument("--target-mb", type=int, default=128,
+                     help="target file size in MB (files below it compact)")
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -730,7 +740,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command in ("history", "show", "changes", "vacuum", "cluster",
-                        "purge"):
+                        "purge", "optimize"):
         from x_spark.session import get_session
         from x_spark.sources import init_datasource
         from x_spark.sources.base import TableRef
@@ -773,6 +783,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "purge":
             n = ds.purge_dvs(TableRef(path=args.path))
             print(f"purged deletion vectors from {n} file(s)")
+            return 0
+        if args.command == "optimize":
+            out = ds.optimize(TableRef(path=args.path), where=args.where,
+                              target_size_mb=args.target_mb)
+            print(f"optimized {out['rewritten']} file(s) into "
+                  f"{out['new_files']}")
             return 0
         deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last,
                             min_age_sec=args.min_age_sec)

@@ -231,6 +231,17 @@ class Snapshot:
         }
 
     @property
+    def identity(self) -> dict[str, dict]:
+        """col -> {start, step, high} from ``identity.<col>`` keys
+        (GENERATED ALWAYS AS IDENTITY). ``high`` is the last allocated
+        value (start - step before any allocation)."""
+        return {
+            k[len("identity."):]: json.loads(v)
+            for k, v in self.configuration.items()
+            if k.startswith("identity.")
+        }
+
+    @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
@@ -570,6 +581,20 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), cols
             )
             return done
+        # ALTER TABLE t ALTER COLUMN c SET IDENTITY [(START WITH s STEP st)]
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"set\s+identity"
+            r"(?:\s*\(\s*start\s+with\s+(-?\d+)\s+step\s+(-?\d+)\s*\))?\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.set_identity_column(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2),
+                start=int(m.group(3)) if m.group(3) else 1,
+                step=int(m.group(4)) if m.group(4) else 1,
+            )
+            return done
         m = re.fullmatch(
             rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
             r"type\s+(.+?)\s*",
@@ -600,6 +625,16 @@ class TxLogDataSource(BaseDataSource):
             self.drop_column(
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
+            return done
+        # OPTIMIZE t [WHERE <partition predicate>] — small-file
+        # bin-packing scoped to matching partitions
+        m = re.fullmatch(
+            rf"\s*optimize\s+{ident}(?:\s+where\s+(.*?))?\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.optimize(TableRef(table=_normalize_ident(m.group(1))),
+                          where=m.group(2))
             return done
         # REORG TABLE t APPLY (PURGE) — Delta's DV purge: physically
         # rewrite only the mask-carrying files, drop their dv refs
@@ -1174,11 +1209,13 @@ class TxLogDataSource(BaseDataSource):
         ``constraint.`` / ``generated.`` namespaces must go through
         their dedicated DDL (they validate data)."""
         reserved = [k for k in props
-                    if k.startswith(("constraint.", "generated."))]
+                    if k.startswith(("constraint.", "generated.",
+                                     "identity."))]
         if reserved:
             raise DataSourceException(
                 f"propert{'ies' if len(reserved) > 1 else 'y'} {reserved} "
-                "use ADD CONSTRAINT / GENERATED ALWAYS AS DDL"
+                "use ADD CONSTRAINT / GENERATED ALWAYS AS / "
+                "SET IDENTITY DDL"
             )
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
@@ -1350,6 +1387,63 @@ class TxLogDataSource(BaseDataSource):
         merged = StructType(list(snap.schema.fields) + new_fields)
         self._commit_schema(table, snap, merged, snap.partition_cols,
                             "ADD COLUMNS")
+
+    def set_identity_column(self, ref: TableRef, col: str,
+                            start: int = 1, step: int = 1) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS IDENTITY (START WITH
+        ``start`` STEP ``step``) — Delta identity columns: appends must
+        OMIT the column; the engine allocates values that are unique
+        and move strictly in the step's direction, and the
+        high-water mark commits ATOMICALLY with the data (the
+        ``identity.<col>`` configuration update rides in the same
+        commit as the add actions). Values may have gaps, exactly like
+        Delta. Declared on an EMPTY table (the create-time shape) so
+        no existing value can collide."""
+        table, snap = self._require_snapshot(ref)
+        if step == 0:
+            raise DataSourceException("identity STEP cannot be 0")
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        from pyspark.sql.types import LongType
+
+        if not isinstance(by_name[col].dataType, LongType):
+            raise DataSourceException(
+                f"identity column {col!r} must be BIGINT, got "
+                f"{by_name[col].dataType.simpleString()}"
+            )
+        if col in snap.partition_cols:
+            raise DataSourceException(
+                f"identity column {col!r} cannot be a partition column"
+            )
+        if col in snap.generated:
+            raise DataSourceException(
+                f"column {col!r} already has a generation expression"
+            )
+        if snap.files:
+            raise DataSourceException(
+                "identity columns are declared on an empty table "
+                "(create-time shape); this table already has data"
+            )
+        key = f"identity.{col}"
+        if key in snap.configuration:
+            raise DataSourceException(
+                f"column {col!r} is already an identity column"
+            )
+        config = {**snap.configuration,
+                  key: json.dumps({"start": int(start), "step": int(step),
+                                   "high": int(start) - int(step)})}
+        self._commit(
+            table, self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "SET IDENTITY",
+        )
 
     def widen_column(self, ref: TableRef, col: str, type_ddl: str) -> None:
         """ALTER TABLE ... ALTER COLUMN c TYPE <wider> (Delta's type
@@ -1527,6 +1621,30 @@ class TxLogDataSource(BaseDataSource):
             self.create(ref, df.schema)
             snap = resolve_snapshot(table)
 
+        ident = snap.identity
+        if ident:
+            provided = [c for c in sorted(ident) if c in df.columns]
+            if provided:
+                raise DataSourceException(
+                    f"column(s) {provided} are GENERATED ALWAYS AS "
+                    "IDENTITY; values cannot be provided"
+                )
+            # allocate above the committed high-water mark; the id is
+            # partition-local and row-stable, so values are unique and
+            # strictly beyond `high` in the step's direction (gaps
+            # allowed, Delta semantics). The df is evaluated exactly
+            # once (the write job); the NEW mark is read back from the
+            # written files' footer stats — no second evaluation.
+            mid = F.monotonically_increasing_id()
+            for col in sorted(ident):
+                spec = ident[col]
+                df = df.withColumn(
+                    col,
+                    (F.lit(int(spec["high"]))
+                     + F.lit(int(spec["step"])) * (mid + F.lit(1))
+                     ).cast("long"),
+                )
+
         def schema_actions(current: Snapshot) -> list[dict]:
             """metaData action widening ``current`` with df's new
             columns and/or wider types ([] when nothing to widen)."""
@@ -1597,6 +1715,46 @@ class TxLogDataSource(BaseDataSource):
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=write_schema)
         add_actions = [{"add": a} for a in adds]
+        if ident:
+            # fold the advanced high-water marks into ONE metaData
+            # action (log replay keeps only the last) riding in the
+            # SAME commit as the adds — allocation is atomic with the
+            # data, and the commit is read-modify-write (version-
+            # checked below), so concurrent allocators can never both
+            # land on the same range
+            pmap = _physical_map(write_schema)
+            new_config = dict(snap.configuration)
+            advanced = False
+            for col, spec in sorted(ident.items()):
+                kind = "maxValues" if int(spec["step"]) > 0 else "minValues"
+                pick = max if int(spec["step"]) > 0 else min
+                vals = [
+                    (a.get("stats") or {}).get(kind, {}).get(
+                        pmap.get(col, col))
+                    for a in adds
+                ]
+                vals = [int(v) for v in vals if v is not None]
+                if vals:
+                    new_config[f"identity.{col}"] = json.dumps(
+                        {**spec, "high": pick(vals)}
+                    )
+                    advanced = True
+            if advanced:
+                if meta_actions:
+                    meta_actions[0]["metaData"]["configuration"] = new_config
+                else:
+                    meta_actions = [{
+                        "metaData": {
+                            "schemaJson": write_schema.json(),
+                            "partitionColumns": snap.partition_cols,
+                            "configuration": new_config,
+                        }
+                    }]
+            self._commit(
+                table, self._expect_unchanged(table, snap.version),
+                meta_actions + add_actions, "APPEND", txn=txn,
+            )
+            return
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
@@ -2131,6 +2289,64 @@ class TxLogDataSource(BaseDataSource):
         self._commit(table, self._expect_unchanged(table, snap.version),
                      actions, "PURGE")
         return len(masked)
+
+    def optimize(self, ref: TableRef, where: str | None = None,
+                 target_size_mb: int = 128, min_files: int = 2) -> dict:
+        """OPTIMIZE [WHERE <partition predicate>] — bin-pack ONLY the
+        files below the target size, scoped to the matching
+        partitions, into ~target-sized files in one atomic, logically
+        no-op commit. Already-compacted (large) files and
+        out-of-scope partitions are never read or rewritten — at
+        100 TB the cost tracks the small-file debt in the scoped
+        partitions, never the table (``compact`` stays the
+        whole-table rewrite). ``where`` must resolve against
+        partition columns alone (Delta's OPTIMIZE WHERE rule).
+        Deletion-vector masks on rewritten files purge as a side
+        effect (the rewrite applies them). Returns
+        {"rewritten", "new_files"}; fewer than ``min_files`` small
+        files in scope is a no-op that burns no commit."""
+        table, snap = self._require_snapshot(ref)
+        if where is not None:
+            if not snap.partition_cols:
+                raise DataSourceException(
+                    "OPTIMIZE WHERE requires a partitioned table"
+                )
+            in_scope = set(self._files_matching_predicate(
+                table, snap, where))
+            # strict rule: a predicate that cannot be evaluated on the
+            # partition tuple alone falls back to all-files — reject it
+            part_cols = ", ".join(snap.partition_cols)
+            probe = self._files_matching_predicate(
+                table, snap, f"({where}) AND 1=0")
+            if probe:
+                raise DataSourceException(
+                    f"OPTIMIZE WHERE must reference only partition "
+                    f"columns ({part_cols}): {where!r}"
+                )
+        else:
+            in_scope = set(snap.files)
+        threshold = int(target_size_mb) << 20
+        sizes = {
+            p: os.path.getsize(os.path.join(table, p))
+            for p in sorted(in_scope)
+        }
+        small = [p for p, sz in sizes.items()
+                 if sz < threshold or snap.files[p].get("dv")]
+        if len(small) < max(2, int(min_files)):
+            return {"rewritten": 0, "new_files": 0}
+        import math
+
+        n_out = max(1, math.ceil(sum(sizes[p] for p in small) / threshold))
+        df = self._read_snapshot(table, snap, small).repartition(n_out)
+        adds = self._write_files(
+            df.select(*[f.name for f in snap.schema.fields]), table,
+            snap.partition_cols, schema=snap.schema,
+        )
+        actions = [{"remove": {"path": p}} for p in small]
+        actions += [{"add": a} for a in adds]
+        self._commit(table, self._expect_unchanged(table, snap.version),
+                     actions, "OPTIMIZE")
+        return {"rewritten": len(small), "new_files": len(adds)}
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
         """Compaction commit: logically a no-op (remove small files, add
