@@ -233,6 +233,52 @@ def test_read_change_feed_batch(spark, ds, tmp_path):
          .option("readChangeFeed", "true").load().collect())
 
 
+def test_streaming_change_feed(spark, ds, tmp_path):
+    """readChangeFeed on readStream: micro-batches emit change ROWS
+    (_change_type/_commit_version) — DV deletes stream as deletes, no
+    abort-on-rewrite guard; composes with rate limiting."""
+    from x_spark.sources.txlog import DV_ENABLE_KEY
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(spark.createDataFrame([(i, "a", i * 10) for i in range(4)],
+                                    "pk int, part string, v int")
+              .coalesce(1), ref)                              # v1
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})           # v2
+    ds.delete(ref, "pk in (1, 2)")                            # v3 (DV)
+    ds.append(spark.createDataFrame([(9, "b", 90)],
+                                    "pk int, part string, v int"), ref)  # v4
+
+    sdf = (
+        spark.readStream.format("txlog").option("path", ref.path)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+    )
+    assert "_change_type" in sdf.columns
+    q = (
+        sdf.writeStream.format("memory").queryName("txlog_cdf_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.pk, r._change_type, r._commit_version)
+            for r in spark.table("txlog_cdf_stream").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        [(i, "insert", 1) for i in range(4)]
+        + [(1, "delete", 3), (2, "delete", 3), (9, "insert", 4)]
+    )
+    assert rows == want
+    # row-parity with the connector CDF over the same interval
+    assert rows == sorted(
+        (r.pk, r._change_type, r._commit_version)
+        for r in ds.changes(ref, 0, 4).collect()
+    )
+
+
 def test_streaming_aborts_on_rewrites_unless_ignore_changes(spark, ds, tmp_path):
     ref = TableRef(path=str(tmp_path / "t"))
     _seed(spark, ds, ref, [(1, "a", 10)])

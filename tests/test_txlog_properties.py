@@ -178,6 +178,44 @@ def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
     assert stamped == sorted(stamped)
 
 
+def test_restore_to_timestamp(spark, tmp_path):
+    import datetime
+    import uuid as _uuid
+
+    import pytest
+
+    from x_spark.errors import DataSourceException
+
+    ds = init_datasource("txlog", spark)
+    name = f"rts_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)  # v1
+    ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"), ref)  # v2
+    try:
+        hist = ds.history(ref)
+        ict_v1 = next(h["timestamp"] for h in hist if h["version"] == 1)
+        # epoch-seconds flavor: resolve to v1, restore, rows roll back
+        new_v = ds.restore_to_timestamp(ref, ict_v1 / 1000.0)
+        assert new_v == 3
+        assert sorted(r.pk for r in ds.read(ref).collect()) == [1]
+        # SQL flavors: VERSION AS OF forward again, TIMESTAMP AS OF back
+        ds._execute_statement(
+            f"RESTORE TABLE {name} TO VERSION AS OF 2"
+        )
+        assert sorted(r.pk for r in ds.read(ref).collect()) == [1, 2]
+        iso = datetime.datetime.fromtimestamp(
+            ict_v1 / 1000.0 + 0.0005
+        ).isoformat()
+        ds._execute_statement(
+            f"RESTORE TABLE {name} TO TIMESTAMP AS OF '{iso}'"
+        )
+        assert sorted(r.pk for r in ds.read(ref).collect()) == [1]
+        with pytest.raises(DataSourceException, match="no commit"):
+            ds.restore_to_timestamp(ref, 1.0)  # before the table existed
+    finally:
+        ds.drop_table(ref)
+
+
 # -- checkpoint compaction & vacuum under contention -------------------------
 def _replay_without_checkpoints(table: str):
     """Snapshot file set from a pure commit-file replay (checkpoints

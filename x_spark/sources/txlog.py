@@ -626,6 +626,26 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+        m = re.fullmatch(
+            rf"\s*restore\s+table\s+{ident}\s+to\s+version\s+as\s+of\s+"
+            r"(\d+)\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.restore(TableRef(table=_normalize_ident(m.group(1))),
+                         int(m.group(2)))
+            return done
+        m = re.fullmatch(
+            rf"\s*restore\s+table\s+{ident}\s+to\s+timestamp\s+as\s+of\s+"
+            r"'([^']+)'\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.restore_to_timestamp(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
         # OPTIMIZE t [WHERE <partition predicate>] — small-file
         # bin-packing scoped to matching partitions
         m = re.fullmatch(
@@ -2652,6 +2672,15 @@ class TxLogDataSource(BaseDataSource):
             .agg(F.sum(sign).cast("bigint").alias("net"))
             .filter(F.col("net") != 0)
         )
+
+    def restore_to_timestamp(self, ref: TableRef, ts) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF — resolves the target
+        version by in-commit timestamp (mtime fallback, the same rule
+        as read-side time travel) and delegates to :meth:`restore`."""
+        table = self._table_path(ref)
+        if resolve_snapshot(table) is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        return self.restore(ref, self._version_at_timestamp(table, ts))
 
     def restore(self, ref: TableRef, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — Delta's rollback shape:

@@ -226,6 +226,102 @@ class _CDFPartition(InputPartition):
         self.mode = mode
 
 
+def _cdf_partitions(table: str, base_v: int,
+                    to_version: int | None) -> list:
+    """Change-feed work units for commits in (base_v, to_version]
+    (to_version None = latest). Driver-side metadata-only commit walk
+    shared by the batch reader and the streaming CDF reader; one
+    partition per touched file per commit — cost tracks the CHURN in
+    the interval, never the table. Deletion-vector re-points become
+    mask-delta partitions in both directions (same rule as the
+    connector's ``changes``)."""
+    from x_spark.sources.txlog import (
+        _list_log, _log_path, _version_of, resolve_snapshot,
+    )
+
+    base = resolve_snapshot(table, base_v) if base_v >= 0 else None
+    live: dict[str, dict] = dict(base.files) if base else {}
+    commits, _ = _list_log(table)
+    to = (to_version if to_version is not None
+          else (_version_of(commits[-1]) if commits else 0))
+    parts: list[_CDFPartition] = []
+    for fname in commits:
+        v = _version_of(fname)
+        if v <= base_v or v > to:
+            continue
+        added: dict[str, dict] = {}
+        removed: dict[str, dict] = {}
+        with open(os.path.join(_log_path(table), fname)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    live[a["path"]] = a
+                    added[a["path"]] = a
+                elif "remove" in action:
+                    popped = live.pop(action["remove"]["path"], None)
+                    if popped is not None:
+                        removed[action["remove"]["path"]] = popped
+        for p in added:
+            if p in removed:
+                continue
+            a = added[p]
+            parts.append(_CDFPartition(
+                table, p, a.get("partitionValues") or {}, v,
+                "insert", dv=a.get("dv"),
+            ))
+        for p in removed:
+            if p in added:
+                continue
+            a = removed[p]  # carries the mask AT REMOVAL TIME
+            parts.append(_CDFPartition(
+                table, p, a.get("partitionValues") or {}, v,
+                "delete", dv=a.get("dv"),
+            ))
+        for p in added:
+            if p not in removed or added[p] == removed[p]:
+                continue
+            old_dv = removed[p].get("dv")
+            new_dv = added[p].get("dv")
+            if old_dv == new_dv:
+                continue  # re-assert with no mask change: no rows
+            pv = added[p].get("partitionValues") or {}
+            parts.append(_CDFPartition(          # newly masked
+                table, p, pv, v, "delete",
+                dv=new_dv, dv_old=old_dv, mode="mask_delta",
+            ))
+            parts.append(_CDFPartition(          # newly unmasked
+                table, p, pv, v, "insert",
+                dv=old_dv, dv_old=new_dv, mode="mask_delta",
+            ))
+    return parts or [None]
+
+
+def _read_cdf_partition(partition, schema):
+    if partition is None:
+        return iter(())
+    if partition.mode == "mask_delta":
+        import numpy as np
+
+        empty = np.empty(0, dtype="int64")
+        new = _masked_row_indexes(partition.table, partition.rel,
+                                  partition.dv)
+        old = _masked_row_indexes(partition.table, partition.rel,
+                                  partition.dv_old)
+        keep = np.setdiff1d(new if new is not None else empty,
+                            old if old is not None else empty)
+        if keep.size == 0:
+            return iter(())
+        return _read_file_batches(
+            partition.table, partition.rel, partition.partition_values,
+            schema, keep_indexes=keep,
+        )
+    return _read_file_batches(
+        partition.table, partition.rel, partition.partition_values,
+        schema, dv=partition.dv,
+    )
+
+
 class TxLogChangeFeedReader(DataSourceReader):
     """Batch CDF (Delta's ``readChangeFeed``): rows changed in
     [startingVersion, endingVersion (default latest)] with
@@ -253,91 +349,11 @@ class TxLogChangeFeedReader(DataSourceReader):
             raise DataSourceException(f"txlog table {table!r} does not exist")
 
     def partitions(self):
-        from x_spark.sources.txlog import (
-            _list_log, _log_path, _version_of, resolve_snapshot,
-        )
-
-        base_v = self.from_version - 1
-        base = resolve_snapshot(self.table, base_v) if base_v >= 0 else None
-        live: dict[str, dict] = dict(base.files) if base else {}
-        commits, _ = _list_log(self.table)
-        to = (self.to_version if self.to_version is not None
-              else (_version_of(commits[-1]) if commits else 0))
-        parts: list[_CDFPartition] = []
-        for fname in commits:
-            v = _version_of(fname)
-            if v <= base_v or v > to:
-                continue
-            added: dict[str, dict] = {}
-            removed: dict[str, dict] = {}
-            with open(os.path.join(_log_path(self.table), fname)) as fh:
-                for line in fh:
-                    action = json.loads(line)
-                    if "add" in action:
-                        a = action["add"]
-                        live[a["path"]] = a
-                        added[a["path"]] = a
-                    elif "remove" in action:
-                        popped = live.pop(action["remove"]["path"], None)
-                        if popped is not None:
-                            removed[action["remove"]["path"]] = popped
-            for p in added:
-                if p in removed:
-                    continue
-                a = added[p]
-                parts.append(_CDFPartition(
-                    self.table, p, a.get("partitionValues") or {}, v,
-                    "insert", dv=a.get("dv"),
-                ))
-            for p in removed:
-                if p in added:
-                    continue
-                a = removed[p]  # carries the mask AT REMOVAL TIME
-                parts.append(_CDFPartition(
-                    self.table, p, a.get("partitionValues") or {}, v,
-                    "delete", dv=a.get("dv"),
-                ))
-            for p in added:
-                if p not in removed or added[p] == removed[p]:
-                    continue
-                old_dv = removed[p].get("dv")
-                new_dv = added[p].get("dv")
-                if old_dv == new_dv:
-                    continue  # re-assert with no mask change: no rows
-                pv = added[p].get("partitionValues") or {}
-                parts.append(_CDFPartition(          # newly masked
-                    self.table, p, pv, v, "delete",
-                    dv=new_dv, dv_old=old_dv, mode="mask_delta",
-                ))
-                parts.append(_CDFPartition(          # newly unmasked
-                    self.table, p, pv, v, "insert",
-                    dv=old_dv, dv_old=new_dv, mode="mask_delta",
-                ))
-        return parts or [None]
+        return _cdf_partitions(self.table, self.from_version - 1,
+                               self.to_version)
 
     def read(self, partition):
-        if partition is None:
-            return iter(())
-        if partition.mode == "mask_delta":
-            import numpy as np
-
-            empty = np.empty(0, dtype="int64")
-            new = _masked_row_indexes(partition.table, partition.rel,
-                                      partition.dv)
-            old = _masked_row_indexes(partition.table, partition.rel,
-                                      partition.dv_old)
-            keep = np.setdiff1d(new if new is not None else empty,
-                                old if old is not None else empty)
-            if keep.size == 0:
-                return iter(())
-            return _read_file_batches(
-                partition.table, partition.rel, partition.partition_values,
-                self.schema, keep_indexes=keep,
-            )
-        return _read_file_batches(
-            partition.table, partition.rel, partition.partition_values,
-            self.schema, dv=partition.dv,
-        )
+        return _read_cdf_partition(partition, self.schema)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -359,6 +375,12 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.table = table
         self.schema = schema
         self.ignore_changes = str(options.get("ignoreChanges", "false")).lower() == "true"
+        # streaming CDF (Delta's readChangeFeed on readStream): each
+        # micro-batch emits the (start, end] interval's CHANGE rows
+        # (_change_type/_commit_version) instead of add-only file
+        # scans — rewrites and DV mask deltas stream as
+        # deletes/inserts, so no abort-on-rewrite guard applies
+        self.cdf = str(options.get("readChangeFeed", "false")).lower() == "true"
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
@@ -417,6 +439,10 @@ class TxLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from x_spark.sources.txlog import _list_log, _log_path, _version_of
 
+        if self.cdf:
+            self._pos = max(self._pos, end["version"])
+            return _cdf_partitions(self.table, start["version"],
+                                   end["version"])
         commits, _ = _list_log(self.table)
         parts = []
         for fname in commits:
@@ -450,6 +476,8 @@ class TxLogStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return iter(())
+        if isinstance(partition, _CDFPartition):
+            return _read_cdf_partition(partition, self.schema)
         return _read_file_batches(
             partition.table, partition.rel, partition.partition_values,
             self.schema, partition.dv,
