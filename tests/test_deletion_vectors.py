@@ -479,6 +479,40 @@ def test_update_with_dv_masks_old_images(spark, ds, tmp_path):
     ]
 
 
+def test_update_assignment_casts_to_column_type(spark, ds, tmp_path):
+    """An assignment whose expression type differs from the declared
+    column type is assignment-cast (the _conform rule) — without it the
+    committed file's physical type diverges from the pinned schema and
+    the table stops being readable."""
+    ref = _mk(spark, ds, tmp_path, batches=1)  # pk int, g = pk % 4
+    ds.update(ref, {"g": "g * cast(1.5 as double)"}, "pk = 2")
+    got = {r.pk: r.g for r in ds.read(ref).collect()}  # still readable
+    assert got[2] == 3  # g was 2; 2 * 1.5 = 3.0, cast back to int
+    assert ds.read(ref).schema["g"].dataType.simpleString() == "int"
+    # decimal-typed expression: same rule (g was 1; 1.5 truncates to 1)
+    ds.update(ref, {"g": "g + 0.5"}, "pk = 5")
+    assert ds.read(ref).filter("pk = 5").first().g == 1
+
+
+def test_update_and_merge_refuse_identity_assignment(spark, ds, tmp_path):
+    from pyspark.sql.types import StructType
+
+    ref = TableRef(path=str(tmp_path / "idt"))
+    ds.create(ref, StructType.fromDDL("id bigint, s string"))
+    ds.set_identity_column(ref, "id")
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    with pytest.raises(DataSourceException, match="IDENTITY"):
+        ds.update(ref, {"id": "0"}, "TRUE")
+    with pytest.raises(DataSourceException, match="IDENTITY"):
+        ds.merge(
+            spark.createDataFrame([(1, "x")], "id long, s string"),
+            ref, MergeSpec(["id"], ["s"]),
+        )
+    # values remain unique after the refusals
+    vals = [r.id for r in ds.read(ref).collect()]
+    assert len(vals) == len(set(vals)) == 2
+
+
 def test_update_sql_dispatch_with_nested_commas(spark, ds, tmp_path):
     import uuid as _uuid
 

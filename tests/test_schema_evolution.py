@@ -452,6 +452,37 @@ def test_mapping_interplay_dv_cdf_restore_clone(spark, ds, tmp_path):
     assert ds.read(dst).count() == 10
 
 
+def test_overwrite_schema_reconciles_configuration(spark, ds, tmp_path):
+    """overwrite_schema validates the NEW data against the RECONCILED
+    config: per-column metadata of dropped columns leaves with them; a
+    constraint / surviving generation expression referencing a dropped
+    column refuses with its name (not an unresolved-column crash)."""
+    from pyspark.sql.types import StructType
+
+    ref = TableRef(path=str(tmp_path / "ow"))
+    ds.create(ref, StructType.fromDDL("pk int, v int, id bigint"))
+    ds.set_identity_column(ref, "id")
+    ds.set_generated_column(ref, "v", "pk * 10")
+    ds.append(spark.createDataFrame([(1,), (2,)], "pk int"),
+              ref, merge_schema=True)
+
+    # dropping the generated column itself: its metadata leaves too,
+    # and the new data is validated against the reconciled config
+    narrow = spark.createDataFrame([(7, "x")], "pk int, s string")
+    ds.overwrite(narrow, ref, overwrite_schema=True)
+    snap = resolve_snapshot(str(tmp_path / "ow"))
+    assert not snap.generated and not snap.identity  # no dangling entries
+    assert [r.pk for r in ds.read(ref).collect()] == [7]
+
+    # a CHECK constraint referencing a dropped column refuses cleanly
+    ds.add_constraint(ref, "s_nonempty", "length(s) > 0")
+    with pytest.raises(DataSourceException, match="s_nonempty"):
+        ds.overwrite(spark.createDataFrame([(8,)], "pk int"),
+                     ref, overwrite_schema=True)
+    # nothing committed by the refusal
+    assert [r.pk for r in ds.read(ref).collect()] == [7]
+
+
 def test_datasource_reader_respects_mapping(spark, ds, tmp_path):
     from x_spark.sources.txlog_datasource import TxLogSparkDataSource
 

@@ -224,6 +224,9 @@ def test_read_change_feed_batch(spark, ds, tmp_path):
         for r in ds.changes(ref, 0, 4).collect()
     )
     assert rows == want
+    # an interval with NO row changes (metadata-only commit) is an
+    # EMPTY relation, not a planner error
+    assert feed(2, 2).count() == 0
     # RESTORE un-deletes emit inserts (mask delta, other direction)
     ds.restore(ref, 2)                                          # v5
     back = sorted((r.pk, r._change_type) for r in feed(5, 5).collect())

@@ -834,9 +834,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("best_revenue")
     )
     sup = _t(spark, sf_dir, "supplier")
-    return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
+    out = top.join(sup, top.l_suppkey == sup.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
-    )
+    ).localCheckpoint(eager=True)  # materialize, then free the cache
+    rev.unpersist()
+    return out
 
 
 ORACLE_TOP_SUPPLIER_REVENUE = """

@@ -285,52 +285,56 @@ def _parse_update_statement(stmt: str):
     if not m:
         return None
     rest = stmt.rstrip().rstrip(";")[m.end():]
-    depth, in_str, where_at, i = 0, False, None, 0
-    while i < len(rest):
-        ch = rest[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < len(rest) and rest[i + 1] == "'":
-                    i += 1  # '' escape stays inside the literal
-                else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif (depth == 0 and rest[i:i + 5].lower() == "where"
-              and (i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_"))
-              and (i + 5 == len(rest)
-                   or not (rest[i + 5].isalnum() or rest[i + 5] == "_"))):
+
+    def structural(s: str) -> set[int]:
+        """Indices at paren depth 0 OUTSIDE string literals. Both
+        quote styles count (Spark treats double-quoted tokens as
+        string literals by default) and a doubled quote escapes
+        inside its own literal ('it''s', "a""b")."""
+        out: set[int] = set()
+        depth, quote, i = 0, None, 0
+        while i < len(s):
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    if i + 1 < len(s) and s[i + 1] == quote:
+                        i += 1  # doubled-quote escape stays inside
+                    else:
+                        quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                out.add(i)
+            i += 1
+        return out
+
+    top = structural(rest)
+    where_at = None
+    for i in sorted(top):
+        if (rest[i:i + 5].lower() == "where"
+                and all(k in top for k in range(i, min(i + 5, len(rest))))
+                and (i == 0 or not (rest[i - 1].isalnum()
+                                    or rest[i - 1] == "_"))
+                and (i + 5 == len(rest)
+                     or not (rest[i + 5].isalnum()
+                             or rest[i + 5] == "_"))):
             where_at = i
             break
-        i += 1
     set_part = rest[:where_at] if where_at is not None else rest
     predicate = (rest[where_at + 5:].strip()
                  if where_at is not None else "TRUE")
-    parts, buf, depth, in_str = [], [], 0, False
+    set_top = structural(set_part)
+    parts, start = [], 0
     for j, ch in enumerate(set_part):
-        if in_str:
-            buf.append(ch)
-            if ch == "'" and not (j + 1 < len(set_part)
-                                  and set_part[j + 1] == "'"):
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    if buf:
-        parts.append("".join(buf))
+        if ch == "," and j in set_top:
+            parts.append(set_part[start:j])
+            start = j + 1
+    if set_part[start:]:
+        parts.append(set_part[start:])
     assignments: dict[str, str] = {}
     for p in parts:
         pm = re.match(r"\s*(`[^`]+`|\w+)\s*=\s*(.+?)\s*$", p, re.S)
@@ -827,7 +831,7 @@ class TxLogDataSource(BaseDataSource):
             return self.spark.createDataFrame([], snap.schema)
         cols = [f.name for f in snap.schema.fields]
         masked = [p for p in rel if (snap.files.get(p) or {}).get("dv")]
-        plain = [p for p in rel if p not in set(masked)]
+        plain = [p for p in rel if not (snap.files.get(p) or {}).get("dv")]
         parts: list[DataFrame] = []
         if plain:
             # column mapping: files store physical names; scan with the
@@ -1036,7 +1040,9 @@ class TxLogDataSource(BaseDataSource):
     # -- data-file writing ---------------------------------------------
     def _write_files(self, df: DataFrame, table: str,
                      part_cols: list[str],
-                     schema: StructType | None = None) -> list[dict]:
+                     schema: StructType | None = None,
+                     config_override: dict[str, str] | None = None,
+                     ) -> list[dict]:
         """Materialize ``df`` as immutable parquet files inside the
         table directory (staged under a unique name, then moved — the
         files are invisible until an add action commits them). Returns
@@ -1060,7 +1066,7 @@ class TxLogDataSource(BaseDataSource):
         translate logical->physical at lookup (identity for unmapped
         tables). ``schema`` supplies the mapping.
         """
-        self._enforce_constraints(df, table)
+        self._enforce_constraints(df, table, config_override)
         phys = _physical_map(schema) if schema is not None else {}
         if any(phys.get(c, c) != c for c in df.columns):
             df = df.select(
@@ -1106,15 +1112,25 @@ class TxLogDataSource(BaseDataSource):
             shutil.rmtree(staging, ignore_errors=True)
         return adds
 
-    def _enforce_constraints(self, df: DataFrame, table: str) -> None:
-        snap = resolve_snapshot(table)
-        constraints = dict(snap.constraints) if snap is not None else {}
+    def _enforce_constraints(self, df: DataFrame, table: str,
+                             config: dict[str, str] | None = None) -> None:
+        """``config`` overrides the snapshot configuration — needed by
+        overwrite_schema, whose reconciled config (not the soon-to-be-
+        replaced snapshot's) is what the NEW data must satisfy."""
+        if config is None:
+            snap = resolve_snapshot(table)
+            config = snap.configuration if snap is not None else {}
+        constraints = {
+            k[len("constraint."):]: v for k, v in config.items()
+            if k.startswith("constraint.")
+        }
         # generated columns validate in the SAME single pass: a
         # caller-provided value that disagrees with the generation
         # expression is a violation (Delta's generated-column check;
         # values filled by _fill_generated match trivially)
-        if snap is not None:
-            for col, expr in snap.generated.items():
+        for k, expr in config.items():
+            if k.startswith("generated."):
+                col = k[len("generated."):]
                 constraints[f"generated:{col}"] = f"{col} <=> ({expr})"
         if not constraints:
             return
@@ -1721,6 +1737,9 @@ class TxLogDataSource(BaseDataSource):
                 )
             else:
                 write_schema = snap.schema
+            # generated columns compute when omitted, same as the
+            # plain-append branch (NULL-fill would fail their check)
+            df = self._fill_generated(df, snap)
             df = df.select(*[
                 # assignment cast to the (possibly widened) table type
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -1849,12 +1868,44 @@ class TxLogDataSource(BaseDataSource):
                 )
             stamped = _stamp_physical(df.schema, snap.schema,
                                       snap.configuration)
-            adds = self._write_files(df, table, part_cols, schema=stamped)
+            # reconcile configuration with the REPLACED schema:
+            # per-column metadata (generated./identity.) of dropped
+            # columns leaves with them; a CHECK constraint or a
+            # surviving generated expression that references a dropped
+            # column refuses with its name (drop it first — the Delta
+            # rule), instead of crashing unresolved at validation
+            new_cols = {f.name for f in df.schema.fields}
+            import re as _re
+
+            def references_dropped(expr: str) -> list[str]:
+                old_cols = {f.name for f in snap.schema.fields}
+                return sorted(
+                    c for c in old_cols - new_cols
+                    if _re.search(rf"(?i)(?<![\w`.]){_re.escape(c)}(?![\w`])",
+                                  expr)
+                )
+
+            config = {}
+            for k, v in snap.configuration.items():
+                if (k.startswith(("generated.", "identity."))
+                        and k.split(".", 1)[1] not in new_cols):
+                    continue  # column left; its metadata leaves too
+                if k.startswith(("constraint.", "generated.")):
+                    gone = references_dropped(v)
+                    if gone:
+                        raise DataSourceException(
+                            f"overwrite_schema drops column(s) {gone} "
+                            f"referenced by {k!r} ({v}) — drop the "
+                            "constraint / generation expression first"
+                        )
+                config[k] = v
+            adds = self._write_files(df, table, part_cols, schema=stamped,
+                                     config_override=config)
             actions: list[dict] = [{
                 "metaData": {
                     "schemaJson": stamped.json(),
                     "partitionColumns": part_cols,
-                    "configuration": snap.configuration,
+                    "configuration": config,
                 }
             }]
             actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
@@ -1953,6 +2004,14 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
+        ident_set = sorted(set(snap.identity)
+                           & (set(spec.update_columns)
+                              | set(spec.primary_key_columns)))
+        if ident_set:
+            raise DataSourceException(
+                f"column(s) {ident_set} are GENERATED ALWAYS AS IDENTITY; "
+                "MERGE cannot set or key on them"
+            )
         if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
             self._merge_with_dv(table, snap, df, spec, txn)
             return
@@ -2201,6 +2260,18 @@ class TxLogDataSource(BaseDataSource):
             raise DataSourceException(
                 f"UPDATE assigns unknown column(s) {unknown}"
             )
+        ident_assigned = sorted(set(assignments) & set(snap.identity))
+        if ident_assigned:
+            raise DataSourceException(
+                f"column(s) {ident_assigned} are GENERATED ALWAYS AS "
+                "IDENTITY; values cannot be assigned"
+            )
+        # assignment cast to the DECLARED column type (same rule every
+        # other write path gets via _conform) — without it an
+        # expression of a different type commits parquet files whose
+        # physical type diverges from the pinned schema, and the table
+        # stops being readable
+        types = {f.name: f.dataType for f in snap.schema.fields}
         pred = F.coalesce(F.expr(predicate), F.lit(False))
 
         def new_image(df: DataFrame, only_matched: bool) -> DataFrame:
@@ -2214,18 +2285,19 @@ class TxLogDataSource(BaseDataSource):
                      if c in cols and c not in assignments}
             if only_matched:
                 out = df.select(*[
-                    F.expr(assignments[c]).alias(c)
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
                     if c in assignments else F.col(c)
                     for c in df.columns
                 ])
                 for c, e in sorted(regen.items()):
-                    out = out.withColumn(c, F.expr(e))
+                    out = out.withColumn(c, F.expr(e).cast(types[c]))
                 return out
             marked = df.withColumn("__upd", pred)
             out = marked.select(
                 "__upd",
                 *[
-                    F.when(F.col("__upd"), F.expr(assignments[c]))
+                    F.when(F.col("__upd"),
+                           F.expr(assignments[c]).cast(types[c]))
                     .otherwise(F.col(c)).alias(c)
                     if c in assignments else F.col(c)
                     for c in df.columns
@@ -2235,7 +2307,8 @@ class TxLogDataSource(BaseDataSource):
             for c, e in sorted(regen.items()):
                 out = out.withColumn(
                     c,
-                    F.when(F.col("__upd"), F.expr(e)).otherwise(F.col(c)),
+                    F.when(F.col("__upd"), F.expr(e).cast(types[c]))
+                    .otherwise(F.col(c)),
                 )
             return out.drop("__upd")
 

@@ -60,7 +60,6 @@ def _masked_row_indexes(table: str, rel: str, dv: dict | None):
     if not dv:
         return None
     import numpy as np
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     base = os.path.basename(rel)
@@ -70,10 +69,14 @@ def _masked_row_indexes(table: str, rel: str, dv: dict | None):
         for name in names:
             if not name.endswith(".parquet"):
                 continue
-            t = pq.read_table(os.path.join(root, name),
-                              columns=["file_name", "row_index"])
-            hit = t.filter(pc.equal(t.column("file_name"), base))
-            idx.extend(hit.column("row_index").to_pylist())
+            # filter pushed into the read: row groups whose file_name
+            # stats exclude `base` are never decoded, so per-partition
+            # cost tracks THIS file's mask rows, not the whole sidecar
+            t = pq.read_table(
+                os.path.join(root, name), columns=["row_index"],
+                filters=[("file_name", "==", base)],
+            )
+            idx.extend(t.column("row_index").to_pylist())
     return np.sort(np.asarray(idx, dtype="int64")) if idx else None
 
 
@@ -294,7 +297,7 @@ def _cdf_partitions(table: str, base_v: int,
                 table, p, pv, v, "insert",
                 dv=old_dv, dv_old=new_dv, mode="mask_delta",
             ))
-    return parts or [None]
+    return parts
 
 
 def _read_cdf_partition(partition, schema):
@@ -349,6 +352,9 @@ class TxLogChangeFeedReader(DataSourceReader):
             raise DataSourceException(f"txlog table {table!r} does not exist")
 
     def partitions(self):
+        # an interval with no row changes is an EMPTY batch relation:
+        # return [] (pyspark's planner rejects a bare None here; the
+        # worker converts an empty list itself)
         return _cdf_partitions(self.table, self.from_version - 1,
                                self.to_version)
 
@@ -442,7 +448,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         if self.cdf:
             self._pos = max(self._pos, end["version"])
             return _cdf_partitions(self.table, start["version"],
-                                   end["version"])
+                                   end["version"]) or [None]
         commits, _ = _list_log(self.table)
         parts = []
         for fname in commits:
