@@ -137,6 +137,22 @@ def test_cli_optimize(tmp_path, spark, capsys):
     assert ds.read(ref).count() == 3
 
 
+def test_cli_clean_log(tmp_path, spark, capsys, monkeypatch):
+    import x_spark.sources.txlog as T
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    monkeypatch.setattr(T, "CHECKPOINT_INTERVAL", 2)
+    ds = init_datasource("txlog", spark)
+    path = str(tmp_path / "cl")
+    ref = TableRef(path=path)
+    for i in range(5):
+        ds.append(spark.createDataFrame([(i,)], "pk int"), ref)
+    assert main(["clean-log", path, "--min-age-sec", "0"]) == 0
+    assert "removed" in capsys.readouterr().out
+    assert ds.read(ref).count() == 5
+
+
 def test_cli_dry_run_merge_sql(tmp_path, spark):
     p = tmp_path / "upsert.yaml"
     p.write_text(

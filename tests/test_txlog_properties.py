@@ -178,6 +178,70 @@ def test_timestamp_travel_resolves_like_delta(spark, tmp_path):
     assert stamped == sorted(stamped)
 
 
+def test_clean_log_bounds_history_preserving_replayability(
+        spark, tmp_path, monkeypatch):
+    """clean_log deletes commit files below the replay floor (the
+    newest checkpoint keeping keep_last versions replayable); latest
+    reads, time travel above the floor, txn replay detection, and CDF
+    above the floor all survive; travel below raises the ordinary
+    version error."""
+    import os
+
+    import pytest
+
+    import x_spark.sources.txlog as T
+    from x_spark.errors import DataSourceException
+    from x_spark.sources.txlog import (
+        TxnAlreadyCommittedException, _list_log, resolve_snapshot,
+    )
+
+    monkeypatch.setattr(T, "CHECKPOINT_INTERVAL", 3)
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "cl"))
+    for i in range(10):  # v1..v10; checkpoints at 3, 6, 9
+        ds.append(
+            spark.createDataFrame([(i, i * 10)], "pk int, v int"), ref,
+            txn=("app", i),
+        )
+    commits_before, cks = _list_log(ref.path)
+    assert [T._version_of(c) for c in cks] == [3, 6, 9]
+
+    gone = ds.clean_log(ref, keep_last=3, min_age_sec=0)
+    # floor = checkpoint 6 (latest 10 - keep 3 = 7 -> newest ck <= 7)
+    commits, cks = _list_log(ref.path)
+    assert [T._version_of(c) for c in commits] == [6, 7, 8, 9, 10]
+    assert [T._version_of(c) for c in cks] == [6, 9]
+    assert len(gone) == len(commits_before) - 5 + 1  # + checkpoint 3
+
+    # latest state intact
+    assert ds.read(ref).count() == 10
+    assert ds.count_rows(ref) == 10
+    # travel above the floor works; below raises the version error
+    assert ds.read(TableRef(path=ref.path,
+                            options={"versionAsOf": "7"})).count() == 7
+    with pytest.raises(DataSourceException, match="does not exist"):
+        resolve_snapshot(ref.path, 2)
+    # CDF above the floor works
+    assert ds.changes(ref, 8, 10).count() == 2
+    # txn stamps survive through the floor checkpoint: replay detected
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.append(spark.createDataFrame([(99, 0)], "pk int, v int"), ref,
+                  txn=("app", 5))
+    # appends keep working, and a second clean converges
+    ds.append(spark.createDataFrame([(11, 110)], "pk int, v int"), ref)
+    assert ds.read(ref).count() == 11
+    # retention guard: young files survive a guarded clean
+    before = _list_log(ref.path)[0]
+    assert ds.clean_log(ref, keep_last=0, min_age_sec=3600) == []
+    assert _list_log(ref.path)[0] == before
+    # vacuum after clean_log reaps files only pruned versions referenced
+    ds.delete(ref, "pk = 0")
+    ds.clean_log(ref, keep_last=0, min_age_sec=0)
+    ds.vacuum(ref, min_age_sec=0)
+    assert ds.read(ref).count() == 10
+    assert os.path.isdir(ref.path)
+
+
 def test_restore_to_timestamp(spark, tmp_path):
     import datetime
     import uuid as _uuid

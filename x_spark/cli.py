@@ -336,6 +336,19 @@ def build_parser() -> argparse.ArgumentParser:
     opt.add_argument("--target-mb", type=int, default=128,
                      help="target file size in MB (files below it compact)")
 
+    clg = sub.add_parser(
+        "clean-log",
+        help="bound the transaction log: drop commit files below the "
+        "newest checkpoint that keeps the last N versions replayable",
+    )
+    clg.add_argument("path", help="txlog table directory")
+    clg.add_argument("--keep-last", type=int, default=0,
+                     help="versions below the latest that must stay "
+                     "fully replayable")
+    clg.add_argument("--min-age-sec", type=float, default=600.0,
+                     help="only delete log files older than this "
+                     "(0 = offline maintenance)")
+
     vac = sub.add_parser("vacuum", help="delete unreachable txlog data files")
     vac.add_argument("path", help="txlog table directory")
     vac.add_argument(
@@ -740,7 +753,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command in ("history", "show", "changes", "vacuum", "cluster",
-                        "purge", "optimize"):
+                        "purge", "optimize", "clean-log"):
         from x_spark.session import get_session
         from x_spark.sources import init_datasource
         from x_spark.sources.base import TableRef
@@ -789,6 +802,12 @@ def main(argv: list[str] | None = None) -> int:
                               target_size_mb=args.target_mb)
             print(f"optimized {out['rewritten']} file(s) into "
                   f"{out['new_files']}")
+            return 0
+        if args.command == "clean-log":
+            gone = ds.clean_log(TableRef(path=args.path),
+                                keep_last=args.keep_last,
+                                min_age_sec=args.min_age_sec)
+            print(f"removed {len(gone)} log file(s)")
             return 0
         deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last,
                             min_age_sec=args.min_age_sec)

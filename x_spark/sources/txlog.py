@@ -2512,6 +2512,47 @@ class TxLogDataSource(BaseDataSource):
                      "CLUSTER")
         return len(adds)
 
+    def clean_log(self, ref: TableRef, keep_last: int = 0,
+                  min_age_sec: float = 600.0) -> list[str]:
+        """Bound the transaction LOG itself (Delta's
+        logRetentionDuration analogue): at millions of commits the log
+        listing, not the data, becomes the metadata bottleneck.
+
+        Picks the newest checkpoint that keeps the last ``keep_last``
+        versions fully replayable — the replay FLOOR — and deletes
+        commit files strictly below it and checkpoints superseded by it
+        (only ones older than ``min_age_sec``, the same concurrency
+        guard as vacuum). The floor checkpoint carries schema, live
+        files, configuration, and txn stamps, so latest-state reads,
+        exactly-once replay detection, CDF above the floor, and
+        ICT/mtime timestamp travel to surviving versions are all
+        unaffected. Time travel BELOW the floor raises the ordinary
+        version-does-not-exist error — the bounded-history trade Delta
+        documents for log retention. Returns the deleted file names."""
+        import time as _time
+
+        table = self._table_path(ref)
+        commits, checkpoints = _list_log(table)
+        if not commits or not checkpoints:
+            return []
+        keep_from = _version_of(commits[-1]) - max(0, int(keep_last))
+        usable = [c for c in checkpoints if _version_of(c) <= keep_from]
+        if not usable:
+            return []
+        floor = _version_of(usable[-1])
+        now = _time.time()
+        deleted: list[str] = []
+        for fname in commits + checkpoints:
+            v = _version_of(fname)
+            if v >= floor:
+                continue  # the floor checkpoint + everything after stays
+            path = os.path.join(_log_path(table), fname)
+            if now - os.path.getmtime(path) < min_age_sec:
+                continue
+            os.remove(path)
+            deleted.append(fname)
+        return deleted
+
     def vacuum(self, ref: TableRef, keep_last: int | None = None,
                min_age_sec: float = 600.0) -> list[str]:
         """Physically delete data files no longer reachable.
