@@ -200,6 +200,56 @@ def test_optimize_purges_dv_masks_and_sql_dispatch(spark, ds, tmp_path):
         ds.drop_table(ref)
 
 
+def test_sql_metadata_readbacks(spark, ds, tmp_path):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL / SHOW TBLPROPERTIES return
+    real relations through the pass-through SQL surface."""
+    import uuid as _uuid
+
+    name = f"meta_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "pk int, s string"), ref)
+    ds.set_properties(ref, {"custom.tag": "demo"})
+    try:
+        hist = ds._execute_statement(f"DESCRIBE HISTORY {name}").collect()
+        assert [(r.version, r.operation) for r in hist][:2] == [
+            (0, "CREATE"), (1, "APPEND"),
+        ]
+        assert all(r.timestamp is not None for r in hist)
+        det = ds._execute_statement(f"DESCRIBE DETAIL {name}").first()
+        assert det.num_rows == 2 and det.version == 2
+        props = {r.key: r.value for r in ds._execute_statement(
+            f"SHOW TBLPROPERTIES {name}").collect()}
+        assert props["custom.tag"] == "demo"
+    finally:
+        ds.drop_table(ref)
+
+
+def test_auto_compact_property(spark, ds, tmp_path):
+    """autoCompact=true: appends opportunistically bin-pack once the
+    small-file debt reaches the threshold; without the property the
+    file count only grows."""
+    from x_spark.sources.txlog import TxLogDataSource
+
+    ref = TableRef(path=str(tmp_path / "ac"))
+    ds.append(spark.createDataFrame([(0,)], "pk int").coalesce(1), ref)
+    ds.set_properties(ref, {TxLogDataSource.AUTO_COMPACT_KEY: "true"})
+    n = TxLogDataSource.AUTO_COMPACT_MIN_FILES
+    for i in range(1, n + 1):
+        ds.append(spark.createDataFrame([(i,)], "pk int").coalesce(1), ref)
+    snap = resolve_snapshot(ref.path)
+    assert len(snap.files) < n  # debt compacted mid-stream
+    assert ds.read(ref).count() == n + 1
+    ops = [h["operation"] for h in ds.history(ref)]
+    assert "OPTIMIZE" in ops
+
+    # property off: appends never trigger compaction
+    off = TableRef(path=str(tmp_path / "off"))
+    for i in range(4):
+        ds.append(spark.createDataFrame([(i,)], "pk int").coalesce(1), off)
+    assert "OPTIMIZE" not in [h["operation"] for h in ds.history(off)]
+
+
 # -- transactional mechanics ------------------------------------------------
 def test_time_travel_and_history(spark, ds, tmp_path):
     ref = _ref(tmp_path)

@@ -630,6 +630,37 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
+        # Metadata read-backs returning real relations: DESCRIBE
+        # HISTORY / DESCRIBE DETAIL / SHOW TBLPROPERTIES
+        m = re.fullmatch(rf"\s*describe\s+history\s+{ident}\s*", stmt, re.I)
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            ref = TableRef(table=_normalize_ident(m.group(1)))
+            return self.spark.createDataFrame(
+                [(h["version"], h["operation"], h["timestamp"])
+                 for h in self.history(ref)],
+                "version bigint, operation string, timestamp bigint",
+            )
+        m = re.fullmatch(rf"\s*describe\s+detail\s+{ident}\s*", stmt, re.I)
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            d = self.describe_detail(
+                TableRef(table=_normalize_ident(m.group(1)))
+            )
+            return self.spark.createDataFrame(
+                [tuple(json.dumps(v) if isinstance(v, (list, dict))
+                       else v for v in d.values())],
+                ", ".join(f"{k} string" if isinstance(v, (str, list, dict))
+                          else f"{k} bigint" for k, v in d.items()),
+            )
+        m = re.fullmatch(rf"\s*show\s+tblproperties\s+{ident}\s*", stmt, re.I)
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            table = self._table_path(
+                TableRef(table=_normalize_ident(m.group(1)))
+            )
+            snap = resolve_snapshot(table)
+            rows = sorted(snap.configuration.items()) if snap else []
+            return self.spark.createDataFrame(
+                rows or [(None, None)], "key string, value string"
+            ).filter(F.col("key").isNotNull())
         # RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
         m = re.fullmatch(
             rf"\s*restore\s+table\s+{ident}\s+to\s+version\s+as\s+of\s+"
@@ -1793,11 +1824,13 @@ class TxLogDataSource(BaseDataSource):
                 table, self._expect_unchanged(table, snap.version),
                 meta_actions + add_actions, "APPEND", txn=txn,
             )
+            self._maybe_auto_compact(ref, snap.configuration)
             return
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
                              meta_actions + add_actions, "APPEND", txn=txn)
+                self._maybe_auto_compact(ref, snap.configuration)
                 return
             except TxnAlreadyCommittedException:
                 # replay detected: the epoch is already durable — this
@@ -2382,6 +2415,24 @@ class TxLogDataSource(BaseDataSource):
         self._commit(table, self._expect_unchanged(table, snap.version),
                      actions, "PURGE")
         return len(masked)
+
+    AUTO_COMPACT_KEY = "autoCompact"
+    AUTO_COMPACT_MIN_FILES = 16
+
+    def _maybe_auto_compact(self, ref: TableRef,
+                            configuration: dict[str, str]) -> None:
+        """Delta's autoOptimize.autoCompact: after a successful append
+        on a table with ``autoCompact=true``, bin-pack opportunistically
+        once the small-file debt reaches AUTO_COMPACT_MIN_FILES.
+        Best-effort by design — a concurrent writer winning the version
+        race just means compaction happens on a later write; the append
+        that triggered it has already durably committed."""
+        if configuration.get(self.AUTO_COMPACT_KEY, "").lower() != "true":
+            return
+        try:
+            self.optimize(ref, min_files=self.AUTO_COMPACT_MIN_FILES)
+        except ConcurrentWriteException:
+            pass
 
     def optimize(self, ref: TableRef, where: str | None = None,
                  target_size_mb: int = 128, min_files: int = 2) -> dict:
