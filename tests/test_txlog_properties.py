@@ -242,6 +242,42 @@ def test_clean_log_bounds_history_preserving_replayability(
     assert os.path.isdir(ref.path)
 
 
+def test_vacuum_dry_run_and_clone_at_timestamp(spark, tmp_path):
+    import os
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "d"))
+    ds.append(spark.createDataFrame([(1,)], "pk int"), ref)      # v1
+    ds.append(spark.createDataFrame([(2,)], "pk int"), ref)      # v2
+    ds.overwrite(spark.createDataFrame([(9,)], "pk int"), ref)   # v3
+
+    # dry run reports exactly what a keep_last=1 vacuum would delete,
+    # touches nothing; the real vacuum then deletes that same set
+    would = ds.vacuum(ref, keep_last=1, min_age_sec=0, dry_run=True)
+    assert would
+    assert all(os.path.exists(os.path.join(ref.path, p)) for p in would)
+    assert ds.vacuum(ref, keep_last=1, min_age_sec=0) == would
+    assert not any(os.path.exists(os.path.join(ref.path, p))
+                   for p in would)
+
+    # clone addressed by commit timestamp (ICT resolution)
+    src = TableRef(path=str(tmp_path / "s"))
+    ds.append(spark.createDataFrame([(1,)], "pk int"), src)      # v1
+    ds.append(spark.createDataFrame([(2,)], "pk int"), src)      # v2
+    ict_v1 = next(h["timestamp"] for h in ds.history(src)
+                  if h["version"] == 1)
+    dst = TableRef(path=str(tmp_path / "c"))
+    ds.clone(src, dst, timestamp=ict_v1 / 1000.0)
+    assert sorted(r.pk for r in ds.read(dst).collect()) == [1]
+    import pytest
+
+    from x_spark.errors import DataSourceException
+
+    with pytest.raises(DataSourceException, match="not both"):
+        ds.clone(src, TableRef(path=str(tmp_path / "c2")),
+                 version=1, timestamp=ict_v1 / 1000.0)
+
+
 def test_restore_to_timestamp(spark, tmp_path):
     import datetime
     import uuid as _uuid

@@ -825,20 +825,16 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    # rev feeds two jobs (the broadcast max build, then the filter
-    # join); persisting the supplier-cardinality aggregate keeps the
-    # lineitem scan single-pass — the broadcast build materializes it.
-    rev = rev.persist()
-    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
-    top = rev.join(F.broadcast(best)).filter(
-        F.col("total_revenue") == F.col("best_revenue")
-    )
+    # the max is ONE scalar: collect it (bounded driver data) and
+    # filter by literal — no cache to leak, no checkpoint job; the
+    # second pass over the supplier-cardinality aggregate recomputes
+    # from lineage (two lineitem scans total, both filter-pruned)
+    best = rev.agg(F.max("total_revenue")).first()[0]
+    top = rev.filter(F.col("total_revenue") == F.lit(best))
     sup = _t(spark, sf_dir, "supplier")
-    out = top.join(sup, top.l_suppkey == sup.s_suppkey).select(
+    return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
-    ).localCheckpoint(eager=True)  # materialize, then free the cache
-    rev.unpersist()
-    return out
+    )
 
 
 ORACLE_TOP_SUPPLIER_REVENUE = """

@@ -2605,8 +2605,11 @@ class TxLogDataSource(BaseDataSource):
         return deleted
 
     def vacuum(self, ref: TableRef, keep_last: int | None = None,
-               min_age_sec: float = 600.0) -> list[str]:
+               min_age_sec: float = 600.0,
+               dry_run: bool = False) -> list[str]:
         """Physically delete data files no longer reachable.
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the
+        would-be-deleted paths without touching a file.
 
         Default (``keep_last=None``): remove only ORPHANS — files no
         log version references (crashed writers) — so every historical
@@ -2671,7 +2674,8 @@ class TxLogDataSource(BaseDataSource):
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue  # possibly an in-flight commit's file
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                 except FileNotFoundError:
                     continue  # another vacuum won the race
                 deleted.append(rel)
@@ -2971,7 +2975,7 @@ class TxLogDataSource(BaseDataSource):
         ]
 
     def clone(self, src_ref: TableRef, dst_ref: TableRef,
-              version: int | None = None) -> int:
+              version: int | None = None, timestamp=None) -> int:
         """CLONE (Delta parity): create ``dst_ref`` as an independent
         table holding the (optionally time-traveled) snapshot of
         ``src_ref`` — schema, partitioning, CHECK constraints, and the
@@ -2991,8 +2995,16 @@ class TxLogDataSource(BaseDataSource):
         drop log references), so shared inodes are never mutated.
 
         Returns the clone's committed version (0 — metaData + adds in
-        one atomic commit)."""
+        one atomic commit). ``timestamp`` addresses the source by
+        commit time instead of version (ICT resolution, mtime
+        fallback — the TIMESTAMP AS OF clone flavor)."""
         src = self._table_path(src_ref)
+        if timestamp is not None:
+            if version is not None:
+                raise DataSourceException(
+                    "clone takes version OR timestamp, not both"
+                )
+            version = self._version_at_timestamp(src, timestamp)
         snap = resolve_snapshot(src, version)
         if snap is None:
             raise DataSourceException(f"txlog table {src!r} does not exist")
