@@ -496,8 +496,14 @@ class TxLogDataSource(BaseDataSource):
         return self.spark.sql(self._rewrite_query(stmt))
 
     def _dispatch_statement(self, stmt: str) -> DataFrame | None:
-        """Route TRUNCATE/DROP/DELETE targeting a known txlog name to
-        the transactional ops; None = not ours, pass to spark.sql."""
+        """Route statements targeting a known txlog name to the
+        transactional ops; None = not ours, pass to spark.sql.
+        Dispatched verbs: TRUNCATE/DROP TABLE, DELETE, UPDATE,
+        ALTER TABLE ADD/DROP CONSTRAINT, SET/DROP GENERATED ALWAYS AS,
+        SET IDENTITY, ALTER COLUMN TYPE (widening), ADD COLUMN(S),
+        RENAME/DROP COLUMN, SET TBLPROPERTIES, DESCRIBE HISTORY/DETAIL,
+        SHOW TBLPROPERTIES, RESTORE TO VERSION|TIMESTAMP AS OF,
+        OPTIMIZE [WHERE], REORG ... APPLY (PURGE)."""
         import re
 
         ident = r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)"
