@@ -15,24 +15,32 @@ from x_spark.plans.registry import DRIVER_CHECKED_PREFIX, ORACLES, QUERIES
 # to the tail in round 3 so never-checked flavors get driver rows —
 # cumulative coverage only grows.
 FAMILY_REPRESENTATIVES = [
-    "pricing_summary",          # groupBy+agg battery (A1-A4)
-    "scalar_function_battery",  # scalar function library
-    "rolling_revenue",          # RANGE-frame window sums (only rangeBetween query)
-    "contamination_bloom",      # eval-set n-gram decontamination
-    "pii_scan",                 # PII detection + redaction audit
-    "multimodal_features",
-    "jdbc_dim_roundtrip",       # external-DB connector round trip
+    # Round-7 rotation (verdict r6 task #1): the 13 never-driver-checked
+    # oracle-backed queries promoted into the head; 13 multi-round-green
+    # representatives demoted with per-query justification in
+    # registry.py's _TAIL (pricing_summary, scalar_function_battery,
+    # rolling_revenue, multimodal_features, stream_dedup_events,
+    # pii_scan, sequence_packing, cross_doc_spans, set_similarity_dups,
+    # quality_classifier, contamination_bloom, jdbc_dim_roundtrip,
+    # event_sessions — each >= 3 straight driver-green rounds).
+    "priority_order_counts",    # TPC-H Q4 shape: EXISTS semi join + counts
+    "bilateral_trade",          # TPC-H Q7 shape: multi-join year split
+    "product_profit",           # TPC-H Q9 shape: 6-way join profit agg
+    "late_line_priority_mix",   # TPC-H Q12 shape: CASE sums by shipmode
+    "promo_revenue_share",      # TPC-H Q14 shape: conditional revenue share
+    "large_volume_orders",      # TPC-H Q18 shape: HAVING semi join
+    "bracketed_revenue",        # TPC-H Q19 shape: disjunctive pushdown
+    "order_count_distribution", # decorrelated COUNT distribution
+    "top_supplier_revenue",     # scalar-max revenue view (cache-free)
+    "small_quantity_revenue",   # avg-subquery decorrelation
+    "dominant_suppliers",       # fraction-of-total HAVING
+    "wealthy_idle_customers",   # scalar subquery + NOT EXISTS
+    "corpus_vocab_overlap",     # pairwise source vocabulary Jaccard
     "stream_stateful_user_stats",
-    "stream_dedup_events",      # dropDuplicatesWithinWatermark
-    "sequence_packing",         # token prefix-sum sequence packing
     "incremental_dedup",        # ingest-vs-fingerprint-store anti-join dedup
-    "quality_classifier",       # hashed-feature linear quality scoring
-    "cross_doc_spans",          # ExactSubstr-style repeated cross-doc spans
-    "set_similarity_dups",      # exact prefix-filtered set-similarity join
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
-    "event_sessions",           # gap-based sessionization (lag + cumsum)
     "signup_funnel",            # ordered funnel stage counting
     # cohort_retention demoted round 6 (5 straight green rounds; the
     # sessionization family keeps event_sessions + signup_funnel in

@@ -73,6 +73,67 @@ _ALL_QUERIES = {
 # rounds with its family still head-represented.
 _TAIL = [
     # ------------------------------------------------------------------
+    # Round-7 rotation (verdict r6 task #1 — close the driver-check
+    # book): the 13 oracle-backed queries that have NEVER had a driver
+    # row (12 TPC-H tail flavors + corpus_vocab_overlap) promoted out
+    # of this tail so cumulative independent verification reaches
+    # 134/138. Demoted to make room — every one is >= 3-consecutive-
+    # rounds driver-green (most 4-6), stays hash-checked in the local
+    # oracle-parity suite and benched every round, and leaves its
+    # family with a surviving head representative:
+    "pricing_summary",         # green r01-r06 (6 straight); single-table
+                               # filter+agg family held by
+                               # price_trend_by_flag + trimmed_price_stats
+                               # (head) and the promoted lineitem flavors
+                               # (promo_revenue_share, bracketed_revenue,
+                               # small_quantity_revenue) now head-checked
+    "scalar_function_battery", # green r01-r06 (6 straight); the scalar
+                               # library is pinned by six consecutive
+                               # driver hashes + the local battery oracle
+    "rolling_revenue",         # green r01-r06 (6 straight); the RANGE-frame
+                               # (rangeBetween) semantics carry six driver
+                               # rounds of hash evidence; window family keeps
+                               # rolling_value_anomalies (bounded trailing
+                               # frames) + doc_keywords_tfidf +
+                               # curriculum_positions (all head)
+    "multimodal_features",     # green r01-r06 (6 straight); Arrow-batched
+                               # pandas-UDF plumbing stays head-checked via
+                               # stream_stateful_user_stats
+                               # (applyInPandasWithState)
+    "stream_dedup_events",     # green r02-r06 (5 straight); streaming keeps
+                               # FOUR head reps (stateful, state-store agg,
+                               # ivm-totals, ivm-join-view) and watermark
+                               # dedup is pinned by test_watermark
+    "pii_scan",                # green r02-r06 (5 straight); scan-speed
+                               # regex-rule family held by
+                               # filter_attribution (head)
+    "sequence_packing",        # green r03-r06 (4 straight); token-window
+                               # family held by token_budget_selection +
+                               # curriculum_positions (both head) — the same
+                               # two-stage range-partition offsets algebra
+    "cross_doc_spans",         # green r03-r06 (4 straight); cross-doc text
+                               # family held by filter_attribution (head);
+                               # span extraction pinned by test_text_quality
+    "set_similarity_dups",     # green r03-r06 (4 straight); dedup family
+                               # keeps incremental_dedup (head); the prefix-
+                               # filter completeness proof is test-pinned
+                               # (test_set_similarity exhaustive vs naive)
+    "quality_classifier",      # green r03-r06 (4 straight); quality family
+                               # held by filter_attribution (head) +
+                               # robust_outliers (head) on the signal side
+    "contamination_bloom",     # green r04-r06 (3 straight); hash-checks the
+                               # same oracle as benchmark_contamination
+                               # (green r01-r03) — 6 cumulative driver
+                               # rounds across the two plans of this family
+    "jdbc_dim_roundtrip",      # green r04-r06 (3 straight); external-DB
+                               # roundtrip family: duckdb twin green
+                               # r01-r03; PushedFilters/partitioned reads
+                               # pinned by test_jdbc_connector
+    "event_sessions",          # green r04-r06 (3 straight); sessionization
+                               # family keeps signup_funnel (head — also the
+                               # round-7 perf-fix target, so it stays under
+                               # the driver's hash check)
+    # ------------------------------------------------------------------
     # Round-6 rotation (verdict r5 task #1 — the largest head rotation
     # yet): the ~21 never-driver-checked round-5 plan families promoted
     # out of this tail (pagerank, maintained BM25 index, bloom lookup,
@@ -212,10 +273,6 @@ _TAIL = [
                                # consistency, and the txlog-maintained
                                # append-only store flow incl. exactly-once
                                # replay
-    "corpus_vocab_overlap",    # late-round-5 addition (pairwise source
-                               # vocabulary Jaccard — the cheap corpus
-                               # redundancy screen ahead of document-level
-                               # dedup): locally hash-checked; r6 candidate
     "multimodal_frames",       # mapInPandas binary+metadata plumbing is
                                # driver-checked via multimodal_features
     "late_shipment_priority",  # join+cond agg: green r01+r02; family held
@@ -228,16 +285,11 @@ _TAIL = [
     "quantity_by_status_pivot",  # pivot: green r01+r02; grouping-set family
                                # held by quantity_cube
     "above_avg_balance",       # scalar subquery: green r01+r02
-    # TPC-H completion batch (Q4/Q7/Q9/Q12/Q14/Q18/Q19 shapes) — every
-    # plan family (semi join, multi-join agg, CASE sums, HAVING semi
-    # join, disjunctive pushdown) is head-represented already
-    "priority_order_counts",
-    "bilateral_trade",
-    "product_profit",
-    "late_line_priority_mix",
-    "promo_revenue_share",
-    "large_volume_orders",
-    "bracketed_revenue",
+    # TPC-H completion batch (Q4/Q7/Q9/Q12/Q14/Q18/Q19 shapes) —
+    # promoted to the head in the round-7 rotation (never driver-checked
+    # before it): priority_order_counts, bilateral_trade, product_profit,
+    # late_line_priority_mix, promo_revenue_share, large_volume_orders,
+    # bracketed_revenue
     "ann_topk_bruteforce",     # exact top-k: ann_topk_pandas hash-checks the same
                                # result; bucketed+ivf cover the approximate family
     "ann_topk_ivf",            # rows-only by design (data-dependent codebook): a
@@ -257,13 +309,10 @@ _TAIL = [
                                # engine-specific): same reasoning
     "quality_histogram",       # quality-score formula also driver-checked
                                # through curation_pipeline's first stage
-    # TPC-H decorrelation flavors — join+agg/semi-anti/scalar-subquery
-    # families are all represented in the head already
-    "order_count_distribution",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    "dominant_suppliers",
-    "wealthy_idle_customers",
+    # TPC-H decorrelation flavors (order_count_distribution,
+    # top_supplier_revenue, small_quantity_revenue, dominant_suppliers,
+    # wealthy_idle_customers) — promoted to the head in the round-7
+    # rotation (never driver-checked before it)
     # Round-4 rotation (verdict r3 task #1): jdbc_dim_roundtrip and
     # contamination_bloom — the only genuinely distinct plan families
     # never driver-checked in r01-r03 — promoted into the head; their
