@@ -144,11 +144,12 @@ def test_stream_rate_limit_offsets(spark, ds, tmp_path):
     assert r.latestOffset() == {"version": 4}   # drained: stable
 
     r = TxLogStreamReader(ref.path, schema, {"maxVersionsPerTrigger": "1"})
+    r.initialOffset()                           # fresh start anchors at 0
     assert [r.latestOffset()["version"] for _ in range(5)] == [1, 2, 3, 4, 4]
     # progress guarantee: a version larger than the file budget still
     # admits (at least one version per batch)
     r = TxLogStreamReader(ref.path, schema, {"maxFilesPerTrigger": "1"})
-    r._pos = 3
+    r._pos, r._anchored = 3, True
     assert r.latestOffset() == {"version": 4}
 
     # a replayed batch advances the cursor past served offsets
@@ -158,10 +159,88 @@ def test_stream_rate_limit_offsets(spark, ds, tmp_path):
     assert r.latestOffset() == {"version": 4}   # not re-admitting v1
 
 
-def test_stream_rate_limit_end_to_end(spark, ds, tmp_path):
+def test_stream_rate_limit_restart_never_regresses(spark, ds, tmp_path):
+    """Query-restart contract: a fresh reader whose first call is
+    latestOffset() (all prior batches committed — the engine replays
+    nothing, so no partitions() anchors the cursor) must NOT return an
+    offset below the checkpointed committed one. Capping from the
+    unanchored startingVersion cursor used to re-walk from version 0
+    and hand back a regressed end offset, silently re-emitting every
+    processed version as duplicates."""
+    from x_spark.sources.txlog import resolve_snapshot
+    from x_spark.sources.txlog_datasource import TxLogStreamReader
+
     ref = TableRef(path=str(tmp_path / "t"))
-    for i in range(4):
-        _seed(spark, ds, ref, [(i, "a", i * 10)])
+    for i in range(4):                                         # v1..v4
+        ds.append(spark.createDataFrame([(i, "a", i * 10)],
+                                        "pk int, part string, v int")
+                  .coalesce(1), ref)
+    schema = resolve_snapshot(ref.path).schema
+
+    # run 1: processed + committed through v3 (engine checkpoint)
+    # run 2 (restart): fresh reader, first call is latestOffset()
+    r = TxLogStreamReader(ref.path, schema,
+                          {"maxVersionsPerTrigger": "1"})
+    off = r.latestOffset()
+    assert off == {"version": 4}, "unanchored latestOffset must be uncapped"
+    # engine then plans (3, 4] from its checkpoint — anchors the cursor
+    parts = r.partitions({"version": 3}, off)
+    assert len(parts) == 1                      # only v4's file, no replay
+    # commit anchors too, and subsequent triggers rate-limit again
+    r.commit(off)
+    for pk, pt in ((9, "z"), (8, "y")):                        # v5, v6
+        ds.append(spark.createDataFrame([(pk, pt, pk * 10)],
+                                        "pk int, part string, v int")
+                  .coalesce(1), ref)
+    assert r.latestOffset() == {"version": 5}   # capped from the anchor
+    assert r.latestOffset() == {"version": 6}
+
+    # restart where commit() is the first anchoring call
+    r2 = TxLogStreamReader(ref.path, schema, {"maxFilesPerTrigger": "1"})
+    r2.commit({"version": 5})
+    assert r2.latestOffset() == {"version": 6}  # capped, from v5 not v0
+
+
+def test_stream_rate_limit_dv_repoint_not_counted(spark, ds, tmp_path):
+    """A deletion-vector re-point re-adds the SAME path it removes in
+    one commit — no new rows, so it must not consume file budget and
+    shrink batches on delete-heavy tables; and per-version add counts
+    are cached (the log is immutable per version)."""
+    from x_spark.sources.txlog import DV_ENABLE_KEY, resolve_snapshot
+    from x_spark.sources.txlog_datasource import TxLogStreamReader
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(spark.createDataFrame(
+        [(i, "a", i * 10) for i in range(6)],
+        "pk int, part string, v int").coalesce(1), ref)         # v1: 1 add
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})             # v2: 0 adds
+    ds.delete(ref, "pk in (1, 2)")          # v3: DV re-point (add==remove)
+    ds.append(spark.createDataFrame([(10, "b", 100)],
+                                    "pk int, part string, v int")
+              .coalesce(1), ref)                                # v4: 1 add
+    schema = resolve_snapshot(ref.path).schema
+
+    r = TxLogStreamReader(ref.path, schema,
+                          {"maxFilesPerTrigger": "2",
+                           "ignoreChanges": "true"})
+    r.initialOffset()
+    # v1 (1 admitted file) + v2 (0) + v3 (0: re-point) + v4 (1) = budget
+    # 2 admits ALL FOUR versions in one batch
+    assert r.latestOffset() == {"version": 4}
+    assert r._add_counts == {1: 1, 2: 0, 3: 0, 4: 1}
+    r.commit({"version": 4})
+    assert r._add_counts == {}                  # cache pruned on commit
+
+
+def test_stream_rate_limit_end_to_end(spark, ds, tmp_path):
+    """Caps engage from the first ANCHORED trigger. The very first
+    trigger after reader construction is uncapped by design (the
+    Python DS API gives latestOffset() no start offset, so capping
+    before anything anchors the cursor could regress a restarted
+    query's committed offset — exactly-once beats admission there);
+    every later trigger is rate-limited."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    _seed(spark, ds, ref, [(0, "a", 0)])                       # v1
     sdf = (
         spark.readStream.format("txlog").option("path", ref.path)
         .option("maxVersionsPerTrigger", "1").load()
@@ -171,10 +250,13 @@ def test_stream_rate_limit_end_to_end(spark, ds, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()                 # trigger 1 (uncapped): v1
+        for i in range(1, 4):                   # backlog of 3 versions
+            _seed(spark, ds, ref, [(i, "a", i * 10)])
+        q.processAllAvailable()                 # capped drain: 1 version/batch
         got = sorted(map(tuple, spark.table("txlog_rate_t").collect()))
         assert got == [(i, "a", i * 10) for i in range(4)]
-        # the backlog drained in multiple micro-batches, not one
+        # the 3-version backlog drained one commit per micro-batch
         batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
         assert len(batches) >= 4
     finally:
@@ -367,3 +449,36 @@ def test_batch_and_stream_reads_apply_deletion_vectors(spark, ds, tmp_path):
     # re-pointed file: 10 + 6 rows
     pks = sorted(r.pk for r in got.collect())
     assert pks == sorted(list(range(10)) + list(range(4, 10)))
+
+
+def test_stream_restart_exactly_once_end_to_end(spark, ds, tmp_path):
+    """Full restart drill with rate limits on: run a checkpointed
+    stream to completion, stop, append more versions, restart — every
+    row arrives exactly once. This is the end-to-end form of the
+    offset-regression regression test above."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_to_drain():
+        sdf = (
+            spark.readStream.format("txlog").option("path", ref.path)
+            .option("maxVersionsPerTrigger", "1").load()
+        )
+        q = (
+            sdf.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    for i in range(3):
+        _seed(spark, ds, ref, [(i, "a", i * 10)])              # v1..v3
+    run_to_drain()
+    for i in range(3, 6):
+        _seed(spark, ds, ref, [(i, "a", i * 10)])              # v4..v6
+    run_to_drain()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [(i, "a", i * 10) for i in range(6)], got

@@ -373,7 +373,22 @@ class TxLogStreamReader(DataSourceStreamReader):
     (a version is never split, so each batch is still an exact log
     slice) and always admit at least one version (progress guarantee).
     Without a cap, a stream starting against a 100-TB backlog would
-    plan the whole history as one micro-batch."""
+    plan the whole history as one micro-batch.
+
+    One documented exception: the FIRST ``latestOffset()`` after reader
+    construction is served uncapped. The Python DataSource streaming
+    protocol (python_streaming_source_runner: latestOffset takes no
+    arguments) never tells the reader the engine's committed offset —
+    unlike the JVM ``SupportsAdmissionControl.latestOffset(start,
+    limit)`` Delta implements — so on a query restart whose batches are
+    all committed, the engine's first call is latestOffset() on a fresh
+    reader and capping from the startingVersion cursor could return an
+    offset BELOW the checkpointed one. Spark would log that regressed
+    offset and re-plan processed versions as duplicates. Returning the
+    true latest can never regress; the next partitions()/commit() call
+    carries the engine's real frontier and anchors the cursor, and
+    every subsequent trigger is rate-limited. Exactly-once beats
+    admission control for that single trigger."""
 
     def __init__(self, table: str, schema, options):
         from x_spark.sources.txlog import resolve_snapshot
@@ -407,18 +422,69 @@ class TxLogStreamReader(DataSourceStreamReader):
         # admission cursor: the highest end offset this reader already
         # handed out (or replayed) — capping below never regresses it
         self._pos = self._initial
+        # The cursor starts UNANCHORED: after a query restart the engine
+        # restores the committed offset from its own checkpoint and the
+        # first call on the fresh reader may be latestOffset() — before
+        # any initialOffset()/partitions()/commit() has told us where
+        # the stream actually is. Capping from the unanchored _pos
+        # (startingVersion, often 0) could return an end offset BELOW
+        # the checkpointed committed offset; Spark would log that
+        # regressed offset and re-plan already-processed versions as
+        # duplicates, breaking exactly-once. Until anchored, a capped
+        # latestOffset() therefore returns the true uncapped latest
+        # (never regresses); the very next partitions() call carries the
+        # engine's real start offset and anchors the cursor, so every
+        # subsequent trigger is rate-limited again.
+        self._anchored = False
+        # per-version admitted-file counts, filled lazily; a version's
+        # log file is immutable once written, so each is parsed at most
+        # once per reader instead of once per trigger while a large
+        # backlog drains
+        self._add_counts: dict[int, int] = {}
 
     def initialOffset(self) -> dict:
+        # only called when NO checkpoint exists — a fresh start, where
+        # startingVersion IS the committed frontier
+        self._anchored = True
         return {"version": self._initial}
 
+    def _admitted_adds(self, fname: str, v: int) -> int:
+        """ADD actions version ``v`` admits toward maxFilesPerTrigger,
+        excluding re-adds of paths the SAME commit removes (deletion-
+        vector re-points / metadata rewrites) — those carry no new rows,
+        and counting them would shrink effective batch sizes on
+        delete-heavy tables. Cached: the per-version log is immutable."""
+        from x_spark.sources.txlog import _log_path
+
+        n = self._add_counts.get(v)
+        if n is not None:
+            return n
+        added: set[str] = set()
+        removed: set[str] = set()
+        with open(os.path.join(_log_path(self.table), fname)) as fh:
+            for line in fh:
+                if '"add"' not in line and '"remove"' not in line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    added.add(action["add"]["path"])
+                elif "remove" in action:
+                    removed.add(action["remove"]["path"])
+        n = len(added - removed)
+        self._add_counts[v] = n
+        return n
+
     def latestOffset(self) -> dict:
-        from x_spark.sources.txlog import _list_log, _log_path, _version_of
+        from x_spark.sources.txlog import _list_log, _version_of
 
         commits, _ = _list_log(self.table)
         latest = _version_of(commits[-1]) if commits else 0
-        if (self.max_files is None and self.max_versions is None) \
-                or latest <= self._pos:
+        uncapped = self.max_files is None and self.max_versions is None
+        if uncapped or not self._anchored or latest <= self._pos:
             self._pos = max(self._pos, latest)
+            # serving the true latest can never regress the committed
+            # offset, so the cursor is anchored from here on
+            self._anchored = True
             return {"version": latest}
         admitted = 0
         files = 0
@@ -427,13 +493,8 @@ class TxLogStreamReader(DataSourceStreamReader):
             v = _version_of(fname)
             if v <= self._pos:
                 continue
-            n_adds = 0
-            with open(os.path.join(_log_path(self.table), fname)) as fh:
-                for line in fh:
-                    if '"add"' in line and "add" in json.loads(line):
-                        n_adds += 1
             admitted += 1
-            files += n_adds
+            files += self._admitted_adds(fname, v)
             end = v
             if self.max_versions is not None and admitted >= self.max_versions:
                 break
@@ -447,6 +508,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
         if self.cdf:
             self._pos = max(self._pos, end["version"])
+            self._anchored = True
             return _cdf_partitions(self.table, start["version"],
                                    end["version"]) or [None]
         commits, _ = _list_log(self.table)
@@ -477,6 +539,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         # a replayed checkpointed batch may run before any latestOffset
         # call — keep the admission cursor ahead of everything served
         self._pos = max(self._pos, end["version"])
+        self._anchored = True
         return parts or [None]  # Spark requires >=1 partition per batch
 
     def read(self, partition):
@@ -490,7 +553,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        # a committed offset is a hard floor for the admission cursor,
+        # and versions at or below it can never be re-counted — drop
+        # their cached add counts so a long-running stream's cache
+        # tracks the open backlog, not the whole history
+        self._pos = max(self._pos, end["version"])
+        self._anchored = True
+        for v in [v for v in self._add_counts if v <= end["version"]]:
+            del self._add_counts[v]
 
     def stop(self) -> None:
         pass
