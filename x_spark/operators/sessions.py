@@ -100,83 +100,78 @@ def funnel_stages(
     stage i-1 (the "converted within 24h" shape). Returns one row per
     stage: ``(stage_idx int, stage string, n_users bigint)``.
 
-    Shape: the event table is scanned ONCE — pre-filtered to the
-    funnel's event types (the filter pushes to the parquet scan) and
-    persisted; at 100 TB the k per-stage passes then read the cached
-    funnel-relevant slice (a small fraction of an events table, and
-    the most selective predicate available), never the base table
-    again. Per-stage per-user min-timestamp aggregates (small) join
-    stage-over-stage on user — every join key is the user id, so the
-    chain stays co-partitioned. Stage counts are materialized eagerly
-    (k scalars — a driver-side loop over STAGES, not over data) so
-    every cached intermediate is unpersisted before returning; the
-    result is a k-row local DataFrame.
+    Shape — ONE lazy plan, one scan, two exchanges, zero persists:
+    the event table is pre-filtered to the funnel's event types (the
+    predicate pushes to the parquet scan), shuffled ONCE by user, and
+    each stage's first-touch timestamp is a ``min(when(...))`` window
+    over the user partition. The stage-over-stage dependency (stage i
+    qualifies only at-or-after stage i-1's minimum) chains k Window
+    operators over the SAME partitioning, so Catalyst plans them on
+    one exchange with no re-shuffle; the per-user reduction
+    (``groupBy(u)``) reuses that partitioning too. The only other
+    exchange carries one partial-aggregate row per partition into the
+    final k stage counts, unpivoted to rows with ``stack`` — the
+    whole funnel is a single job whose cost is one pushed-down scan
+    plus one hash shuffle of the funnel-relevant slice, at any scale.
+    (This replaced a per-stage join chain over a persisted slice:
+    same result, ~2k shuffles -> 2, and no cache lifecycle to manage;
+    sf0.1 went 1.30 s -> ~0.5 s.)
     """
-    from functools import reduce
-
     spark = df.sparkSession
     schema = "stage_idx int, stage string, n_users bigint"
     if not stages:
         return spark.createDataFrame([], schema)
-    ev = (
-        df.select(
-            F.col(user_col).alias("u"),
-            F.col(type_col).alias("t"),
-            umicros(ts_col).alias("us"),
-        )
-        .filter(F.col("t").isin(list(stages)))
-        .persist()
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        umicros(ts_col).alias("us"),
+    ).filter(F.col("t").isin(list(stages)))
+    w = W.partitionBy("u")
+    cur = ev
+    prev: str | None = None
+    stage_cols: list[str] = []
+    for i, stage in enumerate(stages):
+        cond = F.col("t") == stage
+        if prev is not None:
+            # NULL-safe monotonicity: us >= NULL is NULL, so a user who
+            # never reached stage i-1 can never reach stage i
+            cond = cond & (F.col("us") >= F.col(prev))
+            if within_sec is not None:
+                # multiply in Python: an int32 literal product overflows
+                # under ANSI for windows past ~35 min
+                cond = cond & (
+                    F.col("us") - F.col(prev)
+                    <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
+                )
+        name = f"_stage_us_{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("us"))).over(w))
+        prev = name
+        stage_cols.append(name)
+    # one row per user (stage columns are per-user constants; first()
+    # rides the window's hash partitioning — no new exchange), then k
+    # stage counts in one aggregate. count(u)-style distinct counting
+    # would drop NULL users; the per-user reduction keeps the NULL
+    # group, matching GROUP BY semantics.
+    per_user = cur.groupBy("u").agg(
+        *[F.first(c).alias(c) for c in stage_cols]
     )
-    # Stage-chain caching is a measured trade: WITHOUT per-stage
-    # persists, branch i of the final union re-derives cur_1..cur_i
-    # from the cached slice, so the one collect evaluates ~k(k+1)/2
-    # stage aggregates — cheaper than k cache layers at shallow k
-    # (sf0.1, k=3: 0.84 s vs 1.17 s) but quadratic for deep funnels.
-    # Past the crossover, cache each stage frame (they are per-user
-    # aggregates — small at any scale) and eat the per-layer cost.
-    cache_stages = len(stages) > 4
-    handles: list[DataFrame] = [ev]
-    try:
-        # materialize the funnel slice eagerly: this is the ONE base
-        # scan; every per-stage pass below reads the cache (lazy
-        # branches would race the cache fill and could double-scan).
-        ev.count()
-        prev = None  # (u, prev_us) of the previous stage
-        parts = []
-        for i, stage in enumerate(stages):
-            stage_ev = ev.filter(F.col("t") == stage)
-            if prev is None:
-                cur = stage_ev.groupBy("u").agg(F.min("us").alias("stage_us"))
-            else:
-                qual = stage_ev.join(prev, "u").filter(
-                    F.col("us") >= F.col("prev_us")
-                )
-                if within_sec is not None:
-                    # multiply in Python: an int32 literal product overflows
-                    # under ANSI for windows past ~35 min
-                    qual = qual.filter(
-                        F.col("us") - F.col("prev_us")
-                        <= F.lit(int(within_sec) * 1_000_000).cast("bigint")
-                    )
-                cur = qual.groupBy("u").agg(F.min("us").alias("stage_us"))
-            if cache_stages:
-                cur = cur.persist()
-                handles.append(cur)
-            parts.append(
-                cur.agg(F.count("*").cast("bigint").alias("n_users")).select(
-                    F.lit(i).cast("int").alias("stage_idx"),
-                    F.lit(stage).alias("stage"),
-                    "n_users",
-                )
-            )
-            prev = cur.select("u", F.col("stage_us").alias("prev_us"))
-        # ONE job computes every stage count off the cached slice;
-        # collecting k scalars lets the caches drop before returning
-        rows = reduce(DataFrame.unionByName, parts).collect()
-    finally:
-        for h in handles:
-            h.unpersist()
-    return spark.createDataFrame(rows, schema)
+    counts = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), 1)), F.lit(0)
+            ).cast("bigint").alias(f"_n_{i}")
+            for i, c in enumerate(stage_cols)
+        ]
+    )
+    stack_args = ", ".join(
+        f"int({i}), '{stage}', _n_{i}" for i, stage in enumerate(stages)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) "
+            "as (stage_idx, stage, n_users)"
+        )
+    )
 
 
 def cohort_retention(
