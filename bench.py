@@ -12,8 +12,11 @@ limit), and 83 full query names + timings exceed it, so the stdout
 line abbreviates query names via the mechanical per-segment map
 ``SEGMENT_ABBREV`` below (e.g. ``stream_upsert_totals`` ->
 ``st_ups_tot``).  The FULL payload — full names, the abbreviation
-map, per-run samples, ANN recall detail — is written to
-``BENCH_DETAIL.json`` next to this script and mirrored on stderr.
+map, per-run samples, ANN recall detail — is written next to this
+script and mirrored on stderr. The committed ``BENCH_DETAIL.json`` is
+frozen quiet-window evidence: plain runs write a run-stamped
+``BENCH_DETAIL_run_<utc>.json`` (gitignored) and only ``--freeze`` /
+``SPARK_GRAFT_BENCH_FREEZE=1`` updates the frozen name.
 BASELINE.md §14 carries the same mapping.
 
 Per-query time is the median of $SPARK_GRAFT_BENCH_RUNS (default 3)
@@ -178,8 +181,19 @@ def main() -> None:
         "bloom_pruning": bloom,
         "name_abbrev": {n: short_name(n) for n in names},
     }
+    # Artifact hygiene (round-6 verdict #8): the committed
+    # BENCH_DETAIL.json is FROZEN quiet-window evidence — an ad-hoc or
+    # driver run must not clobber it. Default writes go to a
+    # run-stamped sibling; pass --freeze (or
+    # SPARK_GRAFT_BENCH_FREEZE=1) to update the frozen name after a
+    # deliberate quiet-window run.
+    freeze = ("--freeze" in sys.argv[1:]
+              or os.environ.get("SPARK_GRAFT_BENCH_FREEZE") == "1")
+    detail_name = ("BENCH_DETAIL.json" if freeze
+                   else time.strftime("BENCH_DETAIL_run_%Y%m%dT%H%M%SZ.json",
+                                      time.gmtime()))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail), file=sys.stderr)
@@ -196,7 +210,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "runs": runs,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
         "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
     }
     vs = baseline_ratio(timings)

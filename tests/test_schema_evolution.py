@@ -521,3 +521,169 @@ def test_compact_and_cluster_on_mapped_table(spark, ds, tmp_path):
         "pk" in (a.get("stats") or {}).get("minValues", {})
         for a in snap.files.values()
     )
+
+
+def test_merge_with_schema_evolution_cow(spark, ds, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (Delta's schema.autoMerge): source
+    columns missing from the table widen the schema in the SAME commit
+    as the merge's removes+adds — updated rows carry the new column,
+    untouched rows NULL-fill, and time travel to the pre-merge version
+    still shows the narrow schema."""
+    from x_spark.errors import ETLJobException
+
+    ref = _mk(spark, ds, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 111, "one"), (20, 200, "twenty")],
+        "pk int, v int, note string",
+    )
+    spec = MergeSpec(["pk"], ["v", "note"], insert_when_not_matched=True)
+    # without the flag: a set column absent from the target refuses
+    with pytest.raises(ETLJobException, match="not present in target"):
+        ds.merge(src, ref, spec)
+    v_pre = resolve_snapshot(str(tmp_path / "t")).version
+
+    ds.merge(src, ref, spec, merge_schema=True)
+    out = ds.read(ref)
+    assert out.columns == ["pk", "g", "v", "note"]
+    rows = {r.pk: r for r in out.collect()}
+    assert (rows[1].v, rows[1].note) == (111, "one")      # matched update
+    assert (rows[20].v, rows[20].note) == (200, "twenty")  # insert
+    assert rows[20].g is None                     # upsert NULL quirk
+    assert rows[2].note is None                   # untouched: NULL-fill
+    assert len(rows) == 11
+    # schema + data ride ONE commit: the previous version is narrow
+    snap = resolve_snapshot(str(tmp_path / "t"))
+    assert snap.version == v_pre + 1
+    prev = TableRef(path=ref.path, options={"versionAsOf": str(v_pre)})
+    assert "note" not in ds.read(prev).columns
+    # a second evolving merge with no new columns stays a plain merge
+    ds.merge(spark.createDataFrame([(2, 222, "two")], src.schema),
+             ref, spec, merge_schema=True)
+    assert ds.read(ref).filter("pk = 2").first().note == "two"
+
+
+def test_merge_schema_evolution_widens_types(spark, ds, tmp_path):
+    """An evolving merge whose source carries a WIDER type (int→long)
+    adopts the wide type table-wide; old files upcast on read."""
+    ref = _mk(spark, ds, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 4_000_000_000)], "pk int, v long"
+    )
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"]), merge_schema=True)
+    out = ds.read(ref)
+    assert dict(out.dtypes)["v"] == "bigint"
+    rows = {r.pk: r.v for r in out.collect()}
+    assert rows[1] == 4_000_000_000 and rows[2] == 20
+
+
+def test_merge_schema_evolution_dv_and_mapping(spark, ds, tmp_path):
+    """Evolution through the merge-on-read path: on a column-mapped,
+    DV-enabled table the new column gets a FRESH physical name, masked
+    rows' new images carry it, and co-located untouched rows are never
+    rewritten (their files survive with a DV, not a rewrite)."""
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+    ds.set_properties(ref, {COLUMN_MAPPING_KEY: "name",
+                            DV_ENABLE_KEY: "true"})
+    files_before = set(resolve_snapshot(table).files)
+
+    src = spark.createDataFrame([(3, 333, "three")],
+                                "pk int, v int, note string")
+    ds.merge(src, ref, MergeSpec(["pk"], ["v", "note"]), merge_schema=True)
+    snap = resolve_snapshot(table)
+    assert _physical_name(snap.schema["note"]) != "note"  # fresh physical
+    # merge-on-read: the original file is masked, not rewritten
+    assert files_before <= set(snap.files)
+    assert any(snap.files[p].get("dv") for p in files_before)
+    rows = {r.pk: r for r in ds.read(ref).collect()}
+    assert (rows[3].v, rows[3].note) == (333, "three")
+    assert rows[4].note is None and len(rows) == 10
+    # the new logical column is RENAME-able like any mapped column
+    ds.rename_column(ref, "note", "remark")
+    assert ds.read(ref).filter("pk = 3").first().remark == "three"
+
+
+def test_identity_allocation_dense_at_any_partition_count(
+        spark, ds, tmp_path):
+    """Dense two-stage allocation: values stay within step*N of the
+    high-water mark at ANY partition count. The naive
+    monotonically_increasing_id stride embeds partition_id<<33, so
+    this step/partition combination would exceed 2^63 and fail an
+    ANSI write — here it must stay exact, unique, and contiguous in
+    units of step."""
+    step = 10**12
+    ref = _mk_identity(spark, ds, tmp_path, start=step, step=step)
+    n = 200
+    df = spark.range(n).select(F.col("id").cast("string").alias("s")) \
+        .repartition(40)
+    ds.append(df, ref)
+    vals = sorted(r.id for r in ds.read(ref).collect())
+    assert len(vals) == len(set(vals)) == n
+    assert vals == [step * i for i in range(1, n + 1)]  # dense
+    spec = resolve_snapshot(str(tmp_path / "idt")).identity["id"]
+    assert spec["high"] == step * n
+    # a second append continues beyond the mark, still dense
+    ds.append(spark.createDataFrame([("x",), ("y",)], "s string"), ref)
+    vals2 = sorted(r.id for r in ds.read(ref).collect())
+    assert vals2[-2:] == [step * (n + 1), step * (n + 2)]
+
+
+def test_identity_enforced_on_overwrite_paths(spark, ds, tmp_path):
+    """The append-path identity contract holds on every insert-shaped
+    write: overwrite / replaceWhere / overwrite_dynamic reject provided
+    values, allocate ABOVE the committed mark (never reusing
+    overwritten rows' values), and advance the mark in the same commit
+    — so a later append can never collide with overwritten-in rows."""
+    from pyspark.sql.types import StructType
+
+    ref = _mk_identity(spark, ds, tmp_path)
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    high0 = max(r.id for r in ds.read(ref).collect())
+
+    with pytest.raises(DataSourceException, match="IDENTITY"):
+        ds.overwrite(spark.createDataFrame([(1, "x")], "id long, s string"),
+                     ref)
+    ds.overwrite(spark.createDataFrame([("c",), ("d",)], "s string"), ref)
+    over = {r.s: r.id for r in ds.read(ref).collect()}
+    assert set(over) == {"c", "d"}
+    assert min(over.values()) > high0          # beyond the old mark
+    ds.append(spark.createDataFrame([("e",)], "s string"), ref)
+    vals = [r.id for r in ds.read(ref).collect()]
+    assert len(vals) == len(set(vals)) == 3    # no collision after
+
+    # replaceWhere: survivors keep their ids, replaced-in rows allocate
+    ds.overwrite(spark.createDataFrame([("c",)], "s string"), ref,
+                 replace_where="s = 'c'")
+    rows = {r.s: r.id for r in ds.read(ref).collect()}
+    assert rows["d"] == over["d"]              # survivor untouched
+    assert rows["c"] > max(vals)               # fresh allocation
+    assert len(set(rows.values())) == 3
+
+    # overwrite_dynamic on a partitioned identity table
+    pref = TableRef(path=str(tmp_path / "pidt"))
+    ds.create(pref, StructType.fromDDL("id bigint, g string, v int"),
+              partition_by=["g"])
+    ds.set_identity_column(pref, "id")
+    ds.append(spark.createDataFrame([("a", 1), ("b", 2)], "g string, v int"),
+              pref)
+    keep_b = ds.read(pref).filter("g = 'b'").first().id
+    phigh = max(r.id for r in ds.read(pref).collect())
+    ds.overwrite_dynamic(
+        spark.createDataFrame([("a", 10)], "g string, v int"), pref)
+    prows = {r.g: r.id for r in ds.read(pref).collect()}
+    assert prows["b"] == keep_b                # untouched partition
+    assert prows["a"] > phigh                  # fresh + beyond mark
+    ds.append(spark.createDataFrame([("c", 3)], "g string, v int"), pref)
+    pvals = [r.id for r in ds.read(pref).collect()]
+    assert len(pvals) == len(set(pvals)) == 3
+
+    # overwrite_schema keeping the identity column would provide
+    # values for it: refuse with the Delta rule
+    with pytest.raises(DataSourceException, match="drop the identity"):
+        ds.overwrite(spark.createDataFrame([(9, "z")], "id long, s string"),
+                     ref, overwrite_schema=True)
+    # dropping the column drops the property with it: allowed
+    ds.overwrite(spark.createDataFrame([("z", 1)], "s string, n int"),
+                 ref, overwrite_schema=True)
+    snap = resolve_snapshot(str(tmp_path / "idt"))
+    assert not snap.identity

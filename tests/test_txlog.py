@@ -343,22 +343,64 @@ def test_concurrent_append_retries_and_wins(spark, ds, tmp_path):
     assert [h["operation"] for h in ds.history(ref)][-2:] == ["RACER", "APPEND"]
 
 
-def test_concurrent_modification_aborts_read_modify_write(spark, ds, tmp_path):
+def test_concurrent_modification_retries_read_modify_write(spark, ds, tmp_path):
+    """A MERGE that loses the version race re-resolves the snapshot
+    and RECOMPUTES the whole merge (serializable: it re-runs as-if
+    after the winning commit) instead of surfacing the race — and the
+    recomputation sees the racer's rows."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    orig = ds._write_files
+    fired = {}
+
+    def racing_write(df, table, part_cols, **kw):
+        adds = orig(df, table, part_cols, **kw)
+        if not fired.get("done"):
+            fired["done"] = True
+            # another writer lands a ROW between this writer's read
+            # and commit — the retried merge must match against it
+            racer_adds = orig(
+                spark.createDataFrame([(7, "r", 70)],
+                                      "pk int, part string, v int"),
+                table, part_cols, **kw,
+            )
+            ds._commit(table, resolve_snapshot(table).version + 1,
+                       [{"add": a} for a in racer_adds], "RACER")
+        return adds
+
+    ds._write_files = racing_write
+    try:
+        src = spark.createDataFrame([(1, 99), (7, 77)], "pk int, v int")
+        ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    finally:
+        ds._write_files = orig
+    rows = {r[0]: r for r in _rows(ds.read(ref))}
+    assert rows[1][2] == 99          # matched pre-race row updated
+    assert rows[7][2] == 77          # the RACER's row matched on retry
+    ops = [h["operation"] for h in ds.history(ref)]
+    assert ops[-2:] == ["RACER", "MERGE"]
+
+
+def test_merge_gives_up_after_repeated_version_races(spark, ds, tmp_path):
+    """An adversarial writer that wins EVERY race exhausts the bounded
+    retry budget: the merge surfaces ConcurrentWriteException rather
+    than spinning forever."""
     ref = _ref(tmp_path)
     _seed(spark, ds, ref)
     orig = ds._write_files
 
-    def racing_write(df, table, part_cols, **kw):
+    def always_racing_write(df, table, part_cols, **kw):
         adds = orig(df, table, part_cols, **kw)
-        # another writer commits between this writer's read and commit
         ds._commit(table, resolve_snapshot(table).version + 1, [], "RACER")
-        ds._write_files = orig
         return adds
 
-    ds._write_files = racing_write
-    src = spark.createDataFrame([(1, 99)], "pk int, v int")
-    with pytest.raises(ConcurrentWriteException, match="advanced"):
-        ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    ds._write_files = always_racing_write
+    try:
+        src = spark.createDataFrame([(1, 99)], "pk int, v int")
+        with pytest.raises(ConcurrentWriteException, match="version races"):
+            ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+    finally:
+        ds._write_files = orig
 
 
 def test_vacuum_orphans_and_history_horizon(spark, ds, tmp_path):
@@ -631,10 +673,11 @@ def test_concurrent_appenders_no_lost_updates(spark, ds, tmp_path):
     assert sorted(versions) == list(range(n_writers * n_batches + 1))
 
 
-def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
+def test_concurrent_merge_vs_append_retries_cleanly(spark, ds, tmp_path):
     """A MERGE that loses a version race to a concurrent append must
-    abort with ConcurrentWriteException (RMW cannot silently drop the
-    interleaved append), leaving the table at the append's state."""
+    NOT silently drop the interleaved append: the bounded retry
+    re-resolves the log and recomputes against the appended state, so
+    both the append's row and the merge's update land."""
     import threading
 
     ref = _ref(tmp_path)
@@ -657,12 +700,14 @@ def test_concurrent_merge_vs_append_aborts_cleanly(spark, ds, tmp_path):
 
     ds._commit = stalling_commit
     try:
-        with pytest.raises(ConcurrentWriteException):
-            ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
+        ds.merge(src, ref, MergeSpec(["pk"], ["v"]))
     finally:
         ds._commit = orig_commit
     rows = _rows(ds.read(ref))
-    assert (9, "z", 90) in rows and (1, "a", 10) in rows  # append won, merge rolled back
+    assert (9, "z", 90) in rows      # interleaved append preserved
+    assert (1, "a", 999) in rows     # merge update applied on retry
+    ops = [h["operation"] for h in ds.history(ref)]
+    assert ops[-2:] == ["APPEND", "MERGE"]
 
 
 def test_exactly_once_streaming_upsert(spark, ds, tmp_path):

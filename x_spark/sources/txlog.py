@@ -66,6 +66,19 @@ CHECKPOINT_INTERVAL = 20
 DV_ENABLE_KEY = "enableDeletionVectors"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# Change data feed (Delta's delta.enableChangeDataFeed): with the
+# property set, UPDATE / MERGE / copy-on-write DELETE additionally
+# write their exact change rows — stamped update_preimage /
+# update_postimage / insert / delete — as parquet under
+# ``_change_data/`` and reference them with ``cdc`` actions in the
+# same commit (Delta's cdc action). CDF readers then serve a commit
+# FROM its cdc files when present (row-exact, Delta's 4-type
+# contract) and fall back to the file-granular add/remove/mask-delta
+# derivation otherwise — which remains always available (a superset
+# of Delta, whose CDF refuses without the property).
+CDF_ENABLE_KEY = "enableChangeDataFeed"
+CDC_DIR = "_change_data"
+
 # Column mapping (Delta's columnMapping.mode = "name"): data files
 # store columns under stable PHYSICAL names (StructField metadata key
 # below, stamped physical=logical at enablement, col-<uuid> for columns
@@ -1668,6 +1681,171 @@ class TxLogDataSource(BaseDataSource):
         }
         self._commit(table, 0, [meta], "CREATE")
 
+    def _schema_evolution_actions(self, src_schema: StructType,
+                                  current: Snapshot) -> list[dict]:
+        """metaData action widening ``current`` with ``src_schema``'s
+        new columns and/or wider types ([] when nothing to widen) —
+        the ONE schema-evolution fold shared by mergeSchema append and
+        MERGE WITH SCHEMA EVOLUTION, so both evolve identically and
+        the metaData action always rides in the same atomic commit as
+        the data it describes."""
+        existing = {f.name: f.dataType for f in current.schema.fields}
+        widened: dict[str, object] = {}
+        for f in src_schema.fields:
+            if f.name not in existing or f.dataType == existing[f.name]:
+                continue
+            if _is_widening(existing[f.name], f.dataType):
+                # type widening: the merged schema adopts the wider
+                # type; OLD files upcast through the pinned-schema
+                # read (verified reader matrix) — no rewrite
+                widened[f.name] = f.dataType
+            elif _is_widening(f.dataType, existing[f.name]):
+                pass  # narrower incoming: assignment-cast on write
+            else:
+                raise DataSourceException(
+                    f"mergeSchema cannot change column {f.name!r} from "
+                    f"{existing[f.name].simpleString()} to "
+                    f"{f.dataType.simpleString()}"
+                )
+        new_fields = [f for f in src_schema.fields if f.name not in existing]
+        if not new_fields and not widened:
+            return []
+        if current.configuration.get(COLUMN_MAPPING_KEY) == "name":
+            # fresh physical names: a re-added column never binds
+            # to a dropped column's data
+            new_fields = [
+                StructField(f.name, f.dataType, f.nullable,
+                            {**(f.metadata or {}),
+                             PHYSICAL_NAME_KEY: _fresh_physical()})
+                for f in new_fields
+            ]
+        merged = StructType([
+            # widened fields keep name/metadata (physical name!)
+            StructField(f.name, widened.get(f.name, f.dataType),
+                        f.nullable, f.metadata)
+            for f in current.schema.fields
+        ] + new_fields)
+        return [{
+            "metaData": {
+                "schemaJson": merged.json(),
+                "partitionColumns": current.partition_cols,
+                # constraints survive schema evolution
+                "configuration": current.configuration,
+            }
+        }]
+
+    @staticmethod
+    def _widen_frame(df: DataFrame, schema: StructType) -> DataFrame:
+        """Project ``df`` onto ``schema``'s (logical) columns:
+        assignment-cast where present, NULL-fill where absent. Extra
+        non-schema columns (e.g. threaded row-position metadata) pass
+        through untouched."""
+        names = {f.name for f in schema.fields}
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            *[F.col(c) for c in df.columns if c not in names],
+        )
+
+    def _allocate_identity(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Reject caller-provided identity values (GENERATED ALWAYS AS
+        IDENTITY) and allocate fresh ones above the committed
+        high-water mark — the ONE allocator shared by every
+        insert-shaped write (append, overwrite, replaceWhere source
+        rows, dynamic-partition overwrite).
+
+        Allocation is DENSE and overflow-safe at any partition count:
+        the naive ``high + step * (monotonically_increasing_id() + 1)``
+        stride embeds ``partition_id << 33``, so tens of thousands of
+        partitions with a large step exceed 2^63 and fail the write
+        under ANSI mode. Instead the two-stage ``global_positions``
+        pattern (minus the ordering): pin the frame once
+        (localCheckpoint — the count job and the write job MUST see
+        the same physical partitions), collect per-partition row
+        counts (a few longs on the driver), prefix-sum them into
+        per-partition offsets, and assign
+        ``high + step * (offset[p] + row_in_partition + 1)`` where
+        ``row_in_partition`` is the dense low-33-bit counter of
+        ``monotonically_increasing_id``. Values span exactly
+        ``high + step .. high + step * N`` — unique, strictly beyond
+        the mark in the step's direction, and within ``step * N`` of
+        it regardless of partitioning."""
+        ident = snap.identity
+        if not ident:
+            return df
+        provided = [c for c in sorted(ident) if c in df.columns]
+        if provided:
+            raise DataSourceException(
+                f"column(s) {provided} are GENERATED ALWAYS AS "
+                "IDENTITY; values cannot be provided"
+            )
+        pinned = df.localCheckpoint(eager=True)
+        counts = {
+            r["_p"]: r["n"]
+            for r in pinned.groupBy(
+                F.spark_partition_id().alias("_p")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ) if offsets else F.create_map()
+        # low 33 bits of monotonically_increasing_id = dense 0-based
+        # row counter within the (pinned) partition
+        row_in_part = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        pos = (F.coalesce(omap[F.spark_partition_id()], F.lit(0))
+               + row_in_part + F.lit(1))
+        for col in sorted(ident):
+            spec = ident[col]
+            pinned = pinned.withColumn(
+                col,
+                (F.lit(int(spec["high"]))
+                 + F.lit(int(spec["step"])) * pos).cast("long"),
+            )
+        return pinned
+
+    @staticmethod
+    def _advanced_identity_config(snap: Snapshot, adds: list[dict],
+                                  write_schema: StructType) -> dict | None:
+        """Configuration dict with the identity high-water marks
+        advanced to the written files' footer extremes (read back from
+        the add actions — no second evaluation of the data), or None
+        when nothing advanced. The mark only ever moves in the step's
+        direction: a write whose values sit at or behind the committed
+        mark (e.g. replaceWhere survivors rewritten into new files)
+        never regresses it."""
+        ident = snap.identity
+        if not ident:
+            return None
+        pmap = _physical_map(write_schema)
+        new_config = dict(snap.configuration)
+        advanced = False
+        for col, spec in sorted(ident.items()):
+            kind = "maxValues" if int(spec["step"]) > 0 else "minValues"
+            pick = max if int(spec["step"]) > 0 else min
+            vals = [
+                (a.get("stats") or {}).get(kind, {}).get(
+                    pmap.get(col, col))
+                for a in adds
+            ]
+            vals = [int(v) for v in vals if v is not None]
+            new_high = pick(vals + [int(spec["high"])]) if vals else None
+            if new_high is not None and new_high != int(spec["high"]):
+                new_config[f"identity.{col}"] = json.dumps(
+                    {**spec, "high": new_high}
+                )
+                advanced = True
+        return new_config if advanced else None
+
     def append(self, df: DataFrame, ref: TableRef,
                merge_schema: bool = False,
                txn: tuple[str, int] | None = None) -> None:
@@ -1695,76 +1873,10 @@ class TxLogDataSource(BaseDataSource):
             snap = resolve_snapshot(table)
 
         ident = snap.identity
-        if ident:
-            provided = [c for c in sorted(ident) if c in df.columns]
-            if provided:
-                raise DataSourceException(
-                    f"column(s) {provided} are GENERATED ALWAYS AS "
-                    "IDENTITY; values cannot be provided"
-                )
-            # allocate above the committed high-water mark; the id is
-            # partition-local and row-stable, so values are unique and
-            # strictly beyond `high` in the step's direction (gaps
-            # allowed, Delta semantics). The df is evaluated exactly
-            # once (the write job); the NEW mark is read back from the
-            # written files' footer stats — no second evaluation.
-            mid = F.monotonically_increasing_id()
-            for col in sorted(ident):
-                spec = ident[col]
-                df = df.withColumn(
-                    col,
-                    (F.lit(int(spec["high"]))
-                     + F.lit(int(spec["step"])) * (mid + F.lit(1))
-                     ).cast("long"),
-                )
+        df = self._allocate_identity(df, snap)
 
         def schema_actions(current: Snapshot) -> list[dict]:
-            """metaData action widening ``current`` with df's new
-            columns and/or wider types ([] when nothing to widen)."""
-            existing = {f.name: f.dataType for f in current.schema.fields}
-            widened: dict[str, object] = {}
-            for f in df.schema.fields:
-                if f.name not in existing or f.dataType == existing[f.name]:
-                    continue
-                if _is_widening(existing[f.name], f.dataType):
-                    # type widening: the merged schema adopts the wider
-                    # type; OLD files upcast through the pinned-schema
-                    # read (verified reader matrix) — no rewrite
-                    widened[f.name] = f.dataType
-                elif _is_widening(f.dataType, existing[f.name]):
-                    pass  # narrower incoming: assignment-cast on write
-                else:
-                    raise DataSourceException(
-                        f"mergeSchema cannot change column {f.name!r} from "
-                        f"{existing[f.name].simpleString()} to "
-                        f"{f.dataType.simpleString()}"
-                    )
-            new_fields = [f for f in df.schema.fields if f.name not in existing]
-            if not new_fields and not widened:
-                return []
-            if current.configuration.get(COLUMN_MAPPING_KEY) == "name":
-                # fresh physical names: a re-added column never binds
-                # to a dropped column's data
-                new_fields = [
-                    StructField(f.name, f.dataType, f.nullable,
-                                {**(f.metadata or {}),
-                                 PHYSICAL_NAME_KEY: _fresh_physical()})
-                    for f in new_fields
-                ]
-            merged = StructType([
-                # widened fields keep name/metadata (physical name!)
-                StructField(f.name, widened.get(f.name, f.dataType),
-                            f.nullable, f.metadata)
-                for f in current.schema.fields
-            ] + new_fields)
-            return [{
-                "metaData": {
-                    "schemaJson": merged.json(),
-                    "partitionColumns": current.partition_cols,
-                    # constraints survive schema evolution
-                    "configuration": current.configuration,
-                }
-            }]
+            return self._schema_evolution_actions(df.schema, current)
 
         if merge_schema:
             meta_actions = schema_actions(snap)
@@ -1798,24 +1910,10 @@ class TxLogDataSource(BaseDataSource):
             # data, and the commit is read-modify-write (version-
             # checked below), so concurrent allocators can never both
             # land on the same range
-            pmap = _physical_map(write_schema)
-            new_config = dict(snap.configuration)
-            advanced = False
-            for col, spec in sorted(ident.items()):
-                kind = "maxValues" if int(spec["step"]) > 0 else "minValues"
-                pick = max if int(spec["step"]) > 0 else min
-                vals = [
-                    (a.get("stats") or {}).get(kind, {}).get(
-                        pmap.get(col, col))
-                    for a in adds
-                ]
-                vals = [int(v) for v in vals if v is not None]
-                if vals:
-                    new_config[f"identity.{col}"] = json.dumps(
-                        {**spec, "high": pick(vals)}
-                    )
-                    advanced = True
-            if advanced:
+            new_config = self._advanced_identity_config(
+                snap, adds, write_schema
+            )
+            if new_config is not None:
                 if meta_actions:
                     meta_actions[0]["metaData"]["configuration"] = new_config
                 else:
@@ -1938,6 +2036,23 @@ class TxLogDataSource(BaseDataSource):
                             "constraint / generation expression first"
                         )
                 config[k] = v
+            surviving_ident = sorted(
+                k[len("identity."):] for k in config
+                if k.startswith("identity.")
+            )
+            if surviving_ident:
+                # the replacement frame necessarily CONTAINS the
+                # surviving identity column — caller-provided values
+                # violate GENERATED ALWAYS AS IDENTITY, and no footer
+                # readback could make externally-chosen values honor
+                # the start/step contract. Delta's rule: drop the
+                # identity property (or the column) first.
+                raise DataSourceException(
+                    f"overwrite_schema would provide values for "
+                    f"GENERATED ALWAYS AS IDENTITY column(s) "
+                    f"{surviving_ident}; drop the identity property "
+                    "first"
+                )
             adds = self._write_files(df, table, part_cols, schema=stamped,
                                      config_override=config)
             actions: list[dict] = [{
@@ -1952,11 +2067,32 @@ class TxLogDataSource(BaseDataSource):
             self._commit(table, self._expect_unchanged(table, base), actions,
                          "OVERWRITE", txn=txn)
             return
+        # identity parity with append: overwritten-in rows are inserts,
+        # so provided values reject and fresh ones allocate ABOVE the
+        # committed mark (never reused from overwritten rows); the
+        # advanced mark rides the same commit via _advanced_identity_config
+        df = self._allocate_identity(df, snap)
         df = _conform(self._fill_generated(df, snap), snap.schema)
+
+        def identity_actions(adds: list[dict]) -> list[dict]:
+            new_config = self._advanced_identity_config(
+                snap, adds, snap.schema
+            )
+            if new_config is None:
+                return []
+            return [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": new_config,
+                }
+            }]
+
         if replace_where in (None, "", "1=1"):
             adds = self._write_files(df, table, snap.partition_cols,
                                  schema=snap.schema)
-            actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+            actions = identity_actions(adds)
+            actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
             actions += [{"add": a} for a in adds]
             # RMW commit: a concurrent append's files are not in the
             # remove set, so replacing "the table" requires the snapshot
@@ -1976,7 +2112,8 @@ class TxLogDataSource(BaseDataSource):
         new_data = survivors.unionByName(checked)
         adds = self._write_files(new_data, table, snap.partition_cols,
                                  schema=snap.schema)
-        actions = [{"remove": {"path": p}} for p in candidates]
+        actions = identity_actions(adds)
+        actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "OVERWRITE_WHERE", txn=txn)
@@ -1997,6 +2134,9 @@ class TxLogDataSource(BaseDataSource):
         if not snap.partition_cols:
             self.overwrite(df, ref, txn=txn)
             return
+        # identity parity with append (see overwrite): allocate fresh,
+        # advance the mark in the same commit
+        df = self._allocate_identity(df, snap)
         df = _conform(self._fill_generated(df, snap), snap.schema)
         def render(v):
             # match hive dir encoding: booleans lowercase, rest via str()
@@ -2023,40 +2163,101 @@ class TxLogDataSource(BaseDataSource):
         ]
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=snap.schema)
-        actions = [{"remove": {"path": p}} for p in removes]
+        new_config = self._advanced_identity_config(snap, adds, snap.schema)
+        actions = [] if new_config is None else [{
+            "metaData": {
+                "schemaJson": snap.schema_json,
+                "partitionColumns": snap.partition_cols,
+                "configuration": new_config,
+            }
+        }]
+        actions += [{"remove": {"path": p}} for p in removes]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "OVERWRITE_DYNAMIC", txn=txn)
 
     def merge(self, df: DataFrame, ref: TableRef, spec: MergeSpec,
-              txn: tuple[str, int] | None = None) -> None:
+              txn: tuple[str, int] | None = None,
+              merge_schema: bool = False) -> None:
         """Join-based MERGE over ONLY the files whose primary-key
         min/max range overlaps the source's (footer stats collected at
         write time) — Delta MERGE's data-skipping shape. Pruned files
         are never read; matched/inserted rows land in new files.
 
         ``txn`` stamps the commit for idempotent replay (see
-        :meth:`last_txn_version`)."""
+        :meth:`last_txn_version`).
+
+        ``merge_schema=True`` is MERGE WITH SCHEMA EVOLUTION (Delta's
+        ``schema.autoMerge``): source columns missing from the table
+        widen the schema through the same fold as mergeSchema append —
+        ONE commit carries the metaData action, the removes/re-points
+        and the adds, so schema and data can never diverge. The target
+        slice is widened (NULL-fill + upcast) before the join, which
+        lets the spec's set columns include the brand-new columns.
+
+        A lost version race re-resolves the snapshot and RECOMPUTES
+        the whole merge (candidates, join, evolution fold) — the retry
+        is serializable because it re-runs as-if after the winning
+        commit; a replayed ``txn`` epoch still surfaces immediately."""
         from x_spark.operators.merge import merge_frames
 
         table = self._table_path(ref)
-        snap = resolve_snapshot(table)
-        if snap is None:
-            raise DataSourceException(f"txlog table {table!r} does not exist")
-        ident_set = sorted(set(snap.identity)
-                           & (set(spec.update_columns)
-                              | set(spec.primary_key_columns)))
-        if ident_set:
-            raise DataSourceException(
-                f"column(s) {ident_set} are GENERATED ALWAYS AS IDENTITY; "
-                "MERGE cannot set or key on them"
+        last: ConcurrentWriteException | None = None
+        for _ in range(5):
+            snap = resolve_snapshot(table)
+            if snap is None:
+                raise DataSourceException(
+                    f"txlog table {table!r} does not exist"
+                )
+            ident_set = sorted(set(snap.identity)
+                               & (set(spec.update_columns)
+                                  | set(spec.primary_key_columns)))
+            if ident_set:
+                raise DataSourceException(
+                    f"column(s) {ident_set} are GENERATED ALWAYS AS "
+                    "IDENTITY; MERGE cannot set or key on them"
+                )
+            meta_actions = (
+                self._schema_evolution_actions(df.schema, snap)
+                if merge_schema else []
             )
-        if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
-            self._merge_with_dv(table, snap, df, spec, txn)
-            return
+            if meta_actions:
+                write_schema = StructType.fromJson(
+                    json.loads(meta_actions[0]["metaData"]["schemaJson"])
+                )
+            else:
+                write_schema = snap.schema
+            try:
+                if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
+                    self._merge_with_dv(table, snap, df, spec, txn,
+                                        write_schema, meta_actions)
+                else:
+                    self._merge_cow(table, snap, df, spec, txn,
+                                    write_schema, meta_actions, merge_frames)
+                return
+            except TxnAlreadyCommittedException:
+                # replay detected: the epoch is already durable — this
+                # must surface, not retry as a version race
+                raise
+            except ConcurrentWriteException as exc:
+                last = exc
+                continue
+        raise ConcurrentWriteException(
+            f"merge to {table!r} lost 5 straight version races"
+        ) from last
+
+    def _merge_cow(self, table: str, snap: Snapshot, df: DataFrame,
+                   spec: MergeSpec, txn: tuple[str, int] | None,
+                   write_schema: StructType, meta_actions: list[dict],
+                   merge_frames) -> None:
         base = snap.version
-        candidates = self._files_overlapping_keys(df, snap, spec.primary_key_columns[0])
+        candidates = self._files_overlapping_keys(
+            df, snap, spec.primary_key_columns[0]
+        )
         target_slice = self._read_snapshot(table, snap, candidates)
+        if meta_actions:
+            # old rows widen to the evolved schema (new columns NULL)
+            target_slice = self._widen_frame(target_slice, write_schema)
         result = merge_frames(target_slice, df, spec)
         # Generated columns on MERGE: merge_frames fills non-set
         # columns of INSERTED rows with NULL — for a generated column
@@ -2071,14 +2272,17 @@ class TxLogDataSource(BaseDataSource):
                     F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
                 )
         adds = self._write_files(result, table, snap.partition_cols,
-                                 schema=snap.schema)
-        actions = [{"remove": {"path": p}} for p in candidates]
+                                 schema=write_schema)
+        actions = list(meta_actions)
+        actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
     def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
-                       spec: MergeSpec, txn: tuple[str, int] | None) -> None:
+                       spec: MergeSpec, txn: tuple[str, int] | None,
+                       write_schema: StructType | None = None,
+                       meta_actions: list[dict] | None = None) -> None:
         """Merge-on-read MERGE: matched target rows are MASKED (their
         new images plus upsert inserts land in fresh files) and
         untouched rows co-located in candidate files are never
@@ -2089,6 +2293,9 @@ class TxLogDataSource(BaseDataSource):
         with zero extra machinery."""
         from x_spark.operators.merge import merge_split_frames
 
+        if write_schema is None:
+            write_schema = snap.schema
+        meta_actions = meta_actions or []
         base = snap.version
         candidates = self._files_overlapping_keys(
             src, snap, spec.primary_key_columns[0]
@@ -2101,6 +2308,10 @@ class TxLogDataSource(BaseDataSource):
             tgt = self.spark.createDataFrame(
                 [], snap.schema.add("__fn", "string").add("__ri", "long")
             )
+        if meta_actions:
+            # schema evolution: widen the target slice (NULL-fill new
+            # columns, upcast widened ones); __fn/__ri pass through
+            tgt = self._widen_frame(tgt, write_schema)
         matched_meta, new_rows = merge_split_frames(
             tgt, src, spec, ["__fn", "__ri"]
         )
@@ -2118,9 +2329,10 @@ class TxLogDataSource(BaseDataSource):
             F.col("__fn").alias("file_name"),
             F.col("__ri").alias("row_index"),
         )
-        actions = self._mask_actions(table, snap, candidates, mask)
+        actions = list(meta_actions)
+        actions += self._mask_actions(table, snap, candidates, mask)
         adds = self._write_files(new_rows, table, snap.partition_cols,
-                                 schema=snap.schema)
+                                 schema=write_schema)
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
@@ -2169,6 +2381,17 @@ class TxLogDataSource(BaseDataSource):
                                  schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
+        if self._cdf_enabled(snap.configuration) and candidates:
+            # copy-on-write rewrites whole candidate files, so the
+            # derived (add/remove) feed would emit delete+insert noise
+            # pairs for every surviving co-located row; the cdc files
+            # carry exactly the deleted rows instead. One extra scan
+            # of the candidates, only when CDF is on (Delta pays the
+            # same to fill _change_data).
+            deleted = self._read_snapshot(table, snap, candidates).filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            ).withColumn("_change_type", F.lit("delete"))
+            actions += self._write_cdc_files(deleted, table, snap.schema)
         self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
 
     def _write_dv_dir(self, table: str, mask: DataFrame) -> tuple[str, dict]:
@@ -2211,6 +2434,40 @@ class TxLogDataSource(BaseDataSource):
             for name in names:
                 os.utime(os.path.join(root, name), now)
         return rel, counts
+
+    @staticmethod
+    def _cdf_enabled(configuration: dict[str, str]) -> bool:
+        return configuration.get(CDF_ENABLE_KEY, "").lower() == "true"
+
+    def _write_cdc_files(self, df: DataFrame, table: str,
+                         schema: StructType) -> list[dict]:
+        """Materialize change rows (logical data columns plus
+        ``_change_type``) as immutable parquet under ``_change_data/``
+        and return the ``cdc`` actions referencing them. Columns are
+        stored under their PHYSICAL names (same rule as
+        :meth:`_write_files`) so the files survive later RENAME
+        COLUMN; ``_change_type`` passes through untouched. The write
+        is distributed — change volume at 100 TB tracks the changed
+        rows, never the table."""
+        phys = _physical_map(schema)
+        if any(phys.get(c, c) != c for c in df.columns):
+            df = df.select(
+                *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+            )
+        dest = os.path.join(table, CDC_DIR, f"cdc-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(dest)
+        actions: list[dict] = []
+        for root, _dirs, names in os.walk(dest):
+            for name in names:
+                if name.startswith((".", "_")):
+                    try:
+                        os.remove(os.path.join(root, name))
+                    except OSError:
+                        pass
+                elif name.endswith(".parquet"):
+                    actions.append({"cdc": {"path": os.path.relpath(
+                        os.path.join(root, name), table)}})
+        return actions
 
     def _mask_actions(self, table: str, snap: Snapshot,
                       candidates: list[str],
