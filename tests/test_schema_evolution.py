@@ -687,3 +687,92 @@ def test_identity_enforced_on_overwrite_paths(spark, ds, tmp_path):
                  ref, overwrite_schema=True)
     snap = resolve_snapshot(str(tmp_path / "idt"))
     assert not snap.identity
+
+
+def test_column_defaults(spark, ds, tmp_path):
+    """ALTER COLUMN ... SET DEFAULT (Delta's allowColumnDefaults):
+    insert-shaped writes that OMIT the column fill it with the
+    constant expression; explicit NULL stays NULL; merge inserts fill
+    non-set columns; the property survives RESTORE and CLONE and
+    follows renames; invalid expressions reject at DDL time."""
+    ref = _mk(spark, ds, tmp_path)
+    table = str(tmp_path / "t")
+
+    ds.set_column_default(ref, "v", "42")
+    # append omitting v -> default, not NULL (and not a conform error)
+    ds.append(spark.createDataFrame([(100, "x")], "pk int, g string"), ref)
+    assert ds.read(ref).filter("pk = 100").first().v == 42
+    # explicit NULL stays NULL (SQL-standard rule)
+    ds.append(spark.createDataFrame([(101, "x", None)],
+                                    "pk int, g string, v int"), ref)
+    assert ds.read(ref).filter("pk = 101").first().v is None
+    # merge upsert: inserted rows fill non-set columns with the default
+    src = spark.createDataFrame([(200, "ins")], "pk int, g string")
+    ds.merge(src, ref, MergeSpec(["pk"], ["g"],
+                                 insert_when_not_matched=True))
+    assert ds.read(ref).filter("pk = 200").first().v == 42
+    # overwrite path fills too
+    v_pre = resolve_snapshot(table).version
+    ds.overwrite(spark.createDataFrame([(1, "o")], "pk int, g string"), ref)
+    assert ds.read(ref).first().v == 42
+    # RESTORE re-asserts data; the default (config) remains declared
+    ds.restore(ref, v_pre)
+    assert resolve_snapshot(table).defaults == {"v": "42"}
+
+    # CLONE carries the default
+    dst = TableRef(path=str(tmp_path / "c"))
+    ds.clone(ref, dst)
+    assert resolve_snapshot(str(tmp_path / "c")).defaults == {"v": "42"}
+
+    # DDL-time validation: non-constant and non-castable reject
+    with pytest.raises(DataSourceException, match="constant"):
+        ds.set_column_default(ref, "g", "pk + 1")
+    with pytest.raises(DataSourceException, match="constant"):
+        ds.set_column_default(ref, "pk", "'abc'")
+    with pytest.raises(DataSourceException, match="no column"):
+        ds.set_column_default(ref, "nope", "1")
+    # reserved namespace on SET TBLPROPERTIES
+    with pytest.raises(DataSourceException, match="SET DEFAULT"):
+        ds.set_properties(ref, {"default.v": "9"})
+
+    # DROP DEFAULT: omitted column is a hard error again (strict
+    # conform), not a silent NULL
+    ds.drop_column_default(ref, "v")
+    assert resolve_snapshot(table).defaults == {}
+    with pytest.raises(Exception):
+        ds.append(spark.createDataFrame([(300, "x")], "pk int, g string"),
+                  ref)
+
+
+def test_column_defaults_sql_and_mapping(spark, ds, tmp_path):
+    """SET/DROP DEFAULT through the SQL dispatcher on a named table;
+    under column mapping the default follows a RENAME and leaves with
+    a DROP COLUMN."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    name = f"se_dflt_{_uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    ds.create(nref, StructType.fromDDL("pk int, v int, note string"))
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {name} ALTER COLUMN note SET DEFAULT 'n/a'"
+        )
+        ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), nref)
+        assert ds.read(nref).first().note == "n/a"
+        ds.set_properties(nref, {COLUMN_MAPPING_KEY: "name"})
+        ds.rename_column(nref, "note", "remark")
+        snap = resolve_snapshot(ds._table_path(nref))
+        assert snap.defaults == {"remark": "'n/a'"}  # the expr text
+        ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"), nref)
+        assert ds.read(nref).filter("pk = 2").first().remark == "n/a"
+        ds._execute_statement(
+            f"ALTER TABLE {name} ALTER COLUMN remark DROP DEFAULT"
+        )
+        assert resolve_snapshot(ds._table_path(nref)).defaults == {}
+        ds.set_column_default(nref, "remark", "'x'")
+        ds.drop_column(nref, "remark")
+        assert resolve_snapshot(ds._table_path(nref)).defaults == {}
+    finally:
+        ds.drop_table(nref)

@@ -1380,3 +1380,69 @@ def test_overwrite_schema_replaces_layout_atomically(spark, ds, tmp_path):
     with pytest.raises(DataSourceException, match="partition column"):
         ds.overwrite(spark.createDataFrame([(1,)], "pk int"), ref,
                      overwrite_schema=True, partition_by=["nope"])
+
+
+def test_optimize_zorder_combined_verb(spark, ds, tmp_path):
+    """OPTIMIZE ... ZORDER BY: ALL in-scope files re-cluster through
+    the curve in ONE commit — small-file debt and clustering debt
+    retire together; out-of-scope partitions stay byte-identical
+    (path identity + untouched bytes); min/max pruning measurably
+    tightens on the clustered key; SQL + CLI dispatch work."""
+    import os as _os
+
+    ref = TableRef(path=str(tmp_path / "ozt"), partition_by=["part"])
+    # scrambled key order so every small file spans the key space
+    scram = sorted(range(100), key=lambda i: (i * 37) % 100)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i) for i in scram],
+        "pk int, part string, v int",
+    )
+    ds.create(ref, df.schema, partition_by=["part"])
+    for k in range(4):   # 4 appends, each landing in ONE partition
+        # (pk%4 in {0,2} -> even -> 'a'; {1,3} -> 'b'): 2 scrambled
+        # files per partition, each spanning the whole key space
+        ds.append(df.filter(f"pk % 4 = {k}").coalesce(1), ref)
+    before_rows = _rows(ds.read(ref))
+    snap = resolve_snapshot(ref.path)
+    b_files = {p for p, add in snap.files.items()
+               if add["partitionValues"].get("part") == "b"}
+    b_bytes = {p: open(_os.path.join(ref.path, p), "rb").read()
+               for p in b_files}
+    src = spark.createDataFrame([(8, 999)], "pk int, v int")
+    prune_before = len(ds._files_overlapping_keys(src, snap, "pk"))
+    assert prune_before >= 4   # scrambled: barely prunes
+
+    out = ds.optimize(ref, where="part = 'a'", zorder_by=["pk", "v"])
+    assert out["rewritten"] == 2 and out["new_files"] >= 1
+    snap2 = resolve_snapshot(ref.path)
+    # out-of-scope partition: path identity AND byte identity
+    assert b_files <= set(snap2.files)
+    for p, want in b_bytes.items():
+        assert open(_os.path.join(ref.path, p), "rb").read() == want
+    assert _rows(ds.read(ref)) == before_rows   # logically a no-op
+    assert ds.semantic_diff(ref, snap.version, snap2.version).count() == 0
+    # pruning on the clustered key tightened for the scoped partition
+    a_candidates = [
+        p for p in ds._files_overlapping_keys(src, snap2, "pk")
+        if snap2.files[p]["partitionValues"].get("part") == "a"
+    ]
+    a_total = sum(
+        1 for p, add in snap2.files.items()
+        if add["partitionValues"].get("part") == "a"
+    )
+    assert a_total == 0 or len(a_candidates) <= max(1, a_total // 2)
+
+    # SQL verb (named table) + CLI flag
+    import uuid as _uuid
+
+    name = f"ozt_{_uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    ds.append(spark.createDataFrame(
+        [(i, i) for i in scram], "pk int, v int").repartition(4), nref)
+    try:
+        ds._execute_statement(f"OPTIMIZE {name} ZORDER BY (pk)")
+        hist = [h["operation"] for h in ds.history(nref)]
+        assert hist[-1] == "OPTIMIZE ZORDER"
+        assert ds.read(nref).count() == 100
+    finally:
+        ds.drop_table(nref)

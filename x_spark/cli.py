@@ -335,6 +335,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="partition predicate scoping the compaction")
     opt.add_argument("--target-mb", type=int, default=128,
                      help="target file size in MB (files below it compact)")
+    opt.add_argument("--zorder-by", default=None,
+                     help="comma-separated columns: re-cluster ALL "
+                     "in-scope files through the space-filling curve "
+                     "(OPTIMIZE ... ZORDER BY)")
+    opt.add_argument("--strategy", default="zorder",
+                     choices=["zorder", "hilbert", "range"],
+                     help="curve for --zorder-by layouts")
 
     clg = sub.add_parser(
         "clean-log",
@@ -798,8 +805,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"purged deletion vectors from {n} file(s)")
             return 0
         if args.command == "optimize":
+            zcols = ([c.strip() for c in args.zorder_by.split(",")
+                      if c.strip()] if args.zorder_by else None)
             out = ds.optimize(TableRef(path=args.path), where=args.where,
-                              target_size_mb=args.target_mb)
+                              target_size_mb=args.target_mb,
+                              zorder_by=zcols, strategy=args.strategy)
             print(f"optimized {out['rewritten']} file(s) into "
                   f"{out['new_files']}")
             return 0

@@ -99,9 +99,10 @@ class AggregateView:
         cdf = self.ds.changes(
             self.base_ref, from_version=max(last, 0), to_version=current
         )
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
         if self.minmax:
             result = self._merge_with_minmax(cdf, sign, last, current)
         else:
@@ -138,7 +139,7 @@ class AggregateView:
         base snapshot pinned at ``current``, pruned with a semi-join
         on the rescan keys. Must be eagerly materialized downstream
         (overwrite does) before the pinned read goes stale."""
-        ins = F.col("_change_type") == "insert"
+        ins = F.col("_change_type").isin("insert", "update_postimage")
         value_cols = list(dict.fromkeys([*self.sums, *self.minmax]))
         deltas = cdf.select(
             *self.keys, *value_cols, "_change_type"
@@ -448,7 +449,8 @@ class JoinView:
             delta_ref, from_version=max(last, 0), to_version=current
         )
         sign = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
         ).otherwise(F.lit(-1))
         signed = cdf.select(*self.on, *delta_cols, sign.alias("_sign"))
         pinned = self._read_at(

@@ -48,8 +48,24 @@ def check_unique_source_keys(src: DataFrame, spec: MergeSpec) -> None:
         )
 
 
-def merge_frames(tgt: DataFrame, src: DataFrame, spec: MergeSpec) -> DataFrame:
-    """Return the post-merge state of ``tgt``."""
+def _insert_col(c: str, set_cols: set, tgt_dtypes: dict,
+                insert_defaults: dict[str, str] | None):
+    """One inserted row's column: source value for set columns,
+    DEFAULT expression (when declared) or NULL otherwise — always
+    assignment-cast to the target type."""
+    if c in set_cols:
+        return F.col(f"SRC.{c}").cast(tgt_dtypes[c]).alias(c)
+    d = (insert_defaults or {}).get(c)
+    base = F.expr(d) if d is not None else F.lit(None)
+    return base.cast(tgt_dtypes[c]).alias(c)
+
+
+def merge_frames(tgt: DataFrame, src: DataFrame, spec: MergeSpec,
+                 insert_defaults: dict[str, str] | None = None) -> DataFrame:
+    """Return the post-merge state of ``tgt``. ``insert_defaults``
+    (col -> constant SQL expr) fills non-set columns of INSERTED rows
+    with their DEFAULT instead of NULL (Delta's allowColumnDefaults);
+    matched/unmatched target rows are never touched by it."""
     if spec.validate_unique_source_keys:
         check_unique_source_keys(src, spec)
 
@@ -83,20 +99,15 @@ def merge_frames(tgt: DataFrame, src: DataFrame, spec: MergeSpec) -> DataFrame:
         return updated
 
     inserts = src_marked.join(tgt.alias("TGT"), cond, "left_anti").select(
-        *[
-            (
-                F.col(f"SRC.{c}").alias(c)
-                if c in set_cols
-                else F.lit(None).cast(tgt_dtypes[c]).alias(c)
-            )
-            for c in tgt_cols
-        ]
+        *[_insert_col(c, set_cols, tgt_dtypes, insert_defaults)
+          for c in tgt_cols]
     )
     return updated.unionByName(inserts)
 
 
 def merge_split_frames(
     tgt: DataFrame, src: DataFrame, spec: MergeSpec, meta_cols: list[str],
+    insert_defaults: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Merge-on-read decomposition of the same MERGE algebra: instead
     of the full post-merge state, return
@@ -149,13 +160,55 @@ def merge_split_frames(
     if not spec.insert_when_not_matched:
         return matched_meta, new_rows
     inserts = src_marked.join(tgt.alias("TGT"), cond, "left_anti").select(
+        *[_insert_col(c, set_cols, tgt_dtypes, insert_defaults)
+          for c in tgt_cols]
+    )
+    return matched_meta, new_rows.unionByName(inserts)
+
+
+def merge_change_frames(
+    tgt: DataFrame, src: DataFrame, spec: MergeSpec,
+    insert_defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """The MERGE's change-data-feed rows (Delta's 4-type CDF contract,
+    built from the same join the merge itself executes): each matched
+    target row as an ``update_preimage`` (old image) plus an
+    ``update_postimage`` (set columns from the source), and — upsert
+    only — each unmatched source row as an ``insert``. Returns the
+    target columns plus ``_change_type``.
+
+    Computed ONLY when the table has change-data-feed enabled; the
+    cost is one extra target-slice x source join over the already
+    key-pruned candidates, which tracks the churn, never the table."""
+    tgt_cols = tgt.columns
+    tgt_dtypes = dict(tgt.dtypes)
+    set_cols = set(spec.all_set_columns)
+    src_marked = src.withColumn(_SRC_MARKER, F.lit(True)).alias("SRC")
+    pk_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"TGT.{c}") == F.col(f"SRC.{c}")
+         for c in spec.primary_key_columns],
+    )
+    cond = pk_cond & F.expr(spec.extra_target_predicate)
+    j = tgt.alias("TGT").join(src_marked, cond, "inner")
+    pre = j.select(
+        *[F.col(f"TGT.{c}").alias(c) for c in tgt_cols]
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    post = j.select(
         *[
             (
-                F.col(f"SRC.{c}").alias(c)
+                F.col(f"SRC.{c}").cast(tgt_dtypes[c]).alias(c)
                 if c in set_cols
-                else F.lit(None).cast(tgt_dtypes[c]).alias(c)
+                else F.col(f"TGT.{c}").alias(c)
             )
             for c in tgt_cols
         ]
-    )
-    return matched_meta, new_rows.unionByName(inserts)
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    out = pre.unionByName(post)
+    if spec.insert_when_not_matched:
+        inserts = src_marked.join(tgt.alias("TGT"), cond, "left_anti").select(
+            *[_insert_col(c, set_cols, tgt_dtypes, insert_defaults)
+              for c in tgt_cols]
+        ).withColumn("_change_type", F.lit("insert"))
+        out = out.unionByName(inserts)
+    return out

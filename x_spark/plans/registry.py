@@ -72,6 +72,20 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-7 rotation: two new Delta-parity compositions
+    # (cdf_update_feed — 4-type cdc feed + MERGE WITH SCHEMA
+    # EVOLUTION; default_identity_ingest — dense identity allocation +
+    # column DEFAULTs) enter the head; two r6-head-green queries whose
+    # family keeps ANOTHER head representative step down so the 13
+    # never-driver-checked promotions of this round's rotation all
+    # stay inside the 50-row window:
+    "trimmed_price_stats",     # green r06 (head); robust-stats family
+                               # held by price_histogram + profile_drift
+                               # + robust_outliers (all head)
+    "events_resampled_interp", # green r06 (head); resampling family
+                               # held by events_resampled_locf (head) —
+                               # same per-key explode kernel, LOCF vs
+                               # interpolate differ only in the fill expr
     # ------------------------------------------------------------------
     # Round-7 rotation (verdict r6 task #1 — close the driver-check
     # book): the 13 oracle-backed queries that have NEVER had a driver

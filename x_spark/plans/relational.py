@@ -1652,6 +1652,223 @@ GROUP BY o_orderstatus
 """
 
 
+
+# Change-data-feed 4-type contract, driver-checked end to end: a
+# lineitem slice lands in a CDF-enabled txlog store, an UPDATE doubles
+# 'R' rows' prices (one cdc commit: update_preimage/update_postimage
+# pairs, NO rewrite-noise rows for co-located survivors), then a MERGE
+# WITH SCHEMA EVOLUTION upserts line-1 rows (+1000 qty, a brand-new
+# src_flag column widening the table in the same commit) plus disjoint
+# inserts. The feed over both commits aggregates per change type; the
+# oracle recomputes every image declaratively — any drift in cdc row
+# content, pair emission, evolution timing, or the
+# latest-schema-convention NULL fill hash-diverges.
+# (Delta parity surface: delta.enableChangeDataFeed cdc actions +
+# schema.autoMerge, public docs; reference merge surface
+# datasource/delta.py:135-148.)
+def q_cdf_update_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import MergeSpec, TableRef
+    from x_spark.sources.txlog import CDF_ENABLE_KEY, TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_cdf_feed_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "li"))
+        li = _t(spark, sf_dir, "lineitem")
+        base = li.filter(F.col("l_orderkey") % 11 == 0).select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag",
+        )
+        ds.create(ref, base.schema)
+        ds.append(base, ref)                                     # v1
+        ds.set_properties(ref, {CDF_ENABLE_KEY: "true"})         # v2
+        ds.update(ref, {"l_extendedprice": "l_extendedprice * 2"},
+                  "l_returnflag = 'R'")                          # v3
+        # the synthetic lineitem is NOT unique on (orderkey, line
+        # number) — the merge source aggregates per key (Delta MERGE
+        # aborts on duplicate source keys, and this engine keeps that
+        # contract), while every matching TARGET row still updates
+        def src_slice(mod: int) -> DataFrame:
+            return li.filter(
+                (F.col("l_orderkey") % 11 == mod)
+                & (F.col("l_linenumber") == 1)
+            ).groupBy("l_orderkey", "l_linenumber").agg(
+                (F.max("l_quantity") + F.lit(1000.0)).alias("l_quantity"),
+            ).withColumn("src_flag", F.lit("M"))
+
+        upd, ins = src_slice(0), src_slice(1)
+        ds.merge(
+            upd.unionByName(ins), ref,
+            MergeSpec(["l_orderkey", "l_linenumber"],
+                      ["l_quantity", "src_flag"],
+                      insert_when_not_matched=True),
+            merge_schema=True,                                   # v4
+        )
+        return (
+            ds.changes(ref, 2)          # v3 + v4, both cdc-served
+            .groupBy("_change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("l_quantity").alias("sum_qty"),
+                dsum("l_extendedprice").alias("sum_price"),
+                F.count("src_flag").cast("bigint").alias("n_flag"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_CDF_UPDATE_FEED = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_returnflag
+  FROM lineitem WHERE l_orderkey % 11 = 0
+),
+after3 AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2
+              ELSE l_extendedprice END AS price
+  FROM base
+),
+matched AS (SELECT * FROM after3 WHERE l_linenumber = 1),
+src_qty AS (
+  SELECT l_orderkey, l_linenumber, max(l_quantity) + 1000 AS new_qty
+  FROM lineitem WHERE l_orderkey % 11 = 0 AND l_linenumber = 1
+  GROUP BY l_orderkey, l_linenumber
+),
+feed AS (
+  SELECT 'update_preimage' AS ct, l_quantity AS qty,
+         l_extendedprice AS price, CAST(NULL AS VARCHAR) AS flag
+  FROM base WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'update_postimage', l_quantity, l_extendedprice * 2, NULL
+  FROM base WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'update_preimage', l_quantity, price, NULL FROM matched
+  UNION ALL
+  SELECT 'update_postimage', s.new_qty, m.price, 'M'
+  FROM matched m JOIN src_qty s USING (l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'insert', max(l_quantity) + 1000, CAST(NULL AS DOUBLE), 'M'
+  FROM lineitem WHERE l_orderkey % 11 = 1 AND l_linenumber = 1
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT ct AS "_change_type",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(qty AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+       CAST(count(flag) AS BIGINT) AS n_flag
+FROM feed
+GROUP BY ct
+"""
+
+
+# Identity columns + column DEFAULTs, driver-checked end to end: a
+# customer slice ingests into a txlog table whose id is GENERATED
+# ALWAYS AS IDENTITY (START 1000 STEP 2) and whose segment column has
+# DEFAULT 'UNKNOWN' — batch 1 omits segment (default fills), batch 2
+# provides it, an update-only MERGE bumps matched balances. Dense
+# two-stage allocation makes the id SET deterministic (exactly
+# {1000 + 2k}) even though which row gets which id is not, so the
+# oracle pins count/min/max/distinct over ids plus per-segment
+# aggregates declaratively; a stride-allocator (partition_id<<33
+# gaps), a NULL-filled default, or a double-allocated range all
+# hash-diverge.
+# (Delta parity surface: GENERATED ALWAYS AS IDENTITY +
+# allowColumnDefaults, public docs.)
+def q_default_identity_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from x_spark.sources.base import MergeSpec, TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_dflt_id_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "cust"))
+        ds.create(ref, StructType.fromDDL(
+            "id bigint, c_name string, c_acctbal double, segment string"
+        ))
+        ds.set_identity_column(ref, "id", start=1000, step=2)
+        ds.set_column_default(ref, "segment", "'UNKNOWN'")
+        cust = _t(spark, sf_dir, "customer")
+        b1 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_name", "c_acctbal",
+        )
+        ds.append(b1, ref)             # omits segment AND id: both fill
+        b2 = cust.filter(F.col("c_custkey") % 3 == 1).select(
+            "c_name", "c_acctbal", F.col("c_mktsegment").alias("segment"),
+        )
+        ds.append(b2, ref)
+        src = cust.filter(
+            (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 2 == 0)
+        ).select("c_name", (F.col("c_acctbal") + F.lit(100.0))
+                 .alias("c_acctbal"))
+        ds.merge(src, ref, MergeSpec(["c_name"], ["c_acctbal"]))
+        ids = ds.read(ref).agg(
+            F.count("id").cast("bigint").alias("n_ids"),
+            F.countDistinct("id").cast("bigint").alias("n_distinct_ids"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        return (
+            ds.read(ref)
+            .groupBy("segment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("c_acctbal").alias("sum_bal"),
+            )
+            .crossJoin(F.broadcast(ids))
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_DEFAULT_IDENTITY_INGEST = """
+WITH b1 AS (
+  SELECT c_name, c_acctbal, 'UNKNOWN' AS segment
+  FROM customer WHERE c_custkey % 3 = 0
+),
+b2 AS (
+  SELECT c_name, c_acctbal, c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 3 = 1
+),
+merged AS (
+  SELECT c_name,
+         CASE WHEN c_name IN (
+                SELECT c_name FROM customer
+                WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0)
+              THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         segment
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+),
+ids AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ids,
+         CAST(count(*) AS BIGINT) AS n_distinct_ids,
+         CAST(1000 AS BIGINT) AS min_id,
+         CAST(1000 + 2 * (count(*) - 1) AS BIGINT) AS max_id
+  FROM merged
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+       ids.n_ids, ids.n_distinct_ids, ids.min_id, ids.max_id
+FROM merged CROSS JOIN ids
+GROUP BY segment, ids.n_ids, ids.n_distinct_ids, ids.min_id, ids.max_id
+"""
+
 RELATIONAL_QUERIES = {
     "bloom_point_lookup": q_bloom_point_lookup,
     "pricing_summary": q_pricing_summary,
@@ -1673,6 +1890,8 @@ RELATIONAL_QUERIES = {
     "txlog_restore_roundtrip": q_txlog_restore_roundtrip,
     "dv_delete_scan": q_dv_delete_scan,
     "schema_evolution_scan": q_schema_evolution_scan,
+    "cdf_update_feed": q_cdf_update_feed,
+    "default_identity_ingest": q_default_identity_ingest,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -1708,6 +1927,8 @@ RELATIONAL_ORACLES = {
     "txlog_restore_roundtrip": ORACLE_TXLOG_RESTORE_ROUNDTRIP,
     "dv_delete_scan": ORACLE_DV_DELETE_SCAN,
     "schema_evolution_scan": ORACLE_SCHEMA_EVOLUTION_SCAN,
+    "cdf_update_feed": ORACLE_CDF_UPDATE_FEED,
+    "default_identity_ingest": ORACLE_DEFAULT_IDENTITY_INGEST,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

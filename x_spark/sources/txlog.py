@@ -244,6 +244,19 @@ class Snapshot:
         }
 
     @property
+    def defaults(self) -> dict[str, str]:
+        """col -> DEFAULT expression SQL, from ``default.<col>`` keys
+        (Delta's allowColumnDefaults convention): an insert-shaped
+        write that OMITS the column fills it with the expression
+        instead of NULL. Constant expressions only (validated at DDL
+        time); an explicitly provided NULL stays NULL."""
+        return {
+            k[len("default."):]: v
+            for k, v in self.configuration.items()
+            if k.startswith("default.")
+        }
+
+    @property
     def identity(self) -> dict[str, dict]:
         """col -> {start, step, high} from ``identity.<col>`` keys
         (GENERATED ALWAYS AS IDENTITY). ``high`` is the last allocated
@@ -630,6 +643,27 @@ class TxLogDataSource(BaseDataSource):
             )
             return done
         m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"set\s+default\s+(.+?)\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.set_column_default(
+                TableRef(table=_normalize_ident(m.group(1))),
+                m.group(2), m.group(3).strip(),
+            )
+            return done
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"drop\s+default\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.drop_column_default(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
+        m = re.fullmatch(
             rf"\s*alter\s+table\s+{ident}\s+rename\s+column\s+(\w+)\s+"
             r"to\s+(\w+)\s*",
             stmt, re.I,
@@ -700,15 +734,20 @@ class TxLogDataSource(BaseDataSource):
                 TableRef(table=_normalize_ident(m.group(1))), m.group(2)
             )
             return done
-        # OPTIMIZE t [WHERE <partition predicate>] — small-file
-        # bin-packing scoped to matching partitions
+        # OPTIMIZE t [WHERE <partition predicate>]
+        #            [ZORDER BY (a, b)] — small-file bin-packing
+        # scoped to matching partitions; with ZORDER BY the scoped
+        # files also re-cluster through the space-filling curve
         m = re.fullmatch(
-            rf"\s*optimize\s+{ident}(?:\s+where\s+(.*?))?\s*",
+            rf"\s*optimize\s+{ident}(?:\s+where\s+(.*?))?"
+            r"(?:\s+zorder\s+by\s*\(\s*([^)]+?)\s*\))?\s*",
             stmt, re.I | re.S,
         )
         if m and _normalize_ident(m.group(1)) in self._known_names():
+            zcols = ([c.strip(" `") for c in m.group(3).split(",")]
+                     if m.group(3) else None)
             self.optimize(TableRef(table=_normalize_ident(m.group(1))),
-                          where=m.group(2))
+                          where=m.group(2), zorder_by=zcols)
             return done
         # REORG TABLE t APPLY (PURGE) — Delta's DV purge: physically
         # rewrite only the mask-carrying files, drop their dv refs
@@ -1215,6 +1254,89 @@ class TxLogDataSource(BaseDataSource):
                 df = df.withColumn(col, F.expr(expr))
         return df
 
+    @staticmethod
+    def _fill_defaults(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Fill columns the writer OMITTED with their DEFAULT
+        expression (Delta's allowColumnDefaults): runs before
+        _fill_generated (a generation expression may reference a
+        defaulted column) and before _conform. A column the writer
+        provides — even as NULL — is never touched, the SQL-standard
+        rule."""
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        for col, expr in sorted(snap.defaults.items()):
+            if col not in df.columns and col in types:
+                df = df.withColumn(col, F.expr(expr).cast(types[col]))
+        return df
+
+    def set_column_default(self, ref: TableRef, col: str, expr: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr``
+        (Delta's allowColumnDefaults): subsequent insert-shaped writes
+        that omit the column fill it with ``expr`` instead of NULL.
+        The expression must be CONSTANT (no column references — the
+        Delta/ANSI rule) and assignment-castable to the column's
+        declared type, both validated here against an empty relation,
+        so a widening or retyping conflict rejects at DDL time, not at
+        some later write. Metadata-only: existing rows are untouched
+        (they keep their stored values — also the SQL-standard rule)."""
+        table, snap = self._require_snapshot(ref)
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        if col in snap.identity:
+            raise DataSourceException(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY; "
+                "it cannot also have a DEFAULT"
+            )
+        if col in snap.generated:
+            raise DataSourceException(
+                f"column {col!r} has a generation expression; "
+                "it cannot also have a DEFAULT"
+            )
+        tname = by_name[col].dataType.simpleString()
+        try:
+            # constant-only + castable: resolves against NO columns
+            self.spark.sql(
+                f"SELECT CAST(({expr}) AS {tname})"
+            ).collect()
+        except Exception as exc:  # noqa: BLE001 - surface the cause
+            raise DataSourceException(
+                f"DEFAULT for {col!r} must be a constant expression "
+                f"castable to {tname}: ({expr}) failed: {exc}"
+            ) from None
+        config = {**snap.configuration, f"default.{col}": expr}
+        self._commit(
+            table, self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "SET DEFAULT",
+        )
+
+    def drop_column_default(self, ref: TableRef, col: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN col DROP DEFAULT``."""
+        table, snap = self._require_snapshot(ref)
+        key = f"default.{col}"
+        if key not in snap.configuration:
+            raise DataSourceException(
+                f"column {col!r} has no DEFAULT on {table!r}"
+            )
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        self._commit(
+            table, self._expect_unchanged(table, snap.version),
+            [{
+                "metaData": {
+                    "schemaJson": snap.schema_json,
+                    "partitionColumns": snap.partition_cols,
+                    "configuration": config,
+                }
+            }],
+            "DROP DEFAULT",
+        )
+
     def set_generated_column(self, ref: TableRef, col: str, expr: str) -> None:
         """Declare ``col`` as GENERATED ALWAYS AS (<expr>) (Delta
         generated columns): subsequent writes through any path compute
@@ -1296,12 +1418,12 @@ class TxLogDataSource(BaseDataSource):
         their dedicated DDL (they validate data)."""
         reserved = [k for k in props
                     if k.startswith(("constraint.", "generated.",
-                                     "identity."))]
+                                     "identity.", "default."))]
         if reserved:
             raise DataSourceException(
                 f"propert{'ies' if len(reserved) > 1 else 'y'} {reserved} "
                 "use ADD CONSTRAINT / GENERATED ALWAYS AS / "
-                "SET IDENTITY DDL"
+                "SET IDENTITY / SET DEFAULT DDL"
             )
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
@@ -1408,7 +1530,8 @@ class TxLogDataSource(BaseDataSource):
     # -- schema evolution DDL -------------------------------------------
     def _commit_schema(self, table: str, snap: Snapshot,
                        schema: StructType, partition_cols: list[str],
-                       operation: str) -> None:
+                       operation: str,
+                       configuration: dict[str, str] | None = None) -> None:
         """One metaData commit replacing the schema — the shape every
         schema-evolution DDL shares. Metadata-only: no data file is
         read or written, O(1) at any table size."""
@@ -1419,7 +1542,9 @@ class TxLogDataSource(BaseDataSource):
                 "metaData": {
                     "schemaJson": schema.json(),
                     "partitionColumns": partition_cols,
-                    "configuration": snap.configuration,
+                    "configuration": (snap.configuration
+                                      if configuration is None
+                                      else configuration),
                 }
             }],
             operation,
@@ -1587,8 +1712,13 @@ class TxLogDataSource(BaseDataSource):
             for f in snap.schema.fields
         ]
         part_cols = [new if c == old else c for c in snap.partition_cols]
+        # per-column DEFAULT metadata follows its column's new name
+        config = {
+            (f"default.{new}" if k == f"default.{old}" else k): v
+            for k, v in snap.configuration.items()
+        }
         self._commit_schema(table, snap, StructType(fields), part_cols,
-                            "RENAME COLUMN")
+                            "RENAME COLUMN", configuration=config)
 
     def drop_column(self, ref: TableRef, col: str) -> None:
         """ALTER TABLE ... DROP COLUMN — metadata-only soft drop: the
@@ -1619,8 +1749,12 @@ class TxLogDataSource(BaseDataSource):
                 "constraint / generation expression first"
             )
         fields = [f for f in snap.schema.fields if f.name != col]
+        # a dropped column's DEFAULT leaves with it
+        config = {k: v for k, v in snap.configuration.items()
+                  if k != f"default.{col}"}
         self._commit_schema(table, snap, StructType(fields),
-                            snap.partition_cols, "DROP COLUMN")
+                            snap.partition_cols, "DROP COLUMN",
+                            configuration=config)
 
     @staticmethod
     def _parse_partition_values(relpart: str, part_cols: list[str]) -> dict:
@@ -1888,7 +2022,7 @@ class TxLogDataSource(BaseDataSource):
                 write_schema = snap.schema
             # generated columns compute when omitted, same as the
             # plain-append branch (NULL-fill would fail their check)
-            df = self._fill_generated(df, snap)
+            df = self._fill_generated(self._fill_defaults(df, snap), snap)
             df = df.select(*[
                 # assignment cast to the (possibly widened) table type
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -1899,7 +2033,7 @@ class TxLogDataSource(BaseDataSource):
         else:
             meta_actions = []
             write_schema = snap.schema
-            df = _conform(self._fill_generated(df, snap), snap.schema)  # by-name + assignment cast, like Delta
+            df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)  # by-name + assignment cast, like Delta
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=write_schema)
         add_actions = [{"add": a} for a in adds]
@@ -2024,7 +2158,7 @@ class TxLogDataSource(BaseDataSource):
 
             config = {}
             for k, v in snap.configuration.items():
-                if (k.startswith(("generated.", "identity."))
+                if (k.startswith(("generated.", "identity.", "default."))
                         and k.split(".", 1)[1] not in new_cols):
                     continue  # column left; its metadata leaves too
                 if k.startswith(("constraint.", "generated.")):
@@ -2072,7 +2206,7 @@ class TxLogDataSource(BaseDataSource):
         # committed mark (never reused from overwritten rows); the
         # advanced mark rides the same commit via _advanced_identity_config
         df = self._allocate_identity(df, snap)
-        df = _conform(self._fill_generated(df, snap), snap.schema)
+        df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)
 
         def identity_actions(adds: list[dict]) -> list[dict]:
             new_config = self._advanced_identity_config(
@@ -2137,7 +2271,7 @@ class TxLogDataSource(BaseDataSource):
         # identity parity with append (see overwrite): allocate fresh,
         # advance the mark in the same commit
         df = self._allocate_identity(df, snap)
-        df = _conform(self._fill_generated(df, snap), snap.schema)
+        df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)
         def render(v):
             # match hive dir encoding: booleans lowercase, rest via str()
             if v is None:
@@ -2258,7 +2392,8 @@ class TxLogDataSource(BaseDataSource):
         if meta_actions:
             # old rows widen to the evolved schema (new columns NULL)
             target_slice = self._widen_frame(target_slice, write_schema)
-        result = merge_frames(target_slice, df, spec)
+        result = merge_frames(target_slice, df, spec,
+                              insert_defaults=snap.defaults)
         # Generated columns on MERGE: merge_frames fills non-set
         # columns of INSERTED rows with NULL — for a generated column
         # that NULL means "not set", so compute the expression there
@@ -2276,8 +2411,34 @@ class TxLogDataSource(BaseDataSource):
         actions = list(meta_actions)
         actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
+        actions += self._merge_cdc_actions(table, snap, target_slice, df,
+                                           spec, write_schema)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
+
+    def _merge_cdc_actions(self, table: str, snap: Snapshot,
+                           tgt: DataFrame, src: DataFrame, spec: MergeSpec,
+                           write_schema: StructType) -> list[dict]:
+        """cdc actions for a MERGE commit (empty when the table has no
+        change data feed): update_preimage/update_postimage per matched
+        row plus upsert inserts, with the same generated-column fill
+        the table rows get."""
+        if not self._cdf_enabled(snap.configuration):
+            return []
+        from x_spark.operators.merge import merge_change_frames
+
+        cdc = merge_change_frames(tgt, src, spec,
+                                  insert_defaults=snap.defaults)
+        for col, expr in sorted(snap.generated.items()):
+            if col in cdc.columns:
+                cdc = cdc.withColumn(
+                    col,
+                    F.when(F.col("_change_type") == "insert",
+                           F.when(F.col(col).isNull(), F.expr(expr))
+                           .otherwise(F.col(col)))
+                    .otherwise(F.col(col)),
+                )
+        return self._write_cdc_files(cdc, table, write_schema)
 
     def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
                        spec: MergeSpec, txn: tuple[str, int] | None,
@@ -2313,7 +2474,8 @@ class TxLogDataSource(BaseDataSource):
             # columns, upcast widened ones); __fn/__ri pass through
             tgt = self._widen_frame(tgt, write_schema)
         matched_meta, new_rows = merge_split_frames(
-            tgt, src, spec, ["__fn", "__ri"]
+            tgt, src, spec, ["__fn", "__ri"],
+            insert_defaults=snap.defaults,
         )
         # generated columns on MERGE: NULL-filled insert columns mean
         # "not set" — compute the expression there (mirrors the
@@ -2334,6 +2496,9 @@ class TxLogDataSource(BaseDataSource):
         adds = self._write_files(new_rows, table, snap.partition_cols,
                                  schema=write_schema)
         actions += [{"add": a} for a in adds]
+        actions += self._merge_cdc_actions(table, snap,
+                                           tgt.drop("__fn", "__ri"), src,
+                                           spec, write_schema)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
@@ -2630,6 +2795,14 @@ class TxLogDataSource(BaseDataSource):
                     new_image(matched.drop("__fn", "__ri"), True),
                     table, snap.partition_cols, schema=snap.schema,
                 )
+                if self._cdf_enabled(snap.configuration):
+                    old = matched.drop("__fn", "__ri")
+                    cdc = old.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(new_image(old, True).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ))
+                    actions += self._write_cdc_files(cdc, table, snap.schema)
             self._commit(
                 table, self._expect_unchanged(table, base),
                 actions + [{"add": a} for a in adds], "UPDATE",
@@ -2644,6 +2817,17 @@ class TxLogDataSource(BaseDataSource):
                                  schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
+        if self._cdf_enabled(snap.configuration) and candidates:
+            # exact change rows: one extra matched-rows scan, only
+            # when CDF is on (the derived feed would otherwise emit
+            # rewrite noise pairs for co-located untouched rows)
+            old = self._read_snapshot(table, snap, candidates).filter(pred)
+            cdc = old.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(new_image(old, True).withColumn(
+                "_change_type", F.lit("update_postimage")
+            ))
+            actions += self._write_cdc_files(cdc, table, snap.schema)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "UPDATE")
 
@@ -2698,11 +2882,15 @@ class TxLogDataSource(BaseDataSource):
             pass
 
     def optimize(self, ref: TableRef, where: str | None = None,
-                 target_size_mb: int = 128, min_files: int = 2) -> dict:
-        """OPTIMIZE [WHERE <partition predicate>] — bin-pack ONLY the
-        files below the target size, scoped to the matching
-        partitions, into ~target-sized files in one atomic, logically
-        no-op commit. Already-compacted (large) files and
+                 target_size_mb: int = 128, min_files: int = 2,
+                 zorder_by: list[str] | None = None,
+                 strategy: str = "zorder") -> dict:
+        """OPTIMIZE [WHERE <partition predicate>] [ZORDER BY (...)] —
+        one atomic, logically no-op commit.
+
+        Without ``zorder_by``: bin-pack ONLY the files below the
+        target size, scoped to the matching partitions, into
+        ~target-sized files. Already-compacted (large) files and
         out-of-scope partitions are never read or rewritten — at
         100 TB the cost tracks the small-file debt in the scoped
         partitions, never the table (``compact`` stays the
@@ -2711,7 +2899,16 @@ class TxLogDataSource(BaseDataSource):
         Deletion-vector masks on rewritten files purge as a side
         effect (the rewrite applies them). Returns
         {"rewritten", "new_files"}; fewer than ``min_files`` small
-        files in scope is a no-op that burns no commit."""
+        files in scope is a no-op that burns no commit.
+
+        With ``zorder_by`` (Delta's combined ``OPTIMIZE ... ZORDER
+        BY``): ALL in-scope files rewrite through the space-filling
+        curve layout (``strategy`` picks 'zorder'/'hilbert'/'range',
+        same engine as :meth:`cluster`) into ~target-sized files —
+        small-file debt and clustering debt retire in the same
+        commit, while out-of-scope files stay byte-identical. Scoped
+        re-clustering is what keeps this 100-TB-shaped: cluster ONE
+        hot partition's churn without touching the other 10,000."""
         table, snap = self._require_snapshot(ref)
         if where is not None:
             if not snap.partition_cols:
@@ -2737,23 +2934,39 @@ class TxLogDataSource(BaseDataSource):
             p: os.path.getsize(os.path.join(table, p))
             for p in sorted(in_scope)
         }
-        small = [p for p, sz in sizes.items()
-                 if sz < threshold or snap.files[p].get("dv")]
-        if len(small) < max(2, int(min_files)):
-            return {"rewritten": 0, "new_files": 0}
         import math
 
-        n_out = max(1, math.ceil(sum(sizes[p] for p in small) / threshold))
-        df = self._read_snapshot(table, snap, small).repartition(n_out)
+        if zorder_by:
+            rewrite = sorted(in_scope)
+            if not rewrite:
+                return {"rewritten": 0, "new_files": 0}
+            n_out = max(
+                1, math.ceil(sum(sizes[p] for p in rewrite) / threshold)
+            )
+            df = self._curve_layout(
+                self._read_snapshot(table, snap, rewrite),
+                list(zorder_by), n_out, strategy,
+            )
+            operation = "OPTIMIZE ZORDER"
+        else:
+            rewrite = [p for p, sz in sizes.items()
+                       if sz < threshold or snap.files[p].get("dv")]
+            if len(rewrite) < max(2, int(min_files)):
+                return {"rewritten": 0, "new_files": 0}
+            n_out = max(
+                1, math.ceil(sum(sizes[p] for p in rewrite) / threshold)
+            )
+            df = self._read_snapshot(table, snap, rewrite).repartition(n_out)
+            operation = "OPTIMIZE"
         adds = self._write_files(
             df.select(*[f.name for f in snap.schema.fields]), table,
             snap.partition_cols, schema=snap.schema,
         )
-        actions = [{"remove": {"path": p}} for p in small]
+        actions = [{"remove": {"path": p}} for p in rewrite]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version),
-                     actions, "OPTIMIZE")
-        return {"rewritten": len(small), "new_files": len(adds)}
+                     actions, operation)
+        return {"rewritten": len(rewrite), "new_files": len(adds)}
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
         """Compaction commit: logically a no-op (remove small files, add
@@ -2768,6 +2981,36 @@ class TxLogDataSource(BaseDataSource):
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version), actions,
                      "COMPACT")
+
+    @staticmethod
+    def _curve_layout(df: DataFrame, cluster_by: list[str],
+                      target_files: int, strategy: str) -> DataFrame:
+        """Range-partition + sort ``df`` on the clustering key — the
+        layout engine shared by :meth:`cluster` (whole table) and
+        :meth:`optimize` with ``zorder_by`` (scoped). 'range' sorts
+        lexicographically; 'zorder'/'hilbert' sort by the
+        space-filling curve value so EVERY clustered column gets
+        narrow per-file min/max ranges."""
+        if strategy in ("zorder", "hilbert"):
+            from x_spark.operators.zorder import hilbert_value, zorder_value
+
+            curve = zorder_value if strategy == "zorder" else hilbert_value
+            zv = curve(df, cluster_by)
+            return (
+                df.withColumn("__zv", zv)
+                .repartitionByRange(target_files, F.col("__zv"))
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
+        if strategy == "range":
+            cols = [F.col(c) for c in cluster_by]
+            return df.repartitionByRange(
+                target_files, *cols
+            ).sortWithinPartitions(*cols)
+        raise DataSourceException(
+            f"cluster strategy {strategy!r} not in "
+            f"('range', 'zorder', 'hilbert')"
+        )
 
     def cluster(self, ref: TableRef, cluster_by: list[str],
                 target_files: int | None = None,
@@ -2795,27 +3038,8 @@ class TxLogDataSource(BaseDataSource):
         df = self._read_snapshot(table, snap)
         if target_files is None:
             target_files = max(1, len(snap.files))
-        if strategy in ("zorder", "hilbert"):
-            from x_spark.operators.zorder import hilbert_value, zorder_value
-
-            curve = zorder_value if strategy == "zorder" else hilbert_value
-            zv = curve(df, cluster_by)
-            clustered = (
-                df.withColumn("__zv", zv)
-                .repartitionByRange(target_files, F.col("__zv"))
-                .sortWithinPartitions("__zv")
-                .drop("__zv")
-            )
-        elif strategy == "range":
-            cols = [F.col(c) for c in cluster_by]
-            clustered = df.repartitionByRange(
-                target_files, *cols
-            ).sortWithinPartitions(*cols)
-        else:
-            raise DataSourceException(
-                f"cluster strategy {strategy!r} not in "
-                f"('range', 'zorder', 'hilbert')"
-            )
+        clustered = self._curve_layout(df, cluster_by, target_files,
+                                       strategy)
         adds = self._write_files(
             clustered.select(*[f.name for f in snap.schema.fields]), table,
             snap.partition_cols, schema=snap.schema,
@@ -2904,6 +3128,21 @@ class TxLogDataSource(BaseDataSource):
             ] or [latest]
         referenced: set[str] = set()
         dv_dirs: set[str] = set()
+        horizon = set(horizon_versions)
+        # change-data files are referenced by the COMMIT that wrote
+        # them (cdc actions), not by any snapshot: keep those of
+        # horizon versions so their change feed stays readable; older
+        # ones age out with the versions that referenced them
+        for fname in commits:
+            if _version_of(fname) not in horizon:
+                continue
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    if '"cdc"' not in line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        referenced.add(action["cdc"]["path"])
         for v in horizon_versions:
             snap = resolve_snapshot(table, v)
             referenced.update(snap.files)
@@ -2949,14 +3188,19 @@ class TxLogDataSource(BaseDataSource):
         """Change data feed: row-level changes between two versions
         (exclusive ``from_version``, inclusive ``to_version``; default
         latest; ``from_version=-1`` = empty base, so version 0's adds
-        are included), as the table schema plus ``_change_type``
-        ('insert' | 'delete') and ``_commit_version``.
+        are included), as the LATEST table schema plus ``_change_type``
+        and ``_commit_version``.
 
-        File-granular and read-bounded: only files added or removed in
-        the interval are read — an incremental consumer of an
-        append-mostly table reads exactly the new data, never the
-        table. An updated row appears as a delete (old image) plus an
-        insert (new image), the MERGE-rewrite decomposition."""
+        Commits carrying ``cdc`` actions (UPDATE/MERGE/CoW DELETE on a
+        table with ``enableChangeDataFeed``) are served row-exactly
+        from their ``_change_data`` files with Delta's 4-type contract
+        — update_preimage / update_postimage / insert / delete. Other
+        commits fall back to the file-granular derivation: only files
+        added or removed in the interval are read — an incremental
+        consumer of an append-mostly table reads exactly the new data,
+        never the table — and an updated row appears as a delete (old
+        image) plus an insert (new image), the MERGE-rewrite
+        decomposition."""
         table = self._table_path(ref)
         latest = self._latest_version(table)
         if latest is None:
@@ -2964,24 +3208,29 @@ class TxLogDataSource(BaseDataSource):
         to_version = latest if to_version is None else to_version
         # from_version=-1 means "empty base": every live file of the
         # interval counts as inserted from version 0 up — the inclusive
-        # lower bound the table_changes TVF needs. Schema/partitioning
-        # metadata then comes from the interval's END snapshot (the
-        # same convention the >=0 path gets from its base).
-        base = (
-            resolve_snapshot(table, from_version)
-            if from_version >= 0
-            else resolve_snapshot(table, to_version)
+        # lower bound the table_changes TVF needs.
+        live = (
+            dict(resolve_snapshot(table, from_version).files)
+            if from_version >= 0 else {}
         )
+        # ONE schema convention across every CDF surface (the DSv2
+        # batch/streaming readers pin the same): the LATEST snapshot
+        # schema, Delta's rule. Files predating an ADD COLUMN surface
+        # it as NULL; renames bind through stable physical names; an
+        # incompatible in-interval type replacement errors at read —
+        # also Delta's behavior.
+        sch = resolve_snapshot(table)
         commits, _ = _list_log(table)
-        live = dict(base.files) if from_version >= 0 else {}
         out: DataFrame | None = None
-        cols = [f.name for f in base.schema.fields]
+        cols = [f.name for f in sch.schema.fields]
 
-        def collect(part: DataFrame, kind: str, v: int) -> None:
+        def collect(part: DataFrame, kind: str | None, v: int) -> None:
             nonlocal out
+            # kind=None: the rows carry their own _change_type (cdc)
+            ct = F.lit(kind) if kind is not None else F.col("_change_type")
             part = part.select(
                 *cols,
-                F.lit(kind).alias("_change_type"),
+                ct.alias("_change_type"),
                 F.lit(v).cast("bigint").alias("_commit_version"),
             )
             out = part if out is None else out.unionByName(part)
@@ -2992,6 +3241,7 @@ class TxLogDataSource(BaseDataSource):
                 continue
             added: dict[str, dict] = {}
             removed: dict[str, dict] = {}
+            cdc_paths: list[str] = []
             with open(os.path.join(_log_path(table), fname)) as fh:
                 for line in fh:
                     action = json.loads(line)
@@ -3007,6 +3257,25 @@ class TxLogDataSource(BaseDataSource):
                         popped = live.pop(action["remove"]["path"], None)
                         if popped is not None:
                             removed[action["remove"]["path"]] = popped
+                    elif "cdc" in action:
+                        cdc_paths.append(action["cdc"]["path"])
+            if cdc_paths:
+                # Delta's rule: a commit carrying cdc actions is served
+                # FROM them (row-exact 4-type change rows written by
+                # the operation itself) — never from its add/remove
+                # derivation, which would double-count and add rewrite
+                # noise. The live map above still advanced, so later
+                # derived commits stay correct.
+                collect(
+                    self.spark.read
+                    .schema(_physical_schema(sch.schema)
+                            .add("_change_type", "string"))
+                    .parquet(*[os.path.join(table, p) for p in cdc_paths])
+                    .select(*[F.col(_physical_name(f)).alias(f.name)
+                              for f in sch.schema.fields], "_change_type"),
+                    None, v,
+                )
+                continue
             # a path removed AND re-added in one commit is a deletion-
             # vector re-point (DELETE with DVs, or a RESTORE
             # re-asserting earlier mask state): the row-level change is
@@ -3019,16 +3288,16 @@ class TxLogDataSource(BaseDataSource):
                 if plain:
                     collect(
                         self.spark.read
-                        .schema(_physical_schema(base.schema))
+                        .schema(_physical_schema(sch.schema))
                         .option("basePath", table)
                         .parquet(*[os.path.join(table, p) for p in plain])
                         .select(*[F.col(_physical_name(f)).alias(f.name)
-                                  for f in base.schema.fields]),
+                                  for f in sch.schema.fields]),
                         kind, v,
                     )
                 if masked:
                     rows = self._read_files_with_meta(
-                        table, base.schema, [e["path"] for e in masked]
+                        table, sch.schema, [e["path"] for e in masked]
                     )
                     mask = self._dv_rows_for(
                         table, [(e["path"], e["dv"]) for e in masked]
@@ -3058,7 +3327,7 @@ class TxLogDataSource(BaseDataSource):
                     [(p, {"path": new_dir} if new_dir else None)
                      for p in paths],
                 )
-                rows = self._read_files_with_meta(table, base.schema, paths)
+                rows = self._read_files_with_meta(table, sch.schema, paths)
                 newly_masked = new_mask.exceptAll(old_mask)
                 newly_unmasked = old_mask.exceptAll(new_mask)
                 collect(rows.join(newly_masked, ["__fn", "__ri"],
@@ -3066,7 +3335,7 @@ class TxLogDataSource(BaseDataSource):
                 collect(rows.join(newly_unmasked, ["__fn", "__ri"],
                                   "left_semi"), "insert", v)
         if out is None:
-            schema = base.schema.add("_change_type", "string").add(
+            schema = sch.schema.add("_change_type", "string").add(
                 "_commit_version", "long"
             )
             return self.spark.createDataFrame([], schema)
@@ -3096,9 +3365,11 @@ class TxLogDataSource(BaseDataSource):
         ch = self.changes(ref, from_version, to_version)
         data_cols = [c for c in ch.columns
                      if c not in ("_change_type", "_commit_version")]
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        # 4-type folding: postimage rows appear, preimage rows vanish
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
         return (
             ch.groupBy(*data_cols)
             .agg(F.sum(sign).cast("bigint").alias("net"))

@@ -214,15 +214,20 @@ class _CDFPartition(InputPartition):
     """One change-feed work unit. ``mode="rows"``: emit the file's live
     rows (minus ``dv``) stamped ``kind``. ``mode="mask_delta"``: emit
     only the rows whose ordinal is in (``dv`` minus ``dv_old``) — the
-    deletion-vector re-point delta, computed executor-side."""
+    deletion-vector re-point delta, computed executor-side.
+    ``mode="cdc"`` (``kind=None``): the file is a ``_change_data``
+    parquet whose rows carry their OWN ``_change_type`` — Delta's
+    4-type contract, written by UPDATE/MERGE/CoW-DELETE under
+    ``enableChangeDataFeed``."""
 
     def __init__(self, table: str, rel: str, partition_values: dict,
-                 version: int, kind: str, dv: dict | None = None,
+                 version: int, kind: str | None, dv: dict | None = None,
                  dv_old: dict | None = None, mode: str = "rows"):
         self.table = table
         self.rel = rel
         self.partition_values = dict(partition_values)
-        self.partition_values["_change_type"] = kind
+        if kind is not None:
+            self.partition_values["_change_type"] = kind
         self.partition_values["_commit_version"] = str(version)
         self.dv = dv
         self.dv_old = dv_old
@@ -254,6 +259,7 @@ def _cdf_partitions(table: str, base_v: int,
             continue
         added: dict[str, dict] = {}
         removed: dict[str, dict] = {}
+        cdc_paths: list[str] = []
         with open(os.path.join(_log_path(table), fname)) as fh:
             for line in fh:
                 action = json.loads(line)
@@ -265,6 +271,17 @@ def _cdf_partitions(table: str, base_v: int,
                     popped = live.pop(action["remove"]["path"], None)
                     if popped is not None:
                         removed[action["remove"]["path"]] = popped
+                elif "cdc" in action:
+                    cdc_paths.append(action["cdc"]["path"])
+        if cdc_paths:
+            # a commit carrying cdc actions is served FROM them (the
+            # same rule as the connector's changes()): row-exact 4-type
+            # change rows, no add/remove derivation for this commit
+            parts.extend(
+                _CDFPartition(table, p, {}, v, None, mode="cdc")
+                for p in cdc_paths
+            )
+            continue
         for p in added:
             if p in removed:
                 continue
@@ -303,6 +320,13 @@ def _cdf_partitions(table: str, base_v: int,
 def _read_cdf_partition(partition, schema):
     if partition is None:
         return iter(())
+    if partition.mode == "cdc":
+        # _change_type comes from the file itself; _commit_version is
+        # the partition constant
+        return _read_file_batches(
+            partition.table, partition.rel, partition.partition_values,
+            schema,
+        )
     if partition.mode == "mask_delta":
         import numpy as np
 
