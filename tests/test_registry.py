@@ -66,15 +66,17 @@ FAMILY_REPRESENTATIVES = [
     "bloom_point_lookup",       # Bloom file-skipping sidecar
     "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
     "stream_ivm_join_view",     # streaming facts + dim churn -> JoinView
-    "events_resampled_locf",    # per-key dense grid + LOCF (as-of family)
-    "events_resampled_interp",  # linear-interpolation twin
+    "events_resampled_locf",    # per-key dense grid + LOCF (as-of family;
+                                # the interpolation twin demoted r7 — same
+                                # per-key explode kernel)
     "rolling_value_anomalies",  # trailing-window z-score anomalies
     "curriculum_positions",     # two-stage distributed global ranking
     "token_budget_selection",   # budget cut via distributed running sum
     "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
     "bigram_collocations",      # PMI collocation mining
     "price_histogram",          # fixed-width exact-bucket histogram
-    "trimmed_price_stats",      # deterministic-rank trimmed statistics
+                                # (trimmed_price_stats demoted r7: family
+                                # held here + profile_drift/robust_outliers)
     "hard_negative_mining",     # banded-similarity contrastive negatives
     "filter_attribution",       # first-fail C4/Gopher rule attribution
     "corpus_shuffle_shards",    # deterministic shuffle + shard manifest
@@ -85,6 +87,10 @@ FAMILY_REPRESENTATIVES = [
     "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
                                 # metadata subtraction + CDF mask delta
                                 # (demoted: quantity_cube, 4 straight greens)
+    "cdf_update_feed",          # NEW r7: 4-type cdc change feed + MERGE
+                                # WITH SCHEMA EVOLUTION vs declarative oracle
+    "default_identity_ingest",  # NEW r7: dense identity allocation +
+                                # column DEFAULTs (id SET deterministic)
 ]
 
 

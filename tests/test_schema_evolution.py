@@ -369,7 +369,7 @@ def test_identity_guards_and_race(spark, ds, tmp_path):
         ds.set_identity_column(ref, "nope")
     with pytest.raises(DataSourceException, match="STEP"):
         ds.set_identity_column(ref, "id", step=0)
-    with pytest.raises(DataSourceException, match="SET IDENTITY DDL"):
+    with pytest.raises(DataSourceException, match="SET IDENTITY"):
         ds.set_properties(ref, {"identity.id": "{}"})
     ds.append(spark.createDataFrame([(1, 2, "x")],
                                     "id long, n int, s string"), ref)
@@ -774,5 +774,87 @@ def test_column_defaults_sql_and_mapping(spark, ds, tmp_path):
         ds.set_column_default(nref, "remark", "'x'")
         ds.drop_column(nref, "remark")
         assert resolve_snapshot(ds._table_path(nref)).defaults == {}
+    finally:
+        ds.drop_table(nref)
+
+
+@pytest.mark.parametrize("dv", [False, True])
+def test_identity_allocates_on_merge_inserts(spark, ds, tmp_path, dv):
+    """MERGE upsert on an identity table: inserted rows get fresh
+    engine-allocated ids strictly beyond the committed mark (never
+    NULL — Delta allocates for MERGE inserts), matched rows keep their
+    ids, the advanced mark rides the merge commit, and with CDF on the
+    feed's insert rows carry the SAME ids the table holds."""
+    from x_spark.sources.txlog import CDF_ENABLE_KEY
+
+    ref = _mk_identity(spark, ds, tmp_path, start=10, step=3)
+    props = {CDF_ENABLE_KEY: "true"}
+    if dv:
+        props[DV_ENABLE_KEY] = "true"
+    ds.set_properties(ref, props)
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    base_ids = {r.s: r.id for r in ds.read(ref).collect()}
+    high0 = max(base_ids.values())
+
+    src = spark.createDataFrame([("a",), ("c",), ("d",)], "s string")
+    v_pre = resolve_snapshot(str(tmp_path / "idt")).version
+    ds.merge(src, ref, MergeSpec(["s"], [], insert_when_not_matched=True))
+    rows = {r.s: r.id for r in ds.read(ref).collect()}
+    assert rows["a"] == base_ids["a"]          # matched keeps its id
+    assert rows["b"] == base_ids["b"]
+    fresh = {rows["c"], rows["d"]}
+    assert None not in fresh and len(fresh) == 2
+    assert min(fresh) > high0                  # beyond the mark
+    assert all((v - 10) % 3 == 0 for v in fresh)
+    spec = resolve_snapshot(str(tmp_path / "idt")).identity["id"]
+    assert spec["high"] == max(rows.values())  # mark rode the commit
+    # next append continues beyond, no collision
+    ds.append(spark.createDataFrame([("e",)], "s string"), ref)
+    vals = [r.id for r in ds.read(ref).collect()]
+    assert len(vals) == len(set(vals)) == 5
+    # CDF: the feed's insert rows show the ids the table holds
+    ch = ds.changes(ref, v_pre, v_pre + 1)
+    ins = {r.s: r.id for r in ch.filter("_change_type = 'insert'")
+           .collect()}
+    assert ins == {"c": rows["c"], "d": rows["d"]}
+
+
+def test_not_null_ddl(spark, ds, tmp_path):
+    """SET/DROP NOT NULL: one commit flips the schema's nullable flag
+    AND installs the enforcing CHECK constraint; writes with NULLs
+    abort before any file lands; existing NULLs block the DDL."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    name = f"se_nn_{_uuid.uuid4().hex[:8]}"
+    nref = TableRef(table=name)
+    ds.create(nref, StructType.fromDDL("pk int, v int"))
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), nref)
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {name} ALTER COLUMN v SET NOT NULL"
+        )
+        snap = resolve_snapshot(ds._table_path(nref))
+        assert snap.schema["v"].nullable is False
+        assert snap.configuration["constraint.notnull_v"] == "v IS NOT NULL"
+        with pytest.raises(Exception, match="notnull_v"):
+            ds.append(spark.createDataFrame([(2, None)],
+                                            "pk int, v int"), nref)
+        assert ds.read(nref).count() == 1  # aborted write left nothing
+        with pytest.raises(DataSourceException, match="already NOT NULL"):
+            ds.set_not_null(nref, "v")
+        ds._execute_statement(
+            f"ALTER TABLE {name} ALTER COLUMN v DROP NOT NULL"
+        )
+        snap = resolve_snapshot(ds._table_path(nref))
+        assert snap.schema["v"].nullable is True
+        assert "constraint.notnull_v" not in snap.configuration
+        ds.append(spark.createDataFrame([(2, None)], "pk int, v int"),
+                  nref)
+        assert ds.read(nref).count() == 2
+        # existing NULLs block re-installation
+        with pytest.raises(DataSourceException, match="existing row"):
+            ds.set_not_null(nref, "v")
     finally:
         ds.drop_table(nref)

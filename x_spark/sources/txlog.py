@@ -664,6 +664,16 @@ class TxLogDataSource(BaseDataSource):
             )
             return done
         m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+alter\s+column\s+(\w+)\s+"
+            r"(set|drop)\s+not\s+null\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            fn = (self.set_not_null if m.group(3).lower() == "set"
+                  else self.drop_not_null)
+            fn(TableRef(table=_normalize_ident(m.group(1))), m.group(2))
+            return done
+        m = re.fullmatch(
             rf"\s*alter\s+table\s+{ident}\s+rename\s+column\s+(\w+)\s+"
             r"to\s+(\w+)\s*",
             stmt, re.I,
@@ -1460,6 +1470,68 @@ class TxLogDataSource(BaseDataSource):
             "SET TBLPROPERTIES",
         )
 
+    def set_not_null(self, ref: TableRef, col: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN col SET NOT NULL`` (Delta's
+        NOT NULL invariant): validates existing rows (one scan), then
+        ONE metaData commit that both flips the field's nullable flag
+        in the schema AND installs the enforcing CHECK constraint
+        (``constraint.notnull_<col>``) every write path already
+        honors — schema fidelity and enforcement can never diverge."""
+        table, snap = self._require_snapshot(ref)
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        key = f"constraint.notnull_{col}"
+        if key in snap.configuration or not by_name[col].nullable:
+            raise DataSourceException(
+                f"column {col!r} is already NOT NULL on {table!r}"
+            )
+        bad = (
+            self._read_snapshot(table, snap)
+            .filter(F.col(col).isNull()).limit(1).collect()
+        )
+        if bad:
+            raise DataSourceException(
+                f"cannot SET NOT NULL on {col!r}: existing row is NULL: "
+                f"{bad[0].asDict()}"
+            )
+        fields = [
+            StructField(f.name, f.dataType,
+                        False if f.name == col else f.nullable,
+                        f.metadata)
+            for f in snap.schema.fields
+        ]
+        self._commit_schema(
+            table, snap, StructType(fields), snap.partition_cols,
+            "SET NOT NULL",
+            configuration={**snap.configuration,
+                           key: f"{col} IS NOT NULL"},
+        )
+
+    def drop_not_null(self, ref: TableRef, col: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN col DROP NOT NULL``."""
+        table, snap = self._require_snapshot(ref)
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise DataSourceException(f"no column {col!r} on {table!r}")
+        key = f"constraint.notnull_{col}"
+        if key not in snap.configuration and by_name[col].nullable:
+            raise DataSourceException(
+                f"column {col!r} is not NOT NULL on {table!r}"
+            )
+        fields = [
+            StructField(f.name, f.dataType,
+                        True if f.name == col else f.nullable,
+                        f.metadata)
+            for f in snap.schema.fields
+        ]
+        self._commit_schema(
+            table, snap, StructType(fields), snap.partition_cols,
+            "DROP NOT NULL",
+            configuration={k: v for k, v in snap.configuration.items()
+                           if k != key},
+        )
+
     def add_constraint(self, ref: TableRef, name: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): validates
         the EXISTING rows first (one scan, like Delta), then commits a
@@ -1917,6 +1989,24 @@ class TxLogDataSource(BaseDataSource):
                 f"column(s) {provided} are GENERATED ALWAYS AS "
                 "IDENTITY; values cannot be provided"
             )
+        pinned, pos = self._dense_positions(df)
+        for col in sorted(ident):
+            spec = ident[col]
+            pinned = pinned.withColumn(
+                col,
+                (F.lit(int(spec["high"]))
+                 + F.lit(int(spec["step"])) * pos).cast("long"),
+            )
+        return pinned
+
+    def _dense_positions(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
+        """Pin ``df`` and return (pinned frame, 1-based dense global
+        position column): per-partition row counts collected (a few
+        longs on the driver), prefix-summed into offsets, added to the
+        dense low-33-bit counter of ``monotonically_increasing_id``.
+        The shared kernel of every identity allocation — overflow-safe
+        at any partition count because positions are DENSE, unlike the
+        raw ``partition_id << 33`` stride."""
         pinned = df.localCheckpoint(eager=True)
         counts = {
             r["_p"]: r["n"]
@@ -1931,21 +2021,39 @@ class TxLogDataSource(BaseDataSource):
         omap = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
         ) if offsets else F.create_map()
-        # low 33 bits of monotonically_increasing_id = dense 0-based
-        # row counter within the (pinned) partition
         row_in_part = F.monotonically_increasing_id().bitwiseAND(
             F.lit((1 << 33) - 1)
         )
         pos = (F.coalesce(omap[F.spark_partition_id()], F.lit(0))
                + row_in_part + F.lit(1))
+        return pinned, pos
+
+    def _allocate_identity_for_nulls(self, df: DataFrame,
+                                     snap: Snapshot) -> DataFrame:
+        """Allocate identity values for exactly the rows whose identity
+        column is NULL — the MERGE-insert shape (Delta allocates for
+        rows a MERGE inserts; matched rows keep their existing values,
+        which are never NULL because allocation is total on every
+        insert path and identity declares on an empty table). The NULL
+        slice runs through the same dense kernel; non-NULL rows pass
+        untouched."""
+        ident = snap.identity
+        if not ident:
+            return df
+        out = df
         for col in sorted(ident):
             spec = ident[col]
-            pinned = pinned.withColumn(
+            keep = out.filter(F.col(col).isNotNull())
+            nulls, pos = self._dense_positions(
+                out.filter(F.col(col).isNull()).drop(col)
+            )
+            allocated = nulls.withColumn(
                 col,
                 (F.lit(int(spec["high"]))
                  + F.lit(int(spec["step"])) * pos).cast("long"),
             )
-        return pinned
+            out = keep.unionByName(allocated)
+        return out
 
     @staticmethod
     def _advanced_identity_config(snap: Snapshot, adds: list[dict],
@@ -2406,23 +2514,58 @@ class TxLogDataSource(BaseDataSource):
                     col,
                     F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
                 )
+        if snap.identity and spec.insert_when_not_matched:
+            # Delta allocates identity for MERGE-inserted rows; they
+            # are exactly the NULL-identity rows of the post-merge
+            # state (matched rows keep their values)
+            result = self._allocate_identity_for_nulls(result, snap)
         adds = self._write_files(result, table, snap.partition_cols,
                                  schema=write_schema)
+        meta_actions = self._fold_identity_meta(snap, adds, write_schema,
+                                                meta_actions)
         actions = list(meta_actions)
         actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
         actions += self._merge_cdc_actions(table, snap, target_slice, df,
-                                           spec, write_schema)
+                                           spec, write_schema,
+                                           allocated=result)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
+    def _fold_identity_meta(self, snap: Snapshot, adds: list[dict],
+                            write_schema: StructType,
+                            meta_actions: list[dict]) -> list[dict]:
+        """Fold advanced identity high-water marks into the commit's
+        (single) metaData action — reusing the schema-evolution action
+        when one is already riding, else minting a config-only one.
+        Returns ``meta_actions`` unchanged when nothing advanced."""
+        new_config = self._advanced_identity_config(snap, adds,
+                                                    write_schema)
+        if new_config is None:
+            return meta_actions
+        if meta_actions:
+            meta_actions[0]["metaData"]["configuration"] = new_config
+            return meta_actions
+        return [{
+            "metaData": {
+                "schemaJson": write_schema.json(),
+                "partitionColumns": snap.partition_cols,
+                "configuration": new_config,
+            }
+        }]
+
     def _merge_cdc_actions(self, table: str, snap: Snapshot,
                            tgt: DataFrame, src: DataFrame, spec: MergeSpec,
-                           write_schema: StructType) -> list[dict]:
+                           write_schema: StructType,
+                           allocated: DataFrame | None = None) -> list[dict]:
         """cdc actions for a MERGE commit (empty when the table has no
         change data feed): update_preimage/update_postimage per matched
         row plus upsert inserts, with the same generated-column fill
-        the table rows get."""
+        the table rows get. ``allocated`` is the pinned post-merge
+        frame carrying engine-allocated identity values — inserted cdc
+        rows pull their ids from it by primary key (unique among
+        inserts), so the feed shows the values the table actually
+        holds."""
         if not self._cdf_enabled(snap.configuration):
             return []
         from x_spark.operators.merge import merge_change_frames
@@ -2438,6 +2581,14 @@ class TxLogDataSource(BaseDataSource):
                            .otherwise(F.col(col)))
                     .otherwise(F.col(col)),
                 )
+        idc = sorted(c for c in snap.identity if c in cdc.columns)
+        if (allocated is not None and idc
+                and spec.insert_when_not_matched):
+            ins = cdc.filter(F.col("_change_type") == "insert").drop(*idc)
+            rest = cdc.filter(F.col("_change_type") != "insert")
+            ids = allocated.select(*spec.primary_key_columns, *idc)
+            ins = ins.join(ids, spec.primary_key_columns, "left")
+            cdc = rest.unionByName(ins)
         return self._write_cdc_files(cdc, table, write_schema)
 
     def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
@@ -2491,14 +2642,22 @@ class TxLogDataSource(BaseDataSource):
             F.col("__fn").alias("file_name"),
             F.col("__ri").alias("row_index"),
         )
-        actions = list(meta_actions)
-        actions += self._mask_actions(table, snap, candidates, mask)
+        if snap.identity and spec.insert_when_not_matched:
+            # Delta allocates identity for MERGE-inserted rows (the
+            # NULL-identity slice of new_rows; matched postimages keep
+            # their target values)
+            new_rows = self._allocate_identity_for_nulls(new_rows, snap)
         adds = self._write_files(new_rows, table, snap.partition_cols,
                                  schema=write_schema)
+        meta_actions = self._fold_identity_meta(snap, adds, write_schema,
+                                                meta_actions)
+        actions = list(meta_actions)
+        actions += self._mask_actions(table, snap, candidates, mask)
         actions += [{"add": a} for a in adds]
         actions += self._merge_cdc_actions(table, snap,
                                            tgt.drop("__fn", "__ri"), src,
-                                           spec, write_schema)
+                                           spec, write_schema,
+                                           allocated=new_rows)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
