@@ -567,3 +567,89 @@ def test_clone_and_manifest_pin_their_snapshot_under_any_op_sequence(
     final_ref = TableRef(path=str(base / "clone_final"))
     ds.clone(ref, final_ref)
     assert sorted(map(tuple, ds.read(final_ref).collect())) == sorted(model)
+
+
+@st.composite
+def cdf_op_sequence(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    ops = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["append", "overwrite", "merge",
+                                     "delete", "update"]))
+        if kind in ("append", "overwrite", "merge"):
+            ops.append((kind, draw(rows_strategy)))
+        elif kind == "delete":
+            ops.append((kind, draw(keys)))
+        else:
+            ops.append((kind, (draw(keys), draw(vals))))
+    return ops
+
+
+@given(ops=cdf_op_sequence(), dv=st.booleans())
+@SETTINGS
+def test_cdf_folds_to_snapshot_diff_over_random_sequences(
+        spark, tmp_path_factory, ops, dv):
+    """The change feed is CONSERVATIVE over any operation sequence:
+    folding it (+1 insert/update_postimage, -1 delete/update_preimage)
+    between two versions must equal the signed multiset difference of
+    the two snapshots — with cdc-served commits (CDF property on,
+    UPDATE/MERGE/CoW-DELETE write 4-type rows) and derived commits
+    mixed freely, on both the copy-on-write and deletion-vector
+    engines. This is the invariant IVM correctness stands on."""
+    from collections import Counter
+
+    from x_spark.sources.txlog import (
+        CDF_ENABLE_KEY, DV_ENABLE_KEY, resolve_snapshot,
+    )
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path_factory.mktemp("cdfprop") / "t"))
+    schema = "pk int, v int"
+    ds.create(ref, spark.createDataFrame([], schema).schema)
+    props = {CDF_ENABLE_KEY: "true"}
+    if dv:
+        props[DV_ENABLE_KEY] = "true"
+    ds.set_properties(ref, props)
+
+    model: list = []
+    states: dict[int, list] = {resolve_snapshot(ref.path).version: []}
+    for op, payload in ops:
+        if op == "append":
+            ds.append(spark.createDataFrame(payload, schema), ref)
+            model = model + list(payload)
+        elif op == "overwrite":
+            ds.overwrite(spark.createDataFrame(payload, schema), ref)
+            model = list(payload)
+        elif op == "merge":
+            if not payload:
+                continue
+            ds.merge(spark.createDataFrame(payload, schema), ref,
+                     MergeSpec(["pk"], ["v"], insert_when_not_matched=True))
+            src = dict(payload)
+            existing = {pk for pk, _ in model}
+            model = [(pk, src[pk]) if pk in src else (pk, v)
+                     for pk, v in model]
+            model += [(pk, v) for pk, v in payload if pk not in existing]
+        elif op == "delete":
+            ds.delete(ref, f"pk = {payload}")
+            model = [(pk, v) for pk, v in model if pk != payload]
+        else:
+            k, d = payload
+            ds.update(ref, {"v": f"v + {d}"}, f"pk = {k}")
+            model = [(pk, v + d if pk == k else v) for pk, v in model]
+        states[resolve_snapshot(ref.path).version] = list(model)
+
+    versions = sorted(states)
+    pairs = [(versions[0], versions[-1])]
+    if len(versions) > 2:
+        pairs.append((versions[len(versions) // 2], versions[-1]))
+        pairs.append((versions[0], versions[len(versions) // 2]))
+    for va, vb in pairs:
+        want = Counter(map(tuple, states[vb]))
+        want.subtract(Counter(map(tuple, states[va])))
+        want = {k: n for k, n in want.items() if n != 0}
+        got = {
+            (r.pk, r.v): r.net
+            for r in ds.semantic_diff(ref, va, vb).collect()
+        }
+        assert got == want, f"({va},{vb}): {got} != {want}"
