@@ -216,3 +216,56 @@ def test_table_changes_tvf_sees_cdc(spark, ds, tmp_path):
     rows = [tuple(r) for r in out.collect()]
     assert rows == [(2, 25, "update_postimage"),
                     (2, 20, "update_preimage")]
+
+
+def test_noop_rewrites_are_cdf_invisible(spark, ds, tmp_path):
+    """dataChange=false (Delta parity): OPTIMIZE / CLUSTER / REORG
+    PURGE commits emit NOTHING into any CDF surface — no cancelling
+    rewrite pairs, zero read cost for incremental consumers — and an
+    append-only STREAM survives an OPTIMIZE without ignoreChanges,
+    emitting only the real appends."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    for i in range(4):
+        ds.append(spark.createDataFrame([(i, "a", i * 10)],
+                                        "pk int, g string, v int")
+                  .coalesce(1), ref)                         # v1..v4
+    v4 = resolve_snapshot(ref.path).version
+    out = ds.optimize(ref, target_size_mb=128)               # v5
+    assert out["rewritten"] == 4
+    v5 = resolve_snapshot(ref.path).version
+    assert v5 == v4 + 1
+    assert ds.changes(ref, v4, v5).count() == 0              # invisible
+    ds.cluster(ref, ["pk"], target_files=2)                  # v6
+    assert ds.changes(ref, v5, v5 + 1).count() == 0
+    # DV delete (real change) then PURGE (invisible)
+    ds.set_properties(ref, {DV_ENABLE_KEY: "true"})          # v7
+    ds.delete(ref, "pk = 1")                                 # v8 (DV)
+    v8 = resolve_snapshot(ref.path).version
+    assert ds.changes(ref, v8 - 1, v8).count() == 1          # the delete
+    assert ds.purge_dvs(ref) > 0                             # v9
+    assert ds.changes(ref, v8, v8 + 1).count() == 0
+    # whole-interval feed still folds to the final state
+    net = {(r.pk, r.v): r.net
+           for r in ds.semantic_diff(ref, 0).collect()}
+    assert net == {(0, 0): 1, (2, 20): 1, (3, 30): 1}
+
+    # streaming: OPTIMIZE must not abort an append-only stream
+    sref = TableRef(path=str(tmp_path / "s"))
+    ds.append(spark.createDataFrame([(1, "a", 10)],
+                                    "pk int, g string, v int"), sref)
+    ds.append(spark.createDataFrame([(2, "a", 20)],
+                                    "pk int, g string, v int"), sref)
+    ds.optimize(sref, target_size_mb=128)
+    ds.append(spark.createDataFrame([(3, "a", 30)],
+                                    "pk int, g string, v int"), sref)
+    sdf = (spark.readStream.format("txlog")
+           .option("path", sref.path).load())
+    q = (sdf.writeStream.format("memory").queryName("noop_stream")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = sorted(r.pk for r in
+                  spark.sql("select * from noop_stream").collect())
+    assert rows == [1, 2, 3]  # appends only, each exactly once

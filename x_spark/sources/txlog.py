@@ -1137,6 +1137,29 @@ class TxLogDataSource(BaseDataSource):
         return _version_of(commits[-1]) if commits else None
 
     # -- data-file writing ---------------------------------------------
+    @staticmethod
+    def _mark_no_data_change(actions: list[dict]) -> list[dict]:
+        """Stamp add/remove actions ``dataChange: false`` (Delta's flag
+        on logically-no-op rewrites — compaction, clustering, OPTIMIZE,
+        REORG PURGE): CDF surfaces skip them entirely and streams
+        neither abort nor re-emit. At 100 TB this is what keeps an
+        OPTIMIZE from making every incremental consumer re-read the
+        compacted data as cancelling delete+insert pairs."""
+        for a in actions:
+            for k in ("add", "remove"):
+                if k in a:
+                    a[k]["dataChange"] = False
+        return actions
+
+    @staticmethod
+    def _as_data_change(add: dict) -> dict:
+        """Copy of an add action with any inherited ``dataChange:
+        false`` dropped — for commits that re-emit a stored add as a
+        REAL data change (RESTORE re-adds, DV mask re-points, CLONE's
+        initial population): the flag describes the commit that writes
+        the action, never the file's history."""
+        return {k: v for k, v in add.items() if k != "dataChange"}
+
     def _write_files(self, df: DataFrame, table: str,
                      part_cols: list[str],
                      schema: StructType | None = None,
@@ -2828,7 +2851,8 @@ class TxLogDataSource(BaseDataSource):
             actions.append({"remove": {"path": p}})
             if n < total:
                 actions.append({"add": {
-                    **add, "dv": {"path": rel_dv, "cardinality": int(n)},
+                    **self._as_data_change(add),
+                    "dv": {"path": rel_dv, "cardinality": int(n)},
                 }})
             # n == total: fully masked -> plain remove, file dropped
         return actions
@@ -3019,7 +3043,7 @@ class TxLogDataSource(BaseDataSource):
         actions = [{"remove": {"path": p}} for p in masked]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version),
-                     actions, "PURGE")
+                     self._mark_no_data_change(actions), "PURGE")
         return len(masked)
 
     AUTO_COMPACT_KEY = "autoCompact"
@@ -3124,7 +3148,7 @@ class TxLogDataSource(BaseDataSource):
         actions = [{"remove": {"path": p}} for p in rewrite]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version),
-                     actions, operation)
+                     self._mark_no_data_change(actions), operation)
         return {"rewritten": len(rewrite), "new_files": len(adds)}
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
@@ -3138,7 +3162,7 @@ class TxLogDataSource(BaseDataSource):
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += [{"add": a} for a in adds]
-        self._commit(table, self._expect_unchanged(table, snap.version), actions,
+        self._commit(table, self._expect_unchanged(table, snap.version), self._mark_no_data_change(actions),
                      "COMPACT")
 
     @staticmethod
@@ -3205,7 +3229,7 @@ class TxLogDataSource(BaseDataSource):
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
         actions += [{"add": a} for a in adds]
-        self._commit(table, self._expect_unchanged(table, snap.version), actions,
+        self._commit(table, self._expect_unchanged(table, snap.version), self._mark_no_data_change(actions),
                      "CLUSTER")
         return len(adds)
 
@@ -3407,14 +3431,18 @@ class TxLogDataSource(BaseDataSource):
                     if "add" in action:
                         a = action["add"]
                         live[a["path"]] = a
-                        added[a["path"]] = a
+                        # dataChange=false (compaction/cluster/purge):
+                        # live bookkeeping only, no row emission
+                        if a.get("dataChange", True):
+                            added[a["path"]] = a
                     elif "remove" in action:
                         # only files that were live count as deletes;
                         # the popped add dict carries the file's mask
                         # AT REMOVAL TIME, so already-masked rows are
                         # not re-emitted as deletes
                         popped = live.pop(action["remove"]["path"], None)
-                        if popped is not None:
+                        if popped is not None and action["remove"].get(
+                                "dataChange", True):
                             removed[action["remove"]["path"]] = popped
                     elif "cdc" in action:
                         cdc_paths.append(action["cdc"]["path"])
@@ -3606,7 +3634,7 @@ class TxLogDataSource(BaseDataSource):
             for p in sorted(set(current.files) - set(target.files)) + changed
         ]
         actions += [
-            {"add": target.files[p]}
+            {"add": self._as_data_change(target.files[p])}
             for p in sorted(set(target.files) - set(current.files)) + changed
         ]
         return self._commit(
@@ -3735,7 +3763,7 @@ class TxLogDataSource(BaseDataSource):
                     for name in names:
                         link(os.path.relpath(os.path.join(root, name), src))
                 linked_dvs.add(dv["path"])
-            actions.append({"add": dict(snap.files[rel])})
+            actions.append({"add": self._as_data_change(snap.files[rel])})
         return self._commit(dst, 0, actions, "CLONE")
 
     def generate_manifest(self, ref: TableRef,

@@ -266,10 +266,13 @@ def _cdf_partitions(table: str, base_v: int,
                 if "add" in action:
                     a = action["add"]
                     live[a["path"]] = a
-                    added[a["path"]] = a
+                    # dataChange=false: live bookkeeping only
+                    if a.get("dataChange", True):
+                        added[a["path"]] = a
                 elif "remove" in action:
                     popped = live.pop(action["remove"]["path"], None)
-                    if popped is not None:
+                    if popped is not None and action["remove"].get(
+                            "dataChange", True):
                         removed[action["remove"]["path"]] = popped
                 elif "cdc" in action:
                     cdc_paths.append(action["cdc"]["path"])
@@ -491,7 +494,8 @@ class TxLogStreamReader(DataSourceStreamReader):
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    added.add(action["add"]["path"])
+                    if action["add"].get("dataChange", True):
+                        added.add(action["add"]["path"])
                 elif "remove" in action:
                     removed.add(action["remove"]["path"])
         n = len(added - removed)
@@ -544,14 +548,16 @@ class TxLogStreamReader(DataSourceStreamReader):
             with open(os.path.join(_log_path(self.table), fname)) as fh:
                 for line in fh:
                     action = json.loads(line)
-                    if "remove" in action and not self.ignore_changes:
+                    if ("remove" in action and not self.ignore_changes
+                            and action["remove"].get("dataChange", True)):
                         raise DataSourceException(
                             f"txlog stream over {self.table!r}: version {v} "
                             "rewrites data (merge/delete/overwrite); streaming "
                             "supports append-only tables — set "
                             "ignoreChanges=true to stream re-added files"
                         )
-                    if "add" in action:
+                    if "add" in action and action["add"].get(
+                            "dataChange", True):
                         parts.append(
                             _FilePartition(
                                 self.table,
