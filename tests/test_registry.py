@@ -74,9 +74,12 @@ FAMILY_REPRESENTATIVES = [
     "token_budget_selection",   # budget cut via distributed running sum
     "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
     "bigram_collocations",      # PMI collocation mining
-    "price_histogram",          # fixed-width exact-bucket histogram
-                                # (trimmed_price_stats demoted r7: family
-                                # held here + profile_drift/robust_outliers)
+    "quantile_sketch_store",    # NEW r7: maintained lossless-mergeable
+                                # histogram sketch store + inverse-CDF
+                                # quantiles (subsumes the demoted
+                                # price_histogram / trimmed_price_stats;
+                                # profile_drift + robust_outliers keep the
+                                # distribution family's other head slots)
     "hard_negative_mining",     # banded-similarity contrastive negatives
     "filter_attribution",       # first-fail C4/Gopher rule attribution
     "corpus_shuffle_shards",    # deterministic shuffle + shard manifest

@@ -2410,6 +2410,102 @@ JOIN s sb ON i.source_b = sb.source
 """
 
 
+
+# Maintained histogram-sketch store, driver-checked end to end: two
+# lineitem batches append per-flag fixed-grid summaries to a txlog
+# store (txn-stamped exactly-once, replay asserted inside the timed
+# window), then quantiles per flag are answered FROM the store —
+# summed bucket counts + inverse-CDF interpolation, never re-reading
+# the ingested rows. Fixed-grid histograms merge LOSSLESSLY (counts
+# add), so unlike HLL every output is an exact function of the data
+# and the whole flow hash-checks against a declarative DuckDB oracle
+# that recomputes buckets + the identical interpolation expression
+# (IEEE-double operation order mirrored term for term).
+def q_quantile_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from x_spark.operators.histsketch import (
+        quantiles_from_store, update_histogram_store,
+    )
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("charge"),
+    )
+    lo, hi, nb = 0.0, 110000.0, 64
+    workdir = tempfile.mkdtemp(prefix="xs_qsk_")
+    try:
+        ds = init_datasource("txlog", spark)
+        store = TableRef(path=os.path.join(workdir, "hs"))
+        b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+        b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+        update_histogram_store(ds, store, b1, "charge", ["l_returnflag"],
+                               lo, hi, nb, txn=("qskq", 1))
+        update_histogram_store(ds, store, b2, "charge", ["l_returnflag"],
+                               lo, hi, nb, txn=("qskq", 2))
+        try:
+            update_histogram_store(ds, store, b1, "charge",
+                                   ["l_returnflag"], lo, hi, nb,
+                                   txn=("qskq", 1))
+            raise AssertionError("replayed sketch ingest not detected")
+        except TxnAlreadyCommittedException:
+            pass
+        return quantiles_from_store(
+            ds, store, ["l_returnflag"], lo, hi, nb,
+            [0.25, 0.5, 0.75, 0.95],
+        ).localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# The oracle mirrors the estimator expression TERM FOR TERM — double
+# arithmetic order (lo + bucket*w) + frac*w, ceil-rank inverse CDF,
+# extrema clamps — so equality is IEEE-exact, no rounding needed.
+ORACLE_QUANTILE_SKETCH_STORE = """
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         l_extendedprice * (1.0 - l_discount) AS v
+  FROM lineitem
+),
+b AS (
+  SELECT g,
+         CASE WHEN fb < 0 THEN -1
+              WHEN fb >= 64 THEN 64
+              ELSE fb END AS bucket,
+         count(*) AS n, min(v) AS blo, max(v) AS bhi
+  FROM (SELECT g, v,
+               CAST(floor((v - 0.0) / 1718.75) AS INT) AS fb
+        FROM pts)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket, n,
+         sum(n) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY g) AS total,
+         min(blo) OVER (PARTITION BY g) AS gmin,
+         max(bhi) OVER (PARTITION BY g) AS gmax
+  FROM b
+),
+qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)),
+j AS (
+  SELECT *, GREATEST(CAST(ceil(q * total) AS BIGINT), 1) AS r
+  FROM cum CROSS JOIN qs
+)
+SELECT g AS l_returnflag, q,
+       CASE WHEN bucket < 0 THEN gmin
+            WHEN bucket >= 64 THEN gmax
+            ELSE GREATEST(LEAST((0.0 + bucket * 1718.75)
+                                + ((r - (cum - n)) / n) * 1718.75,
+                                gmax), gmin)
+       END AS value
+FROM j
+WHERE cum >= r AND (cum - n) < r
+"""
+
 PIPELINE_QUERIES = {
     "bm25_search": q_bm25_search,
     "pii_scan": q_pii_scan,
@@ -2470,12 +2566,14 @@ PIPELINE_QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,  # rows-only: data-dependent codebook
     "ann_topk_pq": q_ann_topk_pq,  # rows-only: the measured IVF-PQ+OPQ scale path
     "ivf_store_search": q_ivf_store_search,
+    "quantile_sketch_store": q_quantile_sketch_store,
     "multimodal_features": q_multimodal_features,
 }
 
 PIPELINE_ORACLES = {
     "bm25_search": _bm25_oracle(),
     "ivf_store_search": ORACLE_IVF_STORE_SEARCH,
+    "quantile_sketch_store": ORACLE_QUANTILE_SKETCH_STORE,
     "pii_scan": ORACLE_PII_SCAN,
     "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

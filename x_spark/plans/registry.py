@@ -82,6 +82,14 @@ _TAIL = [
     "trimmed_price_stats",     # green r06 (head); robust-stats family
                                # held by price_histogram + profile_drift
                                # + robust_outliers (all head)
+    "price_histogram",         # green r06 (head); histogram family now
+                               # held by quantile_sketch_store (head,
+                               # strictly stronger: the SAME fixed-grid
+                               # bucketing maintained as a lossless-
+                               # mergeable txlog sketch store + inverse-
+                               # CDF quantiles from merged counts) with
+                               # profile_drift + robust_outliers still
+                               # head-side for the distribution family
     "events_resampled_interp", # green r06 (head); resampling family
                                # held by events_resampled_locf (head) —
                                # same per-key explode kernel, LOCF vs
