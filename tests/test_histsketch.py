@@ -153,3 +153,19 @@ def test_psi_drift_from_sketches(spark):
         assert moved[g] > 0.25           # 40-point shift: flagged
     r = drift_from_histograms(same, shifted, ["g"], N).first()
     assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_psi_one_sided_group_flags_not_crashes(spark):
+    """A category present in only one period (total 0 on the other
+    side) must produce a finite, large PSI — not an ANSI 0/0 error."""
+    from x_spark.operators.histsketch import drift_from_histograms
+
+    ref = build_histograms(_data(spark), "v", ["g"], LO, HI, N)
+    cur = build_histograms(
+        _data(spark).withColumn("g", F.concat(F.col("g"), F.lit("_new"))),
+        "v", ["g"], LO, HI, N,
+    )
+    out = {r.g: r.psi for r in
+           drift_from_histograms(ref, cur, ["g"], N).collect()}
+    assert set(out) == {"a", "b", "a_new", "b_new"}
+    assert all(v > 0.25 for v in out.values())  # everything shifted

@@ -858,3 +858,52 @@ def test_not_null_ddl(spark, ds, tmp_path):
             ds.set_not_null(nref, "v")
     finally:
         ds.drop_table(nref)
+
+
+def test_review_fixes_identity_edges(spark, ds, tmp_path):
+    """Round-7 review regressions: (a) empty-frame and all-matched
+    allocations must not crash (the bare create_map was typed
+    map<void,void>); (b) RENAME/DROP COLUMN migrate/strip the
+    identity.<col> key instead of orphaning it; (c) SET IDENTITY
+    rejects a column that already has a DEFAULT."""
+    # (a) empty append + all-matched merge on an identity table
+    ref = _mk_identity(spark, ds, tmp_path)
+    ds.append(spark.createDataFrame([], "s string"), ref)      # empty
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    ds.merge(spark.createDataFrame([("a",)], "s string"), ref,
+             MergeSpec(["s"], [], insert_when_not_matched=True))
+    vals = [r.id for r in ds.read(ref).collect()]
+    assert len(vals) == len(set(vals)) == 2 and None not in vals
+
+    # (b) rename migrates the identity spec (incl. high-water mark)
+    from pyspark.sql.types import StructType
+
+    pref = TableRef(path=str(tmp_path / "ren"))
+    ds.create(pref, StructType.fromDDL("id bigint, s string"))
+    ds.set_identity_column(pref, "id", start=5, step=5)
+    ds.set_properties(pref, {COLUMN_MAPPING_KEY: "name"})
+    ds.append(spark.createDataFrame([("x",)], "s string"), pref)
+    ds.rename_column(pref, "id", "uid")
+    snap = resolve_snapshot(str(tmp_path / "ren"))
+    assert "uid" in snap.identity and "id" not in snap.identity
+    assert snap.identity["uid"]["high"] == 5
+    ds.append(spark.createDataFrame([("y",)], "s string"), pref)
+    rows = {r.s: r.uid for r in ds.read(pref).collect()}
+    assert rows == {"x": 5, "y": 10}   # allocation continues seamlessly
+    with pytest.raises(DataSourceException, match="IDENTITY"):
+        ds.append(spark.createDataFrame([(1, "z")],
+                                        "uid long, s string"), pref)
+    # drop strips the key; a re-added column is an ordinary column
+    ds.drop_column(pref, "uid")
+    assert resolve_snapshot(str(tmp_path / "ren")).identity == {}
+    ds.add_columns(pref, "uid bigint")
+    ds.append(spark.createDataFrame([(99, "w")],
+                                    "uid long, s string"), pref)
+    assert ds.read(pref).filter("s = 'w'").first().uid == 99
+
+    # (c) DEFAULT and IDENTITY are mutually exclusive in BOTH orders
+    dref = TableRef(path=str(tmp_path / "dflt"))
+    ds.create(dref, StructType.fromDDL("id bigint, s string"))
+    ds.set_column_default(dref, "id", "0")
+    with pytest.raises(DataSourceException, match="DEFAULT"):
+        ds.set_identity_column(dref, "id")

@@ -199,3 +199,17 @@ def test_funnel_plan_shape_one_scan_two_exchanges(spark, tmp_path):
 
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert spec.startswith("windowspecdefinition(u#"), spec
+
+
+def test_funnel_stage_labels_with_quotes(spark):
+    """Stage labels are data: an embedded quote must not break (or
+    inject into) the unpivot SQL."""
+    from x_spark.operators.sessions import funnel_stages
+
+    ev = spark.createDataFrame(
+        [(0, 1, "sign'up"), (10, 1, "o'brien_click")],
+        "ts long, user_id int, event_type string",
+    )
+    got = {r.stage: r.n_users
+           for r in funnel_stages(ev, ["sign'up", "o'brien_click"]).collect()}
+    assert got == {"sign'up": 1, "o'brien_click": 1}

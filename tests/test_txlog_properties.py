@@ -575,13 +575,16 @@ def cdf_op_sequence(draw):
     ops = []
     for _ in range(n):
         kind = draw(st.sampled_from(["append", "overwrite", "merge",
-                                     "delete", "update"]))
+                                     "delete", "update", "optimize",
+                                     "cluster"]))
         if kind in ("append", "overwrite", "merge"):
             ops.append((kind, draw(rows_strategy)))
         elif kind == "delete":
             ops.append((kind, draw(keys)))
-        else:
+        elif kind == "update":
             ops.append((kind, (draw(keys), draw(vals))))
+        else:
+            ops.append((kind, None))  # logically-no-op maintenance
     return ops
 
 
@@ -633,10 +636,18 @@ def test_cdf_folds_to_snapshot_diff_over_random_sequences(
         elif op == "delete":
             ds.delete(ref, f"pk = {payload}")
             model = [(pk, v) for pk, v in model if pk != payload]
-        else:
+        elif op == "update":
             k, d = payload
             ds.update(ref, {"v": f"v + {d}"}, f"pk = {k}")
             model = [(pk, v + d if pk == k else v) for pk, v in model]
+        elif op == "optimize":
+            # dataChange=false maintenance: the feed must stay EMPTY
+            # for this commit and the fold unchanged (may be a no-op
+            # commit-wise when too few small files)
+            ds.optimize(ref, min_files=2)
+        else:
+            if resolve_snapshot(ref.path).files:
+                ds.cluster(ref, ["pk"], target_files=2)
         states[resolve_snapshot(ref.path).version] = list(model)
 
     versions = sorted(states)

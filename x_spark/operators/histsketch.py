@@ -273,8 +273,15 @@ def drift_from_histograms(
         .withColumn("__tr", F.sum("__nr").over(wg))
         .withColumn("__tc", F.sum("__nc").over(wg))
     )
-    p = F.greatest(F.col("__nr") / F.col("__tr"), F.lit(float(epsilon)))
-    q = F.greatest(F.col("__nc") / F.col("__tc"), F.lit(float(epsilon)))
+    # a group present in only ONE period (the canonical drift event —
+    # a brand-new category) has total 0 on the other side: its shares
+    # floor to epsilon rather than evaluating 0/0 (ANSI would throw)
+    def share(n: str, t: str) -> F.Column:
+        raw = F.when(F.col(t) > 0, F.col(n) / F.col(t)).otherwise(F.lit(0.0))
+        return F.greatest(raw, F.lit(float(epsilon)))
+
+    p = share("__nr", "__tr")
+    q = share("__nc", "__tc")
     term = (p - q) * F.log(p / q)
     return (
         joined.groupBy(*group_cols)

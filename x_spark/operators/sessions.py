@@ -164,7 +164,9 @@ def funnel_stages(
         ]
     )
     stack_args = ", ".join(
-        f"int({i}), '{stage}', _n_{i}" for i, stage in enumerate(stages)
+        # stage labels are data, not SQL: escape embedded quotes
+        "int({}), '{}', _n_{}".format(i, stage.replace("'", "''"), i)
+        for i, stage in enumerate(stages)
     )
     return counts.select(
         F.expr(

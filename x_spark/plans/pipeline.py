@@ -2490,7 +2490,8 @@ cum AS (
          max(bhi) OVER (PARTITION BY g) AS gmax
   FROM b
 ),
-qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)),
 j AS (
   SELECT *, GREATEST(CAST(ceil(q * total) AS BIGINT), 1) AS r
   FROM cum CROSS JOIN qs

@@ -1726,6 +1726,14 @@ class TxLogDataSource(BaseDataSource):
             raise DataSourceException(
                 f"column {col!r} already has a generation expression"
             )
+        if col in snap.defaults:
+            # symmetric with set_column_default's identity guard: the
+            # allocator always fills the column first, so a DEFAULT
+            # would silently never apply again
+            raise DataSourceException(
+                f"column {col!r} has a DEFAULT; it cannot also be "
+                "GENERATED ALWAYS AS IDENTITY"
+            )
         if snap.files:
             raise DataSourceException(
                 "identity columns are declared on an empty table "
@@ -1807,9 +1815,14 @@ class TxLogDataSource(BaseDataSource):
             for f in snap.schema.fields
         ]
         part_cols = [new if c == old else c for c in snap.partition_cols]
-        # per-column DEFAULT metadata follows its column's new name
+        # per-column metadata (DEFAULT, IDENTITY spec incl. its
+        # high-water mark) follows its column's new name — an orphaned
+        # identity.<old> key would brick every later write (allocation
+        # would inject a column the schema no longer has)
+        moves = {f"default.{old}": f"default.{new}",
+                 f"identity.{old}": f"identity.{new}"}
         config = {
-            (f"default.{new}" if k == f"default.{old}" else k): v
+            moves.get(k, k): v
             for k, v in snap.configuration.items()
         }
         self._commit_schema(table, snap, StructType(fields), part_cols,
@@ -1844,9 +1857,11 @@ class TxLogDataSource(BaseDataSource):
                 "constraint / generation expression first"
             )
         fields = [f for f in snap.schema.fields if f.name != col]
-        # a dropped column's DEFAULT leaves with it
+        # a dropped column's per-column metadata (DEFAULT, IDENTITY
+        # spec) leaves with it — a poisoned identity key would reject
+        # any future write that re-adds the name
         config = {k: v for k, v in snap.configuration.items()
-                  if k != f"default.{col}"}
+                  if k not in (f"default.{col}", f"identity.{col}")}
         self._commit_schema(table, snap, StructType(fields),
                             snap.partition_cols, "DROP COLUMN",
                             configuration=config)
@@ -2041,11 +2056,16 @@ class TxLogDataSource(BaseDataSource):
         for p in sorted(counts):
             offsets[p] = acc
             acc += counts[p]
-        omap = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ) if offsets else F.create_map()
         row_in_part = F.monotonically_increasing_id().bitwiseAND(
             F.lit((1 << 33) - 1)
+        )
+        if not offsets:
+            # empty frame: no offsets to look up — and a bare
+            # F.create_map() is typed map<void,void>, which ANSI
+            # rejects at the int lookup even though no row evaluates
+            return pinned, row_in_part + F.lit(1)
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
         )
         pos = (F.coalesce(omap[F.spark_partition_id()], F.lit(0))
                + row_in_part + F.lit(1))
@@ -2063,7 +2083,11 @@ class TxLogDataSource(BaseDataSource):
         ident = snap.identity
         if not ident:
             return df
-        out = df
+        # pin the input ONCE: the NULL/non-NULL split feeds multiple
+        # jobs (the table write, the cdc insert-id join) and the
+        # upstream lineage is typically the expensive merge join —
+        # without the checkpoint the keep branch would re-execute it
+        out = df.localCheckpoint(eager=True)
         for col in sorted(ident):
             spec = ident[col]
             keep = out.filter(F.col(col).isNotNull())
@@ -2741,6 +2765,25 @@ class TxLogDataSource(BaseDataSource):
             actions += self._write_cdc_files(deleted, table, snap.schema)
         self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
 
+    @staticmethod
+    def _published_parquets(staging: str) -> list[str]:
+        """Strip _SUCCESS / hidden .crc companions from a staging dir
+        and return the absolute paths of its parquet files — the one
+        publish-walk shared by the DV sidecar and cdc writers (a dir
+        must hold ONLY parquet so vacuum can account for every byte)."""
+        out: list[str] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                full = os.path.join(root, name)
+                if name.startswith((".", "_")):
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+                elif name.endswith(".parquet"):
+                    out.append(full)
+        return out
+
     def _write_dv_dir(self, table: str, mask: DataFrame) -> tuple[str, dict]:
         """Materialize mask rows (file_name, row_index) as an immutable
         parquet DIRECTORY under the table root (staged, then moved —
@@ -2753,20 +2796,7 @@ class TxLogDataSource(BaseDataSource):
             mask.select("file_name", "row_index")
             .write.mode("overwrite").parquet(staging)
         )
-        # strip _SUCCESS and hidden .crc companions: the sidecar dir
-        # must hold ONLY parquet files so vacuum can account for (and
-        # eventually fully reap) every byte in it
-        for root, _dirs, names in os.walk(staging):
-            for name in names:
-                if name.startswith((".", "_")):
-                    try:
-                        os.remove(os.path.join(root, name))
-                    except OSError:
-                        pass
-        if not any(
-            name.endswith(".parquet")
-            for _root, _dirs, names in os.walk(staging) for name in names
-        ):
+        if not self._published_parquets(staging):
             shutil.rmtree(staging, ignore_errors=True)
             return rel, {}  # nothing matched: no sidecar, no re-points
         counts = {
@@ -2803,18 +2833,10 @@ class TxLogDataSource(BaseDataSource):
             )
         dest = os.path.join(table, CDC_DIR, f"cdc-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(dest)
-        actions: list[dict] = []
-        for root, _dirs, names in os.walk(dest):
-            for name in names:
-                if name.startswith((".", "_")):
-                    try:
-                        os.remove(os.path.join(root, name))
-                    except OSError:
-                        pass
-                elif name.endswith(".parquet"):
-                    actions.append({"cdc": {"path": os.path.relpath(
-                        os.path.join(root, name), table)}})
-        return actions
+        return [
+            {"cdc": {"path": os.path.relpath(full, table)}}
+            for full in self._published_parquets(dest)
+        ]
 
     def _mask_actions(self, table: str, snap: Snapshot,
                       candidates: list[str],
