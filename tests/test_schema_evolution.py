@@ -907,3 +907,18 @@ def test_review_fixes_identity_edges(spark, ds, tmp_path):
     ds.set_column_default(dref, "id", "0")
     with pytest.raises(DataSourceException, match="DEFAULT"):
         ds.set_identity_column(dref, "id")
+
+
+def test_identity_allocation_frees_checkpoint_blocks(spark, ds, tmp_path):
+    """The dense allocator's localCheckpoints are freed after the
+    write (graph.py rule): identity appends and merge upserts leave
+    ZERO new persistent RDDs behind — stale blocks otherwise
+    accumulate across a long session and skew block-manager state."""
+    ref = _mk_identity(spark, ds, tmp_path)
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
+    ds.merge(spark.createDataFrame([("a",), ("c",)], "s string"), ref,
+             MergeSpec(["s"], [], insert_when_not_matched=True))
+    ds.overwrite(spark.createDataFrame([("z",)], "s string"), ref)
+    assert jsc.getPersistentRDDs().size() == before

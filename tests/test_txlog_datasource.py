@@ -227,7 +227,8 @@ def test_stream_rate_limit_dv_repoint_not_counted(spark, ds, tmp_path):
     # v1 (1 admitted file) + v2 (0) + v3 (0: re-point) + v4 (1) = budget
     # 2 admits ALL FOUR versions in one batch
     assert r.latestOffset() == {"version": 4}
-    assert r._add_counts == {1: 1, 2: 0, 3: 0, 4: 1}
+    assert {v: n for v, (n, _b) in r._add_counts.items()} == \
+        {1: 1, 2: 0, 3: 0, 4: 1}
     r.commit({"version": 4})
     assert r._add_counts == {}                  # cache pruned on commit
 
@@ -482,3 +483,47 @@ def test_stream_restart_exactly_once_end_to_end(spark, ds, tmp_path):
 
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == [(i, "a", i * 10) for i in range(6)], got
+
+
+def test_max_bytes_per_trigger(spark, ds, tmp_path):
+    """maxBytesPerTrigger (Delta parity): micro-batches advance to the
+    commit boundary where admitted add.size reaches the cap; every
+    version still streams exactly once; dataChange=false maintenance
+    admits zero bytes."""
+    from x_spark.sources.txlog import resolve_snapshot
+    from x_spark.sources.txlog_datasource import TxLogStreamReader
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    for i in range(4):
+        ds.append(spark.createDataFrame(
+            [(i * 10 + j, "a", j) for j in range(50)],
+            "pk int, part string, v int").coalesce(1), ref)    # v1..v4
+    snap = resolve_snapshot(ref.path)
+    one_file = min(a["size"] for a in snap.files.values())
+    assert one_file > 0                      # add.size recorded
+
+    schema = spark.createDataFrame([], "pk int, part string, v int").schema
+    r = TxLogStreamReader(ref.path, schema,
+                          {"maxBytesPerTrigger": str(one_file)})
+    r.initialOffset()
+    # each trigger admits >= 1 version and stops at the byte cap:
+    # four single-file commits -> four capped triggers
+    ends = []
+    for _ in range(4):
+        ends.append(r.latestOffset()["version"])
+    assert ends == [1, 2, 3, 4]
+    # a huge cap admits the whole backlog in one trigger
+    r2 = TxLogStreamReader(ref.path, schema,
+                           {"maxBytesPerTrigger": str(1 << 40)})
+    r2.initialOffset()
+    assert r2.latestOffset()["version"] == 4
+    # OPTIMIZE admits zero bytes: the next trigger jumps past it
+    ds.optimize(ref, target_size_mb=128)                       # v5
+    ds.append(spark.createDataFrame([(999, "a", 1)],
+                                    "pk int, part string, v int"), ref)  # v6
+    r3 = TxLogStreamReader(ref.path, schema,
+                           {"maxBytesPerTrigger": str(one_file)})
+    r3.initialOffset()
+    r3._pos = 4
+    r3._anchored = True
+    assert r3.latestOffset()["version"] == 6  # v5 admits 0 bytes

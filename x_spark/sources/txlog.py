@@ -1227,6 +1227,10 @@ class TxLogDataSource(BaseDataSource):
                             "path": rel,
                             "partitionValues": part_values,
                             "numRecords": num_rows,
+                            # published byte size (Delta's add.size):
+                            # drives maxBytesPerTrigger admission and
+                            # size-aware maintenance without a stat call
+                            "size": os.path.getsize(dst),
                             "stats": stats,
                         }
                     )
@@ -2020,14 +2024,14 @@ class TxLogDataSource(BaseDataSource):
         it regardless of partitioning."""
         ident = snap.identity
         if not ident:
-            return df
+            return df, []
         provided = [c for c in sorted(ident) if c in df.columns]
         if provided:
             raise DataSourceException(
                 f"column(s) {provided} are GENERATED ALWAYS AS "
                 "IDENTITY; values cannot be provided"
             )
-        pinned, pos = self._dense_positions(df)
+        pinned, pos, ckpt_ids = self._dense_positions(df)
         for col in sorted(ident):
             spec = ident[col]
             pinned = pinned.withColumn(
@@ -2035,9 +2039,33 @@ class TxLogDataSource(BaseDataSource):
                 (F.lit(int(spec["high"]))
                  + F.lit(int(spec["step"])) * pos).cast("long"),
             )
-        return pinned
+        return pinned, ckpt_ids
 
-    def _dense_positions(self, df: DataFrame) -> tuple[DataFrame, F.Column]:
+    @staticmethod
+    def _tracked_local_ckpt(df: DataFrame) -> tuple[DataFrame, list]:
+        """localCheckpoint(eager=True) plus the ids of the persistent
+        RDDs it registered, so the caller can free the blocks
+        deterministically after its commit (the graph.py pattern —
+        checkpoint blocks are NOT covered by clearCache and otherwise
+        linger until JVM GC, degrading long sessions). Ids are LOCAL
+        to the call: concurrent writers never free each other's
+        blocks; a concurrent registration just skips tracking."""
+        sc = df.sparkSession.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keySet())
+        out = df.localCheckpoint(eager=True)
+        new = [k for k in sc._jsc.getPersistentRDDs().keySet()
+               if k not in before]
+        return out, (new if len(new) == 1 else [])
+
+    @staticmethod
+    def _free_ckpts(spark, ids: list) -> None:
+        for rdd_id in ids:
+            j = spark.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
+            if j is not None:
+                j.unpersist()
+
+    def _dense_positions(
+            self, df: DataFrame) -> tuple[DataFrame, F.Column, list]:
         """Pin ``df`` and return (pinned frame, 1-based dense global
         position column): per-partition row counts collected (a few
         longs on the driver), prefix-summed into offsets, added to the
@@ -2045,7 +2073,7 @@ class TxLogDataSource(BaseDataSource):
         The shared kernel of every identity allocation — overflow-safe
         at any partition count because positions are DENSE, unlike the
         raw ``partition_id << 33`` stride."""
-        pinned = df.localCheckpoint(eager=True)
+        pinned, ckpt_ids = self._tracked_local_ckpt(df)
         counts = {
             r["_p"]: r["n"]
             for r in pinned.groupBy(
@@ -2063,13 +2091,13 @@ class TxLogDataSource(BaseDataSource):
             # empty frame: no offsets to look up — and a bare
             # F.create_map() is typed map<void,void>, which ANSI
             # rejects at the int lookup even though no row evaluates
-            return pinned, row_in_part + F.lit(1)
+            return pinned, row_in_part + F.lit(1), ckpt_ids
         omap = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
         )
         pos = (F.coalesce(omap[F.spark_partition_id()], F.lit(0))
                + row_in_part + F.lit(1))
-        return pinned, pos
+        return pinned, pos, ckpt_ids
 
     def _allocate_identity_for_nulls(self, df: DataFrame,
                                      snap: Snapshot) -> DataFrame:
@@ -2082,25 +2110,26 @@ class TxLogDataSource(BaseDataSource):
         untouched."""
         ident = snap.identity
         if not ident:
-            return df
+            return df, []
         # pin the input ONCE: the NULL/non-NULL split feeds multiple
         # jobs (the table write, the cdc insert-id join) and the
         # upstream lineage is typically the expensive merge join —
         # without the checkpoint the keep branch would re-execute it
-        out = df.localCheckpoint(eager=True)
+        out, ckpt_ids = self._tracked_local_ckpt(df)
         for col in sorted(ident):
             spec = ident[col]
             keep = out.filter(F.col(col).isNotNull())
-            nulls, pos = self._dense_positions(
+            nulls, pos, ids = self._dense_positions(
                 out.filter(F.col(col).isNull()).drop(col)
             )
+            ckpt_ids = ckpt_ids + ids
             allocated = nulls.withColumn(
                 col,
                 (F.lit(int(spec["high"]))
                  + F.lit(int(spec["step"])) * pos).cast("long"),
             )
             out = keep.unionByName(allocated)
-        return out
+        return out, ckpt_ids
 
     @staticmethod
     def _advanced_identity_config(snap: Snapshot, adds: list[dict],
@@ -2162,7 +2191,7 @@ class TxLogDataSource(BaseDataSource):
             snap = resolve_snapshot(table)
 
         ident = snap.identity
-        df = self._allocate_identity(df, snap)
+        df, _ckpt_ids = self._allocate_identity(df, snap)
 
         def schema_actions(current: Snapshot) -> list[dict]:
             return self._schema_evolution_actions(df.schema, current)
@@ -2191,6 +2220,9 @@ class TxLogDataSource(BaseDataSource):
             df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)  # by-name + assignment cast, like Delta
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=write_schema)
+        # the allocation checkpoint's one consumer (the write job) is
+        # done: free its blocks now, deterministically (graph.py rule)
+        self._free_ckpts(self.spark, _ckpt_ids)
         add_actions = [{"add": a} for a in adds]
         if ident:
             # fold the advanced high-water marks into ONE metaData
@@ -2360,7 +2392,7 @@ class TxLogDataSource(BaseDataSource):
         # so provided values reject and fresh ones allocate ABOVE the
         # committed mark (never reused from overwritten rows); the
         # advanced mark rides the same commit via _advanced_identity_config
-        df = self._allocate_identity(df, snap)
+        df, _ckpt_ids = self._allocate_identity(df, snap)
         df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)
 
         def identity_actions(adds: list[dict]) -> list[dict]:
@@ -2380,6 +2412,7 @@ class TxLogDataSource(BaseDataSource):
         if replace_where in (None, "", "1=1"):
             adds = self._write_files(df, table, snap.partition_cols,
                                  schema=snap.schema)
+            self._free_ckpts(self.spark, _ckpt_ids)
             actions = identity_actions(adds)
             actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
             actions += [{"add": a} for a in adds]
@@ -2401,6 +2434,7 @@ class TxLogDataSource(BaseDataSource):
         new_data = survivors.unionByName(checked)
         adds = self._write_files(new_data, table, snap.partition_cols,
                                  schema=snap.schema)
+        self._free_ckpts(self.spark, _ckpt_ids)
         actions = identity_actions(adds)
         actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
@@ -2425,7 +2459,7 @@ class TxLogDataSource(BaseDataSource):
             return
         # identity parity with append (see overwrite): allocate fresh,
         # advance the mark in the same commit
-        df = self._allocate_identity(df, snap)
+        df, _ckpt_ids = self._allocate_identity(df, snap)
         df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)
         def render(v):
             # match hive dir encoding: booleans lowercase, rest via str()
@@ -2452,6 +2486,7 @@ class TxLogDataSource(BaseDataSource):
         ]
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=snap.schema)
+        self._free_ckpts(self.spark, _ckpt_ids)
         new_config = self._advanced_identity_config(snap, adds, snap.schema)
         actions = [] if new_config is None else [{
             "metaData": {
@@ -2561,11 +2596,13 @@ class TxLogDataSource(BaseDataSource):
                     col,
                     F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
                 )
+        _ckpt_ids: list = []
         if snap.identity and spec.insert_when_not_matched:
             # Delta allocates identity for MERGE-inserted rows; they
             # are exactly the NULL-identity rows of the post-merge
             # state (matched rows keep their values)
-            result = self._allocate_identity_for_nulls(result, snap)
+            result, _ckpt_ids = self._allocate_identity_for_nulls(
+                result, snap)
         adds = self._write_files(result, table, snap.partition_cols,
                                  schema=write_schema)
         meta_actions = self._fold_identity_meta(snap, adds, write_schema,
@@ -2576,6 +2613,8 @@ class TxLogDataSource(BaseDataSource):
         actions += self._merge_cdc_actions(table, snap, target_slice, df,
                                            spec, write_schema,
                                            allocated=result)
+        # last checkpoint consumer (cdc insert-id join) is done
+        self._free_ckpts(self.spark, _ckpt_ids)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
@@ -2689,11 +2728,13 @@ class TxLogDataSource(BaseDataSource):
             F.col("__fn").alias("file_name"),
             F.col("__ri").alias("row_index"),
         )
+        _ckpt_ids: list = []
         if snap.identity and spec.insert_when_not_matched:
             # Delta allocates identity for MERGE-inserted rows (the
             # NULL-identity slice of new_rows; matched postimages keep
             # their target values)
-            new_rows = self._allocate_identity_for_nulls(new_rows, snap)
+            new_rows, _ckpt_ids = self._allocate_identity_for_nulls(
+                new_rows, snap)
         adds = self._write_files(new_rows, table, snap.partition_cols,
                                  schema=write_schema)
         meta_actions = self._fold_identity_meta(snap, adds, write_schema,
@@ -2705,6 +2746,7 @@ class TxLogDataSource(BaseDataSource):
                                            tgt.drop("__fn", "__ri"), src,
                                            spec, write_schema,
                                            allocated=new_rows)
+        self._free_ckpts(self.spark, _ckpt_ids)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
@@ -3136,9 +3178,11 @@ class TxLogDataSource(BaseDataSource):
             in_scope = set(snap.files)
         threshold = int(target_size_mb) << 20
         sizes = {
-            p: os.path.getsize(os.path.join(table, p))
+            p: (int(snap.files[p]["size"])
+                if snap.files[p].get("size") is not None
+                else os.path.getsize(os.path.join(table, p)))
             for p in sorted(in_scope)
-        }
+        }  # published add.size when recorded: no per-file stat storm
         import math
 
         if zorder_by:
@@ -3846,10 +3890,13 @@ class TxLogDataSource(BaseDataSource):
             if n is None:
                 n, _ = self._footer_stats(os.path.join(table, rel))
             n_rows += int(n) - int((add.get("dv") or {}).get("cardinality", 0))
-            try:
-                size += os.path.getsize(os.path.join(table, rel))
-            except OSError:
-                pass  # vacuumed-out-from-under reader: size is best-effort
+            if add.get("size") is not None:
+                size += int(add["size"])  # recorded at publish: no stat
+            else:
+                try:
+                    size += os.path.getsize(os.path.join(table, rel))
+                except OSError:
+                    pass  # vacuumed out from under: size is best-effort
         return {
             "path": table,
             "version": snap.version,

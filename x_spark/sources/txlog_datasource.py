@@ -395,8 +395,9 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     Admission control (Delta's maxFilesPerTrigger /
     DataStreamReader rate limits): ``maxFilesPerTrigger`` caps how many
-    ADD actions one micro-batch admits, ``maxVersionsPerTrigger`` caps
-    commits — both advance the end offset only to a COMMIT boundary
+    ADD actions one micro-batch admits, ``maxBytesPerTrigger`` caps
+    their published byte size (add.size), ``maxVersionsPerTrigger``
+    caps commits — all advance the end offset only to a COMMIT boundary
     (a version is never split, so each batch is still an exact log
     slice) and always admit at least one version (progress guarantee).
     Without a cap, a stream starting against a 100-TB backlog would
@@ -446,6 +447,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
         self.max_files = _cap("maxFilesPerTrigger")
         self.max_versions = _cap("maxVersionsPerTrigger")
+        self.max_bytes = _cap("maxBytesPerTrigger")
         # admission cursor: the highest end offset this reader already
         # handed out (or replayed) — capping below never regresses it
         self._pos = self._initial
@@ -467,7 +469,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         # log file is immutable once written, so each is parsed at most
         # once per reader instead of once per trigger while a large
         # backlog drains
-        self._add_counts: dict[int, int] = {}
+        self._add_counts: dict[int, tuple[int, int]] = {}
 
     def initialOffset(self) -> dict:
         # only called when NO checkpoint exists — a fresh start, where
@@ -475,18 +477,21 @@ class TxLogStreamReader(DataSourceStreamReader):
         self._anchored = True
         return {"version": self._initial}
 
-    def _admitted_adds(self, fname: str, v: int) -> int:
-        """ADD actions version ``v`` admits toward maxFilesPerTrigger,
-        excluding re-adds of paths the SAME commit removes (deletion-
-        vector re-points / metadata rewrites) — those carry no new rows,
-        and counting them would shrink effective batch sizes on
-        delete-heavy tables. Cached: the per-version log is immutable."""
+    def _admitted_adds(self, fname: str, v: int) -> tuple[int, int]:
+        """(file count, byte size) version ``v`` admits toward
+        maxFilesPerTrigger / maxBytesPerTrigger, excluding re-adds of
+        paths the SAME commit removes (deletion-vector re-points /
+        metadata rewrites) and dataChange=false maintenance — those
+        carry no new rows, and counting them would shrink effective
+        batch sizes. Cached: the per-version log is immutable. Adds
+        predating the size field fall back to one driver stat call,
+        amortized by the same cache."""
         from x_spark.sources.txlog import _log_path
 
-        n = self._add_counts.get(v)
-        if n is not None:
-            return n
-        added: set[str] = set()
+        cached = self._add_counts.get(v)
+        if cached is not None:
+            return cached
+        added: dict[str, int | None] = {}
         removed: set[str] = set()
         with open(os.path.join(_log_path(self.table), fname)) as fh:
             for line in fh:
@@ -495,19 +500,30 @@ class TxLogStreamReader(DataSourceStreamReader):
                 action = json.loads(line)
                 if "add" in action:
                     if action["add"].get("dataChange", True):
-                        added.add(action["add"]["path"])
+                        added[action["add"]["path"]] = \
+                            action["add"].get("size")
                 elif "remove" in action:
                     removed.add(action["remove"]["path"])
-        n = len(added - removed)
-        self._add_counts[v] = n
-        return n
+        live = {p: sz for p, sz in added.items() if p not in removed}
+        total = 0
+        for p, sz in live.items():
+            if sz is None:
+                try:
+                    sz = os.path.getsize(os.path.join(self.table, p))
+                except OSError:
+                    sz = 0
+            total += int(sz)
+        out = (len(live), total)
+        self._add_counts[v] = out
+        return out
 
     def latestOffset(self) -> dict:
         from x_spark.sources.txlog import _list_log, _version_of
 
         commits, _ = _list_log(self.table)
         latest = _version_of(commits[-1]) if commits else 0
-        uncapped = self.max_files is None and self.max_versions is None
+        uncapped = (self.max_files is None and self.max_versions is None
+                    and self.max_bytes is None)
         if uncapped or not self._anchored or latest <= self._pos:
             self._pos = max(self._pos, latest)
             # serving the true latest can never regress the committed
@@ -516,17 +532,22 @@ class TxLogStreamReader(DataSourceStreamReader):
             return {"version": latest}
         admitted = 0
         files = 0
+        size = 0
         end = self._pos
         for fname in commits:
             v = _version_of(fname)
             if v <= self._pos:
                 continue
             admitted += 1
-            files += self._admitted_adds(fname, v)
+            n, b = self._admitted_adds(fname, v)
+            files += n
+            size += b
             end = v
             if self.max_versions is not None and admitted >= self.max_versions:
                 break
             if self.max_files is not None and files >= self.max_files:
+                break
+            if self.max_bytes is not None and size >= self.max_bytes:
                 break
         self._pos = end
         return {"version": end}
