@@ -922,3 +922,16 @@ def test_identity_allocation_frees_checkpoint_blocks(spark, ds, tmp_path):
              MergeSpec(["s"], [], insert_when_not_matched=True))
     ds.overwrite(spark.createDataFrame([("z",)], "s string"), ref)
     assert jsc.getPersistentRDDs().size() == before
+    # the DV UPDATE path's pin is freed too (round-7 review #2)
+    dref = TableRef(path=str(tmp_path / "dvu"))
+    ds.append(spark.createDataFrame([(1, 1)], "pk int, v int")
+              .coalesce(1), dref)
+    ds.set_properties(dref, {DV_ENABLE_KEY: "true"})
+    ds.update(dref, {"v": "v + 1"}, "pk = 1")
+    assert jsc.getPersistentRDDs().size() == before
+    # and an ABORTED identity write frees its blocks (try/finally):
+    # a CHECK constraint violation aborts inside _write_files
+    ds.add_constraint(ref, "never", "s <> 'boom'")
+    with pytest.raises(Exception, match="never"):
+        ds.append(spark.createDataFrame([("boom",)], "s string"), ref)
+    assert jsc.getPersistentRDDs().size() == before

@@ -512,6 +512,14 @@ def test_max_bytes_per_trigger(spark, ds, tmp_path):
     for _ in range(4):
         ends.append(r.latestOffset()["version"])
     assert ends == [1, 2, 3, 4]
+    # Delta-style size strings parse; junk rejects with the typed error
+    rs = TxLogStreamReader(ref.path, schema, {"maxBytesPerTrigger": "1g"})
+    assert rs.max_bytes == 1 << 30
+    import pytest as _pytest
+
+    from x_spark.errors import DataSourceException as _DSE
+    with _pytest.raises(_DSE, match="size string"):
+        TxLogStreamReader(ref.path, schema, {"maxBytesPerTrigger": "fast"})
     # a huge cap admits the whole backlog in one trigger
     r2 = TxLogStreamReader(ref.path, schema,
                            {"maxBytesPerTrigger": str(1 << 40)})

@@ -20,30 +20,21 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _tracked_ckpt(df: DataFrame):
-    """``localCheckpoint(eager=True)`` plus the id of the persistent
-    RDD it registered, so superseded rounds can be freed
-    deterministically. Checkpoint blocks are NOT covered by
-    ``spark.catalog.clearCache()`` and otherwise linger until the JVM
-    garbage-collects the RDD handle — in a long session (a 90-query
-    bench, a multi-job pipeline) dozens of stale label generations
-    accumulate in the block manager and degrade every later job
-    (measured: the components queries ran 2x slower late in a bench
-    session before this cleanup)."""
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet())
-    out = df.localCheckpoint(eager=True)
-    new = [k for k in sc._jsc.getPersistentRDDs().keySet() if k not in before]
-    # len != 1 means a concurrent job registered blocks too — don't
-    # guess, just skip deterministic cleanup for this round
-    return out, (new[0] if len(new) == 1 else None)
+    """Single-id flavor of :func:`x_spark.checkpoints.tracked_ckpt`
+    (the shared deterministic-free contract): superseded PageRank /
+    components rounds free their blocks the moment the next round is
+    pinned."""
+    from x_spark.checkpoints import tracked_ckpt
+
+    out, ids = tracked_ckpt(df)
+    return out, (ids[0] if ids else None)
 
 
 def _free_ckpt(df: DataFrame, rdd_id) -> None:
-    if rdd_id is None:
-        return
-    j = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
-    if j is not None:
-        j.unpersist()
+    from x_spark.checkpoints import free_ckpts
+
+    if rdd_id is not None:
+        free_ckpts(df.sparkSession, [rdd_id])
 
 
 def select_survivors(

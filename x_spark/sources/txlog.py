@@ -2043,26 +2043,20 @@ class TxLogDataSource(BaseDataSource):
 
     @staticmethod
     def _tracked_local_ckpt(df: DataFrame) -> tuple[DataFrame, list]:
-        """localCheckpoint(eager=True) plus the ids of the persistent
-        RDDs it registered, so the caller can free the blocks
-        deterministically after its commit (the graph.py pattern —
-        checkpoint blocks are NOT covered by clearCache and otherwise
-        linger until JVM GC, degrading long sessions). Ids are LOCAL
-        to the call: concurrent writers never free each other's
-        blocks; a concurrent registration just skips tracking."""
-        sc = df.sparkSession.sparkContext
-        before = set(sc._jsc.getPersistentRDDs().keySet())
-        out = df.localCheckpoint(eager=True)
-        new = [k for k in sc._jsc.getPersistentRDDs().keySet()
-               if k not in before]
-        return out, (new if len(new) == 1 else [])
+        """Shared deterministic-free contract
+        (:mod:`x_spark.checkpoints`): pin + return the block ids so
+        the write path frees them after the last consuming job. Ids
+        are LOCAL to the call: concurrent writers never free each
+        other's blocks."""
+        from x_spark.checkpoints import tracked_ckpt
+
+        return tracked_ckpt(df)
 
     @staticmethod
     def _free_ckpts(spark, ids: list) -> None:
-        for rdd_id in ids:
-            j = spark.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
-            if j is not None:
-                j.unpersist()
+        from x_spark.checkpoints import free_ckpts
+
+        free_ckpts(spark, ids)
 
     def _dense_positions(
             self, df: DataFrame) -> tuple[DataFrame, F.Column, list]:
@@ -2218,11 +2212,13 @@ class TxLogDataSource(BaseDataSource):
             meta_actions = []
             write_schema = snap.schema
             df = _conform(self._fill_generated(self._fill_defaults(df, snap), snap), snap.schema)  # by-name + assignment cast, like Delta
-        adds = self._write_files(df, table, snap.partition_cols,
-                                 schema=write_schema)
-        # the allocation checkpoint's one consumer (the write job) is
-        # done: free its blocks now, deterministically (graph.py rule)
-        self._free_ckpts(self.spark, _ckpt_ids)
+        try:
+            adds = self._write_files(df, table, snap.partition_cols,
+                                     schema=write_schema)
+        finally:
+            # the allocation checkpoint's one consumer (the write job)
+            # is done: free on success AND on an aborted write
+            self._free_ckpts(self.spark, _ckpt_ids)
         add_actions = [{"add": a} for a in adds]
         if ident:
             # fold the advanced high-water marks into ONE metaData
@@ -2410,9 +2406,11 @@ class TxLogDataSource(BaseDataSource):
             }]
 
         if replace_where in (None, "", "1=1"):
-            adds = self._write_files(df, table, snap.partition_cols,
-                                 schema=snap.schema)
-            self._free_ckpts(self.spark, _ckpt_ids)
+            try:
+                adds = self._write_files(df, table, snap.partition_cols,
+                                         schema=snap.schema)
+            finally:
+                self._free_ckpts(self.spark, _ckpt_ids)
             actions = identity_actions(adds)
             actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
             actions += [{"add": a} for a in adds]
@@ -2432,9 +2430,11 @@ class TxLogDataSource(BaseDataSource):
         candidates = self._files_matching_predicate(table, snap, replace_where)
         survivors = self._read_snapshot(table, snap, candidates).filter(~pred)
         new_data = survivors.unionByName(checked)
-        adds = self._write_files(new_data, table, snap.partition_cols,
-                                 schema=snap.schema)
-        self._free_ckpts(self.spark, _ckpt_ids)
+        try:
+            adds = self._write_files(new_data, table, snap.partition_cols,
+                                     schema=snap.schema)
+        finally:
+            self._free_ckpts(self.spark, _ckpt_ids)
         actions = identity_actions(adds)
         actions += [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
@@ -2484,9 +2484,11 @@ class TxLogDataSource(BaseDataSource):
             )
             in incoming
         ]
-        adds = self._write_files(df, table, snap.partition_cols,
-                                 schema=snap.schema)
-        self._free_ckpts(self.spark, _ckpt_ids)
+        try:
+            adds = self._write_files(df, table, snap.partition_cols,
+                                     schema=snap.schema)
+        finally:
+            self._free_ckpts(self.spark, _ckpt_ids)
         new_config = self._advanced_identity_config(snap, adds, snap.schema)
         actions = [] if new_config is None else [{
             "metaData": {
@@ -2603,18 +2605,20 @@ class TxLogDataSource(BaseDataSource):
             # state (matched rows keep their values)
             result, _ckpt_ids = self._allocate_identity_for_nulls(
                 result, snap)
-        adds = self._write_files(result, table, snap.partition_cols,
-                                 schema=write_schema)
-        meta_actions = self._fold_identity_meta(snap, adds, write_schema,
-                                                meta_actions)
-        actions = list(meta_actions)
-        actions += [{"remove": {"path": p}} for p in candidates]
-        actions += [{"add": a} for a in adds]
-        actions += self._merge_cdc_actions(table, snap, target_slice, df,
-                                           spec, write_schema,
-                                           allocated=result)
-        # last checkpoint consumer (cdc insert-id join) is done
-        self._free_ckpts(self.spark, _ckpt_ids)
+        try:
+            adds = self._write_files(result, table, snap.partition_cols,
+                                     schema=write_schema)
+            actions = list(self._fold_identity_meta(
+                snap, adds, write_schema, meta_actions))
+            actions += [{"remove": {"path": p}} for p in candidates]
+            actions += [{"add": a} for a in adds]
+            actions += self._merge_cdc_actions(table, snap, target_slice,
+                                               df, spec, write_schema,
+                                               allocated=result)
+        finally:
+            # the checkpoint's last consumer (the cdc insert-id join)
+            # is done — free on success AND on an aborted write
+            self._free_ckpts(self.spark, _ckpt_ids)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
@@ -2735,18 +2739,19 @@ class TxLogDataSource(BaseDataSource):
             # their target values)
             new_rows, _ckpt_ids = self._allocate_identity_for_nulls(
                 new_rows, snap)
-        adds = self._write_files(new_rows, table, snap.partition_cols,
-                                 schema=write_schema)
-        meta_actions = self._fold_identity_meta(snap, adds, write_schema,
-                                                meta_actions)
-        actions = list(meta_actions)
-        actions += self._mask_actions(table, snap, candidates, mask)
-        actions += [{"add": a} for a in adds]
-        actions += self._merge_cdc_actions(table, snap,
-                                           tgt.drop("__fn", "__ri"), src,
-                                           spec, write_schema,
-                                           allocated=new_rows)
-        self._free_ckpts(self.spark, _ckpt_ids)
+        try:
+            adds = self._write_files(new_rows, table, snap.partition_cols,
+                                     schema=write_schema)
+            actions = list(self._fold_identity_meta(
+                snap, adds, write_schema, meta_actions))
+            actions += self._mask_actions(table, snap, candidates, mask)
+            actions += [{"add": a} for a in adds]
+            actions += self._merge_cdc_actions(table, snap,
+                                               tgt.drop("__fn", "__ri"),
+                                               src, spec, write_schema,
+                                               allocated=new_rows)
+        finally:
+            self._free_ckpts(self.spark, _ckpt_ids)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "MERGE", txn=txn)
 
@@ -3032,24 +3037,32 @@ class TxLogDataSource(BaseDataSource):
                     table, snap.schema, candidates
                 ).join(self._dv_rows(table, snap, candidates),
                        ["__fn", "__ri"], "left_anti")
-                matched = live.filter(pred).localCheckpoint(eager=True)
-                mask = matched.select(
-                    F.col("__fn").alias("file_name"),
-                    F.col("__ri").alias("row_index"),
+                matched, _ckpt_ids = self._tracked_local_ckpt(
+                    live.filter(pred)
                 )
-                actions = self._mask_actions(table, snap, candidates, mask)
-                adds = self._write_files(
-                    new_image(matched.drop("__fn", "__ri"), True),
-                    table, snap.partition_cols, schema=snap.schema,
-                )
-                if self._cdf_enabled(snap.configuration):
-                    old = matched.drop("__fn", "__ri")
-                    cdc = old.withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    ).unionByName(new_image(old, True).withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    ))
-                    actions += self._write_cdc_files(cdc, table, snap.schema)
+                try:
+                    mask = matched.select(
+                        F.col("__fn").alias("file_name"),
+                        F.col("__ri").alias("row_index"),
+                    )
+                    actions = self._mask_actions(table, snap, candidates,
+                                                 mask)
+                    adds = self._write_files(
+                        new_image(matched.drop("__fn", "__ri"), True),
+                        table, snap.partition_cols, schema=snap.schema,
+                    )
+                    if self._cdf_enabled(snap.configuration):
+                        old = matched.drop("__fn", "__ri")
+                        cdc = old.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        ).unionByName(new_image(old, True).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ))
+                        actions += self._write_cdc_files(cdc, table,
+                                                         snap.schema)
+                finally:
+                    # mask + data + cdc jobs all consumed the pin
+                    self._free_ckpts(self.spark, _ckpt_ids)
             self._commit(
                 table, self._expect_unchanged(table, base),
                 actions + [{"add": a} for a in adds], "UPDATE",
@@ -3875,10 +3888,11 @@ class TxLogDataSource(BaseDataSource):
 
     def describe_detail(self, ref: TableRef) -> dict:
         """DESCRIBE DETAIL: current version, schema, partitioning, file
-        count, exact row count (metadata), and on-disk bytes of the
-        live files (one stat() per file — metadata-scale). Every field
-        comes from ONE snapshot resolve, so the report is internally
-        consistent under concurrent commits."""
+        count, exact row count (metadata), and live-file bytes — read
+        from the adds' published ``size`` field (zero I/O; stat() only
+        for pre-size adds). Every field comes from ONE snapshot
+        resolve, so the report is internally consistent under
+        concurrent commits."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -447,7 +448,25 @@ class TxLogStreamReader(DataSourceStreamReader):
 
         self.max_files = _cap("maxFilesPerTrigger")
         self.max_versions = _cap("maxVersionsPerTrigger")
-        self.max_bytes = _cap("maxBytesPerTrigger")
+
+        def _byte_cap(key):
+            v = options.get(key)
+            if v is None:
+                return None
+            # Delta accepts size strings ('10g'); mirror that shape
+            m = re.fullmatch(r"\s*(\d+)\s*([kKmMgG]?)[bB]?\s*", str(v))
+            if not m:
+                raise DataSourceException(
+                    f"{key} must be a byte count or size string "
+                    f"(e.g. 1048576, '10m', '1g'), got {v!r}"
+                )
+            n = int(m.group(1)) << {"": 0, "k": 10, "m": 20,
+                                    "g": 30}[m.group(2).lower()]
+            if n <= 0:
+                raise DataSourceException(f"{key} must be >= 1, got {v!r}")
+            return n
+
+        self.max_bytes = _byte_cap("maxBytesPerTrigger")
         # admission cursor: the highest end offset this reader already
         # handed out (or replayed) — capping below never regresses it
         self._pos = self._initial
@@ -465,10 +484,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         # engine's real start offset and anchors the cursor, so every
         # subsequent trigger is rate-limited again.
         self._anchored = False
-        # per-version admitted-file counts, filled lazily; a version's
-        # log file is immutable once written, so each is parsed at most
-        # once per reader instead of once per trigger while a large
-        # backlog drains
+        # per-version admitted (file count, byte size) tuples, filled
+        # lazily; a version's log file is immutable once written, so
+        # each is parsed at most once per reader instead of once per
+        # trigger while a large backlog drains
         self._add_counts: dict[int, tuple[int, int]] = {}
 
     def initialOffset(self) -> dict:
