@@ -52,7 +52,12 @@ FAMILY_REPRESENTATIVES = [
     "stream_user_stats_agg",    # JVM state-store streaming aggregation
     "txlog_restore_roundtrip",  # RESTORE TO VERSION rollback + CDF audit
     "join_view_refresh",        # incrementally maintained equi-join view
-    "stream_ivm_user_totals",   # streaming epoch-stamped append + CDF-fold
+    "stream_quantile_sketch",   # NEW r7: streaming epoch-stamped sketch
+                                # ingest -> quantiles from the store
+                                # (subsumes the demoted
+                                # stream_ivm_user_totals' exactly-once
+                                # ingest shape; stream_ivm_join_view
+                                # keeps the maintained-view head slot)
     # Round-6 rotation (verdict r5 task #1): the never-driver-checked
     # round-5 plan families promoted; the 22 demotions each carry a
     # family justification in registry.py's _TAIL comments (every one

@@ -82,6 +82,14 @@ _TAIL = [
     "trimmed_price_stats",     # green r06 (head); robust-stats family
                                # held by price_histogram + profile_drift
                                # + robust_outliers (all head)
+    "stream_ivm_user_totals",  # green r05+r06 (head); the exactly-once
+                               # epoch-stamped ingest + maintained-view
+                               # family keeps TWO head reps:
+                               # stream_ivm_join_view (the strictly
+                               # stronger composition — same ingest+view
+                               # machinery plus dim churn) and the NEW
+                               # stream_quantile_sketch (same foreachBatch
+                               # txn-stamped ingest into the sketch store)
     "price_histogram",         # green r06 (head); histogram family now
                                # held by quantile_sketch_store (head,
                                # strictly stronger: the SAME fixed-grid

@@ -131,6 +131,60 @@ GROUP BY user_id
 """
 
 
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming ingest -> mergeable histogram sketch store (exactly-
+    # once epoch-stamped summaries, replay asserted in-flow) -> p50/
+    # p90/p99 per event type FROM the store. Lossless merge makes the
+    # result independent of micro-batch boundaries, so the oracle is a
+    # plain batch bucket-count + inverse-CDF interpolation (mirrored
+    # IEEE term for term, like quantile_sketch_store).
+    from x_spark.streaming.events import streaming_quantile_sketch
+
+    return streaming_quantile_sketch(spark, sf_dir)
+
+
+# grid [0, 600) x 60 -> width 10.0 (exact double)
+ORACLE_STREAM_QUANTILE_SKETCH = """
+WITH pts AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT g,
+         CASE WHEN fb < 0 THEN -1
+              WHEN fb >= 60 THEN 60
+              ELSE fb END AS bucket,
+         count(*) AS n, min(v) AS blo, max(v) AS bhi
+  FROM (SELECT g, v,
+               CAST(floor((v - 0.0) / 10.0) AS INT) AS fb
+        FROM pts)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket, n,
+         sum(n) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY g) AS total,
+         min(blo) OVER (PARTITION BY g) AS gmin,
+         max(bhi) OVER (PARTITION BY g) AS gmax
+  FROM b
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+j AS (
+  SELECT *, GREATEST(CAST(ceil(q * total) AS BIGINT), 1) AS r
+  FROM cum CROSS JOIN qs
+)
+SELECT g AS event_type, q,
+       CASE WHEN bucket < 0 THEN gmin
+            WHEN bucket >= 60 THEN gmax
+            ELSE GREATEST(LEAST((0.0 + bucket * 10.0)
+                                + ((r - (cum - n)) / n) * 10.0,
+                                gmax), gmin)
+       END AS value
+FROM j
+WHERE cum >= r AND (cum - n) < r
+"""
+
+
 def q_stream_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-to-dim maintained JOIN view: streaming fact appends
     # (epoch-stamped) + dim merge/delete mid-stream, per-epoch delta
@@ -320,6 +374,7 @@ STREAM_QUERIES = {
     "stream_upsert_totals_txlog": q_stream_upsert_totals_txlog,
     "stream_ivm_user_totals": q_stream_ivm_user_totals,
     "stream_ivm_join_view": q_stream_ivm_join_view,
+    "stream_quantile_sketch": q_stream_quantile_sketch,
 }
 
 STREAM_ORACLES = {
@@ -336,4 +391,5 @@ STREAM_ORACLES = {
     "stream_upsert_totals_txlog": ORACLE_STREAM_UPSERT_TOTALS,
     "stream_ivm_user_totals": ORACLE_STREAM_IVM_USER_TOTALS,
     "stream_ivm_join_view": ORACLE_STREAM_IVM_JOIN_VIEW,
+    "stream_quantile_sketch": ORACLE_STREAM_QUANTILE_SKETCH,
 }

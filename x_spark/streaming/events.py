@@ -745,3 +745,76 @@ def txlog_exactly_once_upsert(ds, ref, spec: MergeSpec, app_id: str):
             return  # lost the race to an overlapping instance — durable
 
     return handle
+
+
+def streaming_quantile_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    lo: float = 0.0,
+    hi: float = 600.0,
+    n_buckets: int = 60,
+) -> DataFrame:
+    """Streaming ingest into the mergeable histogram sketch store —
+    live distribution monitoring without reprocessing:
+
+    each micro-batch folds its rows into per-event-type fixed-grid
+    summaries and APPENDs them to the txlog store with the epoch id
+    stamped on the commit (exactly-once under at-least-once
+    foreachBatch delivery, same pattern as every ingest sink here);
+    quantiles are then answered FROM the store. Because fixed-grid
+    histograms merge LOSSLESSLY, the result is IDENTICAL no matter
+    how the stream was micro-batched — the invariant that makes the
+    oracle a plain batch GROUP BY, and the property that lets a
+    100 TB/day stream keep p50/p99 live at O(batch) per trigger with
+    zero re-reads."""
+    from x_spark.operators.histsketch import (
+        quantiles_from_store, update_histogram_store,
+    )
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import (
+        TxLogDataSource, TxnAlreadyCommittedException,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="xs_stream_qsk_")
+    src_dir = chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = read_events_stream(spark, sf_dir, path=src_dir,
+                                max_files_per_trigger=1)
+    ds = TxLogDataSource(spark)
+    store = TableRef(path=os.path.join(workdir, "hs"))
+    app_id = "stream_qsk_ingest"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            update_histogram_store(
+                ds, store, batch_df.select("event_type", "value"),
+                "value", ["event_type"], lo, hi, n_buckets,
+                txn=(app_id, int(batch_id)),
+            )
+        except TxnAlreadyCommittedException:
+            pass  # replayed epoch: summaries already durable
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+        .awaitTermination()
+    )
+    # one ingest batch replayed by hand: the txn stamp must reject it
+    # (exactly-once is part of the measured surface, not just a test)
+    replay = spark.read.parquet(src_dir)
+    try:
+        update_histogram_store(
+            ds, store, replay.select("event_type", "value"),
+            "value", ["event_type"], lo, hi, n_buckets,
+            txn=(app_id, 0),
+        )
+        raise AssertionError("replayed sketch epoch not detected")
+    except TxnAlreadyCommittedException:
+        pass
+    out = quantiles_from_store(
+        ds, store, ["event_type"], lo, hi, n_buckets, [0.5, 0.9, 0.99],
+    ).localCheckpoint(eager=True)  # materialize before workdir cleanup
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
