@@ -95,8 +95,11 @@ FAMILY_REPRESENTATIVES = [
     "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
                                 # metadata subtraction + CDF mask delta
                                 # (demoted: quantity_cube, 4 straight greens)
-    "cdf_update_feed",          # NEW r7: 4-type cdc change feed + MERGE
-                                # WITH SCHEMA EVOLUTION vs declarative oracle
+    "sql_dml_flow",             # NEW r8: pure-SQL write lifecycle (CTAS +
+                                # INSERT INTO SELECT + full MERGE INTO
+                                # clause matrix) with the 4-type cdc audit
+                                # (supersedes cdf_update_feed's head slot —
+                                # same feed audit over a richer merge)
     "default_identity_ingest",  # NEW r7: dense identity allocation +
                                 # column DEFAULTs (id SET deterministic)
 ]

@@ -72,6 +72,20 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-8 rotation: sql_dml_flow (the pure-SQL write lifecycle —
+    # CREATE TABLE USING txlog CTAS + INSERT INTO SELECT + full MERGE
+    # INTO with WHEN MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE
+    # clauses, CDF-audited) enters the head in its first round per the
+    # standing rule; the same-family demotion:
+    "cdf_update_feed",         # green r07 (head); the merge+4-type-cdc
+                               # family is now held by sql_dml_flow
+                               # (head — the SAME 4-type feed audit
+                               # over a strictly richer merge: general
+                               # clause matrix through the SQL
+                               # dispatcher) with dv_delete_scan +
+                               # txlog_restore_roundtrip keeping the
+                               # CDF read surfaces head-side
+    # ------------------------------------------------------------------
     # Round-7 rotation: two new Delta-parity compositions
     # (cdf_update_feed — 4-type cdc feed + MERGE WITH SCHEMA
     # EVOLUTION; default_identity_ingest — dense identity allocation +

@@ -1782,6 +1782,124 @@ GROUP BY ct
 # hash-diverge.
 # (Delta parity surface: GENERATED ALWAYS AS IDENTITY +
 # allowColumnDefaults, public docs.)
+def q_sql_dml_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's write lifecycle driven PURELY through SQL
+    statements on the pass-through surface — no API write calls
+    (reference tests/dbr_notebook/test_case.sql cmds 1,15-18 INSERT
+    INTO ...; update/upsert = Delta MERGE, datasource/delta.py:135-148):
+    CREATE TABLE ... USING txlog AS SELECT (CTAS), INSERT INTO ...
+    SELECT, and a full MERGE INTO with WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE clauses, with
+    the change-data feed enabled so the merge's 4-type cdc rows audit
+    the whole flow. Result: final table state per status joined with
+    the feed's per-change-type counts."""
+    import uuid
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    ds = TxLogDataSource(spark)
+    t = f"sqlflow_{uuid.uuid4().hex[:8]}"
+    view = f"orders_src_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        ds.sql(
+            f"CREATE TABLE {t} USING txlog "
+            "TBLPROPERTIES ('enableChangeDataFeed'='true') AS "
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            f"FROM {view} WHERE o_orderkey % 7 = 0"
+        )
+        ds.sql(
+            f"INSERT INTO {t} "
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            f"FROM {view} WHERE o_orderkey % 7 = 1"
+        )
+        path = ds._table_path(TableRef(table=t))
+        v = ds._latest_version(path)
+        ds.sql(f"""
+            MERGE INTO {t} t USING (
+                SELECT o_orderkey, o_totalprice FROM {view}
+                WHERE o_orderkey % 7 IN (0, 2) AND o_orderkey % 3 = 0
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET
+                o_totalprice = s.o_totalprice * 2, o_orderstatus = 'U'
+            WHEN NOT MATCHED THEN INSERT
+                (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+                VALUES (s.o_orderkey, -1, 'I', s.o_totalprice)
+            WHEN NOT MATCHED BY SOURCE
+                AND t.o_orderstatus = 'F' AND t.o_orderkey % 7 = 1
+                THEN DELETE
+        """)
+        feed = ds.changes(TableRef(table=t), v).groupBy().agg(
+            F.count(F.when(F.col("_change_type") == "update_preimage",
+                           1)).cast("bigint").alias("n_pre"),
+            F.count(F.when(F.col("_change_type") == "update_postimage",
+                           1)).cast("bigint").alias("n_post"),
+            F.count(F.when(F.col("_change_type") == "delete",
+                           1)).cast("bigint").alias("n_del"),
+            F.count(F.when(F.col("_change_type") == "insert",
+                           1)).cast("bigint").alias("n_ins"),
+        )
+        return (
+            ds.sql(f"SELECT o_orderstatus, o_custkey, o_totalprice FROM {t}")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("o_totalprice").alias("sum_price"),
+                F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+            )
+            .crossJoin(F.broadcast(feed))
+            # materialize before the table is dropped
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ds.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.dropTempView(view)
+
+
+ORACLE_SQL_DML_FLOW = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 IN (0, 1)
+),
+merged AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM base
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 1)
+  UNION ALL
+  SELECT o_orderkey, -1 AS o_custkey, 'I' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 2 AND o_orderkey % 3 = 0
+),
+feed AS (
+  SELECT
+    CAST((SELECT count(*) FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0)
+         AS BIGINT) AS n_pre,
+    CAST((SELECT count(*) FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0)
+         AS BIGINT) AS n_post,
+    CAST((SELECT count(*) FROM orders
+          WHERE o_orderkey % 7 = 1 AND o_orderstatus = 'F')
+         AS BIGINT) AS n_del,
+    CAST((SELECT count(*) FROM orders
+          WHERE o_orderkey % 7 = 2 AND o_orderkey % 3 = 0)
+         AS BIGINT) AS n_ins
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       feed.n_pre, feed.n_post, feed.n_del, feed.n_ins
+FROM merged CROSS JOIN feed
+GROUP BY o_orderstatus, feed.n_pre, feed.n_post, feed.n_del, feed.n_ins
+"""
+
+
 def q_default_identity_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -1892,6 +2010,7 @@ RELATIONAL_QUERIES = {
     "schema_evolution_scan": q_schema_evolution_scan,
     "cdf_update_feed": q_cdf_update_feed,
     "default_identity_ingest": q_default_identity_ingest,
+    "sql_dml_flow": q_sql_dml_flow,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -1929,6 +2048,7 @@ RELATIONAL_ORACLES = {
     "schema_evolution_scan": ORACLE_SCHEMA_EVOLUTION_SCAN,
     "cdf_update_feed": ORACLE_CDF_UPDATE_FEED,
     "default_identity_ingest": ORACLE_DEFAULT_IDENTITY_INGEST,
+    "sql_dml_flow": ORACLE_SQL_DML_FLOW,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

@@ -524,7 +524,12 @@ class TxLogDataSource(BaseDataSource):
     def _dispatch_statement(self, stmt: str) -> DataFrame | None:
         """Route statements targeting a known txlog name to the
         transactional ops; None = not ours, pass to spark.sql.
-        Dispatched verbs: TRUNCATE/DROP TABLE, DELETE, UPDATE,
+        Dispatched verbs: CREATE TABLE ... USING txlog (incl. CTAS),
+        INSERT INTO/OVERWRITE (VALUES and SELECT sources, PARTITION
+        specs), full MERGE INTO (WHEN MATCHED / NOT MATCHED [BY
+        SOURCE], multi-clause, WITH SCHEMA EVOLUTION — see
+        :mod:`x_spark.sources.sql_dml`), TRUNCATE/DROP TABLE, DELETE,
+        UPDATE,
         ALTER TABLE ADD/DROP CONSTRAINT, SET/DROP GENERATED ALWAYS AS,
         SET IDENTITY, ALTER COLUMN TYPE (widening), ADD COLUMN(S),
         RENAME/DROP COLUMN, SET TBLPROPERTIES, DESCRIBE HISTORY/DETAIL,
@@ -534,6 +539,37 @@ class TxLogDataSource(BaseDataSource):
 
         ident = r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)"
         done = self.spark.createDataFrame([], "result string")
+        # DML verbs (CREATE TABLE ... USING txlog / INSERT / MERGE
+        # INTO) — the reference drives every write through SQL
+        # (tests/dbr_notebook/test_case.sql cmds 1,15-18 INSERT INTO;
+        # update/upsert = Delta MERGE, datasource/delta.py:135-148).
+        # The cheap target-name probe keeps statements aimed at Spark
+        # catalog tables on the pass-through path; full parsing (and
+        # its grammar errors) only engages for OUR tables.
+        from x_spark.sources import sql_dml
+
+        ct = sql_dml.parse_create_table(stmt)
+        if ct is not None:
+            sql_dml.execute_create(self, ct)
+            return done
+        m = re.match(
+            rf"\s*insert\s+(?:into|overwrite)\s+(?:table\s+)?{ident}",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            parsed = sql_dml.parse_insert(stmt)
+            assert parsed is not None
+            sql_dml.execute_insert(self, parsed)
+            return done
+        m = re.match(
+            rf"\s*merge\s+(?:with\s+schema\s+evolution\s+)?into\s+{ident}",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            mg = sql_dml.parse_merge(stmt)
+            assert mg is not None
+            sql_dml.execute_merge_into(self, mg)
+            return done
         m = re.fullmatch(rf"\s*truncate\s+table\s+{ident}\s*", stmt, re.I)
         if m and _normalize_ident(m.group(1)) in self._known_names():
             self.truncate(TableRef(table=_normalize_ident(m.group(1))))
