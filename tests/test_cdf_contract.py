@@ -269,3 +269,79 @@ def test_noop_rewrites_are_cdf_invisible(spark, ds, tmp_path):
     rows = sorted(r.pk for r in
                   spark.sql("select * from noop_stream").collect())
     assert rows == [1, 2, 3]  # appends only, each exactly once
+
+
+def test_zero_match_cow_ops_are_logical_noops(spark, ds, tmp_path):
+    """A CDF-enabled UPDATE / DELETE / MERGE whose stats-pruned
+    candidates hold ZERO matching rows must not rewrite anything: a
+    rewrite with an empty cdc frame may land no cdc part files, and
+    the commit would then serve the feed from its derived add/remove
+    pairs — spurious delete+insert for every co-located surviving row.
+    The operation is a logical no-op: no commit, no version, no feed
+    rows."""
+    ref = _mk(spark, ds, tmp_path)
+    v0 = resolve_snapshot(ref.path).version
+    files0 = set(resolve_snapshot(ref.path).files)
+
+    ds.update(ref, {"v": "v + 1"}, "v = -12345")           # matches nothing
+    ds.delete(ref, "v = -12345")
+    ds.merge(spark.createDataFrame([(999, 1)], "pk int, v int"),
+             ref, MergeSpec(["pk"], ["v"]))                # update-only miss
+    snap = resolve_snapshot(ref.path)
+    assert snap.version == v0, "zero-match ops must not commit"
+    assert set(snap.files) == files0, "zero-match ops must not rewrite"
+    assert ds.changes(ref, v0).count() == 0
+
+
+def test_cdc_files_partitioned_like_table(spark, ds, tmp_path):
+    """_change_data lays out hive-partitioned exactly like the table
+    (Delta parity): cdc actions record partitionValues, files live
+    under partition dirs, and every CDF surface re-attaches the
+    partition column correctly."""
+    import json
+    import os
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(6)],
+            "pk int, g string, v int",
+        ),
+        TableRef(path=ref.path, partition_by=["g"]),         # v1
+    )
+    ds.set_properties(ref, {CDF_ENABLE_KEY: "true"})         # v2
+    ds.update(ref, {"v": "v + 1"}, "pk in (0, 1)")           # v3: both parts
+    v3 = resolve_snapshot(ref.path).version
+
+    # the cdc actions carry physical-keyed partitionValues and the
+    # paths include the hive partition dir
+    cdc_actions = []
+    with open(os.path.join(_log_path(ref.path), f"{v3:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "cdc" in a:
+                cdc_actions.append(a["cdc"])
+    assert cdc_actions, "CDF update must write cdc actions"
+    assert all("partitionValues" in c for c in cdc_actions)
+    got_parts = {c["partitionValues"]["g"] for c in cdc_actions}
+    assert got_parts == {"a", "b"}
+    assert all("/g=" in c["path"] for c in cdc_actions)
+
+    # connector changes(): partition column re-attached per group
+    rows = sorted((r.pk, r.g, r.v, r._change_type)
+                  for r in ds.changes(ref, v3 - 1, v3).collect())
+    assert rows == [
+        (0, "a", 0, "update_preimage"), (0, "a", 1, "update_postimage"),
+        (1, "b", 10, "update_preimage"), (1, "b", 11, "update_postimage"),
+    ]
+
+    # DSv2 batch readChangeFeed agrees (partition values via the
+    # action, re-attached executor-side)
+    feed = (spark.read.format("txlog")
+            .option("path", ref.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(v3))
+            .load())
+    got = sorted((r.pk, r.g, r.v, r._change_type)
+                 for r in feed.collect())
+    assert got == rows

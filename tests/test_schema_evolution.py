@@ -731,6 +731,23 @@ def test_column_defaults(spark, ds, tmp_path):
         ds.set_column_default(ref, "pk", "'abc'")
     with pytest.raises(DataSourceException, match="no column"):
         ds.set_column_default(ref, "nope", "1")
+    # column-free but NON-constant expressions would re-evaluate per
+    # write (the documented contract is a value fixed at DDL time):
+    # random, current-time, and subquery forms all reject
+    for bad in ("rand()", "unix_timestamp()",
+                "(SELECT 1)", "cast(rand() * 10 as int)"):
+        with pytest.raises(DataSourceException, match="deterministic"):
+            ds.set_column_default(ref, "pk", bad)
+    for bad in ("uuid()", "current_timestamp()", "now()",
+                "cast(current_date() as string)"):
+        with pytest.raises(DataSourceException, match="deterministic"):
+            ds.set_column_default(ref, "g", bad)
+    # a literal whose TEXT mentions a time function is still fine
+    ds.set_column_default(ref, "g", "'now current_timestamp'")
+    ds.drop_column_default(ref, "g")
+    # deterministic function-of-constants is fine
+    ds.set_column_default(ref, "pk", "abs(-7) + 1")
+    ds.drop_column_default(ref, "pk")
     # reserved namespace on SET TBLPROPERTIES
     with pytest.raises(DataSourceException, match="SET DEFAULT"):
         ds.set_properties(ref, {"default.v": "9"})

@@ -201,6 +201,60 @@ def test_stream_rate_limit_restart_never_regresses(spark, ds, tmp_path):
     assert r2.latestOffset() == {"version": 6}  # capped, from v5 not v0
 
 
+def test_stream_id_persists_admission_cursor(spark, ds, tmp_path):
+    """option("streamId", ...): the admission cursor survives restarts
+    in a table sidecar, so a restarted stream whose batches were all
+    committed keeps its rate limit on the FIRST latestOffset() instead
+    of planning the whole remaining backlog as one micro-batch (the
+    documented unanchored-reader fallback without the option)."""
+    import pytest
+
+    from x_spark.errors import DataSourceException
+    from x_spark.sources.txlog import resolve_snapshot
+    from x_spark.sources.txlog_datasource import TxLogStreamReader
+
+    ref = TableRef(path=str(tmp_path / "t"))
+    for i in range(6):                                         # v1..v6
+        ds.append(spark.createDataFrame([(i, "a", i * 10)],
+                                        "pk int, part string, v int")
+                  .coalesce(1), ref)
+    schema = resolve_snapshot(ref.path).schema
+    opts = {"maxVersionsPerTrigger": "2", "streamId": "job-7"}
+
+    # run 1: fresh start, two capped batches handed out
+    r = TxLogStreamReader(ref.path, schema, dict(opts))
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 4}
+
+    # run 2 (restart, all batches committed): the FIRST latestOffset
+    # is still capped — from the persisted frontier, not uncapped
+    r2 = TxLogStreamReader(ref.path, schema, dict(opts))
+    assert r2.latestOffset() == {"version": 6}   # (4, 6], capped at 2
+    # and never regresses below the persisted frontier
+    r3 = TxLogStreamReader(ref.path, schema, dict(opts))
+    assert r3.latestOffset() == {"version": 6}
+
+    # a DIFFERENT streamId is an independent cursor (fresh start rules)
+    r4 = TxLogStreamReader(ref.path, schema,
+                           {**opts, "streamId": "job-8"})
+    assert r4.latestOffset() == {"version": 6}   # unanchored: uncapped
+    # subsequent triggers of job-8 are capped from ITS frontier
+    for i in range(2):                                         # v7, v8
+        ds.append(spark.createDataFrame([(10 + i, "b", i)],
+                                        "pk int, part string, v int")
+                  .coalesce(1), ref)
+    assert r4.latestOffset() == {"version": 8}
+
+    # the sidecar lives under the table and is never a parquet file
+    # (vacuum-safe); malformed ids reject
+    import os
+
+    assert os.path.isfile(os.path.join(ref.path, "_streams", "job-7.json"))
+    with pytest.raises(DataSourceException, match="streamId"):
+        TxLogStreamReader(ref.path, schema, {"streamId": "../evil"})
+
+
 def test_stream_rate_limit_dv_repoint_not_counted(spark, ds, tmp_path):
     """A deletion-vector re-point re-adds the SAME path it removes in
     one commit — no new rows, so it must not consume file budget and

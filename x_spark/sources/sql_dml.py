@@ -583,7 +583,48 @@ def execute_merge_into(ds, ms: MergeInto) -> None:
     ) from last
 
 
-def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
+def merge_spec_into(spec, sa: str = "SRC", ta: str = "TGT") -> MergeInto:
+    """Translate the reference's restricted :class:`MergeSpec`
+    (update/upsert on primary-key equality + extra target predicate)
+    into the general MERGE clause form, so BOTH surfaces execute
+    through the ONE single-join engine (:func:`_merge_into_once`).
+    Row-for-row equivalent to the old two-join ``merge_frames`` path:
+    the matched clause is its left-join ``when(matched)`` image, the
+    insert clause its anti-join branch (set columns from the source,
+    everything else DEFAULT/NULL — the reference's upsert quirk,
+    SURVEY §8.7)."""
+    on = " AND ".join(
+        f"{ta}.{c} = {sa}.{c}" for c in spec.primary_key_columns
+    )
+    if spec.extra_target_predicate and \
+            spec.extra_target_predicate.strip() not in ("1=1", "TRUE"):
+        on += f" AND ({spec.extra_target_predicate})"
+    set_cols = spec.all_set_columns
+    matched = [MatchedClause(
+        None, "update", {c: f"{sa}.{c}" for c in spec.update_columns}
+    )]
+    not_matched = (
+        [InsertClause(None, list(set_cols),
+                      [f"{sa}.{c}" for c in set_cols])]
+        if spec.insert_when_not_matched else []
+    )
+    return MergeInto("", ta, "", sa, on, matched, not_matched, [])
+
+
+def _merge_into_once(ds, ms: MergeInto, table: str,
+                     txn: tuple[str, int] | None = None,
+                     src_df: DataFrame | None = None,
+                     snap=None,
+                     merge_schema: bool | None = None,
+                     skip_match_checks: bool = False) -> None:
+    """One merge attempt against the current (or given) snapshot.
+
+    ``src_df``/``snap`` short-circuit resolution for API callers that
+    already hold them (the MergeSpec path); ``skip_match_checks``
+    drops the multiple-match guard AND the per-target-row residue
+    dedup when the caller has already guaranteed unique source keys
+    on an equi ON (one less shuffle). ``txn`` stamps the commit for
+    idempotent replay."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -591,14 +632,19 @@ def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
     from x_spark.sources.txlog import resolve_snapshot
 
     spark = ds.spark
-    snap = resolve_snapshot(table)
+    if snap is None:
+        snap = resolve_snapshot(table)
     if snap is None:
         raise DataSourceException(
             f"txlog table {ms.target!r} does not exist"
         )
+    if merge_schema is None:
+        merge_schema = ms.schema_evolution
     ta = ms.target_alias or _last(ms.target)
     src_txt = ms.source_sql.strip()
-    if src_txt.startswith("("):
+    if src_df is not None:
+        sa = ms.source_alias or "SRC"
+    elif src_txt.startswith("("):
         if ms.source_alias is None:
             raise DataSourceException(
                 "MERGE INTO: a subquery source needs an alias"
@@ -613,7 +659,7 @@ def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
         sa = ms.source_alias or _last(src_txt)
 
     meta_actions = (ds._schema_evolution_actions(src_df.schema, snap)
-                    if ms.schema_evolution else [])
+                    if merge_schema else [])
     if meta_actions:
         write_schema = StructType.fromJson(
             _json.loads(meta_actions[0]["metaData"]["schemaJson"])
@@ -767,7 +813,7 @@ def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
     try:
         # Delta's multiple-match rule: a target row matched by more
         # than one source row may be modified by at most one of them
-        if matched_codes:
+        if matched_codes and not skip_match_checks:
             dup = (
                 work.filter(F.col("__code").isin(matched_codes))
                 .groupBy("__trid").count().filter(F.col("count") > 1)
@@ -790,13 +836,17 @@ def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
 
         # per-target-row residue dedup: a row matched by several
         # sources where at most one clause fired keeps ONE image —
-        # the modifying one when present, else a single kept copy
+        # the modifying one when present, else a single kept copy.
+        # Skipped when the caller guarantees unique source keys on an
+        # equi ON (a target row then matches at most once).
         t_rows = work.filter(F.col("__t").isNotNull())
-        wspec = Window.partitionBy("__trid").orderBy(
-            F.when(F.col("__code") == "keep", F.lit(1)).otherwise(F.lit(0))
-        )
-        t_rows = (t_rows.withColumn("__rn", F.row_number().over(wspec))
-                  .filter(F.col("__rn") == 1))
+        if not skip_match_checks:
+            wspec = Window.partitionBy("__trid").orderBy(
+                F.when(F.col("__code") == "keep",
+                       F.lit(1)).otherwise(F.lit(0))
+            )
+            t_rows = (t_rows.withColumn("__rn", F.row_number().over(wspec))
+                      .filter(F.col("__rn") == 1))
 
         survivors = (t_rows.filter(~F.col("__code").isin(del_codes))
                      if del_codes else t_rows)
@@ -867,8 +917,9 @@ def _merge_into_once(ds, ms: MergeInto, table: str) -> None:
                 cdc = cdc.unionByName(
                     ins_rows.withColumn("_change_type", F.lit("insert"))
                 )
-            actions += ds._write_cdc_files(cdc, table, write_schema)
+            actions += ds._write_cdc_files(cdc, table, write_schema,
+                                           snap.partition_cols)
         ds._commit(table, ds._expect_unchanged(table, base), actions,
-                   "MERGE")
+                   "MERGE", txn=txn)
     finally:
         ds._free_ckpts(spark, ckpts + ck2)

@@ -49,7 +49,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
-from x_spark.errors import DataSourceException
+from x_spark.errors import DataSourceException, ETLJobException
 from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
 
 LOG_DIR = "_txlog"
@@ -288,6 +288,14 @@ def _conform(df: DataFrame, schema: StructType) -> DataFrame:
     return df.select(*[
         F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields
     ])
+
+
+def _strip_sql_literals(expr: str) -> str:
+    """Blank out single/double-quoted literal contents so keyword
+    scans never match text inside strings ('now' stays a value)."""
+    import re
+
+    return re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", "''", expr)
 
 
 def _normalize_ident(ident: str) -> str:
@@ -1368,14 +1376,43 @@ class TxLogDataSource(BaseDataSource):
         tname = by_name[col].dataType.simpleString()
         try:
             # constant-only + castable: resolves against NO columns
-            self.spark.sql(
-                f"SELECT CAST(({expr}) AS {tname})"
-            ).collect()
+            probe = self.spark.sql(f"SELECT CAST(({expr}) AS {tname})")
+            probe.collect()
         except Exception as exc:  # noqa: BLE001 - surface the cause
             raise DataSourceException(
                 f"DEFAULT for {col!r} must be a constant expression "
                 f"castable to {tname}: ({expr}) failed: {exc}"
             ) from None
+        # constant means CONSTANT: the documented Delta/ANSI contract
+        # is a value fixed at DDL time, but column-free expressions
+        # like rand(), uuid() or current_timestamp() pass the probe
+        # above and would then re-evaluate PER WRITE. Reject anything
+        # non-deterministic or query-time-dependent (and subqueries)
+        # via the analyzed plan, not string matching.
+        analyzed = probe._jdf.queryExecution().analyzed()
+        exprs = analyzed.expressions()
+        nondet = any(
+            not exprs.apply(i).deterministic()
+            for i in range(exprs.size())
+        )
+        has_subq = not analyzed.subqueriesAll().isEmpty()
+        # CurrentTimestamp/CurrentDate/Now report deterministic (they
+        # constant-fold per QUERY) but differ per write — exactly the
+        # divergence the contract forbids
+        import re as _re
+
+        timey = bool(_re.search(
+            r"(?i)(?<!\w)(current_timestamp|current_date|current_timezone"
+            r"|localtimestamp|now|unix_timestamp|current_user"
+            r"|session_user|user)(?!\w)",
+            _strip_sql_literals(expr),
+        ))
+        if nondet or has_subq or timey:
+            raise DataSourceException(
+                f"DEFAULT for {col!r} must be a deterministic constant "
+                f"(no subqueries, no random or current-time functions): "
+                f"({expr})"
+            )
         config = {**snap.configuration, f"default.{col}": expr}
         self._commit(
             table, self._expect_unchanged(table, snap.version),
@@ -2561,10 +2598,14 @@ class TxLogDataSource(BaseDataSource):
         the whole merge (candidates, join, evolution fold) — the retry
         is serializable because it re-runs as-if after the winning
         commit; a replayed ``txn`` epoch still surfaces immediately."""
-        from x_spark.operators.merge import merge_frames
+        from x_spark.operators.merge import check_unique_source_keys
+        from x_spark.sources.sql_dml import (
+            _merge_into_once, merge_spec_into,
+        )
 
         table = self._table_path(ref)
         last: ConcurrentWriteException | None = None
+        missing = None
         for _ in range(5):
             snap = resolve_snapshot(table)
             if snap is None:
@@ -2579,6 +2620,24 @@ class TxLogDataSource(BaseDataSource):
                     f"column(s) {ident_set} are GENERATED ALWAYS AS "
                     "IDENTITY; MERGE cannot set or key on them"
                 )
+            if missing is None:  # once, not per retry
+                tgt_names = {f.name for f in snap.schema.fields} | (
+                    set(df.columns) if merge_schema else set()
+                )
+                missing = [c for c in spec.all_set_columns
+                           if c not in tgt_names]
+                if missing:
+                    raise ETLJobException(
+                        f"merge columns {missing} not present in target"
+                    )
+                if spec.validate_unique_source_keys:
+                    check_unique_source_keys(df, spec)
+                    # checked once here — don't re-run per retry or
+                    # inside the split-join path
+                    import dataclasses as _dc
+
+                    spec = _dc.replace(
+                        spec, validate_unique_source_keys=False)
             meta_actions = (
                 self._schema_evolution_actions(df.schema, snap)
                 if merge_schema else []
@@ -2594,8 +2653,17 @@ class TxLogDataSource(BaseDataSource):
                     self._merge_with_dv(table, snap, df, spec, txn,
                                         write_schema, meta_actions)
                 else:
-                    self._merge_cow(table, snap, df, spec, txn,
-                                    write_schema, meta_actions, merge_frames)
+                    # copy-on-write MERGE runs through the shared
+                    # single-join engine (sql_dml): one pinned
+                    # target-slice x source join feeds the write AND
+                    # the cdc rows; unique source keys are already
+                    # guaranteed above, so the multiple-match guard
+                    # and residue dedup shuffles are skipped
+                    _merge_into_once(
+                        self, merge_spec_into(spec), table, txn=txn,
+                        src_df=df, snap=snap, merge_schema=merge_schema,
+                        skip_match_checks=True,
+                    )
                 return
             except TxnAlreadyCommittedException:
                 # replay detected: the epoch is already durable — this
@@ -2607,56 +2675,6 @@ class TxLogDataSource(BaseDataSource):
         raise ConcurrentWriteException(
             f"merge to {table!r} lost 5 straight version races"
         ) from last
-
-    def _merge_cow(self, table: str, snap: Snapshot, df: DataFrame,
-                   spec: MergeSpec, txn: tuple[str, int] | None,
-                   write_schema: StructType, meta_actions: list[dict],
-                   merge_frames) -> None:
-        base = snap.version
-        candidates = self._files_overlapping_keys(
-            df, snap, spec.primary_key_columns[0]
-        )
-        target_slice = self._read_snapshot(table, snap, candidates)
-        if meta_actions:
-            # old rows widen to the evolved schema (new columns NULL)
-            target_slice = self._widen_frame(target_slice, write_schema)
-        result = merge_frames(target_slice, df, spec,
-                              insert_defaults=snap.defaults)
-        # Generated columns on MERGE: merge_frames fills non-set
-        # columns of INSERTED rows with NULL — for a generated column
-        # that NULL means "not set", so compute the expression there
-        # (Delta's generated-column MERGE behavior). Explicitly-set
-        # non-NULL values that disagree with the expression still fail
-        # the generated:<col> check in _write_files.
-        for col, expr in sorted(snap.generated.items()):
-            if col in result.columns:
-                result = result.withColumn(
-                    col,
-                    F.when(F.col(col).isNull(), F.expr(expr)).otherwise(F.col(col)),
-                )
-        _ckpt_ids: list = []
-        if snap.identity and spec.insert_when_not_matched:
-            # Delta allocates identity for MERGE-inserted rows; they
-            # are exactly the NULL-identity rows of the post-merge
-            # state (matched rows keep their values)
-            result, _ckpt_ids = self._allocate_identity_for_nulls(
-                result, snap)
-        try:
-            adds = self._write_files(result, table, snap.partition_cols,
-                                     schema=write_schema)
-            actions = list(self._fold_identity_meta(
-                snap, adds, write_schema, meta_actions))
-            actions += [{"remove": {"path": p}} for p in candidates]
-            actions += [{"add": a} for a in adds]
-            actions += self._merge_cdc_actions(table, snap, target_slice,
-                                               df, spec, write_schema,
-                                               allocated=result)
-        finally:
-            # the checkpoint's last consumer (the cdc insert-id join)
-            # is done — free on success AND on an aborted write
-            self._free_ckpts(self.spark, _ckpt_ids)
-        self._commit(table, self._expect_unchanged(table, base), actions,
-                     "MERGE", txn=txn)
 
     def _fold_identity_meta(self, snap: Snapshot, adds: list[dict],
                             write_schema: StructType,
@@ -2680,43 +2698,6 @@ class TxLogDataSource(BaseDataSource):
             }
         }]
 
-    def _merge_cdc_actions(self, table: str, snap: Snapshot,
-                           tgt: DataFrame, src: DataFrame, spec: MergeSpec,
-                           write_schema: StructType,
-                           allocated: DataFrame | None = None) -> list[dict]:
-        """cdc actions for a MERGE commit (empty when the table has no
-        change data feed): update_preimage/update_postimage per matched
-        row plus upsert inserts, with the same generated-column fill
-        the table rows get. ``allocated`` is the pinned post-merge
-        frame carrying engine-allocated identity values — inserted cdc
-        rows pull their ids from it by primary key (unique among
-        inserts), so the feed shows the values the table actually
-        holds."""
-        if not self._cdf_enabled(snap.configuration):
-            return []
-        from x_spark.operators.merge import merge_change_frames
-
-        cdc = merge_change_frames(tgt, src, spec,
-                                  insert_defaults=snap.defaults)
-        for col, expr in sorted(snap.generated.items()):
-            if col in cdc.columns:
-                cdc = cdc.withColumn(
-                    col,
-                    F.when(F.col("_change_type") == "insert",
-                           F.when(F.col(col).isNull(), F.expr(expr))
-                           .otherwise(F.col(col)))
-                    .otherwise(F.col(col)),
-                )
-        idc = sorted(c for c in snap.identity if c in cdc.columns)
-        if (allocated is not None and idc
-                and spec.insert_when_not_matched):
-            ins = cdc.filter(F.col("_change_type") == "insert").drop(*idc)
-            rest = cdc.filter(F.col("_change_type") != "insert")
-            ids = allocated.select(*spec.primary_key_columns, *idc)
-            ins = ins.join(ids, spec.primary_key_columns, "left")
-            cdc = rest.unionByName(ins)
-        return self._write_cdc_files(cdc, table, write_schema)
-
     def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
                        spec: MergeSpec, txn: tuple[str, int] | None,
                        write_schema: StructType | None = None,
@@ -2726,9 +2707,10 @@ class TxLogDataSource(BaseDataSource):
         untouched rows co-located in candidate files are never
         rewritten — write cost tracks the CHANGED rows, not the
         candidate files. One atomic commit carries the sidecar
-        re-points and the new adds; the change feed therefore emits
-        the standard delete(old image)+insert(new image) decomposition
-        with zero extra machinery."""
+        re-points and the new adds. The split join is pinned ONCE and
+        feeds the mask write, the data write, AND (when the change
+        feed is on) the update_preimage/postimage/insert cdc rows —
+        no second target x source join anywhere."""
         from x_spark.operators.merge import merge_split_frames
 
         if write_schema is None:
@@ -2750,31 +2732,41 @@ class TxLogDataSource(BaseDataSource):
             # schema evolution: widen the target slice (NULL-fill new
             # columns, upcast widened ones); __fn/__ri pass through
             tgt = self._widen_frame(tgt, write_schema)
-        matched_meta, new_rows = merge_split_frames(
-            tgt, src, spec, ["__fn", "__ri"],
-            insert_defaults=snap.defaults,
-        )
-        # generated columns on MERGE: NULL-filled insert columns mean
-        # "not set" — compute the expression there (mirrors the
-        # copy-on-write path)
-        for col, expr in sorted(snap.generated.items()):
-            if col in new_rows.columns:
-                new_rows = new_rows.withColumn(
-                    col,
-                    F.when(F.col(col).isNull(), F.expr(expr))
-                    .otherwise(F.col(col)),
-                )
+        matched_meta, matched_pre, matched_post, inserts = \
+            merge_split_frames(tgt, src, spec, ["__fn", "__ri"],
+                               insert_defaults=snap.defaults)
+
+        # generated columns on MERGE: NULL-filled columns mean "not
+        # set" — compute the expression there (matched postimages and
+        # inserts alike; explicit disagreeing values still fail the
+        # generated:<col> check at the write choke point)
+        def fill_generated(frame: DataFrame) -> DataFrame:
+            for col, expr in sorted(snap.generated.items()):
+                if col in frame.columns:
+                    frame = frame.withColumn(
+                        col,
+                        F.when(F.col(col).isNull(), F.expr(expr))
+                        .otherwise(F.col(col)),
+                    )
+            return frame
+
+        matched_post = fill_generated(matched_post)
         mask = matched_meta.select(
             F.col("__fn").alias("file_name"),
             F.col("__ri").alias("row_index"),
         )
         _ckpt_ids: list = []
-        if snap.identity and spec.insert_when_not_matched:
-            # Delta allocates identity for MERGE-inserted rows (the
-            # NULL-identity slice of new_rows; matched postimages keep
-            # their target values)
-            new_rows, _ckpt_ids = self._allocate_identity_for_nulls(
-                new_rows, snap)
+        if inserts is not None:
+            inserts = fill_generated(inserts)
+            if snap.identity:
+                # Delta allocates identity for MERGE-inserted rows;
+                # matched postimages keep their target values. The
+                # allocated frame is pinned, so the cdc insert rows
+                # below carry the very ids the table holds.
+                inserts, _ckpt_ids = self._allocate_identity_for_nulls(
+                    inserts, snap)
+        new_rows = (matched_post if inserts is None
+                    else matched_post.unionByName(inserts))
         try:
             adds = self._write_files(new_rows, table, snap.partition_cols,
                                      schema=write_schema)
@@ -2782,10 +2774,18 @@ class TxLogDataSource(BaseDataSource):
                 snap, adds, write_schema, meta_actions))
             actions += self._mask_actions(table, snap, candidates, mask)
             actions += [{"add": a} for a in adds]
-            actions += self._merge_cdc_actions(table, snap,
-                                               tgt.drop("__fn", "__ri"),
-                                               src, spec, write_schema,
-                                               allocated=new_rows)
+            if self._cdf_enabled(snap.configuration):
+                cdc = matched_pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(matched_post.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                ))
+                if inserts is not None:
+                    cdc = cdc.unionByName(inserts.withColumn(
+                        "_change_type", F.lit("insert")
+                    ))
+                actions += self._write_cdc_files(cdc, table, write_schema,
+                                                 snap.partition_cols)
         finally:
             self._free_ckpts(self.spark, _ckpt_ids)
         self._commit(table, self._expect_unchanged(table, base), actions,
@@ -2828,6 +2828,31 @@ class TxLogDataSource(BaseDataSource):
             return
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration) and candidates:
+            # copy-on-write rewrites whole candidate files, so the
+            # derived (add/remove) feed would emit delete+insert noise
+            # pairs for every surviving co-located row; the cdc files
+            # carry exactly the deleted rows instead. One extra scan
+            # of the candidates, only when CDF is on (Delta pays the
+            # same to fill _change_data). Written FIRST: when the
+            # stats-pruned candidates turn out to hold ZERO matching
+            # rows, Spark may emit no cdc part files at all — the
+            # commit would then serve the feed from the derived pairs,
+            # violating the row-exact contract. An empty cdc write is
+            # the logical-no-op signal: skip the rewrite and the
+            # commit entirely.
+            deleted = self._read_snapshot(table, snap, candidates).filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            if deleted.limit(1).count() == 0:
+                return
+            cdc_actions = self._write_cdc_files(
+                deleted.withColumn("_change_type", F.lit("delete")),
+                table, snap.schema, snap.partition_cols,
+            )
+            if not cdc_actions:
+                return  # belt-and-braces: never commit cdc-less
         survivors = self._read_snapshot(table, snap, candidates).filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
@@ -2835,17 +2860,7 @@ class TxLogDataSource(BaseDataSource):
                                  schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
-        if self._cdf_enabled(snap.configuration) and candidates:
-            # copy-on-write rewrites whole candidate files, so the
-            # derived (add/remove) feed would emit delete+insert noise
-            # pairs for every surviving co-located row; the cdc files
-            # carry exactly the deleted rows instead. One extra scan
-            # of the candidates, only when CDF is on (Delta pays the
-            # same to fill _change_data).
-            deleted = self._read_snapshot(table, snap, candidates).filter(
-                F.coalesce(F.expr(predicate), F.lit(False))
-            ).withColumn("_change_type", F.lit("delete"))
-            actions += self._write_cdc_files(deleted, table, snap.schema)
+        actions += cdc_actions
         self._commit(table, self._expect_unchanged(table, base), actions, "DELETE")
 
     @staticmethod
@@ -2900,7 +2915,8 @@ class TxLogDataSource(BaseDataSource):
         return configuration.get(CDF_ENABLE_KEY, "").lower() == "true"
 
     def _write_cdc_files(self, df: DataFrame, table: str,
-                         schema: StructType) -> list[dict]:
+                         schema: StructType,
+                         part_cols: list[str] | None = None) -> list[dict]:
         """Materialize change rows (logical data columns plus
         ``_change_type``) as immutable parquet under ``_change_data/``
         and return the ``cdc`` actions referencing them. Columns are
@@ -2908,18 +2924,36 @@ class TxLogDataSource(BaseDataSource):
         :meth:`_write_files`) so the files survive later RENAME
         COLUMN; ``_change_type`` passes through untouched. The write
         is distributed — change volume at 100 TB tracks the changed
-        rows, never the table."""
+        rows, never the table.
+
+        ``part_cols``: the TABLE's partition columns — cdc files lay
+        out hive-partitioned exactly like the data (Delta partitions
+        ``_change_data`` the same way), and each cdc action records
+        its physical-keyed ``partitionValues`` so a partition-scoped
+        feed consumer reads only its partitions' change files. Readers
+        re-attach the values (the column is absent from the file);
+        actions without the key (pre-partitioning history) read the
+        old full-column layout unchanged."""
         phys = _physical_map(schema)
         if any(phys.get(c, c) != c for c in df.columns):
             df = df.select(
                 *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
             )
+        wpc = [phys.get(c, c) for c in (part_cols or [])]
         dest = os.path.join(table, CDC_DIR, f"cdc-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(dest)
-        return [
-            {"cdc": {"path": os.path.relpath(full, table)}}
-            for full in self._published_parquets(dest)
-        ]
+        writer = df.write.mode("overwrite")
+        if wpc:
+            writer = writer.partitionBy(*wpc)
+        writer.parquet(dest)
+        actions = []
+        for full in self._published_parquets(dest):
+            relpart = os.path.relpath(os.path.dirname(full), dest)
+            actions.append({"cdc": {
+                "path": os.path.relpath(full, table),
+                "partitionValues": self._parse_partition_values(
+                    relpart, wpc),
+            }})
+        return actions
 
     def _mask_actions(self, table: str, snap: Snapshot,
                       candidates: list[str],
@@ -3094,8 +3128,8 @@ class TxLogDataSource(BaseDataSource):
                         ).unionByName(new_image(old, True).withColumn(
                             "_change_type", F.lit("update_postimage")
                         ))
-                        actions += self._write_cdc_files(cdc, table,
-                                                         snap.schema)
+                        actions += self._write_cdc_files(
+                            cdc, table, snap.schema, snap.partition_cols)
                 finally:
                     # mask + data + cdc jobs all consumed the pin
                     self._free_ckpts(self.spark, _ckpt_ids)
@@ -3106,6 +3140,29 @@ class TxLogDataSource(BaseDataSource):
             return
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration) and candidates:
+            # exact change rows: one extra matched-rows scan, only
+            # when CDF is on (the derived feed would otherwise emit
+            # rewrite noise pairs for co-located untouched rows).
+            # Written FIRST: stats-pruned candidates that hold zero
+            # matching rows may produce NO cdc part files — committing
+            # the rewrite then would serve the feed from the derived
+            # pairs (spurious delete+insert for every surviving
+            # co-located row). An empty cdc write means the UPDATE is
+            # a logical no-op: skip the rewrite and the commit.
+            old = self._read_snapshot(table, snap, candidates).filter(pred)
+            if old.limit(1).count() == 0:
+                return
+            cdc = old.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(new_image(old, True).withColumn(
+                "_change_type", F.lit("update_postimage")
+            ))
+            cdc_actions = self._write_cdc_files(cdc, table, snap.schema,
+                                                snap.partition_cols)
+            if not cdc_actions:
+                return  # belt-and-braces: never commit cdc-less
         rewritten = new_image(
             self._read_snapshot(table, snap, candidates), False
         )
@@ -3113,17 +3170,7 @@ class TxLogDataSource(BaseDataSource):
                                  schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in candidates]
         actions += [{"add": a} for a in adds]
-        if self._cdf_enabled(snap.configuration) and candidates:
-            # exact change rows: one extra matched-rows scan, only
-            # when CDF is on (the derived feed would otherwise emit
-            # rewrite noise pairs for co-located untouched rows)
-            old = self._read_snapshot(table, snap, candidates).filter(pred)
-            cdc = old.withColumn(
-                "_change_type", F.lit("update_preimage")
-            ).unionByName(new_image(old, True).withColumn(
-                "_change_type", F.lit("update_postimage")
-            ))
-            actions += self._write_cdc_files(cdc, table, snap.schema)
+        actions += cdc_actions
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "UPDATE")
 
@@ -3560,23 +3607,49 @@ class TxLogDataSource(BaseDataSource):
                                 "dataChange", True):
                             removed[action["remove"]["path"]] = popped
                     elif "cdc" in action:
-                        cdc_paths.append(action["cdc"]["path"])
+                        cdc_paths.append(
+                            (action["cdc"]["path"],
+                             action["cdc"].get("partitionValues") or {})
+                        )
             if cdc_paths:
                 # Delta's rule: a commit carrying cdc actions is served
                 # FROM them (row-exact 4-type change rows written by
                 # the operation itself) — never from its add/remove
                 # derivation, which would double-count and add rewrite
                 # noise. The live map above still advanced, so later
-                # derived commits stay correct.
-                collect(
-                    self.spark.read
-                    .schema(_physical_schema(sch.schema)
-                            .add("_change_type", "string"))
-                    .parquet(*[os.path.join(table, p) for p in cdc_paths])
-                    .select(*[F.col(_physical_name(f)).alias(f.name)
-                              for f in sch.schema.fields], "_change_type"),
-                    None, v,
-                )
+                # derived commits stay correct. cdc files lay out
+                # hive-partitioned like the table (their partition
+                # columns live in the action's partitionValues, not in
+                # the file): group per partition tuple, re-attach the
+                # constants. Actions without partitionValues are the
+                # pre-partitioning full-column layout — the explicit
+                # schema read finds every column in the file.
+                by_pv: dict[tuple, list[str]] = {}
+                for p, pv in cdc_paths:
+                    by_pv.setdefault(tuple(sorted(pv.items())), []).append(p)
+                pschema = _physical_schema(sch.schema)
+                ptypes = {f.name: f.dataType for f in pschema.fields}
+                for key, paths in sorted(by_pv.items()):
+                    pv = dict(key)
+                    present = StructType(
+                        [f for f in pschema.fields if f.name not in pv]
+                    ).add("_change_type", "string")
+                    df = (self.spark.read.schema(present)
+                          .parquet(*[os.path.join(table, p)
+                                     for p in paths]))
+                    for pname, val in sorted(pv.items()):
+                        if pname in ptypes:
+                            df = df.withColumn(
+                                pname, F.lit(val).cast(ptypes[pname])
+                            )
+                    collect(
+                        df.select(
+                            *[F.col(_physical_name(f)).alias(f.name)
+                              for f in sch.schema.fields],
+                            "_change_type",
+                        ),
+                        None, v,
+                    )
                 continue
             # a path removed AND re-added in one commit is a deletion-
             # vector re-point (DELETE with DVs, or a RESTORE

@@ -276,14 +276,19 @@ def _cdf_partitions(table: str, base_v: int,
                             "dataChange", True):
                         removed[action["remove"]["path"]] = popped
                 elif "cdc" in action:
-                    cdc_paths.append(action["cdc"]["path"])
+                    cdc_paths.append(
+                        (action["cdc"]["path"],
+                         action["cdc"].get("partitionValues") or {})
+                    )
         if cdc_paths:
             # a commit carrying cdc actions is served FROM them (the
             # same rule as the connector's changes()): row-exact 4-type
             # change rows, no add/remove derivation for this commit
+            # partition values (hive-partitioned _change_data) ride the
+            # action; _read_file_batches re-attaches them as constants
             parts.extend(
-                _CDFPartition(table, p, {}, v, None, mode="cdc")
-                for p in cdc_paths
+                _CDFPartition(table, p, pv, v, None, mode="cdc")
+                for p, pv in cdc_paths
             )
             continue
         for p in added:
@@ -489,6 +494,46 @@ class TxLogStreamReader(DataSourceStreamReader):
         # each is parsed at most once per reader instead of once per
         # trigger while a large backlog drains
         self._add_counts: dict[int, tuple[int, int]] = {}
+        # Opt-in PERSISTED admission cursor (the Python stream-reader
+        # protocol never hands the reader its checkpoint location, so
+        # the caller names the stream instead): with
+        # option("streamId", ...) the handed-out frontier survives
+        # restarts in <table>/_streams/<id>.json. Without it, a
+        # restarted stream whose batches were all committed serves its
+        # FIRST latestOffset() uncapped (see _anchored above) — i.e.
+        # the entire remaining backlog as one micro-batch. The sidecar
+        # may run AHEAD of the engine's committed offset (crash between
+        # hand-out and checkpoint); that only widens the first batch to
+        # at most one previously-planned batch plus one cap, never
+        # regresses below the committed offset (the engine replays its
+        # own offset log first).
+        sid = options.get("streamId")
+        self._cursor_file = None
+        if sid is not None:
+            if not re.fullmatch(r"[\w.-]{1,128}", str(sid)):
+                raise DataSourceException(
+                    f"streamId must be a short [word.-] token, got {sid!r}"
+                )
+            self._cursor_file = os.path.join(table, "_streams",
+                                             f"{sid}.json")
+            try:
+                with open(self._cursor_file) as fh:
+                    saved = int(json.load(fh)["pos"])
+                self._pos = max(self._pos, saved)
+                self._anchored = True
+            except (OSError, ValueError, KeyError):
+                pass  # first run (or unreadable sidecar): stay unanchored
+
+    def _persist_cursor(self) -> None:
+        if self._cursor_file is None:
+            return
+        import uuid as _uuid
+
+        os.makedirs(os.path.dirname(self._cursor_file), exist_ok=True)
+        tmp = f"{self._cursor_file}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"pos": self._pos}, fh)
+        os.replace(tmp, self._cursor_file)
 
     def initialOffset(self) -> dict:
         # only called when NO checkpoint exists — a fresh start, where
@@ -548,6 +593,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             # serving the true latest can never regress the committed
             # offset, so the cursor is anchored from here on
             self._anchored = True
+            self._persist_cursor()
             return {"version": latest}
         admitted = 0
         files = 0
@@ -569,6 +615,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             if self.max_bytes is not None and size >= self.max_bytes:
                 break
         self._pos = end
+        self._persist_cursor()
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
@@ -642,7 +689,9 @@ class TxLogSparkDataSource(DataSource):
     ``readChangeFeed`` + ``startingVersion``/``endingVersion``
     (batch CDF),
     ``startingVersion`` / ``ignoreChanges`` / ``maxFilesPerTrigger`` /
-    ``maxVersionsPerTrigger`` (streaming)."""
+    ``maxVersionsPerTrigger`` / ``maxBytesPerTrigger`` / ``streamId``
+    (streaming; ``streamId`` persists the admission cursor across
+    restarts so the first post-restart batch stays rate-limited)."""
 
     @classmethod
     def name(cls) -> str:
