@@ -79,12 +79,13 @@ FAMILY_REPRESENTATIVES = [
     "token_budget_selection",   # budget cut via distributed running sum
     "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
     "bigram_collocations",      # PMI collocation mining
-    "quantile_sketch_store",    # NEW r7: maintained lossless-mergeable
-                                # histogram sketch store + inverse-CDF
-                                # quantiles (subsumes the demoted
-                                # price_histogram / trimmed_price_stats;
-                                # profile_drift + robust_outliers keep the
-                                # distribution family's other head slots)
+    "convert_time_travel",      # NEW r8: CONVERT TO TXLOG (atomic adopt
+                                # of plain parquet, footer stats riding)
+                                # + CoW DML + time travel to version 0
+                                # (takes quantile_sketch_store's slot —
+                                # that family is held by
+                                # stream_quantile_sketch, the same store
+                                # through exactly-once streaming ingest)
     "hard_negative_mining",     # banded-similarity contrastive negatives
     "filter_attribution",       # first-fail C4/Gopher rule attribution
     "corpus_shuffle_shards",    # deterministic shuffle + shard manifest

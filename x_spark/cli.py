@@ -291,6 +291,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="clone this source version instead of latest",
     )
 
+    cnv = sub.add_parser(
+        "convert",
+        help="CONVERT TO TXLOG: one atomic commit adopting an existing "
+        "plain parquet directory's files (footer stats included) as a "
+        "txlog table in place — the standard migration on-ramp",
+    )
+    cnv.add_argument("path", help="parquet directory to convert")
+    cnv.add_argument(
+        "--partitioned-by", default=None,
+        help="declared hive partition layout as DDL, e.g. 'g string'",
+    )
+
     man = sub.add_parser(
         "manifest",
         help="GENERATE symlink_format_manifest for a txlog table: export "
@@ -569,6 +581,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = ds.count_rows(TableRef(path=args.dst))
         print(f"cloned to {args.dst} at version {v}: {n} rows")
+        return 0
+
+    if args.command == "convert":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        n = ds.convert(TableRef(path=args.path),
+                       partition_by=args.partitioned_by)
+        rows = ds.count_rows(TableRef(path=args.path))
+        print(f"converted {args.path}: {n} files, {rows} rows at version 0")
         return 0
 
     if args.command == "manifest":

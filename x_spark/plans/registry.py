@@ -85,6 +85,17 @@ _TAIL = [
                                # dispatcher) with dv_delete_scan +
                                # txlog_restore_roundtrip keeping the
                                # CDF read surfaces head-side
+    "quantile_sketch_store",   # green r07 (head); the maintained
+                               # sketch-store family keeps
+                               # stream_quantile_sketch (head — the
+                               # SAME store + merged inverse-CDF
+                               # quantiles fed through exactly-once
+                               # micro-batch ingest) and profile_drift
+                               # + robust_outliers hold the
+                               # distribution family; slot goes to
+                               # convert_time_travel (CONVERT TO
+                               # TXLOG + time travel — a brand-new
+                               # migration surface, round 8)
     # ------------------------------------------------------------------
     # Round-7 rotation: two new Delta-parity compositions
     # (cdf_update_feed — 4-type cdc feed + MERGE WITH SCHEMA

@@ -1857,6 +1857,80 @@ def q_sql_dml_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(view)
 
 
+def q_convert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO TXLOG then DML then time travel (Delta's CONVERT TO
+    DELTA migration on-ramp): a plain hive-partitioned parquet
+    directory is adopted as a txlog table in ONE atomic commit (footer
+    stats ride the adds — data-skipping DML works immediately), a CoW
+    DELETE and a partition-scoped UPDATE run on the adopted files, and
+    version 0 stays time-travelable to the pre-DML state. Result:
+    current vs converted-snapshot aggregates per order status."""
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_convert_")
+    try:
+        ds = TxLogDataSource(spark)
+        path = os.path.join(workdir, "ord")
+        base = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 9 == 0
+        ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        base.write.partitionBy("o_orderstatus").parquet(path)
+        ref = TableRef(path=path)
+        ds.convert(ref, partition_by="o_orderstatus string")     # v0
+        ds.delete(ref, "o_orderkey % 2 = 0")                     # v1
+        ds.update(ref, {"o_totalprice": "o_totalprice * 3"},
+                  "o_orderstatus = 'F'")                         # v2
+        cur = ds.read(ref).groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_cur"),
+            dsum("o_totalprice").alias("sum_cur"),
+        )
+        v0 = ds.read(
+            TableRef(path=path, options={"versionAsOf": "0"})
+        ).groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_v0"),
+            dsum("o_totalprice").alias("sum_v0"),
+        )
+        return (
+            cur.join(v0, "o_orderstatus")
+            .select("o_orderstatus", "n_cur", "sum_cur", "n_v0", "sum_v0")
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_CONVERT_TIME_TRAVEL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 9 = 0
+),
+cur AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_cur,
+         CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                            THEN o_totalprice * 3
+                            ELSE o_totalprice END
+                       AS DECIMAL(30,6))) AS DOUBLE) AS sum_cur
+  FROM base WHERE NOT (o_orderkey % 2 = 0)
+  GROUP BY o_orderstatus
+),
+v0 AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_v0,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_v0
+  FROM base GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_cur, sum_cur, n_v0, sum_v0
+FROM cur JOIN v0 USING (o_orderstatus)
+"""
+
+
 ORACLE_SQL_DML_FLOW = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -2011,6 +2085,7 @@ RELATIONAL_QUERIES = {
     "cdf_update_feed": q_cdf_update_feed,
     "default_identity_ingest": q_default_identity_ingest,
     "sql_dml_flow": q_sql_dml_flow,
+    "convert_time_travel": q_convert_time_travel,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -2049,6 +2124,7 @@ RELATIONAL_ORACLES = {
     "cdf_update_feed": ORACLE_CDF_UPDATE_FEED,
     "default_identity_ingest": ORACLE_DEFAULT_IDENTITY_INGEST,
     "sql_dml_flow": ORACLE_SQL_DML_FLOW,
+    "convert_time_travel": ORACLE_CONVERT_TIME_TRAVEL,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

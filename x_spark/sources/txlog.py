@@ -578,6 +578,26 @@ class TxLogDataSource(BaseDataSource):
             assert mg is not None
             sql_dml.execute_merge_into(self, mg)
             return done
+        # CONVERT TO TXLOG parquet.`/path` | catalog_table
+        #   [PARTITIONED BY (col type, ...)]  — Delta's CONVERT TO
+        # DELTA shape; the verb exists only here, so it is always ours
+        m = re.fullmatch(
+            r"\s*convert\s+to\s+txlog\s+(?:parquet\s*\.\s*)?"
+            rf"(`[^`]+`|{ident})"
+            r"(?:\s+partitioned\s+by\s*\(([^)]*)\))?\s*",
+            stmt, re.I,
+        )
+        if m:
+            target = m.group(1)
+            pb = m.group(3)
+            if target.startswith("`"):
+                ref = TableRef(path=target[1:-1])
+            else:
+                ref = TableRef(table=_normalize_ident(target))
+            n = self.convert(ref, partition_by=pb.strip() if pb else None)
+            return self.spark.createDataFrame(
+                [(n,)], "files_converted bigint"
+            )
         m = re.fullmatch(rf"\s*truncate\s+table\s+{ident}\s*", stmt, re.I)
         if m and _normalize_ident(m.group(1)) in self._known_names():
             self.truncate(TableRef(table=_normalize_ident(m.group(1))))
@@ -1987,6 +2007,140 @@ class TxLogDataSource(BaseDataSource):
         return md.num_rows, {"minValues": mins, "maxValues": maxs}
 
     # -- operations ----------------------------------------------------
+    def _register_name(self, name: str, path: str) -> None:
+        """Bind a catalog name to an EXISTING directory (the convert
+        on-ramp); atomic names-file republish, same as
+        :meth:`_resolve_name`'s allocation."""
+        nf = self._names_file()
+        names = self._known_names()
+        if name in names:
+            if names[name] != path:
+                raise DataSourceException(
+                    f"txlog name {name!r} already maps to {names[name]!r}"
+                )
+            return
+        names[name] = path
+        os.makedirs(os.path.dirname(nf), exist_ok=True)
+        tmp = nf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(names, fh)
+        os.replace(tmp, nf)
+
+    def convert(self, ref: TableRef,
+                partition_by: str | list[str] | None = None) -> int:
+        """``CONVERT TO TXLOG`` (Delta's ``CONVERT TO DELTA`` parity):
+        ONE atomic commit — metaData plus every discovered parquet
+        file's add action, footer row counts and min/max stats
+        included — turns an existing plain parquet directory (or a
+        catalog parquet table) into a txlog table IN PLACE. No data
+        file is rewritten or moved; afterwards every txlog surface
+        (DML, time travel from the conversion point, OPTIMIZE,
+        constraints, CDF) runs on the same bytes. Returns the number
+        of files converted.
+
+        ``partition_by`` declares the hive partition layout — a DDL
+        string (``"g string, d date"``) carrying types, or a list of
+        names (string-typed). Delta's rule: the CALLER declares the
+        partition schema, because directory names alone cannot carry
+        types. The data schema comes from a file footer via Spark's
+        reader (files must agree, as in Delta's convert).
+
+        After converting a catalog table, the original parquet table
+        definition must not be written through again: txlog DML
+        logically removes files that stay physically present until
+        vacuum, and a direct listing would read them (Delta documents
+        the same caveat).
+
+        Scale: discovery + footer stats are a driver-side walk (one
+        footer read per file — the same publish-walk shape as
+        ``_write_files``); the commit itself is one O_EXCL log file
+        regardless of table size. At 100 TB the walk would distribute
+        over executors; the single-commit atomicity is unchanged.
+        """
+        if ref.is_path:
+            table = ref.path
+        else:
+            # catalog table: adopt its location under the txlog name
+            loc = None
+            for row in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {ref.table}"
+            ).collect():
+                if (row["col_name"] or "").strip() == "Location":
+                    loc = row["data_type"]
+                    break
+            if not loc:
+                raise DataSourceException(
+                    f"cannot resolve a filesystem location for catalog "
+                    f"table {ref.table!r}"
+                )
+            table = loc.removeprefix("file:")
+            self._register_name(ref.table, table)  # type: ignore[arg-type]
+        commits, _ = _list_log(table)
+        if commits:
+            raise DataSourceException(
+                f"{table!r} is already a txlog table (version "
+                f"{_version_of(commits[-1])})"
+            )
+        if partition_by is None:
+            part_fields: list[StructField] = []
+        elif isinstance(partition_by, str):
+            part_fields = list(StructType.fromDDL(partition_by).fields)
+        else:
+            from pyspark.sql.types import StringType
+
+            part_fields = [StructField(c, StringType()) for c in partition_by]
+        part_names = [f.name for f in part_fields]
+        rels: list[str] = []
+        for root, dirs, names in os.walk(table):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in names:
+                if name.endswith(".parquet") and not name.startswith(
+                        ("_", ".")):
+                    rels.append(
+                        os.path.relpath(os.path.join(root, name), table)
+                    )
+        if not rels:
+            raise DataSourceException(
+                f"no parquet files to convert under {table!r}"
+            )
+        adds: list[dict] = []
+        for rel in sorted(rels):
+            relpart = os.path.dirname(rel) or "."
+            seen = {seg.partition("=")[0]
+                    for seg in relpart.split(os.sep) if "=" in seg}
+            if set(part_names) != seen:
+                raise DataSourceException(
+                    f"file {rel!r} does not sit under the declared "
+                    f"partition layout {part_names} (found {sorted(seen)}; "
+                    "pass partition_by matching the directory structure)"
+                )
+            full = os.path.join(table, rel)
+            num_rows, stats = self._footer_stats(full)
+            adds.append({
+                "path": rel,
+                "partitionValues": self._parse_partition_values(
+                    relpart, part_names),
+                "numRecords": num_rows,
+                "size": os.path.getsize(full),
+                "stats": stats,
+            })
+        data_schema = self.spark.read.parquet(
+            os.path.join(table, adds[0]["path"])
+        ).schema
+        schema = StructType(
+            [f for f in data_schema.fields if f.name not in part_names]
+            + part_fields
+        )
+        meta = {
+            "metaData": {
+                "schemaJson": schema.json(),
+                "partitionColumns": part_names,
+            }
+        }
+        self._commit(table, 0, [meta] + [{"add": a} for a in adds],
+                     "CONVERT")
+        return len(adds)
+
     def create(self, ref: TableRef, schema: StructType,
                partition_by: list[str] | None = None) -> None:
         """Commit version 0: metaData only (an empty table)."""
