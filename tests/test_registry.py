@@ -70,7 +70,12 @@ FAMILY_REPRESENTATIVES = [
                                 # pruned probe search vs closed-form oracle
     "bloom_point_lookup",       # Bloom file-skipping sidecar
     "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
-    "stream_ivm_join_view",     # streaming facts + dim churn -> JoinView
+    "row_tracking_lineage",     # NEW r8: row tracking — stable row ids
+                                # through UPDATE/DELETE/OPTIMIZE, id-join
+                                # lineage audit (takes the twice-green
+                                # stream_ivm_join_view slot; that family
+                                # is held by join_view_refresh +
+                                # stream_quantile_sketch, both head)
     "events_resampled_locf",    # per-key dense grid + LOCF (as-of family;
                                 # the interpolation twin demoted r7 — same
                                 # per-key explode kernel)

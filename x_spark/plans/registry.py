@@ -85,6 +85,18 @@ _TAIL = [
                                # dispatcher) with dv_delete_scan +
                                # txlog_restore_roundtrip keeping the
                                # CDF read surfaces head-side
+    "stream_ivm_join_view",    # green r06+r07 (head, twice); the
+                               # exactly-once-ingest + maintained-view
+                               # family keeps join_view_refresh (head —
+                               # the same JoinView incremental-refresh
+                               # kernel incl. merge/delete churn) and
+                               # stream_quantile_sketch (head — the
+                               # same txn-stamped foreachBatch
+                               # exactly-once ingest); streaming keeps
+                               # three other head reps. Slot goes to
+                               # row_tracking_lineage (Delta
+                               # rowTracking parity — a brand-new
+                               # protocol surface, round 8)
     "quantile_sketch_store",   # green r07 (head); the maintained
                                # sketch-store family keeps
                                # stream_quantile_sketch (head — the

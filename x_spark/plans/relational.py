@@ -1905,6 +1905,115 @@ def q_convert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_row_tracking_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (Delta rowTracking parity): stable row ids
+    assigned at commit, preserved through UPDATE, DELETE and OPTIMIZE.
+    The audit joins the post-DML ids back to the initial snapshot's
+    ids BY ROW ID and checks the binding still points at the same
+    row (same customer key) — plus per-segment counts keyed on
+    ``_row_commit_version`` (which rows were touched by which commit)
+    and the initial dense id range. Id VALUES are engine-assigned
+    (file-order dependent), so the result aggregates only
+    assignment-order-independent facts — all SQL-expressible."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import ROW_TRACKING_KEY, TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_rowtrack_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "cust"))
+        base = _t(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % 4 == 0
+        ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        ds.create(ref, StructType.fromDDL(
+            "c_custkey bigint, c_mktsegment string, c_acctbal double"
+        ))                                                        # v0
+        ds.set_properties(ref, {ROW_TRACKING_KEY: "true"})        # v1
+        ds.append(base.repartition(3), ref)                       # v2
+        v_initial = 2
+        ids_v2 = ds.with_row_ids(
+            TableRef(path=ref.path, options={"versionAsOf": "2"})
+        )
+        ds.update(ref, {"c_acctbal": "c_acctbal + 100"},
+                  "c_custkey % 8 = 0")                            # v3
+        ds.delete(ref, "c_mktsegment = 'BUILDING'")               # v4
+        ds.optimize(ref, target_size_mb=128)                      # v5
+        cur = ds.with_row_ids(ref)
+        per_seg = cur.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("_row_id").cast("bigint").alias("n_ids"),
+            F.count(F.when(F.col("_row_commit_version") == 3, 1))
+            .cast("bigint").alias("n_updated"),
+            F.count(F.when(F.col("_row_commit_version") == v_initial, 1))
+            .cast("bigint").alias("n_untouched"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+        stable = (
+            cur.select("_row_id", F.col("c_custkey").alias("k_now"))
+            .join(ids_v2.select("_row_id",
+                                F.col("c_custkey").alias("k_then")),
+                  "_row_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_joined"),
+                F.count(F.when(F.col("k_now") == F.col("k_then"), 1))
+                .cast("bigint").alias("n_stable"),
+            )
+        )
+        v2_range = ids_v2.agg(
+            F.min("_row_id").alias("v2_min_id"),
+            F.max("_row_id").alias("v2_max_id"),
+            F.countDistinct("_row_id").cast("bigint").alias("v2_n_ids"),
+        )
+        return (
+            per_seg
+            .crossJoin(F.broadcast(stable))
+            .crossJoin(F.broadcast(v2_range))
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_ROW_TRACKING_LINEAGE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 4 = 0
+),
+survivors AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 8 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 8 = 0 THEN 3 ELSE 2 END AS rcv
+  FROM base WHERE c_mktsegment <> 'BUILDING'
+),
+audit AS (
+  SELECT CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_joined,
+         CAST((SELECT count(*) FROM survivors) AS BIGINT) AS n_stable,
+         CAST(0 AS BIGINT) AS v2_min_id,
+         CAST((SELECT count(*) FROM base) - 1 AS BIGINT) AS v2_max_id,
+         CAST((SELECT count(*) FROM base) AS BIGINT) AS v2_n_ids
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(count(CASE WHEN rcv = 3 THEN 1 END) AS BIGINT) AS n_updated,
+       CAST(count(CASE WHEN rcv = 2 THEN 1 END) AS BIGINT) AS n_untouched,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+       audit.n_joined, audit.n_stable,
+       audit.v2_min_id, audit.v2_max_id, audit.v2_n_ids
+FROM survivors CROSS JOIN audit
+GROUP BY c_mktsegment, audit.n_joined, audit.n_stable,
+         audit.v2_min_id, audit.v2_max_id, audit.v2_n_ids
+"""
+
+
 ORACLE_CONVERT_TIME_TRAVEL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -2086,6 +2195,7 @@ RELATIONAL_QUERIES = {
     "default_identity_ingest": q_default_identity_ingest,
     "sql_dml_flow": q_sql_dml_flow,
     "convert_time_travel": q_convert_time_travel,
+    "row_tracking_lineage": q_row_tracking_lineage,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -2125,6 +2235,7 @@ RELATIONAL_ORACLES = {
     "default_identity_ingest": ORACLE_DEFAULT_IDENTITY_INGEST,
     "sql_dml_flow": ORACLE_SQL_DML_FLOW,
     "convert_time_travel": ORACLE_CONVERT_TIME_TRAVEL,
+    "row_tracking_lineage": ORACLE_ROW_TRACKING_LINEAGE,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

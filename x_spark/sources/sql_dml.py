@@ -698,7 +698,10 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
     else:
         candidates = sorted(snap.files)
 
-    tslice = ds._read_snapshot(table, snap, candidates)
+    # id-aware when row tracking is on: carried target rows (kept AND
+    # updated) keep their stable _x_row_id in the rewritten files
+    tslice = ds._read_for_rewrite(table, snap, candidates)
+    carry = [c for c in ("_x_row_id", "_x_rcv") if c in tslice.columns]
     if meta_actions:
         tslice = ds._widen_frame(tslice, write_schema)
     t = (tslice.withColumn("__t", F.lit(True))
@@ -804,6 +807,7 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
         F.col("__trid"),
         *[F.col(f"{ta}.{c}").cast(types[c]).alias(f"__old_{c}")
           for c in tgt_cols],
+        *[F.col(f"{ta}.{c}").alias(f"__old_{c}") for c in carry],
         *[new_val(c).alias(f"__new_{c}") for c in tgt_cols],
         *([ins_val(c).alias(f"__ins_{c}") for c in tgt_cols]
           if ins_codes else []),
@@ -853,7 +857,18 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
         new_t = survivors.select(
             F.col("__code"),
             *[F.col(f"__new_{c}").alias(c) for c in tgt_cols],
+            *[F.col(f"__old_{c}").alias(c) for c in carry],
         )
+        if "_x_rcv" in carry:
+            # updated rows fall back to the new file's default commit
+            # version; kept rows carry their old one
+            upd_f = (F.col("__code").isin(upd_codes) if upd_codes
+                     else F.lit(False))
+            new_t = new_t.withColumn(
+                "_x_rcv",
+                F.when(upd_f, F.lit(None).cast("long"))
+                .otherwise(F.col("_x_rcv")),
+            )
         # generated columns not assigned by the firing update clause
         # recompute from the POST-assignment values (Delta's rule)
         for g, gexpr in sorted(snap.generated.items()):
@@ -890,9 +905,12 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
         else:
             ins_rows = None
 
-        result = new_t.select(*tgt_cols)
+        result = new_t.select(*tgt_cols, *carry)
         if ins_rows is not None:
-            result = result.unionByName(ins_rows)
+            ins_out = ins_rows
+            for c in carry:  # fresh rows: ids come from baseRowId
+                ins_out = ins_out.withColumn(c, F.lit(None).cast("long"))
+            result = result.unionByName(ins_out)
         adds = ds._write_files(result, table, snap.partition_cols,
                                schema=write_schema)
         actions = list(ds._fold_identity_meta(

@@ -64,6 +64,14 @@ CHECKPOINT_INTERVAL = 20
 # column. The dv field rides ON the add action, so checkpoints, RESTORE,
 # CLONE and time travel carry mask state with zero extra machinery.
 DV_ENABLE_KEY = "enableDeletionVectors"
+ROW_TRACKING_KEY = "enableRowTracking"
+# physical carry columns a preserving rewrite materializes into its
+# parquet files: a row's stable id, and its last-modified commit
+# version when it differs from the new file's default. Never part of
+# the logical schema; the pinned-schema readers' explicit schemas
+# simply do not select them.
+ROW_ID_COL = "_x_row_id"
+ROW_RCV_COL = "_x_rcv"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 # Change data feed (Delta's delta.enableChangeDataFeed): with the
@@ -217,12 +225,16 @@ class Snapshot:
 
     def __init__(self, version: int, schema_json: str, partition_cols: list[str],
                  files: dict[str, dict],
-                 configuration: dict[str, str] | None = None):
+                 configuration: dict[str, str] | None = None,
+                 row_id_high: int = -1):
         self.version = version
         self.schema_json = schema_json
         self.partition_cols = partition_cols
         self.files = files
         self.configuration = dict(configuration or {})
+        # row tracking: highest row id ever assigned (-1 = none);
+        # replayed from rowIdHighWaterMark actions / checkpoints
+        self.row_id_high = row_id_high
 
     @property
     def constraints(self) -> dict[str, str]:
@@ -410,6 +422,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
     schema_json: str | None = None
     part_cols: list[str] = []
     configuration: dict[str, str] = {}
+    row_id_high = -1
     start = 0
     usable = [c for c in checkpoints if _version_of(c) <= target]
     if usable:
@@ -419,6 +432,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
         part_cols = ck["partitionColumns"]
         configuration = dict(ck.get("configuration", {}))
         files = {a["path"]: a for a in ck["adds"]}
+        row_id_high = int(ck.get("rowIdHighWaterMark", -1))
         start = _version_of(usable[-1]) + 1
     for fname in commits:
         v = _version_of(fname)
@@ -437,9 +451,16 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
+                elif "rowIdHighWaterMark" in action:
+                    # monotone: the mark never regresses, even through
+                    # RESTORE (re-used ids would alias distinct rows)
+                    row_id_high = max(
+                        row_id_high, int(action["rowIdHighWaterMark"])
+                    )
     if schema_json is None:
         raise DataSourceException(f"txlog table {table!r} has no metaData action")
-    return Snapshot(target, schema_json, part_cols, files, configuration)
+    return Snapshot(target, schema_json, part_cols, files, configuration,
+                    row_id_high=row_id_high)
 
 
 # ---------------------------------------------------------------------------
@@ -1077,6 +1098,116 @@ class TxLogDataSource(BaseDataSource):
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _row_tracking_on(configuration: dict[str, str]) -> bool:
+        return str(configuration.get(ROW_TRACKING_KEY, "")).lower() == "true"
+
+    def _read_rows_with_ids(self, table: str, snap: Snapshot,
+                            paths: list[str] | None = None,
+                            keep_meta: bool = False) -> DataFrame:
+        """Live rows of ``paths`` with the two row-tracking carry
+        columns attached: ``_x_row_id`` = COALESCE(materialized id,
+        add.baseRowId + row_index) and ``_x_rcv`` = COALESCE(
+        materialized version, add.defaultRowCommitVersion). The
+        per-file (base id, default version) map is metadata-scale
+        (O(#files), same bound as the snapshot itself) and joins
+        broadcast. ``keep_meta=True`` also returns ``__fn``/``__ri``
+        for callers that mask (DV paths)."""
+        rel = sorted(snap.files) if paths is None else paths
+        cols = [f.name for f in snap.schema.fields]
+        meta_cols = ["__fn", "__ri"] if keep_meta else []
+        if not rel:
+            out_schema = (snap.schema
+                          .add(ROW_ID_COL, "long").add(ROW_RCV_COL, "long"))
+            if keep_meta:
+                out_schema = out_schema.add("__fn", "string").add("__ri", "long")
+            return self.spark.createDataFrame([], out_schema)
+        pschema = (_physical_schema(snap.schema)
+                   .add(ROW_ID_COL, "long").add(ROW_RCV_COL, "long"))
+        raw = (
+            self.spark.read.schema(pschema)
+            .option("basePath", table)
+            .parquet(*[os.path.join(table, p) for p in rel])
+            .select(
+                *[F.col(_physical_name(f)).alias(f.name)
+                  for f in snap.schema.fields],
+                F.col(ROW_ID_COL).alias("__mat_id"),
+                F.col(ROW_RCV_COL).alias("__mat_rcv"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__fn"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        base_rows = [
+            (os.path.basename(p),
+             snap.files[p].get("baseRowId"),
+             snap.files[p].get("defaultRowCommitVersion"))
+            for p in rel
+        ]
+        base_map = self.spark.createDataFrame(
+            base_rows, "__fn string, __base long, __rcv0 long"
+        )
+        out = raw.join(F.broadcast(base_map), "__fn")
+        masked = [p for p in rel if (snap.files.get(p) or {}).get("dv")]
+        if masked:
+            out = out.join(self._dv_rows(table, snap, masked),
+                           ["__fn", "__ri"], "left_anti")
+        return out.select(
+            *cols,
+            F.coalesce(F.col("__mat_id"),
+                       F.col("__base") + F.col("__ri")).alias(ROW_ID_COL),
+            F.coalesce(F.col("__mat_rcv"),
+                       F.col("__rcv0")).alias(ROW_RCV_COL),
+            *meta_cols,
+        )
+
+    def _read_for_rewrite(self, table: str, snap: Snapshot,
+                          paths: list[str] | None = None) -> DataFrame:
+        """The read every PRESERVING rewrite path (OPTIMIZE / CLUSTER /
+        COMPACT / PURGE / CoW UPDATE / DELETE / MERGE target slice)
+        uses: the plain snapshot scan, plus — when row tracking is on —
+        the ``_x_row_id``/``_x_rcv`` carry columns, which ride through
+        the rewrite into the new files so every surviving row keeps
+        its stable id."""
+        if not self._row_tracking_on(snap.configuration):
+            return self._read_snapshot(table, snap, paths)
+        return self._read_rows_with_ids(table, snap, paths)
+
+    @staticmethod
+    def _rewrite_cols(snap: Snapshot, df: DataFrame) -> list[str]:
+        """Column list a rewrite writes: the table schema plus any
+        row-tracking carry columns the read attached."""
+        return [f.name for f in snap.schema.fields] + [
+            c for c in (ROW_ID_COL, ROW_RCV_COL) if c in df.columns
+        ]
+
+    def with_row_ids(self, ref: TableRef) -> DataFrame:
+        """Row-tracking read surface (Delta's ``_metadata.row_id`` /
+        ``row_commit_version``): the table plus ``_row_id`` (stable,
+        unique, survives OPTIMIZE/CLUSTER/PURGE/UPDATE/MERGE/RESTORE/
+        CLONE) and ``_row_commit_version`` (the commit that last
+        created or modified the row). Time travel via
+        ``ref.options['versionAsOf']``."""
+        table = self._table_path(ref)
+        version = ref.options.get("versionAsOf")
+        snap = resolve_snapshot(
+            table, int(version) if version is not None else None
+        )
+        if snap is None:
+            raise DataSourceException(f"txlog table {table!r} does not exist")
+        if not self._row_tracking_on(snap.configuration):
+            raise DataSourceException(
+                f"row tracking is not enabled on {table!r} "
+                f"(set {ROW_TRACKING_KEY}=true)"
+            )
+        df = self._read_rows_with_ids(table, snap)
+        return df.select(
+            *[f.name for f in snap.schema.fields],
+            F.col(ROW_ID_COL).alias("_row_id"),
+            F.col(ROW_RCV_COL).alias("_row_commit_version"),
+        )
+
     # -- commit machinery ----------------------------------------------
     def _commit(self, table: str, expected_version: int, actions: list[dict],
                 operation: str, txn: tuple[str, int] | None = None) -> int:
@@ -1127,6 +1258,7 @@ class TxLogDataSource(BaseDataSource):
         info["timestamp"] = ts_ms
         if txn is not None:
             info["txn"] = {"appId": txn[0], "version": int(txn[1])}
+        actions = self._assign_row_ids(table, expected_version, actions)
         payload = "".join(
             json.dumps(a, default=str) + "\n"
             for a in actions + [{"commitInfo": info}]
@@ -1142,6 +1274,63 @@ class TxLogDataSource(BaseDataSource):
             fh.write(payload)
         self._maybe_checkpoint(table, expected_version)
         return expected_version
+
+    def _assign_row_ids(self, table: str, expected_version: int,
+                        actions: list[dict]) -> list[dict]:
+        """Row tracking (Delta's ``rowTracking``): when enabled, every
+        NEW file's add action gets a ``baseRowId`` (its rows' stable
+        ids are ``baseRowId + row_index`` unless a preserving rewrite
+        materialized older ids) and a ``defaultRowCommitVersion``;
+        the table-wide high-water mark rides the same commit as a
+        ``rowIdHighWaterMark`` action. Assignment happens HERE — the
+        one choke point every commit funnels through — on COPIES of
+        the caller's actions, so a lost version race reassigns from
+        the fresh snapshot and two racing writers can never mint the
+        same id range (the O_EXCL commit is the arbiter). Adds that
+        already carry a baseRowId (RESTORE/CLONE re-emits, DV
+        re-points, the enablement re-emission) keep it verbatim —
+        Delta's rule that an id is frozen per physical file."""
+        meta_cfg = next(
+            (a["metaData"].get("configuration", {})
+             for a in actions if "metaData" in a), None,
+        )
+        # fast path: tables that never enabled tracking pay ONE stat
+        # call per commit, not a log replay — the marker is dropped at
+        # first enablement and never removed (a later disable is read
+        # from the resolved configuration)
+        marker = os.path.join(_log_path(table), "_row_tracking_enabled")
+        meta_on = (meta_cfg is not None and
+                   str(meta_cfg.get(ROW_TRACKING_KEY, "")).lower()
+                   == "true")
+        if not meta_on and not os.path.exists(marker):
+            return actions
+        fresh = [a for a in actions
+                 if "add" in a and "baseRowId" not in a["add"]]
+        if not fresh and not meta_on:
+            return actions
+        snap = resolve_snapshot(table) if expected_version > 0 else None
+        cfg = (meta_cfg if meta_cfg is not None
+               else (snap.configuration if snap is not None else {}))
+        if str(cfg.get(ROW_TRACKING_KEY, "")).lower() != "true":
+            return actions
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("1")
+        if not fresh:
+            return actions
+        next_id = (snap.row_id_high if snap is not None else -1) + 1
+        out: list[dict] = []
+        for a in actions:
+            if "add" in a and "baseRowId" not in a["add"]:
+                add = dict(a["add"])
+                add["baseRowId"] = next_id
+                add["defaultRowCommitVersion"] = expected_version
+                next_id += int(add.get("numRecords") or 0)
+                out.append({**a, "add": add})
+            else:
+                out.append(a)
+        out.append({"rowIdHighWaterMark": next_id - 1})
+        return out
 
     def _txn_stamps(self, table: str, upto: int | None = None) -> dict[str, int]:
         """appId -> highest committed txn version, at log state
@@ -1189,6 +1378,7 @@ class TxLogDataSource(BaseDataSource):
             "configuration": snap.configuration,
             "adds": [snap.files[p] for p in sorted(snap.files)],
             "txns": self._txn_stamps(table, upto=version),
+            "rowIdHighWaterMark": snap.row_id_high,
         }
         path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -1577,6 +1767,30 @@ class TxLogDataSource(BaseDataSource):
             schema_json = _stamp_physical(
                 snap.schema, snap.schema, {COLUMN_MAPPING_KEY: "name"}
             ).json()
+        extra: list[dict] = []
+        if (str(props.get(ROW_TRACKING_KEY, "")).lower() == "true"
+                and str(snap.configuration.get(ROW_TRACKING_KEY, "")
+                        ).lower() != "true"):
+            # enabling row tracking on a table with history: re-emit
+            # every live add lacking a baseRowId in the SAME commit —
+            # _assign_row_ids stamps them, so existing rows get stable
+            # ids atomically with the flag (Delta's ALTER TABLE
+            # backfill, done metadata-only here). dataChange=false:
+            # no CDF surface or stream re-sees the data.
+            clash = [c for c in (ROW_ID_COL, ROW_RCV_COL)
+                     if c in {f.name for f in snap.schema.fields}]
+            if clash:
+                raise DataSourceException(
+                    f"cannot enable {ROW_TRACKING_KEY}: column name(s) "
+                    f"{clash} are reserved for materialized row ids"
+                )
+            extra = [
+                {"add": {**{k: v for k, v in snap.files[p].items()
+                            if k != "baseRowId"},
+                         "dataChange": False}}
+                for p in sorted(snap.files)
+                if "baseRowId" not in snap.files[p]
+            ]
         self._commit(
             table,
             self._expect_unchanged(table, snap.version),
@@ -1586,7 +1800,7 @@ class TxLogDataSource(BaseDataSource):
                     "partitionColumns": snap.partition_cols,
                     "configuration": config,
                 }
-            }],
+            }] + extra,
             "SET TBLPROPERTIES",
         )
 
@@ -2875,9 +3089,17 @@ class TxLogDataSource(BaseDataSource):
             src, snap, spec.primary_key_columns[0]
         )
         if candidates:
-            tgt = self._read_files_with_meta(table, snap.schema, candidates)
-            tgt = tgt.join(self._dv_rows(table, snap, candidates),
-                           ["__fn", "__ri"], "left_anti")
+            if self._row_tracking_on(snap.configuration):
+                # id-aware scan (masks applied inside): matched
+                # postimages carry their stable _x_row_id into the new
+                # files; _x_rcv resets below (the rows ARE modified)
+                tgt = self._read_rows_with_ids(table, snap, candidates,
+                                               keep_meta=True)
+            else:
+                tgt = self._read_files_with_meta(table, snap.schema,
+                                                 candidates)
+                tgt = tgt.join(self._dv_rows(table, snap, candidates),
+                               ["__fn", "__ri"], "left_anti")
         else:
             tgt = self.spark.createDataFrame(
                 [], snap.schema.add("__fn", "string").add("__ri", "long")
@@ -2889,6 +3111,13 @@ class TxLogDataSource(BaseDataSource):
         matched_meta, matched_pre, matched_post, inserts = \
             merge_split_frames(tgt, src, spec, ["__fn", "__ri"],
                                insert_defaults=snap.defaults)
+        carry = [c for c in (ROW_ID_COL, ROW_RCV_COL)
+                 if c in matched_post.columns]
+        if ROW_RCV_COL in carry:
+            # matched postimages are MODIFIED rows: their commit
+            # version falls back to the new file's default
+            matched_post = matched_post.withColumn(
+                ROW_RCV_COL, F.lit(None).cast("long"))
 
         # generated columns on MERGE: NULL-filled columns mean "not
         # set" — compute the expression there (matched postimages and
@@ -2929,13 +3158,13 @@ class TxLogDataSource(BaseDataSource):
             actions += self._mask_actions(table, snap, candidates, mask)
             actions += [{"add": a} for a in adds]
             if self._cdf_enabled(snap.configuration):
-                cdc = matched_pre.withColumn(
+                cdc = matched_pre.drop(*carry).withColumn(
                     "_change_type", F.lit("update_preimage")
-                ).unionByName(matched_post.withColumn(
+                ).unionByName(matched_post.drop(*carry).withColumn(
                     "_change_type", F.lit("update_postimage")
                 ))
                 if inserts is not None:
-                    cdc = cdc.unionByName(inserts.withColumn(
+                    cdc = cdc.unionByName(inserts.drop(*carry).withColumn(
                         "_change_type", F.lit("insert")
                     ))
                 actions += self._write_cdc_files(cdc, table, write_schema,
@@ -3007,7 +3236,7 @@ class TxLogDataSource(BaseDataSource):
             )
             if not cdc_actions:
                 return  # belt-and-braces: never commit cdc-less
-        survivors = self._read_snapshot(table, snap, candidates).filter(
+        survivors = self._read_for_rewrite(table, snap, candidates).filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
         adds = self._write_files(survivors, table, snap.partition_cols,
@@ -3209,6 +3438,17 @@ class TxLogDataSource(BaseDataSource):
         # physical type diverges from the pinned schema, and the table
         # stops being readable
         types = {f.name: f.dataType for f in snap.schema.fields}
+        if self._row_tracking_on(snap.configuration):
+            # row tracking: updated rows' commit version falls back to
+            # the NEW file's defaultRowCommitVersion (materialize NULL);
+            # untouched co-located rows carry their old version — the
+            # per-row assignment machinery below does both in one pass.
+            # _x_row_id needs no entry: it is a pure passthrough.
+            from pyspark.sql.types import LongType
+
+            assignments = {**assignments,
+                           ROW_RCV_COL: "CAST(NULL AS BIGINT)"}
+            types = {**types, ROW_RCV_COL: LongType()}
         pred = F.coalesce(F.expr(predicate), F.lit(False))
 
         def new_image(df: DataFrame, only_matched: bool) -> DataFrame:
@@ -3257,10 +3497,16 @@ class TxLogDataSource(BaseDataSource):
             actions: list[dict] = []
             adds: list[dict] = []
             if candidates:
-                live = self._read_files_with_meta(
-                    table, snap.schema, candidates
-                ).join(self._dv_rows(table, snap, candidates),
-                       ["__fn", "__ri"], "left_anti")
+                if self._row_tracking_on(snap.configuration):
+                    # id-aware scan (masks applied inside): new images
+                    # carry each row's stable id into the new files
+                    live = self._read_rows_with_ids(
+                        table, snap, candidates, keep_meta=True)
+                else:
+                    live = self._read_files_with_meta(
+                        table, snap.schema, candidates
+                    ).join(self._dv_rows(table, snap, candidates),
+                           ["__fn", "__ri"], "left_anti")
                 matched, _ckpt_ids = self._tracked_local_ckpt(
                     live.filter(pred)
                 )
@@ -3276,7 +3522,8 @@ class TxLogDataSource(BaseDataSource):
                         table, snap.partition_cols, schema=snap.schema,
                     )
                     if self._cdf_enabled(snap.configuration):
-                        old = matched.drop("__fn", "__ri")
+                        old = matched.drop("__fn", "__ri",
+                                           ROW_ID_COL, ROW_RCV_COL)
                         cdc = old.withColumn(
                             "_change_type", F.lit("update_preimage")
                         ).unionByName(new_image(old, True).withColumn(
@@ -3318,7 +3565,7 @@ class TxLogDataSource(BaseDataSource):
             if not cdc_actions:
                 return  # belt-and-braces: never commit cdc-less
         rewritten = new_image(
-            self._read_snapshot(table, snap, candidates), False
+            self._read_for_rewrite(table, snap, candidates), False
         )
         adds = self._write_files(rewritten, table, snap.partition_cols,
                                  schema=snap.schema)
@@ -3351,7 +3598,7 @@ class TxLogDataSource(BaseDataSource):
         masked = sorted(p for p, a in snap.files.items() if a.get("dv"))
         if not masked:
             return 0
-        df = self._read_snapshot(table, snap, masked)  # mask-applied
+        df = self._read_for_rewrite(table, snap, masked)  # mask-applied
         adds = self._write_files(df, table, snap.partition_cols,
                                  schema=snap.schema)
         actions = [{"remove": {"path": p}} for p in masked]
@@ -3443,7 +3690,7 @@ class TxLogDataSource(BaseDataSource):
                 1, math.ceil(sum(sizes[p] for p in rewrite) / threshold)
             )
             df = self._curve_layout(
-                self._read_snapshot(table, snap, rewrite),
+                self._read_for_rewrite(table, snap, rewrite),
                 list(zorder_by), n_out, strategy,
             )
             operation = "OPTIMIZE ZORDER"
@@ -3455,10 +3702,11 @@ class TxLogDataSource(BaseDataSource):
             n_out = max(
                 1, math.ceil(sum(sizes[p] for p in rewrite) / threshold)
             )
-            df = self._read_snapshot(table, snap, rewrite).repartition(n_out)
+            df = self._read_for_rewrite(table, snap,
+                                        rewrite).repartition(n_out)
             operation = "OPTIMIZE"
         adds = self._write_files(
-            df.select(*[f.name for f in snap.schema.fields]), table,
+            df.select(*self._rewrite_cols(snap, df)), table,
             snap.partition_cols, schema=snap.schema,
         )
         actions = [{"remove": {"path": p}} for p in rewrite]
@@ -3469,11 +3717,16 @@ class TxLogDataSource(BaseDataSource):
 
     def _compact_rewrite(self, df: DataFrame, ref: TableRef) -> None:
         """Compaction commit: logically a no-op (remove small files, add
-        their coalesced rewrite atomically)."""
+        their coalesced rewrite atomically). With row tracking the
+        plain read the base class handed in is re-done id-aware so the
+        compacted files keep every row's stable id."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
+        if self._row_tracking_on(snap.configuration):
+            n = df.rdd.getNumPartitions()
+            df = self._read_for_rewrite(table, snap).repartition(n)
         adds = self._write_files(
-            df.select(*[f.name for f in snap.schema.fields]), table,
+            df.select(*self._rewrite_cols(snap, df)), table,
             snap.partition_cols, schema=snap.schema,
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
@@ -3534,13 +3787,13 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
-        df = self._read_snapshot(table, snap)
+        df = self._read_for_rewrite(table, snap)
         if target_files is None:
             target_files = max(1, len(snap.files))
         clustered = self._curve_layout(df, cluster_by, target_files,
                                        strategy)
         adds = self._write_files(
-            clustered.select(*[f.name for f in snap.schema.fields]), table,
+            clustered.select(*self._rewrite_cols(snap, clustered)), table,
             snap.partition_cols, schema=snap.schema,
         )
         actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
