@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="range = lexicographic sort (leading column prunes); "
         "zorder = bit-interleaved Morton order (every column prunes)",
     )
+    clus.add_argument(
+        "--incremental", action="store_true",
+        help="liquid-clustering shape: lay out ONLY files appended "
+        "since the last pass (already-clustered files stay "
+        "byte-identical) — maintenance cost O(new data)",
+    )
 
     ivm = sub.add_parser(
         "ivm", help="incrementally refresh a materialized aggregate "
@@ -821,6 +827,7 @@ def main(argv: list[str] | None = None) -> int:
                 [c.strip() for c in args.by.split(",") if c.strip()],
                 args.target_files,
                 strategy=args.strategy,
+                incremental=args.incremental,
             )
             print(f"clustered into {n} file(s)")
             return 0

@@ -3709,6 +3709,12 @@ class TxLogDataSource(BaseDataSource):
             df.select(*self._rewrite_cols(snap, df)), table,
             snap.partition_cols, schema=snap.schema,
         )
+        if zorder_by:
+            # same stamp cluster(incremental=True) honors: files this
+            # pass lays out never re-cluster until cols/strategy change
+            for a in adds:
+                a["clusteredBy"] = self._cluster_stamp(
+                    list(zorder_by), strategy)
         actions = [{"remove": {"path": p}} for p in rewrite]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version),
@@ -3764,9 +3770,14 @@ class TxLogDataSource(BaseDataSource):
             f"('range', 'zorder', 'hilbert')"
         )
 
+    @staticmethod
+    def _cluster_stamp(cluster_by: list[str], strategy: str) -> dict:
+        return {"cols": list(cluster_by), "strategy": strategy}
+
     def cluster(self, ref: TableRef, cluster_by: list[str],
                 target_files: int | None = None,
-                strategy: str = "range") -> int:
+                strategy: str = "range",
+                incremental: bool = False) -> int:
         """Layout management (the OPTIMIZE ... ZORDER analogue): rewrite
         the table range-partitioned and sorted on ``cluster_by``, one
         atomic commit. Afterwards each file covers a narrow key range,
@@ -3782,21 +3793,48 @@ class TxLogDataSource(BaseDataSource):
         gets narrow per-file ranges — predicates on the second/third
         column prune too. ``strategy="hilbert"`` sorts by the Hilbert
         index over the same buckets — no Morton seam jumps, tighter
-        average file ranges at the same bit budget."""
+        average file ranges at the same bit budget.
+
+        ``incremental=True`` (the liquid-clustering shape): every add
+        a cluster pass writes is stamped ``clusteredBy`` (cols +
+        strategy); an incremental pass re-lays-out ONLY the files
+        without a matching stamp — the data appended since the last
+        pass — into a fresh internally-sorted cube, leaving every
+        already-clustered file byte-identical. Maintenance cost is
+        O(new data), never O(table): clustering one day's ingest into
+        a 100-TB table touches one day's files. Pruning stays
+        equivalent — each cube's files carry tight per-file min/max
+        ranges, so a reader unions per-cube candidates. A pass with
+        nothing unclustered burns no commit. Changing columns or
+        strategy invalidates the stamps, so the next pass (full or
+        incremental) re-lays-out everything — Delta's ALTER CLUSTER
+        BY semantics."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
-        df = self._read_for_rewrite(table, snap)
+        stamp = self._cluster_stamp(cluster_by, strategy)
+        if incremental:
+            scope = sorted(
+                p for p, a in snap.files.items()
+                if a.get("clusteredBy") != stamp
+            )
+            if not scope:
+                return 0  # converged: no commit
+        else:
+            scope = sorted(snap.files)
+        df = self._read_for_rewrite(table, snap, scope)
         if target_files is None:
-            target_files = max(1, len(snap.files))
+            target_files = max(1, len(scope))
         clustered = self._curve_layout(df, cluster_by, target_files,
                                        strategy)
         adds = self._write_files(
             clustered.select(*self._rewrite_cols(snap, clustered)), table,
             snap.partition_cols, schema=snap.schema,
         )
-        actions = [{"remove": {"path": p}} for p in sorted(snap.files)]
+        for a in adds:
+            a["clusteredBy"] = stamp
+        actions = [{"remove": {"path": p}} for p in scope]
         actions += [{"add": a} for a in adds]
         self._commit(table, self._expect_unchanged(table, snap.version), self._mark_no_data_change(actions),
                      "CLUSTER")
