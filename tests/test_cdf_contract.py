@@ -345,3 +345,23 @@ def test_cdc_files_partitioned_like_table(spark, ds, tmp_path):
     got = sorted((r.pk, r.g, r.v, r._change_type)
                  for r in feed.collect())
     assert got == rows
+
+
+def test_cdc_partitioned_with_null_partition_value(spark, ds, tmp_path):
+    # one commit's cdc rows spanning a NULL and a non-NULL partition
+    # must group/read cleanly (review finding: None-safe group sort)
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(
+        spark.createDataFrame([(1, None, 10), (2, "a", 20)],
+                              "pk int, g string, v int"),
+        TableRef(path=ref.path, partition_by=["g"]),
+    )
+    ds.set_properties(ref, {CDF_ENABLE_KEY: "true"})
+    ds.update(ref, {"v": "v + 1"}, "pk in (1, 2)")
+    v = resolve_snapshot(ref.path).version
+    rows = sorted((r.pk, r.g, r.v, r._change_type)
+                  for r in ds.changes(ref, v - 1, v).collect())
+    assert rows == [
+        (1, None, 10, "update_preimage"), (1, None, 11, "update_postimage"),
+        (2, "a", 20, "update_preimage"), (2, "a", 21, "update_postimage"),
+    ]

@@ -138,3 +138,49 @@ def test_convert_cli(spark, ds, tmp_path):
     _plain_write(spark, path)
     assert main(["convert", path]) == 0
     assert resolve_snapshot(path).version == 0
+
+
+def test_convert_duplicate_basenames_dv_and_row_ids(spark, ds, tmp_path):
+    # an adopted Spark partitionBy layout legitimately repeats file
+    # BASENAMES across partition dirs — per-file identity (deletion
+    # vectors, row-tracking base ids) is keyed on the REL PATH, so
+    # masks and ids must never leak between same-named files
+    path = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)],
+        "pk int, g string",
+    ).repartition(1).write.partitionBy("g").parquet(path)
+    import glob
+
+    a = {os.path.basename(f) for f in glob.glob(f"{path}/g=a/*.parquet")}
+    b = {os.path.basename(f) for f in glob.glob(f"{path}/g=b/*.parquet")}
+    assert a & b, "fixture must actually collide on basenames"
+    ds.convert(TableRef(path=path), partition_by="g string")
+    ref = TableRef(path=path)
+    ds.set_properties(ref, {"enableDeletionVectors": "true",
+                            "enableRowTracking": "true"})
+    ids = {r.pk: r._row_id for r in ds.with_row_ids(ref).collect()}
+    assert len(set(ids.values())) == 8, "ids unique despite basename clash"
+    ds.delete(ref, "pk = 0")  # DV mask on the g=a file only
+    rows = sorted(r.pk for r in ds.read(ref).collect())
+    assert rows == [1, 2, 3, 4, 5, 6, 7], \
+        "a mask for g=a/<name> must not leak into g=b/<name>"
+    after = {r.pk: r._row_id for r in ds.with_row_ids(ref).collect()}
+    assert after == {p: v for p, v in ids.items() if p != 0}
+
+
+def test_convert_failed_validation_leaves_no_name_binding(spark, ds,
+                                                          tmp_path):
+    import uuid
+
+    name = f"cnvfail_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "cat_empty")
+    spark.sql(f"CREATE TABLE {name} (pk INT) USING parquet "
+              f"LOCATION '{loc}'")
+    try:
+        with pytest.raises(DataSourceException, match="no parquet"):
+            ds.convert(TableRef(table=name))
+        assert name not in ds._known_names(), \
+            "a failed convert must not leave a stale name binding"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -422,3 +422,50 @@ def test_merge_non_equi_on_falls_back_to_full_candidates(spark, ds):
     assert _rows(ds.sql(f"SELECT pk, v FROM {t}")) == [
         (1, 10.0), (2, 20.0), (3, 0.0),
     ]
+
+
+def test_merge_by_source_disables_key_pruning(spark, ds):
+    # a by-source clause acts on EXACTLY the rows key-range pruning
+    # would skip — pruned files must stay candidates (review finding)
+    t = _name("mrgbsp")
+    ds.sql(f"CREATE TABLE {t} (pk INT, v INT) USING txlog")
+    ds.sql(f"INSERT INTO {t} VALUES (1, 1), (2, 2)")      # file A: 1-2
+    ds.sql(f"INSERT INTO {t} VALUES (100, 100)")          # file B: 100
+    ds.sql(f"""
+        MERGE INTO {t} USING (SELECT 1 AS pk, 0 AS v) s ON {t}.pk = s.pk
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert _rows(ds.sql(f"SELECT pk, v FROM {t}")) == [(1, 0)], \
+        "by-source DELETE must reach rows in key-pruned files"
+    # degenerate: empty source + by-source DELETE clears the table
+    ds.sql(f"INSERT INTO {t} VALUES (5, 5)")
+    ds.sql(f"""
+        MERGE INTO {t} USING (SELECT CAST(NULL AS INT) AS pk
+                              WHERE 1 = 0) s
+        ON {t}.pk = s.pk
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert _rows(ds.sql(f"SELECT pk FROM {t}")) == []
+
+
+def test_merge_parser_literals_and_case_when(spark, ds):
+    # ')' inside a string literal of the source subquery (review
+    # finding: the close-paren scan must honor literals)
+    t = _name("mrglit")
+    ds.sql(f"CREATE TABLE {t} (pk INT, tag STRING) USING txlog")
+    ds.sql(f"INSERT INTO {t} VALUES (1, 'x')")
+    ds.sql(f"""
+        MERGE INTO {t} USING (SELECT 1 AS pk, ')' AS tag) s
+        ON {t}.pk = s.pk
+        WHEN MATCHED THEN UPDATE SET tag = s.tag
+    """)
+    assert _rows(ds.sql(f"SELECT pk, tag FROM {t}")) == [(1, ")")]
+    # unparenthesized CASE WHEN in a clause condition must not split
+    # the clause (review finding)
+    ds.sql(f"""
+        MERGE INTO {t} USING (SELECT 1 AS pk, 7 AS x) s ON {t}.pk = s.pk
+        WHEN MATCHED AND CASE WHEN s.x > 0 THEN true ELSE false END
+            THEN UPDATE SET tag = 'case-hit'
+    """)
+    assert _rows(ds.sql(f"SELECT tag FROM {t}")) == [("case-hit",)]

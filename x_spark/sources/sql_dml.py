@@ -89,6 +89,30 @@ def find_keyword(s: str, kw: str, start: int = 0) -> int:
     return -1
 
 
+def find_close_paren(s: str, start: int) -> int:
+    """Index of the ``)`` matching the ``(`` at ``start``, honoring
+    string literals (a quoted ``)`` never closes). -1 if unbalanced."""
+    depth, quote, i = 0, None, start
+    while i < len(s):
+        ch = s[i]
+        if quote is not None:
+            if ch == quote:
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on top-level ``sep`` characters."""
     mask = structural_mask(s)
@@ -245,17 +269,11 @@ def parse_insert(stmt: str) -> InsertStmt | None:
         rest = rest[mp.end():].lstrip()
     columns = None
     if rest.startswith("("):
-        # find the matching close paren of the leading group
-        depth = 0
-        close = -1
-        for i, ch in enumerate(rest):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    close = i
-                    break
+        close = find_close_paren(rest, 0)
+        if close < 0:
+            raise DataSourceException(
+                f"unbalanced parentheses in INSERT: {rest[:60]!r}"
+            )
         inner = rest[1:close].strip()
         if not re.match(r"\s*(select|with|values|from|table)\b", inner, re.I):
             columns = [_last(c) for c in inner.split(",") if c.strip()]
@@ -274,11 +292,30 @@ def parse_insert(stmt: str) -> InsertStmt | None:
     return InsertStmt(name, overwrite, columns, partition, rest)
 
 
+def _clause_then(body: str) -> int:
+    """Index of the THEN that opens the clause ACTION — i.e. the first
+    top-level THEN outside any CASE ... END (an unparenthesized CASE
+    WHEN inside the clause condition owns its own THENs)."""
+    mask = structural_mask(body)
+    depth = 0
+    for m in re.finditer(r"(?<![\w`])(case|end|then)(?![\w`])", body, re.I):
+        if not mask[m.start()]:
+            continue
+        kw = m.group(1).lower()
+        if kw == "case":
+            depth += 1
+        elif kw == "end":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            return m.start()
+    return -1
+
+
 def _parse_when_clause(clause: str) -> tuple[str, object]:
     """One ``WHEN ...`` clause body (text after the WHEN keyword).
     Returns (kind, parsed) with kind in matched/not_matched/by_source."""
     body = clause.strip()
-    t = find_keyword(body, "then")
+    t = _clause_then(body)
     if t < 0:
         raise DataSourceException(f"MERGE clause missing THEN: {body[:60]!r}")
     head, action = body[:t].strip(), body[t + 4:].strip()
@@ -375,16 +412,11 @@ def parse_merge(stmt: str) -> MergeInto | None:
     src_txt = s[u + 5:o].strip()
     source_alias = None
     if src_txt.startswith("("):
-        depth = 0
-        close = -1
-        for i, ch in enumerate(src_txt):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    close = i
-                    break
+        close = find_close_paren(src_txt, 0)
+        if close < 0:
+            raise DataSourceException(
+                f"MERGE INTO: unbalanced source subquery {src_txt[:60]!r}"
+            )
         tail = src_txt[close + 1:].strip()
         source_sql = src_txt[:close + 1]
     else:
@@ -407,11 +439,14 @@ def parse_merge(stmt: str) -> MergeInto | None:
         raise DataSourceException("MERGE INTO: no WHEN clauses")
     on = s[o + 2:w].strip()
     clause_region = s[w:]
-    # split on top-level WHEN keywords
+    # split on top-level WHEN keywords that OPEN a merge clause — a
+    # lookahead for MATCHED / NOT MATCHED keeps an unparenthesized
+    # CASE WHEN inside a clause condition from splitting the clause
     mask = structural_mask(clause_region)
     starts = [
         m2.start() for m2 in
-        re.finditer(r"(?<![\w`])when(?![\w`])", clause_region, re.I)
+        re.finditer(r"(?<![\w`])when(?=\s+(?:matched|not\s+matched)\b)",
+                    clause_region, re.I)
         if mask[m2.start()]
     ]
     matched: list[MatchedClause] = []
@@ -564,9 +599,7 @@ def execute_merge_into(ds, ms: MergeInto) -> None:
     key-pruned candidate files). See module docstring for the one-join
     scale contract; version races retry by recomputing the whole merge
     against the fresh snapshot (serializable, same as :meth:`merge`)."""
-    from x_spark.sources.txlog import (
-        ConcurrentWriteException, resolve_snapshot,
-    )
+    from x_spark.sources.txlog import ConcurrentWriteException
 
     ref = TableRef(table=ms.target)
     table = ds._table_path(ref)
@@ -616,7 +649,9 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
                      src_df: DataFrame | None = None,
                      snap=None,
                      merge_schema: bool | None = None,
-                     skip_match_checks: bool = False) -> None:
+                     skip_match_checks: bool = False,
+                     meta_actions: list[dict] | None = None,
+                     write_schema=None) -> None:
     """One merge attempt against the current (or given) snapshot.
 
     ``src_df``/``snap`` short-circuit resolution for API callers that
@@ -658,14 +693,16 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
         src_df = spark.sql(ds._rewrite_query(f"SELECT * FROM {src_txt}"))
         sa = ms.source_alias or _last(src_txt)
 
-    meta_actions = (ds._schema_evolution_actions(src_df.schema, snap)
-                    if merge_schema else [])
-    if meta_actions:
-        write_schema = StructType.fromJson(
-            _json.loads(meta_actions[0]["metaData"]["schemaJson"])
-        )
-    else:
-        write_schema = snap.schema
+    if meta_actions is None:  # API callers pass the already-computed fold
+        meta_actions = (ds._schema_evolution_actions(src_df.schema, snap)
+                        if merge_schema else [])
+    if write_schema is None:
+        if meta_actions:
+            write_schema = StructType.fromJson(
+                _json.loads(meta_actions[0]["metaData"]["schemaJson"])
+            )
+        else:
+            write_schema = snap.schema
     tgt_cols = [f.name for f in write_schema.fields]
     types = {f.name: f.dataType for f in write_schema.fields}
     src_cols = src_df.columns
@@ -691,7 +728,11 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
 
     base = snap.version
     key = _extract_equi_key(ms.on, ta, sa, tgt_cols, src_cols)
-    if key is not None:
+    if key is not None and not ms.by_source:
+        # key-range pruning is only sound when unmatched target rows
+        # are untouched: a WHEN NOT MATCHED BY SOURCE clause acts on
+        # EXACTLY the rows pruning would skip (Delta disables file
+        # pruning the same way), so it forces the full candidate set
         tcol, scol = key
         keyed = src_df.select(F.col(scol).alias(tcol))
         candidates = ds._files_overlapping_keys(keyed, snap, tcol)

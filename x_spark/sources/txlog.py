@@ -1041,8 +1041,9 @@ class TxLogDataSource(BaseDataSource):
     def _read_files_with_meta(self, table: str, schema: StructType,
                               rels: list[str]) -> DataFrame:
         """Scan of specific files with the two DV join keys attached:
-        ``__fn`` (file basename — uuid-unique per table by
-        construction) and ``__ri`` (parquet ``_metadata.row_index``)."""
+        ``__fn`` (the file's REL PATH — the table-wide identity key;
+        basenames can collide in adopted layouts) and ``__ri``
+        (parquet ``_metadata.row_index``)."""
         df = (
             self.spark.read.schema(_physical_schema(schema))
             .option("basePath", table)
@@ -1051,9 +1052,7 @@ class TxLogDataSource(BaseDataSource):
         return df.select(
             *[F.col(_physical_name(f)).alias(f.name)
               for f in schema.fields],
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__fn"),
+            self._rel_path_col(table).alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
 
@@ -1078,7 +1077,7 @@ class TxLogDataSource(BaseDataSource):
         by_dv: dict[str, list[str]] = {}
         for p, dv in pairs:
             if dv:
-                by_dv.setdefault(dv["path"], []).append(os.path.basename(p))
+                by_dv.setdefault(dv["path"], []).append(p)
         parts = []
         for dv_path, names in sorted(by_dv.items()):
             parts.append(
@@ -1097,6 +1096,18 @@ class TxLogDataSource(BaseDataSource):
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def _rel_path_col(table: str):
+        """``_metadata.file_path`` -> path RELATIVE to the table root —
+        the per-file identity key. Relative paths (not basenames):
+        adopted layouts (CONVERT TO TXLOG of a Spark partitionBy
+        write) legitimately repeat basenames across partition dirs.
+        Handles both ``file:/abs`` and ``file:///abs`` renderings;
+        the table path is regex-quoted."""
+        prefix = "^file:/*\\Q" + os.path.abspath(table).lstrip("/") \
+            + "\\E/"
+        return F.regexp_replace(F.col("_metadata.file_path"), prefix, "")
 
     @staticmethod
     def _row_tracking_on(configuration: dict[str, str]) -> bool:
@@ -1133,14 +1144,12 @@ class TxLogDataSource(BaseDataSource):
                   for f in snap.schema.fields],
                 F.col(ROW_ID_COL).alias("__mat_id"),
                 F.col(ROW_RCV_COL).alias("__mat_rcv"),
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__fn"),
+                self._rel_path_col(table).alias("__fn"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
         )
         base_rows = [
-            (os.path.basename(p),
+            (p,
              snap.files[p].get("baseRowId"),
              snap.files[p].get("defaultRowCommitVersion"))
             for p in rel
@@ -2275,6 +2284,8 @@ class TxLogDataSource(BaseDataSource):
             table = ref.path
         else:
             # catalog table: adopt its location under the txlog name
+            # (registered only AFTER the conversion commit succeeds —
+            # a failed validation must not leave a stale binding)
             loc = None
             for row in self.spark.sql(
                 f"DESCRIBE TABLE EXTENDED {ref.table}"
@@ -2288,7 +2299,6 @@ class TxLogDataSource(BaseDataSource):
                     f"table {ref.table!r}"
                 )
             table = loc.removeprefix("file:")
-            self._register_name(ref.table, table)  # type: ignore[arg-type]
         commits, _ = _list_log(table)
         if commits:
             raise DataSourceException(
@@ -2353,6 +2363,8 @@ class TxLogDataSource(BaseDataSource):
         }
         self._commit(table, 0, [meta] + [{"add": a} for a in adds],
                      "CONVERT")
+        if not ref.is_path:
+            self._register_name(ref.table, table)  # type: ignore[arg-type]
         return len(adds)
 
     def create(self, ref: TableRef, schema: StructType,
@@ -3031,6 +3043,8 @@ class TxLogDataSource(BaseDataSource):
                         self, merge_spec_into(spec), table, txn=txn,
                         src_df=df, snap=snap, merge_schema=merge_schema,
                         skip_match_checks=True,
+                        meta_actions=meta_actions,
+                        write_schema=write_schema,
                     )
                 return
             except TxnAlreadyCommittedException:
@@ -3362,9 +3376,7 @@ class TxLogDataSource(BaseDataSource):
             table, new_mask.unionByName(carried)
         )
         actions: list[dict] = []
-        by_name = {os.path.basename(p): p for p in candidates}
-        for fname, n in sorted(counts.items()):
-            p = by_name[fname]
+        for p, n in sorted(counts.items()):
             add = snap.files[p]
             total = add.get("numRecords")
             if total is None:  # foreign add without footer stats
@@ -4074,7 +4086,7 @@ class TxLogDataSource(BaseDataSource):
                     by_pv.setdefault(tuple(sorted(pv.items())), []).append(p)
                 pschema = _physical_schema(sch.schema)
                 ptypes = {f.name: f.dataType for f in pschema.fields}
-                for key, paths in sorted(by_pv.items()):
+                for key, paths in sorted(by_pv.items(), key=str):
                     pv = dict(key)
                     present = StructType(
                         [f for f in pschema.fields if f.name not in pv]

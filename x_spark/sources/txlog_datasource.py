@@ -56,14 +56,15 @@ class _FilePartition(InputPartition):
 def _masked_row_indexes(table: str, rel: str, dv: dict | None):
     """This file's deletion-vector row indexes as a sorted numpy array
     (None when unmasked). Executor-side pyarrow read of the referenced
-    sidecar directory, filtered to THIS file's basename — the same
-    per-sidecar scoping rule as the connector reader."""
+    sidecar directory, filtered to THIS file's REL PATH (the per-file
+    identity key — basenames can collide in adopted layouts) — the
+    same per-sidecar scoping rule as the connector reader."""
     if not dv:
         return None
     import numpy as np
     import pyarrow.parquet as pq
 
-    base = os.path.basename(rel)
+    base = rel
     idx: list = []
     dv_dir = os.path.join(table, dv["path"])
     for root, _dirs, names in os.walk(dv_dir):
@@ -537,8 +538,13 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # only called when NO checkpoint exists — a fresh start, where
-        # startingVersion IS the committed frontier
+        # startingVersion IS the committed frontier. A streamId sidecar
+        # from an earlier (deleted/relocated) checkpoint is STALE here:
+        # honoring it would make the first capped batch skip straight
+        # past startingVersion to the old frontier — reset it.
+        self._pos = self._initial
         self._anchored = True
+        self._persist_cursor()
         return {"version": self._initial}
 
     def _admitted_adds(self, fname: str, v: int) -> tuple[int, int]:
