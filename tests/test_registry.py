@@ -37,7 +37,11 @@ FAMILY_REPRESENTATIVES = [
     "wealthy_idle_customers",   # scalar subquery + NOT EXISTS
     "corpus_vocab_overlap",     # pairwise source vocabulary Jaccard
     "stream_stateful_user_stats",
-    "incremental_dedup",        # ingest-vs-fingerprint-store anti-join dedup
+    "copy_into_ingest",         # NEW r8s2: COPY INTO idempotent file
+                                # ingestion — anti-ledger load-only-
+                                # what's-new (takes incremental_dedup's
+                                # slot: the same left-anti-vs-persisted-
+                                # store algebra, 5 straight greens)
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen

@@ -232,3 +232,85 @@ def test_partitioned_table_ids(spark, ds, tmp_path):
     after = _ids(ds, ref)
     assert {p: after[p][0] for p in after} == \
         {p: before[p][0] for p in before}
+
+
+# -- row-id-paired derived CDF ---------------------------------------------
+# Row tracking upgrades the derived change feed (no enableChangeDataFeed)
+# from file-granular delete+insert noise to a ROW-EXACT feed: rewrite
+# commits pair removed and added rows on their stable id.
+
+
+def _feed(ds, ref, from_v):
+    return sorted(
+        (r.pk, r._change_type, r._commit_version)
+        for r in ds.changes(ref, from_version=from_v).collect()
+    )
+
+
+def test_derived_cdf_update_pairs_by_row_id(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)  # pks 0-5 across 2 files
+    v0 = resolve_snapshot(ref.path).version
+    ds.update(ref, {"v": "v + 1"}, "pk = 2")  # rewrites a whole file
+    feed = _feed(ds, ref, v0)
+    # ONLY the matched row appears — co-located unchanged rows paired out
+    assert feed == [
+        (2, "update_postimage", v0 + 1),
+        (2, "update_preimage", v0 + 1),
+    ]
+    pre = [r for r in ds.changes(ref, from_version=v0).collect()
+           if r._change_type == "update_preimage"]
+    post = [r for r in ds.changes(ref, from_version=v0).collect()
+            if r._change_type == "update_postimage"]
+    assert pre[0].v == 20 and post[0].v == 21
+
+
+def test_derived_cdf_delete_pairs_out_survivors(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    v0 = resolve_snapshot(ref.path).version
+    ds.delete(ref, "pk = 4")  # CoW rewrite of the file holding pk 4
+    assert _feed(ds, ref, v0) == [(4, "delete", v0 + 1)]
+
+
+def test_derived_cdf_merge_pairs_updates_and_inserts(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    v0 = resolve_snapshot(ref.path).version
+    src = spark.createDataFrame(
+        [(0, "a", 99), (100, "z", 1000)], "pk int, g string, v int"
+    )
+    ds.merge(src, ref, MergeSpec(["pk"], ["v"],
+                                 insert_when_not_matched=True))
+    feed = _feed(ds, ref, v0)
+    assert feed == [
+        (0, "update_postimage", v0 + 1),
+        (0, "update_preimage", v0 + 1),
+        (100, "insert", v0 + 1),
+    ]
+
+
+def test_derived_cdf_fold_still_matches_semantic_diff(spark, ds, tmp_path):
+    ref = _mk(spark, ds, tmp_path)
+    v0 = resolve_snapshot(ref.path).version
+    ds.update(ref, {"v": "v * 2"}, "pk >= 3")
+    ds.delete(ref, "pk = 0")
+    diff = {(r.pk, r.v): r.net
+            for r in ds.semantic_diff(ref, from_version=v0)
+            .select("pk", "v", "net").collect()}
+    assert diff == {(0, 0): -1, (3, 30): -1, (3, 60): 1,
+                    (4, 40): -1, (4, 80): 1, (5, 50): -1, (5, 100): 1}
+
+
+def test_derived_cdf_pre_tracking_interval_falls_back(spark, ds, tmp_path):
+    """Files written before enablement lack ids: that interval keeps
+    the documented file-granular derivation instead of mis-pairing."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "a", i * 10) for i in range(4)], "pk int, g string, v int"
+    )
+    ds.append(df.coalesce(1), ref)
+    v0 = resolve_snapshot(ref.path).version
+    ds.update(ref, {"v": "v + 1"}, "pk = 1")  # rewrite WITHOUT ids
+    feed = _feed(ds, ref, v0)
+    # file-granular: every co-located row emits delete+insert
+    kinds = {k for _, k, _ in feed}
+    assert kinds == {"insert", "delete"}
+    assert len(feed) == 8

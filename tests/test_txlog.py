@@ -225,6 +225,46 @@ def test_sql_metadata_readbacks(spark, ds, tmp_path):
         ds.drop_table(ref)
 
 
+def test_sql_time_travel_version_and_timestamp(spark, ds, tmp_path):
+    """SELECT ... VERSION AS OF n / TIMESTAMP AS OF 'ts' on a txlog
+    name binds the phrase to the time-traveled snapshot (Delta's SQL
+    time travel); the bare name elsewhere in the SAME statement stays
+    latest."""
+    import uuid as _uuid
+
+    name = f"tt_{_uuid.uuid4().hex[:8]}"
+    ref = TableRef(table=name)
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"), ref)  # v1
+    ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"), ref)  # v2
+    try:
+        old = ds._execute_statement(
+            f"SELECT sum(v) AS tv FROM {name} VERSION AS OF 1"
+        ).first()
+        assert old.tv == 10
+        # mixed: time-traveled and latest in one statement
+        mix = ds._execute_statement(
+            f"SELECT (SELECT count(*) FROM {name} VERSION AS OF 1) AS n1, "
+            f"(SELECT count(*) FROM {name}) AS n2"
+        ).first()
+        assert (mix.n1, mix.n2) == (1, 2)
+        # timestamp travel via the in-commit timestamp of v1
+        ts_ms = next(h["timestamp"] for h in ds.history(ref)
+                     if h["version"] == 1)
+        import datetime as _dt
+
+        # full-precision ISO with zone: resolves to exactly v1 (ICT is
+        # monotone +1ms, so v2 is strictly later)
+        lit = _dt.datetime.fromtimestamp(
+            ts_ms / 1000.0, tz=_dt.timezone.utc
+        ).isoformat()
+        got = ds._execute_statement(
+            f"SELECT count(*) AS n FROM {name} TIMESTAMP AS OF '{lit}'"
+        ).first()
+        assert got.n == 1
+    finally:
+        ds.drop_table(ref)
+
+
 def test_auto_compact_property(spark, ds, tmp_path):
     """autoCompact=true: appends opportunistically bin-pack once the
     small-file debt reaches the threshold; without the property the
@@ -426,6 +466,54 @@ def test_vacuum_orphans_and_history_horizon(spark, ds, tmp_path):
     assert _rows(ds.read(ref)) == [(9, "z", 90)]  # latest intact
     with pytest.raises(Exception):  # time travel below the horizon fails
         ds.read(TableRef(path=ref.path, options={"versionAsOf": "1"})).collect()
+
+
+def test_vacuum_lite_log_driven_candidates(spark, ds, tmp_path):
+    """VACUUM LITE finds its candidates in the log's remove actions —
+    no directory listing — and deletes exactly what a full vacuum
+    would, minus orphans (its documented blind spot)."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    # orphan: invisible to LITE by design
+    orphan = os.path.join(ref.path, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    ds.overwrite(
+        spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"),
+        ref,
+    )
+    # keep_last=None: every committed file is still horizon-referenced
+    # — LITE is a no-op (only the orphan would qualify; LITE can't see it)
+    assert ds.vacuum(TableRef(path=ref.path), min_age_sec=0,
+                     lite=True) == []
+    # dry run names the pre-overwrite files without touching them
+    dry = ds.vacuum(TableRef(path=ref.path), keep_last=1, min_age_sec=0,
+                    dry_run=True, lite=True)
+    assert dry and all(os.path.exists(os.path.join(ref.path, r))
+                       for r in dry)
+    full_dry = ds.vacuum(TableRef(path=ref.path), keep_last=1,
+                         min_age_sec=0, dry_run=True)
+    assert sorted(full_dry) == sorted(dry + ["part-orphan.parquet"])
+    deleted = ds.vacuum(TableRef(path=ref.path), keep_last=1,
+                        min_age_sec=0, lite=True)
+    assert sorted(deleted) == sorted(dry)
+    assert os.path.exists(orphan)  # LITE never touches orphans
+    assert _rows(ds.read(ref)) == [(9, "z", 90)]  # latest intact
+    # converged: a second LITE pass deletes nothing
+    assert ds.vacuum(TableRef(path=ref.path), keep_last=1, min_age_sec=0,
+                     lite=True) == []
+
+
+def test_vacuum_lite_respects_retention_guard(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    ds.overwrite(
+        spark.createDataFrame([(9, "z", 90)], "pk int, part string, v int"),
+        ref,
+    )
+    # default min_age: freshly-removed files survive (in-flight guard)
+    assert ds.vacuum(TableRef(path=ref.path), keep_last=1,
+                     lite=True) == []
 
 
 def test_checkpoint_written_and_used(spark, ds, tmp_path):

@@ -309,6 +309,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="declared hive partition layout as DDL, e.g. 'g string'",
     )
 
+    cpi = sub.add_parser(
+        "copy-into",
+        help="COPY INTO: idempotent bulk file ingestion — load the "
+        "source files a previous COPY has not already loaded, tracked "
+        "by a ledger riding the same atomic commit as the data",
+    )
+    cpi.add_argument("path", help="txlog table directory (target)")
+    cpi.add_argument("source", help="directory (or file) to ingest")
+    cpi.add_argument("--format", default="parquet",
+                     choices=["parquet", "csv", "json", "orc"])
+    cpi.add_argument("--pattern", default=None,
+                     help="glob over the source-relative path")
+    cpi.add_argument("--option", action="append", default=[],
+                     metavar="K=V", help="reader format option (repeat)")
+    cpi.add_argument("--force", action="store_true",
+                     help="reload files even if already loaded")
+    cpi.add_argument("--merge-schema", action="store_true",
+                     help="evolve the table schema to new source columns")
+
     man = sub.add_parser(
         "manifest",
         help="GENERATE symlink_format_manifest for a txlog table: export "
@@ -384,6 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--min-age-sec", type=float, default=600.0,
         help="retention guard: only delete unreferenced files older than "
         "this (protects in-flight commits; 0 = offline maintenance)",
+    )
+    vac.add_argument(
+        "--lite", action="store_true",
+        help="log-driven candidates (Delta's VACUUM LITE): no directory "
+        "listing — O(log churn) at any table size; cannot see orphans",
     )
     return parser
 
@@ -599,6 +623,22 @@ def main(argv: list[str] | None = None) -> int:
                        partition_by=args.partitioned_by)
         rows = ds.count_rows(TableRef(path=args.path))
         print(f"converted {args.path}: {n} files, {rows} rows at version 0")
+        return 0
+
+    if args.command == "copy-into":
+        from x_spark.session import get_session
+        from x_spark.sources import init_datasource
+        from x_spark.sources.base import TableRef
+
+        ds = init_datasource("txlog", get_session())
+        opts = dict(kv.split("=", 1) for kv in args.option)
+        files, rows = ds.copy_into(
+            TableRef(path=args.path), args.source,
+            file_format=args.format, pattern=args.pattern,
+            format_options=opts, force=args.force,
+            merge_schema=args.merge_schema,
+        )
+        print(f"loaded {files} files, {rows} rows into {args.path}")
         return 0
 
     if args.command == "manifest":
@@ -851,7 +891,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"removed {len(gone)} log file(s)")
             return 0
         deleted = ds.vacuum(TableRef(path=args.path), keep_last=args.keep_last,
-                            min_age_sec=args.min_age_sec)
+                            min_age_sec=args.min_age_sec, lite=args.lite)
         print(f"deleted {len(deleted)} file(s)")
         return 0
 

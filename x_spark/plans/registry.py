@@ -72,6 +72,21 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-8 session-2 rotation: copy_into_ingest (COPY INTO — Delta's
+    # idempotent bulk-ingestion verb; ledger-tracked exactly-once file
+    # loading, re-COPY no-op pinned in the hash) enters the head in its
+    # first round per the standing rule; the demotion:
+    "incremental_dedup",       # green r03-r07 (5 straight, head);
+                               # the load-only-what's-new ingestion
+                               # shape is now head-checked by
+                               # copy_into_ingest (file-granular
+                               # anti-ledger, the same left-anti-vs-
+                               # persisted-store algebra at row grain),
+                               # and the maintained-store family keeps
+                               # ivf_store_search + bm25_indexed_search
+                               # head slots; the fingerprint-dedup
+                               # kernel stays locally hash-checked via
+                               # test_oracle_parity
     # Round-8 rotation: sql_dml_flow (the pure-SQL write lifecycle —
     # CREATE TABLE USING txlog CTAS + INSERT INTO SELECT + full MERGE
     # INTO with WHEN MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE

@@ -2170,6 +2170,73 @@ FROM merged CROSS JOIN ids
 GROUP BY segment, ids.n_ids, ids.n_distinct_ids, ids.min_id, ids.max_id
 """
 
+
+# ---------------------------------------------------------------------------
+# COPY INTO, driver-checked end to end: simulate a landing zone fed in
+# two batches. COPY loads batch 1; an immediate re-COPY must be a
+# no-op (its rows_loaded is folded into the result as a column the
+# oracle pins to 0 — a duplicate load breaks the hash TWICE, once
+# through that column and once through every count/sum); batch 2 lands
+# and a third COPY picks up ONLY the new files. The final table must
+# equal batch1 ∪ batch2 exactly once each.
+# (Reference parity: the reference's ingestion loop is source scan +
+# table sink, etl/parent.py write verbs; COPY INTO is the idempotent
+# SQL-native form — Delta's COPY INTO semantics.)
+def q_copy_into_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_copy_into_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "ord"))
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        ds.create(ref, orders.schema)
+        land = os.path.join(workdir, "landing")
+        orders.filter(F.col("o_orderkey") % 7 == 0).write.parquet(
+            os.path.join(land, "b1")
+        )
+        ds.copy_into(ref, land)
+        _, second_rows = ds.copy_into(ref, land)  # idempotent: 0 rows
+        orders.filter(F.col("o_orderkey") % 7 == 3).write.parquet(
+            os.path.join(land, "b2")
+        )
+        ds.copy_into(ref, land)  # loads ONLY the new batch's files
+        return (
+            ds.read(ref)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct("o_orderkey").cast("bigint")
+                .alias("n_orders"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .withColumn("second_copy_rows",
+                        F.lit(int(second_rows)).cast("bigint"))
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_COPY_INTO_INGEST = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+       CAST(0 AS BIGINT) AS second_copy_rows
+FROM orders
+WHERE o_orderkey % 7 IN (0, 3)
+GROUP BY o_orderstatus
+"""
+
 RELATIONAL_QUERIES = {
     "bloom_point_lookup": q_bloom_point_lookup,
     "pricing_summary": q_pricing_summary,
@@ -2196,6 +2263,7 @@ RELATIONAL_QUERIES = {
     "sql_dml_flow": q_sql_dml_flow,
     "convert_time_travel": q_convert_time_travel,
     "row_tracking_lineage": q_row_tracking_lineage,
+    "copy_into_ingest": q_copy_into_ingest,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "lineitem_key_skew": q_lineitem_key_skew,
@@ -2236,6 +2304,7 @@ RELATIONAL_ORACLES = {
     "sql_dml_flow": ORACLE_SQL_DML_FLOW,
     "convert_time_travel": ORACLE_CONVERT_TIME_TRAVEL,
     "row_tracking_lineage": ORACLE_ROW_TRACKING_LINEAGE,
+    "copy_into_ingest": ORACLE_COPY_INTO_INGEST,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,

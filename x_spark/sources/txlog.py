@@ -41,6 +41,7 @@ put-if-absent.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -563,7 +564,7 @@ class TxLogDataSource(BaseDataSource):
         SET IDENTITY, ALTER COLUMN TYPE (widening), ADD COLUMN(S),
         RENAME/DROP COLUMN, SET TBLPROPERTIES, DESCRIBE HISTORY/DETAIL,
         SHOW TBLPROPERTIES, RESTORE TO VERSION|TIMESTAMP AS OF,
-        OPTIMIZE [WHERE], REORG ... APPLY (PURGE)."""
+        OPTIMIZE [WHERE], REORG ... APPLY (PURGE), COPY INTO."""
         import re
 
         ident = r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)"
@@ -618,6 +619,37 @@ class TxLogDataSource(BaseDataSource):
             n = self.convert(ref, partition_by=pb.strip() if pb else None)
             return self.spark.createDataFrame(
                 [(n,)], "files_converted bigint"
+            )
+        # COPY INTO t FROM '/path' FILEFORMAT = PARQUET|CSV|JSON|ORC
+        #   [PATTERN = 'glob'] [FORMAT_OPTIONS('k'='v',...)]
+        #   [COPY_OPTIONS('force'='true'|'mergeSchema'='true')]
+        # — Delta's idempotent bulk-ingestion verb
+        m = re.fullmatch(
+            rf"\s*copy\s+into\s+{ident}\s+from\s+'([^']+)'\s+"
+            r"fileformat\s*=\s*(\w+)"
+            r"(?:\s+pattern\s*=\s*'([^']+)')?"
+            r"(?:\s+format_options\s*\(([^)]*)\))?"
+            r"(?:\s+copy_options\s*\(([^)]*)\))?\s*",
+            stmt, re.I | re.S,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            def kv(s: str | None) -> dict[str, str]:
+                out: dict[str, str] = {}
+                for k, v in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", s or ""):
+                    out[k] = v
+                return out
+
+            copts = {k.lower(): v for k, v in kv(m.group(6)).items()}
+            files, rows = self.copy_into(
+                TableRef(table=_normalize_ident(m.group(1))),
+                source=m.group(2), file_format=m.group(3),
+                pattern=m.group(4), format_options=kv(m.group(5)),
+                force=copts.get("force", "").lower() == "true",
+                merge_schema=copts.get("mergeschema", "").lower() == "true",
+            )
+            return self.spark.createDataFrame(
+                [(files, rows)],
+                "num_files_loaded bigint, num_inserted_rows bigint",
             )
         m = re.fullmatch(rf"\s*truncate\s+table\s+{ident}\s*", stmt, re.I)
         if m and _normalize_ident(m.group(1)) in self._known_names():
@@ -926,15 +958,45 @@ class TxLogDataSource(BaseDataSource):
             # occurrence; the lookbehind still blocks matching a SUFFIX
             # of a longer dotted name (longest-first ordering handles
             # registered prefix/suffix overlaps)
-            pattern = re.compile(
+            name_src = (
                 r"(?<![\w.`])"
                 + r"\s*\.\s*".join(
                     rf"(?:`{re.escape(p)}`|{re.escape(p)})"
                     for p in name.split(".")
                 )
-                + r"(?![\w`])"
             )
+            pattern = re.compile(name_src + r"(?![\w`])")
             view = "__txlog_" + re.sub(r"\W", "_", name)
+            # SQL time travel (Delta's SELECT ... VERSION AS OF n /
+            # TIMESTAMP AS OF 'ts'): bind the phrase to a snapshot
+            # view BEFORE the bare-name pass. VERSION AS OF is fully
+            # inside one even segment; TIMESTAMP AS OF's literal is
+            # the NEXT (odd) segment — the split put it there.
+            ver_pat = re.compile(
+                name_src + r"\s+version\s+as\s+of\s+(\d+)", re.I
+            )
+            ts_tail = re.compile(
+                name_src + r"\s+timestamp\s+as\s+of\s*$", re.I
+            )
+            for i in range(0, len(segments), 2):
+                def bind_version(m: re.Match) -> str:
+                    vv = m.group(1)  # name_src has no capture groups
+                    tv = f"{view}_v{vv}"
+                    self.read(TableRef(
+                        table=name, options={"versionAsOf": vv}
+                    )).createOrReplaceTempView(tv)
+                    return tv
+
+                segments[i] = ver_pat.sub(bind_version, segments[i])
+                m = ts_tail.search(segments[i])
+                if m and i + 1 < len(segments):
+                    lit = segments[i + 1][1:-1].replace("''", "'")
+                    tv = f"{view}_ts{re.sub(r'[^0-9A-Za-z]', '_', lit)}"
+                    self.read(TableRef(
+                        table=name, options={"timestampAsOf": lit}
+                    )).createOrReplaceTempView(tv)
+                    segments[i] = segments[i][:m.start()] + tv
+                    segments[i + 1] = ""
             replaced = False
             for i in range(0, len(segments), 2):  # even = outside literals
                 if pattern.search(segments[i]):
@@ -1376,9 +1438,74 @@ class TxLogDataSource(BaseDataSource):
                         )
         return stamps
 
+    def _copy_ledger_refs(self, table: str, upto: int | None = None) -> list[str]:
+        """Relative paths of every COPY INTO loaded-file ledger
+        referenced by a committed ``copyInto`` action at log state
+        ``upto`` (default: latest). Same replay shape as
+        :meth:`_txn_stamps`: starts from the newest checkpoint at or
+        below ``upto`` that carries a ``copyLedgers`` list and scans
+        only the commits after it, so the refs survive commit-file
+        retention (clean_log) and the per-call cost is bounded by
+        CHECKPOINT_INTERVAL."""
+        commits, checkpoints = _list_log(table)
+        refs: list[str] = []
+        start = 0
+        usable = [
+            c for c in checkpoints
+            if upto is None or _version_of(c) <= upto
+        ]
+        for ck_name in reversed(usable):
+            with open(os.path.join(_log_path(table), ck_name)) as fh:
+                ck = json.load(fh)
+            if "copyLedgers" in ck:  # pre-feature checkpoints: full scan
+                refs = list(ck["copyLedgers"])
+                start = _version_of(ck_name) + 1
+                break
+        for fname in commits:
+            v = _version_of(fname)
+            if v < start or (upto is not None and v > upto):
+                continue
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    if '"copyInto"' not in line:
+                        continue
+                    action = json.loads(line)
+                    if "copyInto" in action:
+                        refs.append(action["copyInto"]["ledger"])
+        return refs
+
+    def _copy_loaded(self, table: str) -> set[str]:
+        """Source-file identities (absolute paths) already ingested by
+        COPY INTO — the union of every committed ledger. Driver memory
+        is O(files ever copied) path strings; at extreme ledger sizes
+        the set-difference this feeds can move to a distributed
+        anti-join over ``spark.read.parquet(ledgers)`` — the ledger
+        layout (one parquet per COPY run) already supports it."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        loaded: set[str] = set()
+        for rel in self._copy_ledger_refs(table):
+            p = os.path.join(_log_path(table), rel)
+            try:
+                loaded.update(
+                    pq.read_table(p, columns=["path"])
+                    .column("path").to_pylist()
+                )
+            except FileNotFoundError:
+                continue  # ledger reaped with its pruned history
+        return loaded
+
     def _maybe_checkpoint(self, table: str, version: int) -> None:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
             return
+        self._write_checkpoint(table, version)
+
+    def _write_checkpoint(self, table: str, version: int) -> None:
+        """Write (or refresh) the checkpoint at ``version`` from the
+        replayed log — derived state, so overwriting is idempotent.
+        clean_log refreshes its floor checkpoint through this before
+        pruning, which retrofits keys older checkpoints predate
+        (``txns``, ``copyLedgers``) while their commits still exist."""
         snap = resolve_snapshot(table, version)
         ck = {
             "version": version,
@@ -1388,6 +1515,7 @@ class TxLogDataSource(BaseDataSource):
             "adds": [snap.files[p] for p in sorted(snap.files)],
             "txns": self._txn_stamps(table, upto=version),
             "rowIdHighWaterMark": snap.row_id_high,
+            "copyLedgers": self._copy_ledger_refs(table, upto=version),
         }
         path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -2613,9 +2741,16 @@ class TxLogDataSource(BaseDataSource):
 
     def append(self, df: DataFrame, ref: TableRef,
                merge_schema: bool = False,
-               txn: tuple[str, int] | None = None) -> None:
+               txn: tuple[str, int] | None = None,
+               extra_actions: list[dict] | None = None) -> list[dict]:
         """Add-only commit. On version collision the append re-resolves
         and retries — blind adds commute with any concurrent commit.
+        Returns the committed add actions (footer row counts and stats
+        included) so callers can report metrics without a second scan.
+
+        ``extra_actions`` ride verbatim in the SAME commit as the adds
+        (after meta/add actions) — the hook :meth:`copy_into` uses to
+        make its loaded-file ledger reference atomic with the data.
 
         ``txn=(app_id, version)`` stamps the commit for idempotent
         replay (Delta's txnAppId/txnVersion writer options on append) —
@@ -2696,16 +2831,19 @@ class TxLogDataSource(BaseDataSource):
                     }]
             self._commit(
                 table, self._expect_unchanged(table, snap.version),
-                meta_actions + add_actions, "APPEND", txn=txn,
+                meta_actions + add_actions + list(extra_actions or []),
+                "APPEND", txn=txn,
             )
             self._maybe_auto_compact(ref, snap.configuration)
-            return
+            return adds
         for _ in range(10):
             try:
                 self._commit(table, (self._latest_version(table) or 0) + 1,
-                             meta_actions + add_actions, "APPEND", txn=txn)
+                             meta_actions + add_actions
+                             + list(extra_actions or []),
+                             "APPEND", txn=txn)
                 self._maybe_auto_compact(ref, snap.configuration)
-                return
+                return adds
             except TxnAlreadyCommittedException:
                 # replay detected: the epoch is already durable — this
                 # must surface to the caller, NOT be retried as a
@@ -2727,6 +2865,156 @@ class TxLogDataSource(BaseDataSource):
         raise ConcurrentWriteException(
             f"append to {table!r} lost 10 straight version races"
         )
+
+    COPY_APP_ID = "copy-into"
+
+    def copy_into(self, ref: TableRef, source: str,
+                  file_format: str = "parquet",
+                  pattern: str | None = None,
+                  format_options: dict[str, str] | None = None,
+                  force: bool = False,
+                  merge_schema: bool = False) -> tuple[int, int]:
+        """Idempotent bulk file ingestion (Delta's ``COPY INTO``): load
+        the files under ``source`` into an existing table, skipping
+        every file a previous COPY already loaded. Returns
+        ``(files_loaded, rows_loaded)``.
+
+        Retried and scheduled ingestion becomes exactly-once with no
+        bookkeeping on the caller's side — the property that matters
+        when a 100-TB landing zone is drip-fed by thousands of upstream
+        jobs: re-running the COPY after a partial failure loads only
+        what is missing. File identity is the absolute path (Delta's
+        rule — a file overwritten in place is NOT reloaded; pass
+        ``force=True`` to reload unconditionally). Size and mtime are
+        recorded per file for audit.
+
+        The loaded-file ledger is a parquet file per COPY run under the
+        log directory; its REFERENCE rides in the same atomic commit as
+        the data (a ``copyInto`` action), so ledger and data can never
+        diverge, and checkpoints carry the accumulated reference list
+        forward (see :meth:`_copy_ledger_refs`) so idempotency survives
+        log retention. Concurrent COPYs of one table serialize through
+        the txn stamp (appId ``copy-into``): the loser re-resolves the
+        ledger and loads only what the winner left.
+
+        ``pattern`` is a glob matched against the source-relative path.
+        ``format_options`` pass through to the Spark reader; csv/json
+        default to the table's writable schema (identity and generated
+        columns excluded — both are engine-filled). ``merge_schema``
+        is mergeSchema append semantics for evolving sources.
+
+        Reference parity: the reference ingests files through its
+        source scan + table sink (etl/parent.py write verbs); COPY INTO
+        is the idempotent SQL-native form of that ingestion loop.
+        """
+        import fnmatch  # noqa: PLC0415
+
+        table = self._table_path(ref)
+        if resolve_snapshot(table) is None:
+            raise DataSourceException(
+                f"COPY INTO target {table!r} does not exist"
+            )
+        fmt = file_format.lower()
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise DataSourceException(
+                f"COPY INTO FILEFORMAT {file_format!r} not supported "
+                "(parquet, csv, json, orc)"
+            )
+        src_root = os.path.abspath(source)
+        discovered: list[tuple[str, int, int]] = []
+        if os.path.isfile(src_root):
+            st = os.stat(src_root)
+            discovered.append((src_root, st.st_size,
+                               int(st.st_mtime * 1000)))
+        else:
+            for root, dirs, names in os.walk(src_root):
+                dirs[:] = [d for d in dirs
+                           if not d.startswith(("_", "."))]
+                for name in sorted(names):
+                    if name.startswith(("_", ".")) or name.endswith(".crc"):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, src_root)
+                    if pattern and not fnmatch.fnmatch(rel, pattern):
+                        continue
+                    st = os.stat(full)
+                    discovered.append((full, st.st_size,
+                                       int(st.st_mtime * 1000)))
+        for _ in range(10):
+            loaded = set() if force else self._copy_loaded(table)
+            new = [t for t in discovered if t[0] not in loaded]
+            if not new:
+                return (0, 0)
+            df = self._read_copy_source(table, fmt, [t[0] for t in new],
+                                        format_options)
+            ledger_rel = self._write_copy_ledger(table, new)
+            action = {"copyInto": {
+                "ledger": ledger_rel,
+                "source": src_root,
+                "count": len(new),
+            }}
+            epoch = self._txn_stamps(table).get(self.COPY_APP_ID, -1) + 1
+            try:
+                adds = self.append(df, ref, merge_schema=merge_schema,
+                                   txn=(self.COPY_APP_ID, epoch),
+                                   extra_actions=[action])
+            except TxnAlreadyCommittedException:
+                # a concurrent COPY won the epoch: its ledger may cover
+                # (some of) our files — re-resolve and load the rest
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(_log_path(table), ledger_rel))
+                continue
+            return (len(new),
+                    sum(int(a.get("numRecords") or 0) for a in adds))
+        raise ConcurrentWriteException(
+            f"COPY INTO {table!r} lost 10 straight txn epochs"
+        )
+
+    def _read_copy_source(self, table: str, fmt: str, paths: list[str],
+                          format_options: dict[str, str] | None) -> DataFrame:
+        """Reader for COPY INTO source files. Self-describing formats
+        (parquet/orc) read as-is; csv/json bind to the table's writable
+        schema — identity and generated columns excluded, both are
+        filled by the write path — unless the caller supplies
+        ``inferSchema``. Column reconciliation (by-name cast, DEFAULT
+        fill) happens in the shared append flow."""
+        opts = dict(format_options or {})
+        reader = self.spark.read.options(**opts)
+        if fmt in ("csv", "json") and "inferschema" not in {
+            k.lower() for k in opts
+        }:
+            snap = resolve_snapshot(table)
+            skip = {
+                k.split(".", 1)[1] for k in snap.configuration
+                if k.startswith(("identity.", "generated."))
+            }
+            reader = reader.schema(StructType(
+                [f for f in snap.schema.fields if f.name not in skip]
+            ))
+        return reader.format(fmt).load(paths)
+
+    def _write_copy_ledger(self, table: str,
+                           files: list[tuple[str, int, int]]) -> str:
+        """Persist one COPY run's loaded-file identities as a parquet
+        ledger under the log directory (staged, atomic rename). Only
+        the commit that references it makes it count — an orphan from a
+        failed attempt is inert and reaped by clean_log."""
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        led_dir = os.path.join(_log_path(table), "copy_ledger")
+        os.makedirs(led_dir, exist_ok=True)
+        rel = os.path.join("copy_ledger", f"{uuid.uuid4().hex}.parquet")
+        full = os.path.join(_log_path(table), rel)
+        t = pa.table({
+            "path": [f[0] for f in files],
+            "size": [f[1] for f in files],
+            "mtime_ms": [f[2] for f in files],
+        })
+        tmp = full + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, full)
+        return rel
 
     def overwrite(self, df: DataFrame, ref: TableRef,
                   replace_where: str | None = None,
@@ -3880,6 +4168,12 @@ class TxLogDataSource(BaseDataSource):
         if not usable:
             return []
         floor = _version_of(usable[-1])
+        # refresh the floor checkpoint from the still-complete log
+        # BEFORE pruning: retrofits replay-carried keys the stored
+        # checkpoint may predate (txns, copyLedgers) — without this a
+        # pre-feature floor would silently lose exactly-once stamps or
+        # COPY INTO idempotency below it
+        self._write_checkpoint(table, floor)
         now = _time.time()
         deleted: list[str] = []
         for fname in commits + checkpoints:
@@ -3891,11 +4185,29 @@ class TxLogDataSource(BaseDataSource):
                 continue
             os.remove(path)
             deleted.append(fname)
+        # reap ORPHANED copy ledgers (written by a COPY attempt whose
+        # commit never landed): referenced ledgers are carried forward
+        # by checkpoints forever, so anything outside the reference
+        # list — and past the same age guard — is dead weight
+        led_dir = os.path.join(_log_path(table), "copy_ledger")
+        if os.path.isdir(led_dir):
+            live = set(self._copy_ledger_refs(table))
+            for name in os.listdir(led_dir):
+                rel = os.path.join("copy_ledger", name)
+                full = os.path.join(led_dir, name)
+                if rel in live:
+                    continue
+                if now - os.path.getmtime(full) < min_age_sec:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(full)
+                    deleted.append(rel)
         return deleted
 
     def vacuum(self, ref: TableRef, keep_last: int | None = None,
                min_age_sec: float = 600.0,
-               dry_run: bool = False) -> list[str]:
+               dry_run: bool = False,
+               lite: bool = False) -> list[str]:
         """Physically delete data files no longer reachable.
         ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the
         would-be-deleted paths without touching a file.
@@ -3906,6 +4218,19 @@ class TxLogDataSource(BaseDataSource):
         drops files referenced only by versions older than the last N
         (time travel below that horizon then fails with a missing-file
         error, as documented). Returns the deleted relative paths.
+
+        ``lite=True`` (Delta's VACUUM ... LITE): candidates come from
+        the transaction LOG's remove/cdc/dv actions instead of a full
+        directory listing — at 100 TB the recursive listing, not the
+        deleting, is the vacuum bottleneck, and the log already names
+        every file an operation stopped referencing. The documented
+        trades: orphans from crashed writers are invisible to LITE
+        (they were never committed — run a full vacuum occasionally to
+        sweep them), candidates named only by commits clean_log already
+        pruned are likewise gone from view, and with ``keep_last=None``
+        LITE is a no-op (every committed file is still horizon-
+        referenced; only orphans would qualify, and LITE cannot see
+        them).
 
         ``min_age_sec`` is the concurrency guard (Delta's VACUUM
         retention): a writer moves data files into place BEFORE its
@@ -3961,28 +4286,57 @@ class TxLogDataSource(BaseDataSource):
                     referenced.add(
                         os.path.relpath(os.path.join(root, name), table)
                     )
+        if lite:
+            # candidates straight from the log: remove-action paths,
+            # cdc files, and files inside dv sidecar directories the
+            # horizon no longer references — O(log size + churn), no
+            # directory listing of the data tree
+            candidates: set[str] = set()
+            seen_dv_dirs: set[str] = set()
+            for fname in commits:
+                with open(os.path.join(_log_path(table), fname)) as fh:
+                    for line in fh:
+                        action = json.loads(line)
+                        if "remove" in action:
+                            candidates.add(action["remove"]["path"])
+                        elif "cdc" in action:
+                            candidates.add(action["cdc"]["path"])
+                        elif "add" in action and action["add"].get("dv"):
+                            seen_dv_dirs.add(action["add"]["dv"]["path"])
+            for dv in seen_dv_dirs - dv_dirs:
+                for root, _dirs, names in os.walk(os.path.join(table, dv)):
+                    for name in names:
+                        candidates.add(os.path.relpath(
+                            os.path.join(root, name), table
+                        ))
+            rels = sorted(candidates)
+        else:
+            walked: list[str] = []
+            for root, dirs, names in os.walk(table):
+                dirs[:] = [
+                    d for d in dirs
+                    if d != LOG_DIR and not d.startswith("_staging-")
+                ]
+                walked.extend(
+                    os.path.relpath(os.path.join(root, name), table)
+                    for name in names if name.endswith(".parquet")
+                )
+            rels = sorted(walked)
         deleted: list[str] = []
         cutoff = _time.time() - min_age_sec
-        for root, dirs, names in os.walk(table):
-            dirs[:] = [
-                d for d in dirs
-                if d != LOG_DIR and not d.startswith("_staging-")
-            ]
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, table)
-                if rel in referenced:
-                    continue
-                try:
-                    if os.path.getmtime(full) > cutoff:
-                        continue  # possibly an in-flight commit's file
-                    if not dry_run:
-                        os.remove(full)
-                except FileNotFoundError:
-                    continue  # another vacuum won the race
-                deleted.append(rel)
+        for rel in rels:
+            if rel in referenced:
+                continue
+            full = os.path.join(table, rel)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight commit's file
+                if not dry_run:
+                    os.remove(full)
+            except FileNotFoundError:
+                continue  # another vacuum won the race (or a lite
+                # candidate a previous vacuum already deleted)
+            deleted.append(rel)
         return sorted(deleted)
 
     def changes(self, ref: TableRef, from_version: int,
@@ -4114,6 +4468,62 @@ class TxLogDataSource(BaseDataSource):
             # exactly the mask DELTA, in both directions
             pure_add = [added[p] for p in added if p not in removed]
             pure_rem = [removed[p] for p in removed if p not in added]
+            # Row tracking upgrades the file-granular derivation to a
+            # ROW-EXACT one (Delta: row tracking improves CDF): a CoW
+            # rewrite commit pairs removed and added rows on their
+            # stable row id — an unchanged co-located row pairs with
+            # itself and emits NOTHING (the delete+insert noise the
+            # plain derivation documents), a changed pair emits
+            # update_preimage/update_postimage, and unpaired ids are
+            # real inserts/deletes. Engaged only when both sides exist,
+            # every involved file carries ids, and no deletion vectors
+            # are in play (DV re-points take the mask-delta path
+            # below); anything else falls back to the plain derivation.
+            pairable = (
+                pure_add and pure_rem
+                and self._row_tracking_on(sch.configuration)
+                and all(e.get("baseRowId") is not None and not e.get("dv")
+                        for e in pure_add + pure_rem)
+            )
+            if pairable:
+                def side(entries: list[dict], marker: str) -> DataFrame:
+                    s = Snapshot(
+                        v, sch.schema_json, sch.partition_cols,
+                        {e["path"]: e for e in entries},
+                        sch.configuration,
+                    )
+                    return (
+                        self._read_rows_with_ids(
+                            table, s, sorted(e["path"] for e in entries)
+                        )
+                        .select(
+                            F.struct(*cols).alias(f"__{marker}img"),
+                            F.col(ROW_ID_COL).alias("__rid"),
+                            F.lit(True).alias(f"__{marker}p"),
+                        )
+                    )
+
+                j = side(pure_rem, "o").join(
+                    side(pure_add, "n"), "__rid", "full_outer"
+                )
+                both = F.col("__op").isNotNull() & F.col("__np").isNotNull()
+                changed = both & ~F.col("__oimg").eqNullSafe(F.col("__nimg"))
+                parts = [
+                    (F.col("__np").isNull(), "__oimg", "delete"),
+                    (F.col("__op").isNull(), "__nimg", "insert"),
+                    (changed, "__oimg", "update_preimage"),
+                    (changed, "__nimg", "update_postimage"),
+                ]
+                paired: DataFrame | None = None
+                for cond, img, ct in parts:
+                    part = j.filter(cond).select(
+                        *[F.col(img).getField(c).alias(c) for c in cols],
+                        F.lit(ct).alias("_change_type"),
+                    )
+                    paired = part if paired is None \
+                        else paired.unionByName(part)
+                collect(paired, None, v)
+                pure_add = pure_rem = []
             for entries, kind in ((pure_add, "insert"), (pure_rem, "delete")):
                 plain = [e["path"] for e in entries if not e.get("dv")]
                 masked = [e for e in entries if e.get("dv")]
