@@ -225,6 +225,39 @@ def test_sql_metadata_readbacks(spark, ds, tmp_path):
         ds.drop_table(ref)
 
 
+def test_sql_clone_verb(spark, ds, tmp_path):
+    """CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF n]
+    routes to the hardlink clone; IF NOT EXISTS is a no-op on an
+    existing destination."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    s, d = f"cls_{sfx}", f"cld_{sfx}"
+    ds.append(spark.createDataFrame([(1, 10)], "pk int, v int"),
+              TableRef(table=s))  # v0+v1
+    ds.append(spark.createDataFrame([(2, 20)], "pk int, v int"),
+              TableRef(table=s))  # v2
+    try:
+        out = ds._execute_statement(
+            f"CREATE TABLE {d} SHALLOW CLONE {s} VERSION AS OF 1"
+        ).first()
+        assert out.clone_version == 0
+        assert [tuple(r) for r in ds.read(TableRef(table=d)).collect()] \
+            == [(1, 10)]
+        # IF NOT EXISTS on an existing clone: no-op, contents unchanged
+        ds._execute_statement(
+            f"CREATE TABLE IF NOT EXISTS {d} CLONE {s}"
+        )
+        assert ds.count_rows(TableRef(table=d)) == 1
+        # clone is independent: writes to it never touch the source
+        ds._execute_statement(f"INSERT INTO {d} VALUES (3, 30)")
+        assert ds.count_rows(TableRef(table=d)) == 2
+        assert ds.count_rows(TableRef(table=s)) == 2
+    finally:
+        ds.drop_table(TableRef(table=s))
+        ds.drop_table(TableRef(table=d))
+
+
 def test_sql_time_travel_version_and_timestamp(spark, ds, tmp_path):
     """SELECT ... VERSION AS OF n / TIMESTAMP AS OF 'ts' on a txlog
     name binds the phrase to the time-traveled snapshot (Delta's SQL
@@ -1534,3 +1567,93 @@ def test_optimize_zorder_combined_verb(spark, ds, tmp_path):
         assert ds.read(nref).count() == 100
     finally:
         ds.drop_table(nref)
+
+
+# -- informational PRIMARY KEY / FOREIGN KEY constraints ---------------------
+def test_primary_key_informational(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    df = spark.createDataFrame([(1, "a", 10)], "pk int, part string, v int")
+    # NOT NULL pk column via an explicit non-nullable schema
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("pk", df.schema["pk"].dataType, False),
+        StructField("part", df.schema["part"].dataType, True),
+        StructField("v", df.schema["v"].dataType, True),
+    ])
+    ds.create(ref, schema)
+    ds.add_primary_key(ref, "pk_t", ["pk"], rely=True)
+    snap = resolve_snapshot(ref.path)
+    got = json.loads(snap.configuration["pk.pk_t"])
+    assert got == {"columns": ["pk"], "rely": True}
+    # one PK per table; name collisions across namespaces refuse
+    with pytest.raises(DataSourceException, match="already has a primary"):
+        ds.add_primary_key(ref, "pk2", ["pk"])
+    # nullable column refuses (Delta's rule)
+    ds.drop_constraint(ref, "pk_t")
+    with pytest.raises(DataSourceException, match="NOT NULL"):
+        ds.add_primary_key(ref, "pk_v", ["v"])
+    # informational: a violating write still lands (never enforced)
+    ds.add_primary_key(ref, "pk_t", ["pk"])
+    ds.append(df, ref)
+    ds.append(df, ref)  # duplicate pk accepted by design
+    assert ds.count_rows(ref) == 2
+    # rename/drop of a key column refuses while the PK references it
+    ds.set_properties(ref, {"columnMapping.mode": "name"})
+    with pytest.raises(DataSourceException, match="pk.pk_t"):
+        ds.drop_column(ref, "pk")
+
+
+def test_foreign_key_informational_and_sql(spark, ds, tmp_path):
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    parent, child = f"fkp_{sfx}", f"fkc_{sfx}"
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import IntegerType, StringType
+
+    ds.create(TableRef(table=parent), StructType([
+        StructField("id", IntegerType(), False),
+        StructField("nm", StringType(), True),
+    ]))
+    ds.create(TableRef(table=child), StructType([
+        StructField("cid", IntegerType(), False),
+        StructField("parent_id", IntegerType(), True),
+    ]))
+    try:
+        ds._execute_statement(
+            f"ALTER TABLE {parent} ADD CONSTRAINT pk_id "
+            "PRIMARY KEY (id) NOT ENFORCED RELY"
+        )
+        # FK defaults its referenced columns to the parent's PK
+        ds._execute_statement(
+            f"ALTER TABLE {child} ADD CONSTRAINT fk_parent "
+            f"FOREIGN KEY (parent_id) REFERENCES {parent} NOT ENFORCED"
+        )
+        snap = resolve_snapshot(ds._table_path(TableRef(table=child)))
+        got = json.loads(snap.configuration["fk.fk_parent"])
+        assert got["columns"] == ["parent_id"]
+        assert got["parent_columns"] == ["id"]
+        assert got["parent"] == parent
+        # read-back through SHOW TBLPROPERTIES
+        props = {r.key for r in ds._execute_statement(
+            f"SHOW TBLPROPERTIES {child}").collect()}
+        assert "fk.fk_parent" in props
+        # unknown parent column refuses
+        with pytest.raises(DataSourceException, match="no column"):
+            ds.add_foreign_key(TableRef(table=child), "fk_bad",
+                               ["parent_id"], TableRef(table=parent),
+                               parent_columns=["nope"])
+        # arity mismatch refuses
+        with pytest.raises(DataSourceException, match="arity"):
+            ds.add_foreign_key(TableRef(table=child), "fk_bad2",
+                               ["parent_id"], TableRef(table=parent),
+                               parent_columns=["id", "nm"])
+        # DROP CONSTRAINT resolves the fk namespace
+        ds._execute_statement(
+            f"ALTER TABLE {child} DROP CONSTRAINT fk_parent")
+        snap = resolve_snapshot(ds._table_path(TableRef(table=child)))
+        assert "fk.fk_parent" not in snap.configuration
+    finally:
+        ds.drop_table(TableRef(table=parent))
+        ds.drop_table(TableRef(table=child))

@@ -620,6 +620,45 @@ class TxLogDataSource(BaseDataSource):
             return self.spark.createDataFrame(
                 [(n,)], "files_converted bigint"
             )
+        # CREATE TABLE [IF NOT EXISTS] dst [SHALLOW|DEEP] CLONE src
+        #   [VERSION AS OF n | TIMESTAMP AS OF 'ts'] — Delta's CLONE
+        # verb. Both flavors route to the hardlink clone (shallow
+        # economics, deep safety — see :meth:`clone`); ours when the
+        # SOURCE is a txlog name or a backticked txlog directory.
+        m = re.fullmatch(
+            r"\s*create\s+table\s+(if\s+not\s+exists\s+)?"
+            rf"(`[^`]+`|{ident})\s+(?:(?:shallow|deep)\s+)?clone\s+"
+            rf"(`[^`]+`|{ident})"
+            r"(?:\s+version\s+as\s+of\s+(\d+)"
+            r"|\s+timestamp\s+as\s+of\s+'([^']+)')?\s*",
+            stmt, re.I,
+        )
+        if m:
+            def tok_ref(tok: str) -> TableRef:
+                if tok.startswith("`") and "/" in tok:
+                    return TableRef(path=tok[1:-1])
+                return TableRef(table=_normalize_ident(tok))
+
+            # group map (ident embeds one capture group of its own):
+            # 1 = IF NOT EXISTS, 2 = dst token, 4 = src token,
+            # 6 = version, 7 = timestamp
+            src_ref = tok_ref(m.group(4))
+            ours = (src_ref.is_path and self.table_exists(src_ref)) or (
+                not src_ref.is_path
+                and src_ref.table in self._known_names()
+            )
+            if ours:
+                dst_ref = tok_ref(m.group(2))
+                if m.group(1) and self.table_exists(dst_ref):
+                    return done  # IF NOT EXISTS: no-op
+                v = self.clone(
+                    src_ref, dst_ref,
+                    version=int(m.group(6)) if m.group(6) else None,
+                    timestamp=m.group(7),
+                )
+                return self.spark.createDataFrame(
+                    [(v,)], "clone_version bigint"
+                )
         # COPY INTO t FROM '/path' FILEFORMAT = PARQUET|CSV|JSON|ORC
         #   [PATTERN = 'glob'] [FORMAT_OPTIONS('k'='v',...)]
         #   [COPY_OPTIONS('force'='true'|'mergeSchema'='true')]
@@ -685,6 +724,43 @@ class TxLogDataSource(BaseDataSource):
             self.add_constraint(
                 TableRef(table=_normalize_ident(m.group(1))),
                 m.group(2), m.group(3).strip(),
+            )
+            return done
+        # ALTER TABLE t ADD CONSTRAINT n PRIMARY KEY (cols)
+        #   [NOT ENFORCED] [RELY|NORELY] — informational (Delta)
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+add\s+constraint\s+(\w+)\s+"
+            r"primary\s+key\s*\(([^)]*)\)"
+            r"(?:\s+not\s+enforced)?(?:\s+(rely|norely))?\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.add_primary_key(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2),
+                [c.strip().strip("`") for c in m.group(3).split(",")
+                 if c.strip()],
+                rely=(m.group(4) or "").lower() == "rely",
+            )
+            return done
+        # ALTER TABLE t ADD CONSTRAINT n FOREIGN KEY (cols)
+        #   REFERENCES parent [(cols)] [NOT ENFORCED] — informational
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+add\s+constraint\s+(\w+)\s+"
+            rf"foreign\s+key\s*\(([^)]*)\)\s+references\s+{ident}"
+            r"(?:\s*\(([^)]*)\))?(?:\s+not\s+enforced)?\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.add_foreign_key(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2),
+                [c.strip().strip("`") for c in m.group(3).split(",")
+                 if c.strip()],
+                TableRef(table=_normalize_ident(m.group(4))),
+                parent_columns=(
+                    [c.strip().strip("`") for c in m.group(5).split(",")
+                     if c.strip()]
+                    if m.group(5) else None
+                ),
             )
             return done
         m = re.fullmatch(
@@ -2043,16 +2119,112 @@ class TxLogDataSource(BaseDataSource):
             "ADD CONSTRAINT",
         )
 
+    def add_primary_key(self, ref: TableRef, name: str,
+                        columns: list[str], rely: bool = False) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT name PRIMARY KEY (cols)
+        [RELY]`` — Delta/Databricks INFORMATIONAL constraint: never
+        enforced on write (Delta's rule — PK/FK document intent for
+        query layers and humans, CHECK constraints do the enforcing),
+        but validated at DDL time the way Delta does: at most one
+        primary key per table, and every key column must exist and be
+        NOT NULL. ``rely`` records the RELY optimizer-hint flag.
+        Stored as a ``pk.<name>`` configuration key (JSON payload), so
+        it survives RESTORE/CLONE and reads back through SHOW
+        TBLPROPERTIES; RENAME/DROP COLUMN refuse while a key column is
+        referenced."""
+        table, snap = self._require_snapshot(ref)
+        self._check_constraint_name_free(table, snap, name)
+        existing = [k for k in snap.configuration if k.startswith("pk.")]
+        if existing:
+            raise DataSourceException(
+                f"{table!r} already has a primary key "
+                f"({existing[0]}) — drop it first"
+            )
+        by_name = {f.name: f for f in snap.schema.fields}
+        for c in columns:
+            if c not in by_name:
+                raise DataSourceException(f"no column {c!r} on {table!r}")
+            if by_name[c].nullable:
+                raise DataSourceException(
+                    f"PRIMARY KEY column {c!r} must be NOT NULL "
+                    "(ALTER COLUMN ... SET NOT NULL first — Delta's rule)"
+                )
+        config = {**snap.configuration, f"pk.{name}": json.dumps(
+            {"columns": list(columns), "rely": bool(rely)}
+        )}
+        self._commit_schema(table, snap, snap.schema, snap.partition_cols,
+                            "ADD CONSTRAINT", configuration=config)
+
+    def add_foreign_key(self, ref: TableRef, name: str,
+                        columns: list[str], parent: TableRef,
+                        parent_columns: list[str] | None = None) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT name FOREIGN KEY (cols)
+        REFERENCES parent [(cols)]`` — informational, like the primary
+        key. DDL-time validation: the local columns exist, the parent
+        table exists, the referenced columns exist there with matching
+        arity; referenced columns default to the parent's PRIMARY KEY.
+        Stored as an ``fk.<name>`` configuration key (JSON payload
+        naming the parent), no enforcement on either side."""
+        table, snap = self._require_snapshot(ref)
+        self._check_constraint_name_free(table, snap, name)
+        local = {f.name for f in snap.schema.fields}
+        for c in columns:
+            if c not in local:
+                raise DataSourceException(f"no column {c!r} on {table!r}")
+        ptable, psnap = self._require_snapshot(parent)
+        pcols = {f.name for f in psnap.schema.fields}
+        if parent_columns is None:
+            pks = [json.loads(v)["columns"] for k, v in
+                   psnap.configuration.items() if k.startswith("pk.")]
+            if not pks:
+                raise DataSourceException(
+                    f"parent {ptable!r} has no PRIMARY KEY — name the "
+                    "referenced columns explicitly"
+                )
+            parent_columns = pks[0]
+        for c in parent_columns:
+            if c not in pcols:
+                raise DataSourceException(
+                    f"no column {c!r} on parent {ptable!r}"
+                )
+        if len(parent_columns) != len(columns):
+            raise DataSourceException(
+                f"FOREIGN KEY arity mismatch: {columns} vs "
+                f"{parent_columns}"
+            )
+        parent_id = parent.path if parent.is_path else parent.table
+        config = {**snap.configuration, f"fk.{name}": json.dumps({
+            "columns": list(columns),
+            "parent": parent_id,
+            "parent_columns": list(parent_columns),
+        })}
+        self._commit_schema(table, snap, snap.schema, snap.partition_cols,
+                            "ADD CONSTRAINT", configuration=config)
+
+    @staticmethod
+    def _check_constraint_name_free(table: str, snap: Snapshot,
+                                    name: str) -> None:
+        for prefix in ("constraint.", "pk.", "fk."):
+            if f"{prefix}{name}" in snap.configuration:
+                raise DataSourceException(
+                    f"constraint {name!r} already exists on {table!r}"
+                )
+
     def drop_constraint(self, ref: TableRef, name: str) -> None:
         """ALTER TABLE DROP CONSTRAINT — a metaData commit without the
-        key; unknown names are a hard error (silent no-ops hide
+        key (CHECK, PRIMARY KEY, and FOREIGN KEY namespaces all
+        resolve); unknown names are a hard error (silent no-ops hide
         typos)."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
-        key = f"constraint.{name}"
-        if key not in snap.configuration:
+        key = next(
+            (f"{p}{name}" for p in ("constraint.", "pk.", "fk.")
+             if f"{p}{name}" in snap.configuration),
+            None,
+        )
+        if key is None:
             raise DataSourceException(
                 f"constraint {name!r} does not exist on {table!r}"
             )
@@ -2111,6 +2283,13 @@ class TxLogDataSource(BaseDataSource):
         refs = [
             k for k, v in snap.configuration.items()
             if k.startswith(("constraint.", "generated.")) and pat.search(v)
+        ]
+        # informational PK/FK: a renamed/dropped key column would
+        # silently invalidate the declared key — refuse, like Delta
+        refs += [
+            k for k, v in snap.configuration.items()
+            if k.startswith(("pk.", "fk."))
+            and col in json.loads(v)["columns"]
         ]
         if f"generated.{col}" in snap.configuration:
             refs.append(f"generated.{col}")  # the column IS generated
