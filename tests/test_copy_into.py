@@ -295,3 +295,37 @@ def test_copy_into_bad_format_rejected(spark, ds, tmp_path):
     ref = _make_table(ds, tmp_path)
     with pytest.raises(DataSourceException, match="FILEFORMAT"):
         ds.copy_into(ref, str(tmp_path), file_format="avro")
+
+
+# -- review-pass regressions -------------------------------------------------
+def test_copy_into_merge_schema_unions_source_schemas(spark, ds, tmp_path):
+    """A single COPY over files whose own schemas evolved must union
+    them (reader-side mergeSchema), not take one footer's schema and
+    silently drop the new column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"pk": [1, 2], "v": [10, 20]}),
+                   os.path.join(src, "a.parquet"))
+    pq.write_table(pa.table({"pk": [3], "v": [30], "c": ["x"]}),
+                   os.path.join(src, "b.parquet"))
+    ref = _make_table(ds, tmp_path)
+    files, rows = ds.copy_into(ref, src, merge_schema=True)
+    assert (files, rows) == (2, 3)
+    got = _rows(ds.read(ref).select("pk", "v", "c"))
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, "x")]
+
+
+def test_copy_into_single_file_honors_pattern_and_hidden(spark, ds, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 3, fname="a.parquet")
+    _write_batch(spark, src, 3, 6, fname="_hidden.parquet")
+    ref = _make_table(ds, tmp_path)
+    # glob excludes the file -> nothing loads
+    assert ds.copy_into(ref, os.path.join(src, "a.parquet"),
+                        pattern="*.csv") == (0, 0)
+    # hidden names are never candidates, even addressed directly
+    assert ds.copy_into(ref, os.path.join(src, "_hidden.parquet")) == (0, 0)
+    assert ds.copy_into(ref, os.path.join(src, "a.parquet")) == (1, 3)

@@ -314,3 +314,21 @@ def test_derived_cdf_pre_tracking_interval_falls_back(spark, ds, tmp_path):
     kinds = {k for _, k, _ in feed}
     assert kinds == {"insert", "delete"}
     assert len(feed) == 8
+
+
+def test_derived_cdf_map_column_falls_back(spark, ds, tmp_path):
+    """eqNullSafe cannot order MapType: a map column anywhere in the
+    schema keeps the plain file-granular derivation instead of
+    crashing the paired path."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, {"k": i}) for i in range(4)], "pk int, m map<string,int>"
+    )
+    ds.create(ref, df.schema)
+    ds.set_properties(ref, {ROW_TRACKING_KEY: "true"})
+    ds.append(df.coalesce(1), ref)
+    v0 = resolve_snapshot(ref.path).version
+    ds.delete(ref, "pk = 1")
+    feed = ds.changes(ref, from_version=v0)
+    kinds = sorted({r._change_type for r in feed.collect()})
+    assert kinds == ["delete", "insert"]  # file-granular, no crash

@@ -1657,3 +1657,32 @@ def test_foreign_key_informational_and_sql(spark, ds, tmp_path):
     finally:
         ds.drop_table(TableRef(table=parent))
         ds.drop_table(TableRef(table=child))
+
+
+def test_sql_time_travel_name_is_case_sensitive(spark, ds, tmp_path):
+    """The time-travel phrase must not hijack a differently-cased
+    identifier the bare-name rewrite would leave for Spark's catalog."""
+    import uuid as _uuid
+
+    name = f"ttcs_{_uuid.uuid4().hex[:8]}"
+    ds.append(spark.createDataFrame([(1,)], "pk int"),
+              TableRef(table=name))
+    try:
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+            ds._execute_statement(
+                f"SELECT * FROM {name.upper()} VERSION AS OF 1"
+            ).collect()
+        # keywords stay case-insensitive
+        n = ds._execute_statement(
+            f"SELECT count(*) AS n FROM {name} version as of 1"
+        ).first().n
+        assert n == 1
+    finally:
+        ds.drop_table(TableRef(table=name))
+
+
+def test_primary_key_empty_columns_rejected(spark, ds, tmp_path):
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)
+    with pytest.raises(DataSourceException, match="at least one"):
+        ds.add_primary_key(ref, "pk_e", [])

@@ -285,6 +285,21 @@ class Snapshot:
         return StructType.fromJson(json.loads(self.schema_json))
 
 
+def _contains_map(dt) -> bool:
+    """True when a MapType occurs anywhere in the type tree — the one
+    Spark type eqNullSafe/comparisons cannot order (maps are unordered
+    by definition), so whole-row struct comparisons must be avoided."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    return False
+
+
 def _log_path(table: str) -> str:
     return os.path.join(table, LOG_DIR)
 
@@ -1048,11 +1063,15 @@ class TxLogDataSource(BaseDataSource):
             # view BEFORE the bare-name pass. VERSION AS OF is fully
             # inside one even segment; TIMESTAMP AS OF's literal is
             # the NEXT (odd) segment — the split put it there.
+            # keywords are case-insensitive, the NAME is not — the
+            # bare-name rewrite below is case-sensitive, and a
+            # re.I name match here would hijack a same-spelled Spark
+            # catalog table into inconsistent per-clause resolution
             ver_pat = re.compile(
-                name_src + r"\s+version\s+as\s+of\s+(\d+)", re.I
+                name_src + r"\s+(?i:version\s+as\s+of)\s+(\d+)"
             )
             ts_tail = re.compile(
-                name_src + r"\s+timestamp\s+as\s+of\s*$", re.I
+                name_src + r"\s+(?i:timestamp\s+as\s+of)\s*$"
             )
             for i in range(0, len(segments), 2):
                 def bind_version(m: re.Match) -> str:
@@ -1479,15 +1498,21 @@ class TxLogDataSource(BaseDataSource):
         out.append({"rowIdHighWaterMark": next_id - 1})
         return out
 
-    def _txn_stamps(self, table: str, upto: int | None = None) -> dict[str, int]:
-        """appId -> highest committed txn version, at log state
-        ``upto`` (default: latest). Starts from the newest checkpoint
-        at or below ``upto`` that carries a ``txns`` map and scans only
-        the commit files after it, so per-call cost is bounded by
-        CHECKPOINT_INTERVAL, not table age. Checkpoints carry the map
-        forward, so stamps survive any future commit-file retention."""
+    def _replay_carried(self, table: str, ck_key: str, seed, fold,
+                        upto: int | None = None):
+        """Replay one piece of checkpoint-carried log state at version
+        ``upto`` (default: latest): seed from the newest checkpoint at
+        or below ``upto`` that carries ``ck_key`` (pre-feature
+        checkpoints fall through to a full scan), then ``fold`` every
+        commit line after it. Per-call cost is bounded by
+        CHECKPOINT_INTERVAL, not table age, and because checkpoints
+        carry the state forward it survives commit-file retention
+        (clean_log refreshes its floor checkpoint through
+        :meth:`_write_checkpoint` to retrofit new keys). Shared by txn
+        stamps and COPY INTO ledger refs — add the next carried key
+        here, not as another copy of this loop."""
         commits, checkpoints = _list_log(table)
-        stamps: dict[str, int] = {}
+        state = seed(None)
         start = 0
         usable = [
             c for c in checkpoints
@@ -1496,8 +1521,8 @@ class TxLogDataSource(BaseDataSource):
         for ck_name in reversed(usable):
             with open(os.path.join(_log_path(table), ck_name)) as fh:
                 ck = json.load(fh)
-            if "txns" in ck:  # pre-txns checkpoints: fall through, full scan
-                stamps = {k: int(v) for k, v in ck["txns"].items()}
+            if ck_key in ck:
+                state = seed(ck[ck_key])
                 start = _version_of(ck_name) + 1
                 break
         for fname in commits:
@@ -1506,49 +1531,45 @@ class TxLogDataSource(BaseDataSource):
                 continue
             with open(os.path.join(_log_path(table), fname)) as fh:
                 for line in fh:
-                    info = json.loads(line).get("commitInfo")
-                    if info and "txn" in info:
-                        t = info["txn"]
-                        stamps[t["appId"]] = max(
-                            stamps.get(t["appId"], -1), int(t["version"])
-                        )
-        return stamps
+                    fold(state, line)
+        return state
+
+    def _txn_stamps(self, table: str, upto: int | None = None) -> dict[str, int]:
+        """appId -> highest committed txn version, at log state
+        ``upto`` (default: latest) — replayed via
+        :meth:`_replay_carried` (checkpoint ``txns`` map)."""
+        def seed(v) -> dict[str, int]:
+            return {} if v is None else {k: int(x) for k, x in v.items()}
+
+        def fold(stamps: dict[str, int], line: str) -> None:
+            if '"txn"' not in line:  # adds never deserialize
+                return
+            info = json.loads(line).get("commitInfo")
+            if info and "txn" in info:
+                t = info["txn"]
+                stamps[t["appId"]] = max(
+                    stamps.get(t["appId"], -1), int(t["version"])
+                )
+
+        return self._replay_carried(table, "txns", seed, fold, upto)
 
     def _copy_ledger_refs(self, table: str, upto: int | None = None) -> list[str]:
         """Relative paths of every COPY INTO loaded-file ledger
         referenced by a committed ``copyInto`` action at log state
-        ``upto`` (default: latest). Same replay shape as
-        :meth:`_txn_stamps`: starts from the newest checkpoint at or
-        below ``upto`` that carries a ``copyLedgers`` list and scans
-        only the commits after it, so the refs survive commit-file
-        retention (clean_log) and the per-call cost is bounded by
-        CHECKPOINT_INTERVAL."""
-        commits, checkpoints = _list_log(table)
-        refs: list[str] = []
-        start = 0
-        usable = [
-            c for c in checkpoints
-            if upto is None or _version_of(c) <= upto
-        ]
-        for ck_name in reversed(usable):
-            with open(os.path.join(_log_path(table), ck_name)) as fh:
-                ck = json.load(fh)
-            if "copyLedgers" in ck:  # pre-feature checkpoints: full scan
-                refs = list(ck["copyLedgers"])
-                start = _version_of(ck_name) + 1
-                break
-        for fname in commits:
-            v = _version_of(fname)
-            if v < start or (upto is not None and v > upto):
-                continue
-            with open(os.path.join(_log_path(table), fname)) as fh:
-                for line in fh:
-                    if '"copyInto"' not in line:
-                        continue
-                    action = json.loads(line)
-                    if "copyInto" in action:
-                        refs.append(action["copyInto"]["ledger"])
-        return refs
+        ``upto`` (default: latest) — replayed via
+        :meth:`_replay_carried` (checkpoint ``copyLedgers`` list), so
+        the refs survive commit-file retention."""
+        def seed(v) -> list[str]:
+            return [] if v is None else list(v)
+
+        def fold(refs: list[str], line: str) -> None:
+            if '"copyInto"' not in line:
+                return
+            action = json.loads(line)
+            if "copyInto" in action:
+                refs.append(action["copyInto"]["ledger"])
+
+        return self._replay_carried(table, "copyLedgers", seed, fold, upto)
 
     def _copy_loaded(self, table: str) -> set[str]:
         """Source-file identities (absolute paths) already ingested by
@@ -2134,6 +2155,10 @@ class TxLogDataSource(BaseDataSource):
         referenced."""
         table, snap = self._require_snapshot(ref)
         self._check_constraint_name_free(table, snap, name)
+        if not columns:
+            raise DataSourceException(
+                "PRIMARY KEY needs at least one column"
+            )
         existing = [k for k in snap.configuration if k.startswith("pk.")]
         if existing:
             raise DataSourceException(
@@ -2167,6 +2192,10 @@ class TxLogDataSource(BaseDataSource):
         naming the parent), no enforcement on either side."""
         table, snap = self._require_snapshot(ref)
         self._check_constraint_name_free(table, snap, name)
+        if not columns:
+            raise DataSourceException(
+                "FOREIGN KEY needs at least one column"
+            )
         local = {f.name for f in snap.schema.fields}
         for c in columns:
             if c not in local:
@@ -3102,9 +3131,16 @@ class TxLogDataSource(BaseDataSource):
         src_root = os.path.abspath(source)
         discovered: list[tuple[str, int, int]] = []
         if os.path.isfile(src_root):
-            st = os.stat(src_root)
-            discovered.append((src_root, st.st_size,
-                               int(st.st_mtime * 1000)))
+            # same filtering contract as the directory walk: hidden /
+            # underscore names are never candidates, and the glob (the
+            # relative path of a file source is its basename) applies
+            base = os.path.basename(src_root)
+            if (not base.startswith(("_", "."))
+                    and not base.endswith(".crc")
+                    and (pattern is None or fnmatch.fnmatch(base, pattern))):
+                st = os.stat(src_root)
+                discovered.append((src_root, st.st_size,
+                                   int(st.st_mtime * 1000)))
         else:
             for root, dirs, names in os.walk(src_root):
                 dirs[:] = [d for d in dirs
@@ -3125,7 +3161,8 @@ class TxLogDataSource(BaseDataSource):
             if not new:
                 return (0, 0)
             df = self._read_copy_source(table, fmt, [t[0] for t in new],
-                                        format_options)
+                                        format_options,
+                                        merge_schema=merge_schema)
             ledger_rel = self._write_copy_ledger(table, new)
             action = {"copyInto": {
                 "ledger": ledger_rel,
@@ -3150,14 +3187,21 @@ class TxLogDataSource(BaseDataSource):
         )
 
     def _read_copy_source(self, table: str, fmt: str, paths: list[str],
-                          format_options: dict[str, str] | None) -> DataFrame:
+                          format_options: dict[str, str] | None,
+                          merge_schema: bool = False) -> DataFrame:
         """Reader for COPY INTO source files. Self-describing formats
-        (parquet/orc) read as-is; csv/json bind to the table's writable
-        schema — identity and generated columns excluded, both are
-        filled by the write path — unless the caller supplies
-        ``inferSchema``. Column reconciliation (by-name cast, DEFAULT
-        fill) happens in the shared append flow."""
+        (parquet/orc) read as-is — with the reader-side ``mergeSchema``
+        when the COPY is schema-evolving, so a batch whose files
+        themselves have evolving schemas unions them instead of taking
+        one footer's schema and silently dropping the new column;
+        csv/json bind to the table's writable schema — identity and
+        generated columns excluded, both are filled by the write path —
+        unless the caller supplies ``inferSchema``. Column
+        reconciliation (by-name cast, DEFAULT fill) happens in the
+        shared append flow."""
         opts = dict(format_options or {})
+        if merge_schema and fmt in ("parquet", "orc"):
+            opts.setdefault("mergeSchema", "true")
         reader = self.spark.read.options(**opts)
         if fmt in ("csv", "json") and "inferschema" not in {
             k.lower() for k in opts
@@ -4475,6 +4519,12 @@ class TxLogDataSource(BaseDataSource):
             for fname in commits:
                 with open(os.path.join(_log_path(table), fname)) as fh:
                     for line in fh:
+                        # cheap substring prefilter: add actions (the
+                        # bulk of the log, stats payloads included)
+                        # never deserialize unless they carry a dv
+                        if ('"remove"' not in line and '"cdc"' not in line
+                                and '"dv"' not in line):
+                            continue
                         action = json.loads(line)
                         if "remove" in action:
                             candidates.add(action["remove"]["path"])
@@ -4661,6 +4711,9 @@ class TxLogDataSource(BaseDataSource):
             pairable = (
                 pure_add and pure_rem
                 and self._row_tracking_on(sch.configuration)
+                # eqNullSafe cannot order MapType — a map column
+                # anywhere in the schema keeps the plain derivation
+                and not _contains_map(sch.schema)
                 and all(e.get("baseRowId") is not None and not e.get("dv")
                         for e in pure_add + pure_rem)
             )
