@@ -329,3 +329,12 @@ def test_copy_into_single_file_honors_pattern_and_hidden(spark, ds, tmp_path):
     # hidden names are never candidates, even addressed directly
     assert ds.copy_into(ref, os.path.join(src, "_hidden.parquet")) == (0, 0)
     assert ds.copy_into(ref, os.path.join(src, "a.parquet")) == (1, 3)
+
+
+def test_copy_into_history_operation_name(spark, ds, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 2)
+    ref = _make_table(ds, tmp_path)
+    ds.copy_into(ref, src)
+    ops = [h["operation"] for h in ds.history(ref)]
+    assert "COPY INTO" in ops

@@ -1686,3 +1686,49 @@ def test_primary_key_empty_columns_rejected(spark, ds, tmp_path):
     _seed(spark, ds, ref)
     with pytest.raises(DataSourceException, match="at least one"):
         ds.add_primary_key(ref, "pk_e", [])
+
+
+# -- parquet checkpoint sidecar ----------------------------------------------
+def test_parquet_checkpoint_roundtrip_and_retention(spark, ds, tmp_path,
+                                                    monkeypatch):
+    """Live sets >= CHECKPOINT_PARQUET_MIN checkpoint their adds as a
+    parquet sidecar; snapshot resolution, time travel, and clean_log
+    retention (incl. orphan reaping) all work through it."""
+    import x_spark.sources.txlog as tx
+
+    monkeypatch.setattr(tx, "CHECKPOINT_PARQUET_MIN", 2)
+    ref = _ref(tmp_path)
+    for i in range(CHECKPOINT_INTERVAL + 2):
+        ds.append(
+            spark.createDataFrame([(i, "a", i)],
+                                  "pk int, part string, v int"), ref
+        )
+    log = os.path.join(ref.path, "_txlog")
+    sidecars = [f for f in os.listdir(log)
+                if f.endswith(".checkpoint.adds.parquet")]
+    assert sidecars, "no parquet sidecar despite a large live set"
+    _, checkpoints = _list_log(ref.path)
+    with open(os.path.join(log, checkpoints[-1])) as fh:
+        ck = json.load(fh)
+    assert "addsParquet" in ck and "adds" not in ck
+    at_ck = resolve_snapshot(ref.path, int(checkpoints[-1].split(".")[0]))
+    assert ck["addCount"] == len(at_ck.files)
+    # resolution THROUGH the sidecar equals the replayed truth
+    assert ds.read(ref).count() == CHECKPOINT_INTERVAL + 2
+    assert ds.read(
+        TableRef(path=ref.path,
+                 options={"versionAsOf": str(CHECKPOINT_INTERVAL)})
+    ).count() == CHECKPOINT_INTERVAL
+    # an orphaned sidecar (failed JSON publish) reaps; live ones stay
+    orphan = os.path.join(log, f"{99:020d}.checkpoint.adds.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"x")
+    removed = ds.clean_log(ref, keep_last=1, min_age_sec=0.0)
+    assert f"{99:020d}.checkpoint.adds.parquet" in removed
+    live = [f for f in os.listdir(log)
+            if f.endswith(".checkpoint.adds.parquet")]
+    for f in live:  # every surviving sidecar has its owner JSON
+        assert os.path.isfile(
+            os.path.join(log, f"{int(f.split('.')[0]):020d}.checkpoint.json")
+        )
+    assert ds.read(ref).count() == CHECKPOINT_INTERVAL + 2  # still whole

@@ -55,6 +55,9 @@ from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
 
 LOG_DIR = "_txlog"
 CHECKPOINT_INTERVAL = 20
+# live sets at or above this size checkpoint their adds as a parquet
+# sidecar instead of inline JSON (see _checkpoint_adds)
+CHECKPOINT_PARQUET_MIN = 256
 
 # Deletion vectors (Delta's merge-on-read soft deletes): when a table
 # sets this configuration key to "true", DELETE masks rows instead of
@@ -408,6 +411,31 @@ def _parse_update_statement(stmt: str):
     return _normalize_ident(m.group(1)), assignments, predicate
 
 
+def _checkpoint_adds(table: str, ck: dict) -> list[dict]:
+    """The add-action list of a loaded checkpoint. Small checkpoints
+    inline it (``adds``); large ones reference a parquet sidecar
+    (``addsParquet`` — one snappy-compressed ``add_json`` string row
+    per live file), written because at millions of live files the
+    monolithic-JSON checkpoint becomes the metadata bottleneck: the
+    sidecar is a fraction of the size, row-group streamable, and
+    readable distributed (``spark.read.parquet`` + ``from_json``) when
+    a metadata-plane query outgrows the driver."""
+    if "addsParquet" not in ck:
+        return ck["adds"]
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    p = os.path.join(_log_path(table), ck["addsParquet"])
+    try:
+        rows = pq.read_table(p, columns=["add_json"]).column("add_json")
+    except FileNotFoundError as exc:
+        raise DataSourceException(
+            f"checkpoint sidecar {ck['addsParquet']!r} missing for "
+            f"{table!r} — the log directory was partially copied or "
+            "externally modified"
+        ) from exc
+    return [json.loads(s) for s in rows.to_pylist()]
+
+
 def _list_log(table: str) -> tuple[list[str], list[str]]:
     """(commit files, checkpoint files), each sorted by version."""
     d = _log_path(table)
@@ -447,7 +475,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
         schema_json = ck["schemaJson"]
         part_cols = ck["partitionColumns"]
         configuration = dict(ck.get("configuration", {}))
-        files = {a["path"]: a for a in ck["adds"]}
+        files = {a["path"]: a for a in _checkpoint_adds(table, ck)}
         row_id_high = int(ck.get("rowIdHighWaterMark", -1))
         start = _version_of(usable[-1]) + 1
     for fname in commits:
@@ -1604,16 +1632,36 @@ class TxLogDataSource(BaseDataSource):
         pruning, which retrofits keys older checkpoints predate
         (``txns``, ``copyLedgers``) while their commits still exist."""
         snap = resolve_snapshot(table, version)
+        adds = [snap.files[p] for p in sorted(snap.files)]
         ck = {
             "version": version,
             "schemaJson": snap.schema_json,
             "partitionColumns": snap.partition_cols,
             "configuration": snap.configuration,
-            "adds": [snap.files[p] for p in sorted(snap.files)],
             "txns": self._txn_stamps(table, upto=version),
             "rowIdHighWaterMark": snap.row_id_high,
             "copyLedgers": self._copy_ledger_refs(table, upto=version),
         }
+        if len(adds) >= CHECKPOINT_PARQUET_MIN:
+            # large live set: the adds go to a parquet sidecar (see
+            # _checkpoint_adds). Sidecar lands BEFORE the JSON that
+            # references it, so a reader can never see a dangling
+            # reference; an orphan from a failed JSON publish is inert
+            # and reaped by clean_log.
+            import pyarrow as pa  # noqa: PLC0415
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            side = f"{version:020d}.checkpoint.adds.parquet"
+            sfull = os.path.join(_log_path(table), side)
+            stmp = sfull + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(pa.table({
+                "add_json": [json.dumps(a, default=str) for a in adds]
+            }), stmp)
+            os.replace(stmp, sfull)
+            ck["addsParquet"] = side
+            ck["addCount"] = len(adds)
+        else:
+            ck["adds"] = adds
         path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -2950,7 +2998,8 @@ class TxLogDataSource(BaseDataSource):
     def append(self, df: DataFrame, ref: TableRef,
                merge_schema: bool = False,
                txn: tuple[str, int] | None = None,
-               extra_actions: list[dict] | None = None) -> list[dict]:
+               extra_actions: list[dict] | None = None,
+               operation: str = "APPEND") -> list[dict]:
         """Add-only commit. On version collision the append re-resolves
         and retries — blind adds commute with any concurrent commit.
         Returns the committed add actions (footer row counts and stats
@@ -3040,7 +3089,7 @@ class TxLogDataSource(BaseDataSource):
             self._commit(
                 table, self._expect_unchanged(table, snap.version),
                 meta_actions + add_actions + list(extra_actions or []),
-                "APPEND", txn=txn,
+                operation, txn=txn,
             )
             self._maybe_auto_compact(ref, snap.configuration)
             return adds
@@ -3049,7 +3098,7 @@ class TxLogDataSource(BaseDataSource):
                 self._commit(table, (self._latest_version(table) or 0) + 1,
                              meta_actions + add_actions
                              + list(extra_actions or []),
-                             "APPEND", txn=txn)
+                             operation, txn=txn)
                 self._maybe_auto_compact(ref, snap.configuration)
                 return adds
             except TxnAlreadyCommittedException:
@@ -3173,7 +3222,8 @@ class TxLogDataSource(BaseDataSource):
             try:
                 adds = self.append(df, ref, merge_schema=merge_schema,
                                    txn=(self.COPY_APP_ID, epoch),
-                                   extra_actions=[action])
+                                   extra_actions=[action],
+                                   operation="COPY INTO")
             except TxnAlreadyCommittedException:
                 # a concurrent COPY won the epoch: its ledger may cover
                 # (some of) our files — re-resolve and load the rest
@@ -4408,6 +4458,21 @@ class TxLogDataSource(BaseDataSource):
                 continue
             os.remove(path)
             deleted.append(fname)
+        # parquet adds-sidecars: reap those of pruned checkpoints and
+        # orphans whose JSON publish never landed (their JSON is
+        # absent) — the floor checkpoint's sidecar survives with it
+        for fname in os.listdir(_log_path(table)):
+            if not fname.endswith(".checkpoint.adds.parquet"):
+                continue
+            owner = f"{_version_of(fname):020d}.checkpoint.json"
+            full = os.path.join(_log_path(table), fname)
+            if os.path.isfile(os.path.join(_log_path(table), owner)):
+                continue
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(full)
+                deleted.append(fname)
         # reap ORPHANED copy ledgers (written by a COPY attempt whose
         # commit never landed): referenced ledgers are carried forward
         # by checkpoints forever, so anything outside the reference
