@@ -1732,3 +1732,42 @@ def test_parquet_checkpoint_roundtrip_and_retention(spark, ds, tmp_path,
             os.path.join(log, f"{int(f.split('.')[0]):020d}.checkpoint.json")
         )
     assert ds.read(ref).count() == CHECKPOINT_INTERVAL + 2  # still whole
+
+
+def test_clean_log_reaps_publish_debris_without_floor(spark, ds, tmp_path):
+    """tmp files from crashed publishes and orphaned sidecars reap even
+    when there is nothing to prune (no usable floor)."""
+    ref = _ref(tmp_path)
+    _seed(spark, ds, ref)  # v0+v1: no checkpoint exists yet
+    log = os.path.join(ref.path, "_txlog")
+    debris = os.path.join(log, f"{5:020d}.checkpoint.json.tmp-deadbeef")
+    with open(debris, "w") as fh:
+        fh.write("{}")
+    orphan_side = os.path.join(log, f"{7:020d}.checkpoint.adds.parquet")
+    with open(orphan_side, "wb") as fh:
+        fh.write(b"x")
+    removed = ds.clean_log(ref, keep_last=1000, min_age_sec=0.0)
+    assert f"{5:020d}.checkpoint.json.tmp-deadbeef" in removed
+    assert f"{7:020d}.checkpoint.adds.parquet" in removed
+    # age guard still protects fresh debris
+    with open(debris, "w") as fh:
+        fh.write("{}")
+    assert ds.clean_log(ref, keep_last=1000) == []
+
+
+def test_clean_log_skips_floor_rewrite_when_current(spark, ds, tmp_path):
+    """A floor checkpoint already carrying every replay-carried key is
+    NOT rewritten — scheduled clean_log on a huge table must not
+    re-serialize the adds sidecar every run."""
+    ref = _ref(tmp_path)
+    for i in range(CHECKPOINT_INTERVAL + 3):
+        ds.append(
+            spark.createDataFrame([(i, "a", i)],
+                                  "pk int, part string, v int"), ref
+        )
+    ds.clean_log(ref, keep_last=2, min_age_sec=0.0)  # may refresh once
+    _, checkpoints = _list_log(ref.path)
+    floor_path = os.path.join(ref.path, "_txlog", checkpoints[0])
+    before = os.stat(floor_path).st_mtime_ns
+    ds.clean_log(ref, keep_last=2, min_age_sec=0.0)
+    assert os.stat(floor_path).st_mtime_ns == before

@@ -4434,21 +4434,49 @@ class TxLogDataSource(BaseDataSource):
 
         table = self._table_path(ref)
         commits, checkpoints = _list_log(table)
+        now = _time.time()
+        deleted: list[str] = []
+        # publish debris is reaped INDEPENDENT of the floor (it needs
+        # none): tmp files a crashed publish left behind (sidecars,
+        # checkpoint JSONs, copy ledgers — every atomic publish stages
+        # as *.tmp-<hex>), age-guarded like everything else
+        for sub in ("", "copy_ledger"):
+            d = os.path.join(_log_path(table), sub)
+            if not os.path.isdir(d):
+                continue
+            for fname in os.listdir(d):
+                if ".tmp-" not in fname:
+                    continue
+                full = os.path.join(d, fname)
+                if now - os.path.getmtime(full) < min_age_sec:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(full)
+                    deleted.append(os.path.join(sub, fname)
+                                   if sub else fname)
         if not commits or not checkpoints:
-            return []
+            self._reap_log_orphans(table, now, min_age_sec, deleted)
+            return deleted
         keep_from = _version_of(commits[-1]) - max(0, int(keep_last))
         usable = [c for c in checkpoints if _version_of(c) <= keep_from]
         if not usable:
-            return []
+            self._reap_log_orphans(table, now, min_age_sec, deleted)
+            return deleted
         floor = _version_of(usable[-1])
         # refresh the floor checkpoint from the still-complete log
         # BEFORE pruning: retrofits replay-carried keys the stored
         # checkpoint may predate (txns, copyLedgers) — without this a
         # pre-feature floor would silently lose exactly-once stamps or
-        # COPY INTO idempotency below it
-        self._write_checkpoint(table, floor)
-        now = _time.time()
-        deleted: list[str] = []
+        # COPY INTO idempotency below it. Skipped when the stored
+        # floor already carries every current key: a scheduled
+        # clean_log on a huge table must not re-serialize a
+        # multi-hundred-MB adds sidecar on every run.
+        with open(os.path.join(_log_path(table), usable[-1])) as fh:
+            stored = json.load(fh)
+        carried = ("txns", "copyLedgers", "rowIdHighWaterMark")
+        if (any(k not in stored for k in carried)
+                or ("adds" not in stored and "addsParquet" not in stored)):
+            self._write_checkpoint(table, floor)
         for fname in commits + checkpoints:
             v = _version_of(fname)
             if v >= floor:
@@ -4458,9 +4486,16 @@ class TxLogDataSource(BaseDataSource):
                 continue
             os.remove(path)
             deleted.append(fname)
-        # parquet adds-sidecars: reap those of pruned checkpoints and
-        # orphans whose JSON publish never landed (their JSON is
-        # absent) — the floor checkpoint's sidecar survives with it
+        self._reap_log_orphans(table, now, min_age_sec, deleted)
+        return deleted
+
+    def _reap_log_orphans(self, table: str, now: float,
+                          min_age_sec: float, deleted: list[str]) -> None:
+        """Reap unreferenced log artifacts (age-guarded): checkpoint
+        adds-sidecars whose owner JSON is gone — covering pruned
+        checkpoints and failed publishes in one rule — and copy
+        ledgers outside the carried reference list. Needs no floor, so
+        clean_log runs it even when there is nothing to prune."""
         for fname in os.listdir(_log_path(table)):
             if not fname.endswith(".checkpoint.adds.parquet"):
                 continue
@@ -4473,7 +4508,7 @@ class TxLogDataSource(BaseDataSource):
             with contextlib.suppress(FileNotFoundError):
                 os.remove(full)
                 deleted.append(fname)
-        # reap ORPHANED copy ledgers (written by a COPY attempt whose
+        # ORPHANED copy ledgers (written by a COPY attempt whose
         # commit never landed): referenced ledgers are carried forward
         # by checkpoints forever, so anything outside the reference
         # list — and past the same age guard — is dead weight
@@ -4490,7 +4525,6 @@ class TxLogDataSource(BaseDataSource):
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(full)
                     deleted.append(rel)
-        return deleted
 
     def vacuum(self, ref: TableRef, keep_last: int | None = None,
                min_age_sec: float = 600.0,
