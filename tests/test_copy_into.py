@@ -338,3 +338,79 @@ def test_copy_into_history_operation_name(spark, ds, tmp_path):
     ds.copy_into(ref, src)
     ops = [h["operation"] for h in ds.history(ref)]
     assert "COPY INTO" in ops
+
+
+# -- exactly-once property ---------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_COPY_SETTINGS = settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _copy_ops(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    return [
+        draw(st.sampled_from(["newfile", "copy", "force", "clean"]))
+        for _ in range(n)
+    ]
+
+
+@given(ops=_copy_ops())
+@_COPY_SETTINGS
+def test_copy_into_exactly_once_over_random_sequences(
+        spark, tmp_path_factory, ops):
+    """Exactly-once over any interleaving of landings, re-COPYs,
+    forced reloads, and log retention: the table's row multiset always
+    equals each landed file counted (1 + times force-copied), and a
+    plain COPY never reloads."""
+    from collections import Counter
+
+    ds = init_datasource("txlog", spark)
+    base = tmp_path_factory.mktemp("copyprop")
+    src = str(base / "src")
+    os.makedirs(src)
+    ref = TableRef(path=str(base / "t"))
+    ds.create(ref, T._parse_datatype_string("pk int, v int"))
+    expected: Counter = Counter()
+    pending_rows = 0  # rows in landed-but-not-yet-copied files
+    all_rows: list = []  # every row ever landed, file order
+    nxt = 0
+    for op in ops:
+        if op == "newfile":
+            k = 2 + (nxt % 3)
+            rows = [(nxt * 10 + i, i) for i in range(k)]
+            _write_rows(src, f"f{nxt}.parquet", rows)
+            nxt += 1
+            pending_rows += len(rows)
+            all_rows.extend(rows)
+            expected.update(rows)
+        elif op == "copy":
+            files, rows = ds.copy_into(ref, src)
+            assert rows == pending_rows
+            pending_rows = 0
+            # immediate re-COPY is always a no-op
+            assert ds.copy_into(ref, src) == (0, 0)
+        elif op == "force":
+            _, rows = ds.copy_into(ref, src, force=True)
+            assert rows == len(all_rows)
+            expected.update(all_rows)
+            pending_rows = 0
+        else:
+            ds.clean_log(ref, keep_last=2, min_age_sec=0.0)
+    ds.copy_into(ref, src)  # drain whatever is still pending
+    got = Counter(map(tuple, ds.read(ref).collect()))
+    assert got == expected
+
+
+def _write_rows(src, fname, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"pk": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+        os.path.join(src, fname),
+    )

@@ -588,28 +588,33 @@ def cdf_op_sequence(draw):
     return ops
 
 
-@given(ops=cdf_op_sequence(), dv=st.booleans())
+@given(ops=cdf_op_sequence(), dv=st.booleans(), rt=st.booleans())
 @SETTINGS
 def test_cdf_folds_to_snapshot_diff_over_random_sequences(
-        spark, tmp_path_factory, ops, dv):
+        spark, tmp_path_factory, ops, dv, rt):
     """The change feed is CONSERVATIVE over any operation sequence:
     folding it (+1 insert/update_postimage, -1 delete/update_preimage)
     between two versions must equal the signed multiset difference of
     the two snapshots — with cdc-served commits (CDF property on,
     UPDATE/MERGE/CoW-DELETE write 4-type rows) and derived commits
     mixed freely, on both the copy-on-write and deletion-vector
-    engines. This is the invariant IVM correctness stands on."""
+    engines. ``rt=True`` runs the same sequences WITHOUT the CDF
+    property on a row-tracking table, so every rewrite commit takes
+    the derived ROW-ID-PAIRED path (or its DV fallback) — the pairing
+    must preserve the fold multiset exactly. This is the invariant
+    IVM correctness stands on."""
     from collections import Counter
 
     from x_spark.sources.txlog import (
-        CDF_ENABLE_KEY, DV_ENABLE_KEY, resolve_snapshot,
+        CDF_ENABLE_KEY, DV_ENABLE_KEY, ROW_TRACKING_KEY, resolve_snapshot,
     )
 
     ds = init_datasource("txlog", spark)
     ref = TableRef(path=str(tmp_path_factory.mktemp("cdfprop") / "t"))
     schema = "pk int, v int"
     ds.create(ref, spark.createDataFrame([], schema).schema)
-    props = {CDF_ENABLE_KEY: "true"}
+    props = ({ROW_TRACKING_KEY: "true"} if rt
+             else {CDF_ENABLE_KEY: "true"})
     if dv:
         props[DV_ENABLE_KEY] = "true"
     ds.set_properties(ref, props)
