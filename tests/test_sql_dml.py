@@ -469,3 +469,29 @@ def test_merge_parser_literals_and_case_when(spark, ds):
             THEN UPDATE SET tag = 'case-hit'
     """)
     assert _rows(ds.sql(f"SELECT tag FROM {t}")) == [("case-hit",)]
+
+
+def test_insert_replace_where(spark, ds):
+    """INSERT INTO t REPLACE WHERE cond <source> (Delta's
+    predicate-scoped atomic replacement): matching rows replaced by
+    the source in one commit; new rows must satisfy the predicate;
+    OVERWRITE / PARTITION composition refused."""
+    t = _name()
+    ds.sql(f"CREATE TABLE {t} (id INT, part STRING) USING txlog")
+    ds.sql(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    ds.sql(f"INSERT INTO {t} REPLACE WHERE part = 'a' "
+           "VALUES (9, 'a'), (10, 'a')")
+    assert _rows(ds.sql(f"SELECT id, part FROM {t}")) == [
+        (2, "b"), (9, "a"), (10, "a"),
+    ]
+    # a replacement row violating the predicate refuses (Delta's rule)
+    with pytest.raises(Exception, match="replace_where|replaceWhere|match"):
+        ds.sql(f"INSERT INTO {t} REPLACE WHERE part = 'a' VALUES (5, 'z')")
+    # SELECT source + string predicate with a quoted literal
+    ds.sql(f"INSERT INTO {t} REPLACE WHERE part = 'b' "
+           f"SELECT id + 100, part FROM {t} WHERE part = 'b'")
+    assert _rows(ds.sql(f"SELECT id FROM {t} WHERE part = 'b'")) == [(102,)]
+    with pytest.raises(DataSourceException, match="REPLACE WHERE"):
+        ds.sql(f"INSERT OVERWRITE {t} REPLACE WHERE part = 'a' VALUES (1, 'a')")
+    with pytest.raises(DataSourceException, match="REPLACE WHERE"):
+        ds.sql(f"INSERT INTO {t} REPLACE WHERE part = 'a'")

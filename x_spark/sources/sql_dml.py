@@ -166,6 +166,7 @@ class InsertStmt:
     columns: list[str] | None        # explicit column list or None
     partition: dict[str, str | None]  # static values; None = dynamic
     source_sql: str                  # SELECT ...  (VALUES pre-wrapped)
+    replace_where: str | None = None  # INSERT INTO ... REPLACE WHERE
 
 
 @dataclass(frozen=True)
@@ -257,6 +258,25 @@ def parse_insert(stmt: str) -> InsertStmt | None:
     overwrite = m.group(1).lower() == "overwrite"
     name = _norm(m.group(2))
     rest = s[m.end():].lstrip()
+    # INSERT INTO t REPLACE WHERE <cond> <source> — Delta's
+    # predicate-scoped atomic replacement verb: the condition runs to
+    # the first top-level source keyword
+    replace_where = None
+    if re.match(r"replace\s+where\b", rest, re.I):
+        body = rest[re.match(r"replace\s+where\b", rest, re.I).end():]
+        starts = [i for i in (find_keyword(body, k)
+                              for k in ("select", "values", "with",
+                                        "from", "table"))
+                  if i >= 0]
+        if not starts:
+            raise DataSourceException(
+                f"REPLACE WHERE without an INSERT source: {body[:60]!r}"
+            )
+        cut = min(starts)
+        replace_where = body[:cut].strip()
+        if not replace_where:
+            raise DataSourceException("empty REPLACE WHERE condition")
+        rest = body[cut:].lstrip()
     partition: dict[str, str | None] = {}
     mp = re.match(r"partition\s*\(([^)]*)\)\s*", rest, re.I)
     if mp:
@@ -289,7 +309,13 @@ def parse_insert(stmt: str) -> InsertStmt | None:
             )
     if re.match(r"values\b", rest, re.I):
         rest = "SELECT * FROM " + rest
-    return InsertStmt(name, overwrite, columns, partition, rest)
+    if replace_where is not None and (overwrite or partition):
+        raise DataSourceException(
+            "REPLACE WHERE composes with INSERT INTO only "
+            "(no OVERWRITE, no PARTITION spec) — Delta's rule"
+        )
+    return InsertStmt(name, overwrite, columns, partition, rest,
+                      replace_where)
 
 
 def _clause_then(body: str) -> int:
@@ -533,6 +559,12 @@ def execute_insert(ds, ins: InsertStmt) -> None:
         if (c not in df.columns and c not in snap.defaults
                 and c not in snap.generated and c not in identity):
             df = df.withColumn(c, F.lit(None).cast(types[c]))
+    if ins.replace_where is not None:
+        # predicate-scoped atomic replacement: rows matching the
+        # condition are replaced by the source in ONE commit; the
+        # overwrite path enforces Delta's new-rows-must-match check
+        ds.overwrite(df, ref, replace_where=ins.replace_where)
+        return
     if not ins.overwrite:
         ds.append(df, ref)
         return
