@@ -72,11 +72,13 @@ def test_dv_delete_masks_without_rewriting_files(spark, ds, tmp_path):
     assert _pks(ds.read(ref)) == [i for i in range(40) if i % 4 in (0, 3)]
     assert ds.count_rows(ref) == 20
 
-    # a predicate that misses entirely: no re-points, clean commit
+    # a predicate that misses entirely: footer stats prove zero
+    # matches, so the DELETE is a logical NO-OP — no re-points, no
+    # commit (Delta's rule; also the zero-match CDF contract)
     v = resolve_snapshot(table).version
     ds.delete(ref, "pk > 999")
     assert resolve_snapshot(table).files == snap.files
-    assert resolve_snapshot(table).version == v + 1
+    assert resolve_snapshot(table).version == v
 
 
 def test_dv_fully_masked_file_is_dropped(spark, ds, tmp_path):

@@ -1771,3 +1771,64 @@ def test_clean_log_skips_floor_rewrite_when_current(spark, ds, tmp_path):
     before = os.stat(floor_path).st_mtime_ns
     ds.clean_log(ref, keep_last=2, min_age_sec=0.0)
     assert os.stat(floor_path).st_mtime_ns == before
+
+
+# -- footer-stats data skipping on predicate-scoped rewrites ------------------
+def test_delete_stats_pruning_leaves_files_untouched(spark, ds, tmp_path):
+    """DELETE WHERE pk = k on an unpartitioned table touches only the
+    file whose footer [min,max] can hold k — every other file keeps
+    byte/path identity (Delta data skipping)."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    # three files with disjoint pk ranges
+    for lo in (0, 100, 200):
+        ds.append(
+            spark.createDataFrame(
+                [(lo + i, "x") for i in range(10)], "pk int, s string"
+            ).coalesce(1), ref,
+        )
+    before = dict(resolve_snapshot(ref.path).files)
+    ds.delete(ref, "pk = 105")
+    after = dict(resolve_snapshot(ref.path).files)
+    kept = set(before) & set(after)
+    assert len(kept) == 2, "stats pruning must keep the 2 disjoint files"
+    assert sorted(r.pk for r in ds.read(ref).collect()) == sorted(
+        set(range(10)) | {100 + i for i in range(10) if i != 5}
+        | {200 + i for i in range(10)}
+    )
+
+
+def test_update_stats_pruning_range_and_in(spark, ds, tmp_path):
+    ref = TableRef(path=str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        ds.append(
+            spark.createDataFrame(
+                [(lo + i, i) for i in range(10)], "pk int, v int"
+            ).coalesce(1), ref,
+        )
+    before = dict(resolve_snapshot(ref.path).files)
+    ds.update(ref, {"v": "v + 1000"}, "pk >= 200 AND v < 5")
+    after = dict(resolve_snapshot(ref.path).files)
+    assert len(set(before) & set(after)) == 2  # only the 200s rewrote
+    before2 = dict(resolve_snapshot(ref.path).files)
+    ds.delete(ref, "pk IN (3, 7)")
+    after2 = dict(resolve_snapshot(ref.path).files)
+    # IN-list prunes the two files whose ranges exclude every element
+    assert len(set(before2) & set(after2)) == 2
+    assert ds.read(ref).filter("pk in (3, 7)").count() == 0
+
+
+def test_stats_pruning_never_over_prunes(spark, ds, tmp_path):
+    """Unparseable fragments, string coercion failures, and missing
+    stats all fall back to candidate (safe) — the rewrite stays
+    correct."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+            "pk int, s string",
+        ).coalesce(1), ref,
+    )
+    ds.delete(ref, "pk = 3 OR s = 'b'")  # OR: no stats pruning, correct
+    assert sorted(r.pk for r in ds.read(ref).collect()) == [0, 2, 4, 6, 8]
+    ds.delete(ref, "s = 'a' AND length(s) = 1")  # mixed conjuncts
+    assert ds.count_rows(ref) == 0

@@ -70,6 +70,8 @@ def _model_apply(model_rows, op, payload):
 @given(ops=op_sequence())
 @SETTINGS
 def test_txlog_matches_model_over_random_op_sequences(spark, tmp_path_factory, ops):
+    from x_spark.sources.txlog import resolve_snapshot
+
     ds = init_datasource("txlog", spark)
     ref = TableRef(path=str(tmp_path_factory.mktemp("txprop") / "t"))
     schema = "pk int, v int"
@@ -78,7 +80,6 @@ def test_txlog_matches_model_over_random_op_sequences(spark, tmp_path_factory, o
 
     ds.create(ref, spark.createDataFrame([], schema).schema)
     history[0] = []
-    version = 0
     for op, payload in ops:
         if op == "append":
             ds.append(spark.createDataFrame(payload, schema), ref)
@@ -97,8 +98,9 @@ def test_txlog_matches_model_over_random_op_sequences(spark, tmp_path_factory, o
         else:
             ds.truncate(ref)
         model = _model_apply(model, op, payload)
-        version += 1
-        history[version] = list(model)
+        # track the REAL committed version: a pruned zero-match DELETE
+        # is a logical no-op (Delta's rule — no commit)
+        history[resolve_snapshot(ref.path).version] = list(model)
         got = sorted(map(tuple, ds.read(ref).collect()))
         assert got == sorted(model), f"after {op}: {got} != {sorted(model)}"
 

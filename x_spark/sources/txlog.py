@@ -3786,8 +3786,10 @@ class TxLogDataSource(BaseDataSource):
             return
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
+        if not candidates:
+            return  # stats/partition pruning proved zero matches: no-op
         cdc_actions: list[dict] = []
-        if self._cdf_enabled(snap.configuration) and candidates:
+        if self._cdf_enabled(snap.configuration):
             # copy-on-write rewrites whole candidate files, so the
             # derived (add/remove) feed would emit delete+insert noise
             # pairs for every surviving co-located row; the cdc files
@@ -3959,18 +3961,18 @@ class TxLogDataSource(BaseDataSource):
         predicate scan, none is rewritten."""
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
-        actions: list[dict] = []
-        if candidates:
-            live = self._read_files_with_meta(table, snap.schema, candidates)
-            live = live.join(self._dv_rows(table, snap, candidates),
-                             ["__fn", "__ri"], "left_anti")
-            matched = live.filter(
-                F.coalesce(F.expr(predicate), F.lit(False))
-            ).select(
-                F.col("__fn").alias("file_name"),
-                F.col("__ri").alias("row_index"),
-            )
-            actions = self._mask_actions(table, snap, candidates, matched)
+        if not candidates:
+            return  # stats/partition pruning proved zero matches: no-op
+        live = self._read_files_with_meta(table, snap.schema, candidates)
+        live = live.join(self._dv_rows(table, snap, candidates),
+                         ["__fn", "__ri"], "left_anti")
+        matched = live.filter(
+            F.coalesce(F.expr(predicate), F.lit(False))
+        ).select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").alias("row_index"),
+        )
+        actions = self._mask_actions(table, snap, candidates, matched)
         self._commit(table, self._expect_unchanged(table, base), actions,
                      "DELETE")
 
@@ -4067,6 +4069,8 @@ class TxLogDataSource(BaseDataSource):
             candidates = self._files_matching_predicate(
                 table, snap, predicate
             )
+            if not candidates:
+                return  # pruning proved zero matches: logical no-op
             actions: list[dict] = []
             adds: list[dict] = []
             if candidates:
@@ -4114,8 +4118,10 @@ class TxLogDataSource(BaseDataSource):
             return
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
+        if not candidates:
+            return  # stats/partition pruning proved zero matches: no-op
         cdc_actions: list[dict] = []
-        if self._cdf_enabled(snap.configuration) and candidates:
+        if self._cdf_enabled(snap.configuration):
             # exact change rows: one extra matched-rows scan, only
             # when CDF is on (the derived feed would otherwise emit
             # rewrite noise pairs for co-located untouched rows).
@@ -5291,16 +5297,109 @@ class TxLogDataSource(BaseDataSource):
                 keep.append(rel)
         return keep
 
+    _PRUNE_LIT = r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))"
+
+    @classmethod
+    def _simple_conjuncts(cls, predicate: str) -> list[tuple[str, str, list[str]]]:
+        """``(col, op, literals)`` for every top-level AND conjunct of
+        the shape ``col <op> literal`` (op in = < <= > >=) or ``col IN
+        (literals)`` — the fragments footer min/max stats can prune
+        on. Anything else (OR, NOT, functions, column-column,
+        flipped operands) contributes no pruning, which is always
+        safe: AND semantics mean ONE provably-false conjunct excludes
+        the file regardless of the rest."""
+        import re
+
+        from x_spark.sources.sql_dml import _split_top_and
+
+        out: list[tuple[str, str, list[str]]] = []
+        for part in _split_top_and(predicate):
+            m = re.fullmatch(
+                rf"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|=|<|>)\s*"
+                rf"{cls._PRUNE_LIT}\s*", part,
+            )
+            if m:
+                lit = m.group(3) if m.group(3) is not None else m.group(4)
+                out.append((m.group(1), m.group(2),
+                            [lit.replace("''", "'")]))
+                continue
+            m = re.fullmatch(
+                rf"\s*`?([A-Za-z_]\w*)`?\s+in\s*\(([^()]*)\)\s*",
+                part, re.I,
+            )
+            if m:
+                # finditer, not findall: findall yields '' (not None)
+                # for non-participating groups, which would turn a
+                # numeric literal into an empty string
+                lits = [
+                    (lm.group(1) if lm.group(1) is not None
+                     else lm.group(2)).replace("''", "'")
+                    for lm in re.finditer(cls._PRUNE_LIT, m.group(2))
+                ]
+                if lits:
+                    out.append((m.group(1), "in", lits))
+        return out
+
+    @staticmethod
+    def _stats_exclude(add: dict, pcol: str, op: str,
+                       lits: list[str]) -> bool:
+        """True when the file's footer [min,max] on ``pcol`` proves NO
+        row satisfies ``col <op> lit`` — missing stats or a type
+        coercion failure keep the file (safe)."""
+        st = add.get("stats") or {}
+        fmin = (st.get("minValues") or {}).get(pcol)
+        fmax = (st.get("maxValues") or {}).get(pcol)
+        if fmin is None or fmax is None:
+            return False
+        try:
+            vals = [type(fmin)(str(v)) for v in lits]
+        except (TypeError, ValueError):
+            return False
+        try:
+            if op == "=":
+                return vals[0] < fmin or vals[0] > fmax
+            if op == "in":
+                return all(v < fmin or v > fmax for v in vals)
+            if op == "<":
+                return fmin >= vals[0]
+            if op == "<=":
+                return fmin > vals[0]
+            if op == ">":
+                return fmax <= vals[0]
+            if op == ">=":
+                return fmax < vals[0]
+        except TypeError:
+            return False
+        return False
+
     def _files_matching_predicate(self, table: str, snap: Snapshot,
                                   predicate: str) -> list[str]:
-        """Files that may hold rows where ``predicate`` is TRUE. When
-        the predicate resolves against partition columns alone, files
-        of non-matching partitions are pruned (their rows all evaluate
-        FALSE/NULL and survive untouched); otherwise every file is a
-        candidate."""
-        if not snap.partition_cols:
-            return sorted(snap.files)
+        """Files that may hold rows where ``predicate`` is TRUE —
+        Delta's data skipping, applied to every predicate-scoped
+        rewrite (DELETE/UPDATE candidates, replaceWhere). Two
+        read-free passes: partition values prune files of
+        non-matching partitions, and footer min/max stats prune files
+        whose range provably excludes a simple conjunct (``col <op>
+        literal`` / ``col IN``). A pruned file's rows all evaluate
+        FALSE/NULL and survive untouched; at 100 TB this is what makes
+        ``DELETE WHERE id = k`` on a clustered table touch one file,
+        not every file."""
         rels = sorted(snap.files)
+        if not rels:
+            return []
+        pmap = _physical_map(snap.schema)
+        conjuncts = self._simple_conjuncts(predicate)
+        if conjuncts:
+            rels = [
+                rel for rel in rels
+                if not any(
+                    self._stats_exclude(snap.files[rel],
+                                        pmap.get(c, c), op, lits)
+                    for c, op, lits in conjuncts
+                )
+            ]
+        if not snap.partition_cols:
+            return rels
         if not rels:
             return []
         by_name = {f.name: f for f in snap.schema.fields}
