@@ -1832,3 +1832,27 @@ def test_stats_pruning_never_over_prunes(spark, ds, tmp_path):
     assert sorted(r.pk for r in ds.read(ref).collect()) == [0, 2, 4, 6, 8]
     ds.delete(ref, "s = 'a' AND length(s) = 1")  # mixed conjuncts
     assert ds.count_rows(ref) == 0
+
+
+def test_stats_pruning_type_mismatch_never_prunes(spark, ds, tmp_path):
+    """Literal kind must match the declared column type: a quoted
+    literal against a timestamp column's string-serialized stats, or a
+    numeric literal against a string column, never prunes — the
+    rewrite stays correct where lexicographic and semantic order
+    diverge."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT id AS pk, timestamp'2024-01-01 00:00:00' AS ts, "
+        "CAST(id AS STRING) AS s FROM range(4)"
+    )
+    ds.append(df.coalesce(1), ref)
+    # quoted date literal vs timestamp column: semantically equal to
+    # midnight — must NOT be pruned away
+    ds.delete(ref, "ts = '2024-01-01'")
+    assert ds.count_rows(ref) == 0
+    # numeric literal vs string column: "2" == 2 under coercion
+    ref2 = TableRef(path=str(tmp_path / "t2"))
+    ds.append(spark.createDataFrame([("02", 1), ("3", 2)],
+                                    "s string, v int").coalesce(1), ref2)
+    ds.delete(ref2, "s = 2")  # Spark casts s to int: "02" matches
+    assert sorted(r.s for r in ds.read(ref2).collect()) == ["3"]

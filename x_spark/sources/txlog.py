@@ -5312,16 +5312,17 @@ class TxLogDataSource(BaseDataSource):
 
         from x_spark.sources.sql_dml import _split_top_and
 
-        out: list[tuple[str, str, list[str]]] = []
+        out: list[tuple[str, str, list[tuple[str, bool]]]] = []
         for part in _split_top_and(predicate):
             m = re.fullmatch(
                 rf"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|=|<|>)\s*"
                 rf"{cls._PRUNE_LIT}\s*", part,
             )
             if m:
-                lit = m.group(3) if m.group(3) is not None else m.group(4)
+                quoted = m.group(3) is not None
+                lit = m.group(3) if quoted else m.group(4)
                 out.append((m.group(1), m.group(2),
-                            [lit.replace("''", "'")]))
+                            [(lit.replace("''", "'"), quoted)]))
                 continue
             m = re.fullmatch(
                 rf"\s*`?([A-Za-z_]\w*)`?\s+in\s*\(([^()]*)\)\s*",
@@ -5332,8 +5333,9 @@ class TxLogDataSource(BaseDataSource):
                 # for non-participating groups, which would turn a
                 # numeric literal into an empty string
                 lits = [
-                    (lm.group(1) if lm.group(1) is not None
-                     else lm.group(2)).replace("''", "'")
+                    ((lm.group(1) if lm.group(1) is not None
+                      else lm.group(2)).replace("''", "'"),
+                     lm.group(1) is not None)
                     for lm in re.finditer(cls._PRUNE_LIT, m.group(2))
                 ]
                 if lits:
@@ -5342,17 +5344,38 @@ class TxLogDataSource(BaseDataSource):
 
     @staticmethod
     def _stats_exclude(add: dict, pcol: str, op: str,
-                       lits: list[str]) -> bool:
+                       lits: list[tuple[str, bool]],
+                       declared) -> bool:
         """True when the file's footer [min,max] on ``pcol`` proves NO
         row satisfies ``col <op> lit`` — missing stats or a type
-        coercion failure keep the file (safe)."""
+        coercion failure keep the file (safe). The literal kind must
+        MATCH the column's declared type (numeric literal on a numeric
+        column, quoted string on a StringType column) — a quoted
+        literal compared lexicographically against a timestamp
+        column's string-serialized stats could prune a semantically
+        equal value ('2024-01-01' vs '2024-01-01 00:00:00'), so those
+        comparisons never prune."""
+        from pyspark.sql.types import (
+            ByteType, DecimalType, DoubleType, FloatType, IntegerType,
+            LongType, ShortType, StringType,
+        )
+
+        numeric = (ByteType, ShortType, IntegerType, LongType,
+                   FloatType, DoubleType, DecimalType)
+        quoted_ok = isinstance(declared, StringType)
+        numeric_ok = isinstance(declared, numeric)
+        if not all((quoted and quoted_ok) or (not quoted and numeric_ok)
+                   for _, quoted in lits):
+            return False
         st = add.get("stats") or {}
         fmin = (st.get("minValues") or {}).get(pcol)
         fmax = (st.get("maxValues") or {}).get(pcol)
         if fmin is None or fmax is None:
             return False
+        if isinstance(fmin, bool) or isinstance(fmax, bool):
+            return False  # bool stats never prune (coercion ambiguity)
         try:
-            vals = [type(fmin)(str(v)) for v in lits]
+            vals = [type(fmin)(str(v)) for v, _ in lits]
         except (TypeError, ValueError):
             return False
         try:
@@ -5388,13 +5411,18 @@ class TxLogDataSource(BaseDataSource):
         if not rels:
             return []
         pmap = _physical_map(snap.schema)
-        conjuncts = self._simple_conjuncts(predicate)
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        conjuncts = [
+            (c, op, lits) for c, op, lits in
+            self._simple_conjuncts(predicate) if c in types
+        ]
         if conjuncts:
             rels = [
                 rel for rel in rels
                 if not any(
                     self._stats_exclude(snap.files[rel],
-                                        pmap.get(c, c), op, lits)
+                                        pmap.get(c, c), op, lits,
+                                        types[c])
                     for c, op, lits in conjuncts
                 )
             ]
