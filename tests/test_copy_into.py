@@ -376,8 +376,8 @@ def test_copy_into_exactly_once_over_random_sequences(
     ref = TableRef(path=str(base / "t"))
     ds.create(ref, T._parse_datatype_string("pk int, v int"))
     expected: Counter = Counter()
-    pending_rows = 0  # rows in landed-but-not-yet-copied files
-    all_rows: list = []  # every row ever landed, file order
+    loaded: list = []   # rows of files a prior COPY already ledgered
+    pending: list = []  # rows of landed-but-not-yet-copied files
     nxt = 0
     for op in ops:
         if op == "newfile":
@@ -385,20 +385,23 @@ def test_copy_into_exactly_once_over_random_sequences(
             rows = [(nxt * 10 + i, i) for i in range(k)]
             _write_rows(src, f"f{nxt}.parquet", rows)
             nxt += 1
-            pending_rows += len(rows)
-            all_rows.extend(rows)
-            expected.update(rows)
+            pending.extend(rows)
+            expected.update(rows)  # every landed row loads exactly once
         elif op == "copy":
             files, rows = ds.copy_into(ref, src)
-            assert rows == pending_rows
-            pending_rows = 0
+            assert rows == len(pending)
+            loaded += pending
+            pending = []
             # immediate re-COPY is always a no-op
             assert ds.copy_into(ref, src) == (0, 0)
         elif op == "force":
             _, rows = ds.copy_into(ref, src, force=True)
-            assert rows == len(all_rows)
-            expected.update(all_rows)
-            pending_rows = 0
+            assert rows == len(loaded) + len(pending)
+            # only files a prior COPY already ledgered gain an EXTRA
+            # copy; pending files get their first (already-expected)
+            expected.update(loaded)
+            loaded += pending
+            pending = []
         else:
             ds.clean_log(ref, keep_last=2, min_age_sec=0.0)
     ds.copy_into(ref, src)  # drain whatever is still pending
