@@ -1856,3 +1856,87 @@ def test_stats_pruning_type_mismatch_never_prunes(spark, ds, tmp_path):
                                     "s string, v int").coalesce(1), ref2)
     ds.delete(ref2, "s = 2")  # Spark casts s to int: "02" matches
     assert sorted(r.s for r in ds.read(ref2).collect()) == ["3"]
+
+
+def test_stats_pruning_or_precedence_never_prunes(spark, ds, tmp_path):
+    """AND binds tighter than OR: 'a AND b OR c' means (a AND b) OR c,
+    so NO fragment is a required conjunct — a top-level OR disables
+    stats pruning entirely (rows matching only the OR branch live in
+    files the AND fragment would wrongly exclude)."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    for lo in (0, 100):
+        ds.append(
+            spark.createDataFrame(
+                [(lo + i, "x" if lo else "y") for i in range(5)],
+                "pk int, s string",
+            ).coalesce(1), ref,
+        )
+    # (pk = 1 AND s = 'y') OR s = 'x': the pk=1 fragment would prune
+    # the 100s file — which holds every s='x' row
+    ds.delete(ref, "pk = 1 AND s = 'y' OR s = 'x'")
+    assert sorted(r.pk for r in ds.read(ref).collect()) == [0, 2, 3, 4]
+
+
+def test_stats_pruning_in_list_requires_pure_literals(spark, ds, tmp_path):
+    """IN-lists containing column references or arithmetic must not be
+    harvested for literal fragments: DELETE WHERE pk IN (2, v) matches
+    rows where pk equals ANOTHER COLUMN — unprunable by stats."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    for lo in (0, 100):
+        ds.append(
+            spark.createDataFrame(
+                [(lo + i, lo + i if i == 3 else -1) for i in range(5)],
+                "pk int, v int",
+            ).coalesce(1), ref,
+        )
+    # pk IN (2, v): matches pk=2 AND every row where pk = v (i==3 in
+    # both files) — the 100s file must not be pruned on the literal 2
+    ds.delete(ref, "pk IN (2, v)")
+    assert sorted(r.pk for r in ds.read(ref).collect()) == [
+        0, 1, 4, 100, 101, 102, 104,
+    ]
+
+
+def test_stats_pruning_decimal_stats_never_lex_compare(spark, ds, tmp_path):
+    """Decimal footer stats round-trip to strings; '10' < '9.0'
+    lexicographically — the numeric gate must also check the STORED
+    stat kind, or DELETE d = 10 on a file holding [9.0, 12.0] becomes
+    a silent no-op."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT CAST(9.0 + id AS DECIMAL(10,1)) AS d FROM range(4)"
+    )
+    ds.append(df.coalesce(1), ref)
+    ds.delete(ref, "d = 10")
+    got = sorted(str(r.d) for r in ds.read(ref).collect())
+    assert got == ["11.0", "12.0", "9.0"]
+
+
+def test_zero_match_noop_still_analyzes_predicate(spark, ds, tmp_path):
+    """A typo'd column errors even when stats pruning empties the
+    candidate set (Delta analyzes the predicate before skipping)."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    ds.append(spark.createDataFrame([(1, 2)], "pk int, v int")
+              .coalesce(1), ref)
+    with pytest.raises(Exception, match="no_such_col|UNRESOLVED"):
+        ds.delete(ref, "pk = 99999 AND no_such_col > 0")
+    with pytest.raises(Exception, match="no_such_col|UNRESOLVED"):
+        ds.update(ref, {"v": "v + 1"}, "pk = 99999 AND no_such_col > 0")
+
+
+def test_merge_decimal_key_pruning_sound(spark, ds, tmp_path):
+    """The merge key-range pruner must not lexicographically compare a
+    Decimal source bound against string-serialized stats — a matched
+    row in a mis-pruned file would duplicate instead of updating."""
+    ref = TableRef(path=str(tmp_path / "t"))
+    tgt = spark.sql(
+        "SELECT CAST(9.0 + id AS DECIMAL(10,1)) AS k, "
+        "CAST(id AS INT) AS v FROM range(4)"
+    )
+    ds.append(tgt.coalesce(1), ref)
+    src = spark.sql(
+        "SELECT CAST(10.0 AS DECIMAL(10,1)) AS k, CAST(99 AS INT) AS v"
+    )
+    ds.merge(src, ref, MergeSpec(["k"], ["v"], insert_when_not_matched=True))
+    rows = sorted((str(r.k), r.v) for r in ds.read(ref).collect())
+    assert rows == [("10.0", 99), ("11.0", 2), ("12.0", 3), ("9.0", 0)]

@@ -262,8 +262,9 @@ def parse_insert(stmt: str) -> InsertStmt | None:
     # predicate-scoped atomic replacement verb: the condition runs to
     # the first top-level source keyword
     replace_where = None
-    if re.match(r"replace\s+where\b", rest, re.I):
-        body = rest[re.match(r"replace\s+where\b", rest, re.I).end():]
+    m_rw = re.match(r"replace\s+where\b", rest, re.I)
+    if m_rw:
+        body = rest[m_rw.end():]
         starts = [i for i in (find_keyword(body, k)
                               for k in ("select", "values", "with",
                                         "from", "table"))

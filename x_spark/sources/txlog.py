@@ -2603,7 +2603,14 @@ class TxLogDataSource(BaseDataSource):
                 name = col.path_in_schema
                 if "." in name:  # nested: no row-level skipping
                     continue
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow raises ArrowNotImplementedError for
+                    # types it cannot extract (DECIMAL statistics) —
+                    # has_min_max alone does not guarantee access;
+                    # the column simply gets no skipping bounds
+                    continue
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode(), hi.decode()
@@ -3787,7 +3794,10 @@ class TxLogDataSource(BaseDataSource):
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
         if not candidates:
-            return  # stats/partition pruning proved zero matches: no-op
+            # stats/partition pruning proved zero matches — still
+            # analyze the predicate so typos error like a full scan
+            self._validate_predicate(snap, predicate)
+            return
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
             # copy-on-write rewrites whole candidate files, so the
@@ -3962,7 +3972,10 @@ class TxLogDataSource(BaseDataSource):
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
         if not candidates:
-            return  # stats/partition pruning proved zero matches: no-op
+            # stats/partition pruning proved zero matches — still
+            # analyze the predicate so typos error like a full scan
+            self._validate_predicate(snap, predicate)
+            return
         live = self._read_files_with_meta(table, snap.schema, candidates)
         live = live.join(self._dv_rows(table, snap, candidates),
                          ["__fn", "__ri"], "left_anti")
@@ -4070,47 +4083,45 @@ class TxLogDataSource(BaseDataSource):
                 table, snap, predicate
             )
             if not candidates:
+                self._validate_predicate(snap, predicate)
                 return  # pruning proved zero matches: logical no-op
-            actions: list[dict] = []
-            adds: list[dict] = []
-            if candidates:
-                if self._row_tracking_on(snap.configuration):
-                    # id-aware scan (masks applied inside): new images
-                    # carry each row's stable id into the new files
-                    live = self._read_rows_with_ids(
-                        table, snap, candidates, keep_meta=True)
-                else:
-                    live = self._read_files_with_meta(
-                        table, snap.schema, candidates
-                    ).join(self._dv_rows(table, snap, candidates),
-                           ["__fn", "__ri"], "left_anti")
-                matched, _ckpt_ids = self._tracked_local_ckpt(
-                    live.filter(pred)
+            if self._row_tracking_on(snap.configuration):
+                # id-aware scan (masks applied inside): new images
+                # carry each row's stable id into the new files
+                live = self._read_rows_with_ids(
+                    table, snap, candidates, keep_meta=True)
+            else:
+                live = self._read_files_with_meta(
+                    table, snap.schema, candidates
+                ).join(self._dv_rows(table, snap, candidates),
+                       ["__fn", "__ri"], "left_anti")
+            matched, _ckpt_ids = self._tracked_local_ckpt(
+                live.filter(pred)
+            )
+            try:
+                mask = matched.select(
+                    F.col("__fn").alias("file_name"),
+                    F.col("__ri").alias("row_index"),
                 )
-                try:
-                    mask = matched.select(
-                        F.col("__fn").alias("file_name"),
-                        F.col("__ri").alias("row_index"),
-                    )
-                    actions = self._mask_actions(table, snap, candidates,
-                                                 mask)
-                    adds = self._write_files(
-                        new_image(matched.drop("__fn", "__ri"), True),
-                        table, snap.partition_cols, schema=snap.schema,
-                    )
-                    if self._cdf_enabled(snap.configuration):
-                        old = matched.drop("__fn", "__ri",
-                                           ROW_ID_COL, ROW_RCV_COL)
-                        cdc = old.withColumn(
-                            "_change_type", F.lit("update_preimage")
-                        ).unionByName(new_image(old, True).withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        ))
-                        actions += self._write_cdc_files(
-                            cdc, table, snap.schema, snap.partition_cols)
-                finally:
-                    # mask + data + cdc jobs all consumed the pin
-                    self._free_ckpts(self.spark, _ckpt_ids)
+                actions = self._mask_actions(table, snap, candidates,
+                                             mask)
+                adds = self._write_files(
+                    new_image(matched.drop("__fn", "__ri"), True),
+                    table, snap.partition_cols, schema=snap.schema,
+                )
+                if self._cdf_enabled(snap.configuration):
+                    old = matched.drop("__fn", "__ri",
+                                       ROW_ID_COL, ROW_RCV_COL)
+                    cdc = old.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(new_image(old, True).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ))
+                    actions += self._write_cdc_files(
+                        cdc, table, snap.schema, snap.partition_cols)
+            finally:
+                # mask + data + cdc jobs all consumed the pin
+                self._free_ckpts(self.spark, _ckpt_ids)
             self._commit(
                 table, self._expect_unchanged(table, base),
                 actions + [{"add": a} for a in adds], "UPDATE",
@@ -4119,7 +4130,10 @@ class TxLogDataSource(BaseDataSource):
         base = snap.version
         candidates = self._files_matching_predicate(table, snap, predicate)
         if not candidates:
-            return  # stats/partition pruning proved zero matches: no-op
+            # stats/partition pruning proved zero matches — still
+            # analyze the predicate so typos error like a full scan
+            self._validate_predicate(snap, predicate)
+            return
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
             # exact change rows: one extra matched-rows scan, only
@@ -5285,17 +5299,43 @@ class TxLogDataSource(BaseDataSource):
             if fmin is None or fmax is None:
                 keep.append(rel)
                 continue
-            try:
-                # footer stats round-trip through JSON (ints/floats/strs
-                # survive; dates become strings) — coerce the source
-                # bounds into the stats' type before comparing
-                disjoint = type(fmin)(str(hi)) < fmin or type(fmax)(str(lo)) > fmax
-            except (TypeError, ValueError):
-                keep.append(rel)
-                continue
-            if not disjoint:
+            d = self._stats_disjoint(fmin, fmax, lo, hi)
+            if d is None or not d:
                 keep.append(rel)
         return keep
+
+    @staticmethod
+    def _stats_disjoint(fmin, fmax, lo, hi):
+        """Whether [lo, hi] (typed Python values from an agg) is
+        provably disjoint from the footer range [fmin, fmax] (JSON
+        round-tripped: ints/floats survive, Decimal/date/timestamp
+        become strings). None = cannot compare soundly, keep the file.
+        Kind-matched only — a Decimal bound lexicographically compared
+        against its string-serialized stat ('10' < '9.0') would
+        mis-prune, so Decimals re-parse exactly and mismatched kinds
+        never compare."""
+        import datetime
+        from decimal import Decimal, InvalidOperation
+
+        if isinstance(fmin, bool) or isinstance(lo, bool):
+            return None
+        if (isinstance(fmin, (int, float))
+                and isinstance(lo, (int, float))):
+            return hi < fmin or lo > fmax
+        if isinstance(fmin, str) and isinstance(fmax, str):
+            if isinstance(lo, str):
+                return hi < fmin or lo > fmax
+            if isinstance(lo, Decimal):
+                try:
+                    return hi < Decimal(fmin) or lo > Decimal(fmax)
+                except InvalidOperation:
+                    return None
+            if isinstance(lo, (datetime.date, datetime.datetime)):
+                # str() of date/datetime is ISO-shaped, the same
+                # formatting the stats writer used: lexicographic
+                # order == chronological order
+                return str(hi) < fmin or str(lo) > fmax
+        return None
 
     _PRUNE_LIT = r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))"
 
@@ -5304,14 +5344,21 @@ class TxLogDataSource(BaseDataSource):
         """``(col, op, literals)`` for every top-level AND conjunct of
         the shape ``col <op> literal`` (op in = < <= > >=) or ``col IN
         (literals)`` — the fragments footer min/max stats can prune
-        on. Anything else (OR, NOT, functions, column-column,
+        on. A TOP-LEVEL OR disables pruning entirely — SQL precedence
+        binds AND tighter than OR (``a AND b OR c`` is
+        ``(a AND b) OR c``), so no fragment is a required conjunct.
+        Anything else unparseable (NOT, functions, column-column,
         flipped operands) contributes no pruning, which is always
         safe: AND semantics mean ONE provably-false conjunct excludes
         the file regardless of the rest."""
         import re
 
-        from x_spark.sources.sql_dml import _split_top_and
+        from x_spark.sources.sql_dml import (
+            _split_top_and, find_keyword, split_top_level,
+        )
 
+        if find_keyword(predicate, "or") >= 0:
+            return []  # top-level OR: no fragment is required
         out: list[tuple[str, str, list[tuple[str, bool]]]] = []
         for part in _split_top_and(predicate):
             m = re.fullmatch(
@@ -5329,15 +5376,23 @@ class TxLogDataSource(BaseDataSource):
                 part, re.I,
             )
             if m:
-                # finditer, not findall: findall yields '' (not None)
-                # for non-participating groups, which would turn a
-                # numeric literal into an empty string
-                lits = [
-                    ((lm.group(1) if lm.group(1) is not None
-                      else lm.group(2)).replace("''", "'"),
-                     lm.group(1) is not None)
-                    for lm in re.finditer(cls._PRUNE_LIT, m.group(2))
-                ]
+                # EVERY comma-separated element must be a bare
+                # literal — harvesting digit/string fragments out of
+                # column references or arithmetic (``IN (2, id2)``,
+                # ``IN (1+1)``) would prune on values that are not
+                # the IN-list's values
+                lits: list[tuple[str, bool]] = []
+                for el in split_top_level(m.group(2)):
+                    lm = re.fullmatch(rf"\s*{cls._PRUNE_LIT}\s*", el)
+                    if lm is None:
+                        lits = []
+                        break
+                    quoted = lm.group(1) is not None
+                    lits.append((
+                        (lm.group(1) if quoted else lm.group(2))
+                        .replace("''", "'"),
+                        quoted,
+                    ))
                 if lits:
                     out.append((m.group(1), "in", lits))
         return out
@@ -5374,6 +5429,16 @@ class TxLogDataSource(BaseDataSource):
             return False
         if isinstance(fmin, bool) or isinstance(fmax, bool):
             return False  # bool stats never prune (coercion ambiguity)
+        # the STORED stat kind must match too: Decimal stats
+        # round-trip through json default=str into strings, and a
+        # numeric literal lexicographically compared against "9.0"
+        # would mis-prune ('10' < '9.0')
+        if numeric_ok and not (isinstance(fmin, (int, float))
+                               and isinstance(fmax, (int, float))):
+            return False
+        if quoted_ok and not (isinstance(fmin, str)
+                              and isinstance(fmax, str)):
+            return False
         try:
             vals = [type(fmin)(str(v)) for v, _ in lits]
         except (TypeError, ValueError):
@@ -5394,6 +5459,14 @@ class TxLogDataSource(BaseDataSource):
         except TypeError:
             return False
         return False
+
+    def _validate_predicate(self, snap: Snapshot, predicate: str) -> None:
+        """Analyze ``predicate`` against the table schema (no job runs:
+        DataFrame transformations analyze eagerly). Called on the
+        zero-candidate no-op paths so a typo'd column or bad function
+        still errors the way a full scan would — Delta analyzes the
+        predicate BEFORE file skipping for the same reason."""
+        self.spark.createDataFrame([], snap.schema).filter(predicate)
 
     def _files_matching_predicate(self, table: str, snap: Snapshot,
                                   predicate: str) -> list[str]:
@@ -5432,7 +5505,7 @@ class TxLogDataSource(BaseDataSource):
             return []
         by_name = {f.name: f for f in snap.schema.fields}
         part_fields = [by_name[c] for c in snap.partition_cols]
-        pmap = _physical_map(snap.schema)  # pv keys are PHYSICAL
+        # pmap from the stats pass above; pv keys are PHYSICAL too
         rows = [
             tuple(
                 (snap.files[rel].get("partitionValues") or {})
