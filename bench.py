@@ -102,10 +102,64 @@ def build_session(cpus: str) -> SparkSession:
     )
 
 
+def canary(spark: SparkSession) -> float:
+    """One sample of the ambient-load reference probe: constant,
+    data-independent, pure-JVM work (codegen range-sum — no IO, no
+    shuffle, no Python). Identical work every call, so its wall-clock
+    spread across the battery measures HOST contention, not the
+    engine: this sandbox shows bursty hypervisor noise (BASELINE §19:
+    identical isolated runs minutes apart at 7.2 s vs 18.2 s), and
+    without a reference no-op a slow sample can't be told apart from
+    a real regression."""
+    t0 = time.perf_counter()
+    spark.range(500_000_000).selectExpr("sum(id * 2 + 1) s").collect()
+    return round(time.perf_counter() - t0, 4)
+
+
+CANARY_EVERY = 20          # battery queries between canary samples
+AMBIENT_SPREAD_BOUND = 1.8  # max/min canary spread above which the
+#                             window is NOT quiet and a freeze refuses
+
+
+def isolated_probe(name: str, sf_dir: str, cpus: str, runs: int) -> None:
+    """Child mode (``--probe <name>``): fresh JVM, warm the one query,
+    time ``runs`` samples with the same sweep protocol, print one JSON
+    line. Gives a flagged query a measurement free of battery-order
+    effects (storage pressure, cleaner debt) AND of the parent JVM's
+    accumulated state — the strongest per-query evidence this host can
+    produce."""
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from x_spark.plans.registry import QUERIES
+
+    q = QUERIES[name]
+    q(spark, sf_dir).collect()  # warm-up (JIT, codegen, footers)
+    samples = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+        t0 = time.perf_counter()
+        q(spark, sf_dir).collect()
+        samples.append(round(time.perf_counter() - t0, 4))
+    can = [canary(spark) for _ in range(3)]
+    print(json.dumps({"name": name, "samples": samples,
+                      "canary": can}))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if "--probe" in sys.argv[1:]:
+        isolated_probe(sys.argv[sys.argv.index("--probe") + 1],
+                       sf_dir, cpus, runs)
+        return
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -143,6 +197,12 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).collect()
         sweep(i)
 
+    # ambient-load profile: the canary fires before the battery, every
+    # CANARY_EVERY queries inside it, and after — its spread is the
+    # quiet-window verdict for the whole capture window
+    canary(spark)  # canary's own warm-up
+    canary_samples: list[float] = [canary(spark)]
+
     timings: dict[str, float] = {}
     # raw per-run samples go to BENCH_DETAIL: this host shows bursty
     # hypervisor contention (identical isolated runs minutes apart
@@ -153,6 +213,8 @@ def main() -> None:
     all_samples: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         sweep(i)
+        if i and i % CANARY_EVERY == 0:
+            canary_samples.append(canary(spark))
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -161,11 +223,63 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
         all_samples[name] = [round(s, 4) for s in samples]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    canary_samples.append(canary(spark))
+    ambient = {
+        "canary_samples": canary_samples,
+        "spread": round(max(canary_samples) / min(canary_samples), 3),
+        "quiet": max(canary_samples) / min(canary_samples)
+        <= AMBIENT_SPREAD_BOUND,
+    }
+    print(f"# ambient: {ambient}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     recall = ann_recall_report(spark, sf_dir) if not only else {}
     pruning = clustering_pruning_report(spark, sf_dir) if not only else {}
     bloom = bloom_pruning_report(spark, sf_dir) if not only else {}
+
+    freeze = ("--freeze" in sys.argv[1:]
+              or os.environ.get("SPARK_GRAFT_BENCH_FREEZE") == "1")
+
+    # Per-query compliance vs the frozen baselines: any query whose
+    # in-battery median lands over 2x gets an ISOLATED re-measurement
+    # (fresh JVM via --probe, one query, own canary) recorded right
+    # here in the artifact — battery-order effects and ambient bursts
+    # are the dominant cause of >2x rows on this host (BASELINE §19),
+    # and the isolated sample is the evidence that separates them from
+    # real regressions. Runs on freeze (the artifact that grades) or
+    # with SPARK_GRAFT_BENCH_ISOLATE=1.
+    base = load_baselines()
+    flagged = sorted(
+        n for n in timings if n in base and timings[n] > 2.0 * base[n]
+    )
+    isolated: dict[str, dict] = {}
+    if flagged and (freeze
+                    or os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") == "1"):
+        import subprocess  # noqa: PLC0415
+
+        for name in flagged:
+            print(f"# isolating {name} ...", file=sys.stderr)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--probe", name],
+                    capture_output=True, text=True, timeout=600,
+                    check=True,
+                ).stdout.strip().splitlines()[-1]
+                probe = json.loads(out)
+            except Exception as exc:  # noqa: BLE001 — record, don't die
+                isolated[name] = {"error": str(exc)[:200]}
+                continue
+            med = round(statistics.median(probe["samples"]), 4)
+            isolated[name] = {
+                "samples": probe["samples"],
+                "median": med,
+                "min": min(probe["samples"]),
+                "canary": probe["canary"],
+                "vs_baseline": round(med / base[name], 3),
+                "cleared": med <= 2.0 * base[name],
+            }
+            print(f"#   -> {isolated[name]}", file=sys.stderr)
 
     # Full-fidelity payload: file + stderr (unbounded channels).
     detail = {
@@ -176,6 +290,9 @@ def main() -> None:
         "query_samples": all_samples,
         "sf": sf,
         "runs": runs,
+        "ambient": ambient,
+        "flagged_over_2x": flagged,
+        "isolated": isolated,
         "ann_recall_at_10": recall,
         "clustering_pruning": pruning,
         "bloom_pruning": bloom,
@@ -186,9 +303,20 @@ def main() -> None:
     # driver run must not clobber it. Default writes go to a
     # run-stamped sibling; pass --freeze (or
     # SPARK_GRAFT_BENCH_FREEZE=1) to update the frozen name after a
-    # deliberate quiet-window run.
-    freeze = ("--freeze" in sys.argv[1:]
-              or os.environ.get("SPARK_GRAFT_BENCH_FREEZE") == "1")
+    # deliberate quiet-window run. The ambient guard (round-8 verdict
+    # #1a) hardens this: a freeze during a contended window — canary
+    # spread over AMBIENT_SPREAD_BOUND — is refused and demoted to a
+    # run-stamped artifact, unless explicitly forced
+    # (SPARK_GRAFT_BENCH_FREEZE_FORCE=1, e.g. to land isolated
+    # evidence when the host never goes quiet).
+    if (freeze and not ambient["quiet"]
+            and os.environ.get("SPARK_GRAFT_BENCH_FREEZE_FORCE") != "1"):
+        detail["freeze_refused"] = (
+            f"ambient canary spread {ambient['spread']} > "
+            f"{AMBIENT_SPREAD_BOUND} — window not quiet"
+        )
+        print(f"# {detail['freeze_refused']}", file=sys.stderr)
+        freeze = False
     detail_name = ("BENCH_DETAIL.json" if freeze
                    else time.strftime("BENCH_DETAIL_run_%Y%m%dT%H%M%SZ.json",
                                       time.gmtime()))
@@ -213,6 +341,13 @@ def main() -> None:
         "detail": detail_name,
         "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
     }
+    payload["ambient_spread"] = ambient["spread"]
+    if flagged:
+        payload["over2x"] = len(flagged)
+        if isolated:
+            payload["over2x_cleared_isolated"] = sum(
+                1 for v in isolated.values() if v.get("cleared")
+            )
     vs = baseline_ratio(timings)
     if vs is not None:
         # headline first: the stdout line truncates past ~115 queries,
@@ -447,11 +582,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> dict:
     return report
 
 
-def baseline_ratio(timings: dict) -> tuple | None:
-    """Aggregate ratio vs the frozen quiet-window baseline: parse the
-    per-query `| name | sec |` tables out of BASELINE.md (sections are
-    append-only measurement artifacts; later rows supersede earlier
-    ones for the same query) and sum-compare over the shared set."""
+def load_baselines() -> dict[str, float]:
+    """Frozen per-query baselines: parse the `| name | sec |` tables
+    out of BASELINE.md (sections are append-only measurement
+    artifacts; later rows supersede earlier ones for the same
+    query)."""
     import re
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -459,12 +594,19 @@ def baseline_ratio(timings: dict) -> tuple | None:
     try:
         text = open(path).read()
     except OSError:
-        return None
+        return {}
     base: dict[str, float] = {}
     # only the round-4+ quiet-window sections hold per-query tables in
     # this exact shape; later sections overwrite earlier entries
     for m in re.finditer(r"^\| (\w+) \| ([\d.]+) \|$", text, re.M):
         base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def baseline_ratio(timings: dict) -> tuple | None:
+    """Aggregate ratio vs the frozen quiet-window baseline over the
+    shared query set."""
+    base = load_baselines()
     shared = [n for n in timings if n in base]
     if not shared:
         return None

@@ -417,3 +417,52 @@ def _write_rows(src, fname, rows):
         pa.table({"pk": [r[0] for r in rows], "v": [r[1] for r in rows]}),
         os.path.join(src, fname),
     )
+
+
+def test_copy_into_race_in_ledger_window_stays_exactly_once(
+        spark, ds, tmp_path, monkeypatch):
+    """A concurrent COPY landing BETWEEN the attempt's internal
+    metadata reads must not duplicate rows. The epoch is pinned before
+    the ledger is resolved, so any COPY committing after the epoch
+    read trips TxnAlreadyCommittedException at commit and the loop
+    retries with a fresh ledger — a stale ledger can never reach a
+    successful commit. (Regression: ledger-before-epoch ordering let
+    the winner's stamp satisfy a freshly read epoch while the stale
+    ledger omitted its files — silent double-load.)"""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 3, fname="a.parquet")
+    _write_batch(spark, src, 3, 7, fname="b.parquet")
+    ref = _make_table(ds, tmp_path)
+
+    real_loaded = ds._copy_loaded
+    raced = {"done": False}
+
+    def stale_loaded(table):
+        stale = real_loaded(table)
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent COPY lands a.parquet AFTER this attempt's
+            # ledger was resolved (the worst-case interleaving)
+            ds2 = init_datasource("txlog", spark)
+            ds2.copy_into(ref, src, pattern="a.parquet")
+        return stale  # deliberately omits the winner's files
+
+    monkeypatch.setattr(ds, "_copy_loaded", stale_loaded)
+    files, rows = ds.copy_into(ref, src)
+    assert ds.count_rows(ref) == 7   # a.parquet loaded exactly once
+    assert files == 1 and rows == 4  # the retry loaded only b.parquet
+
+
+def test_copy_into_missing_referenced_ledger_raises(spark, ds, tmp_path):
+    """A missing REFERENCED ledger is log corruption (referenced
+    ledgers are carried forward forever; only unreferenced ones are
+    reaped) — it must fail loudly, not silently degrade exactly-once
+    into duplicate reloads."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, 0, 3)
+    ref = _make_table(ds, tmp_path)
+    ds.copy_into(ref, src)
+    rel = ds._copy_ledger_refs(ref.path)[0]
+    os.remove(os.path.join(_log_path(ref.path), rel))
+    with pytest.raises(DataSourceException, match="ledger.*missing"):
+        ds.copy_into(ref, src)

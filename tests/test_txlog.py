@@ -1940,3 +1940,28 @@ def test_merge_decimal_key_pruning_sound(spark, ds, tmp_path):
     ds.merge(src, ref, MergeSpec(["k"], ["v"], insert_when_not_matched=True))
     rows = sorted((str(r.k), r.v) for r in ds.read(ref).collect())
     assert rows == [("10.0", 99), ("11.0", 2), ("12.0", 3), ("9.0", 0)]
+
+
+def test_clean_log_reaps_stale_sidecar_with_live_owner(spark, ds, tmp_path):
+    """A sidecar whose owner checkpoint JSON EXISTS but no longer
+    names it via ``addsParquet`` (e.g. the floor refresh rewrote the
+    checkpoint with inline adds) is reaped — with its owner alive it
+    would otherwise never age out: a permanent log-dir leak."""
+    ref = _ref(tmp_path)
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        ds.append(
+            spark.createDataFrame([(i, "a", i)],
+                                  "pk int, part string, v int"), ref
+        )
+    _, checkpoints = _list_log(ref.path)
+    v = int(checkpoints[-1].split(".")[0])
+    log = os.path.join(ref.path, "_txlog")
+    with open(os.path.join(log, checkpoints[-1])) as fh:
+        assert "addsParquet" not in json.load(fh)  # inline-adds owner
+    stale = f"{v:020d}.checkpoint.adds.parquet"
+    with open(os.path.join(log, stale), "wb") as fh:
+        fh.write(b"x")
+    removed = ds.clean_log(ref, keep_last=1000, min_age_sec=0.0)
+    assert stale in removed
+    # table unharmed
+    assert ds.read(ref).count() == CHECKPOINT_INTERVAL + 1

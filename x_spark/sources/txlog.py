@@ -1617,7 +1617,18 @@ class TxLogDataSource(BaseDataSource):
                     .column("path").to_pylist()
                 )
             except FileNotFoundError:
-                continue  # ledger reaped with its pruned history
+                # Referenced ledgers are carried forward by every
+                # checkpoint and orphan reaping only removes
+                # UNreferenced ones, so a missing referenced ledger is
+                # log corruption. Silently skipping would degrade
+                # exactly-once into silent duplicate reloads — fail
+                # loudly instead (mirrors the missing-sidecar error in
+                # _checkpoint_adds).
+                raise DataSourceException(
+                    f"COPY INTO ledger {rel!r} referenced by the log of "
+                    f"{table!r} is missing — log corruption; restore the "
+                    "ledger or FORCE-reload after auditing for duplicates"
+                ) from None
         return loaded
 
     def _maybe_checkpoint(self, table: str, version: int) -> None:
@@ -3212,6 +3223,17 @@ class TxLogDataSource(BaseDataSource):
                     discovered.append((full, st.st_size,
                                        int(st.st_mtime * 1000)))
         for _ in range(10):
+            # Epoch FIRST, ledger second. The commit gate rejects any
+            # txn whose epoch a concurrent COPY already durably
+            # committed (durable >= txn[1] in _commit), so pinning the
+            # epoch before resolving the ledger makes staleness
+            # detectable: a COPY that lands between these two reads
+            # (or any time before our commit) trips
+            # TxnAlreadyCommittedException and we retry with a fresh
+            # ledger. Ledger-before-epoch had a silent-duplicate
+            # window — the winner's stamp would satisfy the freshly
+            # read epoch while the stale ledger omitted its files.
+            epoch = self._txn_stamps(table).get(self.COPY_APP_ID, -1) + 1
             loaded = set() if force else self._copy_loaded(table)
             new = [t for t in discovered if t[0] not in loaded]
             if not new:
@@ -3225,7 +3247,6 @@ class TxLogDataSource(BaseDataSource):
                 "source": src_root,
                 "count": len(new),
             }}
-            epoch = self._txn_stamps(table).get(self.COPY_APP_ID, -1) + 1
             try:
                 adds = self.append(df, ref, merge_schema=merge_schema,
                                    txn=(self.COPY_APP_ID, epoch),
@@ -4520,9 +4541,21 @@ class TxLogDataSource(BaseDataSource):
             if not fname.endswith(".checkpoint.adds.parquet"):
                 continue
             owner = f"{_version_of(fname):020d}.checkpoint.json"
+            owner_full = os.path.join(_log_path(table), owner)
             full = os.path.join(_log_path(table), fname)
-            if os.path.isfile(os.path.join(_log_path(table), owner)):
-                continue
+            if os.path.isfile(owner_full):
+                # Owner exists — but clean_log's floor refresh may have
+                # REWRITTEN it with inline adds (table shrank below
+                # CHECKPOINT_PARQUET_MIN), in which case the sidecar is
+                # stale and, with its owner alive, would never age out:
+                # a permanent log-dir leak. Reap unless the owner still
+                # names this sidecar.
+                try:
+                    with open(owner_full) as fh:
+                        if json.load(fh).get("addsParquet") == fname:
+                            continue
+                except (OSError, ValueError):
+                    continue  # unreadable owner: keep the sidecar
             if now - os.path.getmtime(full) < min_age_sec:
                 continue
             with contextlib.suppress(FileNotFoundError):
