@@ -598,6 +598,30 @@ def _split_top_and(s: str) -> list[str]:
     return parts
 
 
+def _split_top_or(s: str) -> list[str]:
+    """Split on top-level ``OR`` keywords (parens + literals masked)."""
+    mask = structural_mask(s)
+    cuts = [m.start() for m in
+            re.finditer(r"(?<![\w`])or(?![\w`])", s, re.I)
+            if mask[m.start()]]
+    parts, last = [], 0
+    for c in cuts:
+        parts.append(s[last:c])
+        last = c + 2
+    parts.append(s[last:])
+    return parts
+
+
+def strip_outer_parens(s: str) -> str:
+    """Remove redundant wrapping parens: ``((a OR b))`` -> ``a OR b``.
+    Only strips when the opening paren's match is the LAST character —
+    ``(a) AND (b)`` is untouched."""
+    s = s.strip()
+    while s.startswith("(") and find_close_paren(s, 0) == len(s) - 1:
+        s = s[1:-1].strip()
+    return s
+
+
 def _extract_equi_key(on: str, ta: str, sa: str, tgt_cols: list[str],
                       src_cols: list[str]) -> tuple[str, str] | None:
     """First top-level ``<target col> = <source col>`` conjunct of the

@@ -46,6 +46,7 @@ import json
 import os
 import shutil
 import uuid
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
@@ -436,6 +437,312 @@ def _checkpoint_adds(table: str, ck: dict) -> list[dict]:
     return [json.loads(s) for s in rows.to_pylist()]
 
 
+def _stat_sidecar_kind(declared) -> str | None:
+    """Arrow carrier kind for a column's min/max in the TYPED sidecar:
+    ``int`` (integral types), ``float`` (float/double), ``str``
+    (string, plus the types whose footer stats JSON-serialize as
+    strings: date/timestamp/decimal — lexicographic order matches for
+    the ISO shapes, exact re-parse for decimal). None = the type never
+    participates in stats pruning (bool, binary, nested)."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ByteType, DateType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, StringType, TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(declared, (ByteType, ShortType, IntegerType, LongType)):
+        return "int"
+    if isinstance(declared, (FloatType, DoubleType)):
+        return "float"
+    if isinstance(declared, (StringType, DateType, TimestampType,
+                             TimestampNTZType, DecimalType)):
+        return "str"
+    return None
+
+
+def _typed_stat(kind: str, raw):
+    """A replayed stat value coerced onto its sidecar carrier kind;
+    None when the stored kind cannot soundly carry (a mismatched kind
+    must never prune — the same conservatism as _stats_exclude's
+    stored-kind gate, enforced once at extraction)."""
+    if raw is None or isinstance(raw, bool):
+        return None
+    if kind == "int":
+        return raw if isinstance(raw, int) else None
+    if kind == "float":
+        return float(raw) if isinstance(raw, (int, float)) else None
+    if isinstance(raw, str):
+        return raw
+    # an in-memory (not yet JSON-roundtripped) date/timestamp/decimal:
+    # serialize exactly the way json.dumps(default=str) would
+    import datetime  # noqa: PLC0415
+    from decimal import Decimal  # noqa: PLC0415
+
+    if isinstance(raw, (datetime.date, datetime.datetime, Decimal)):
+        return str(raw)
+    return None
+
+
+class LazyAdds(Mapping):
+    """The live file set of a sidecar-backed snapshot, JSON-parse
+    deferred. Three access tiers, each touching only what it needs:
+
+    - iteration / ``len`` / ``in`` read the sidecar's ``path`` column
+      (no JSON);
+    - the metadata plane (:meth:`meta`) reads the TYPED stat columns
+      (``min::<phys>`` / ``max::<phys>`` / ``pv::<phys>`` /
+      ``num_records`` / ``size``) — a column-pruned parquet read, so
+      candidate selection at millions of files never deserializes an
+      add action;
+    - dict-style value access materializes the full add dicts once
+      (bulk ``add_json`` read + json.loads), paid only by flows that
+      truly rewrite files.
+
+    Post-checkpoint commits ride in ``overrides`` (path -> add dict,
+    or None for a remove) — bounded by CHECKPOINT_INTERVAL commits, so
+    the merge is O(tail), never O(live set). Pre-typed sidecars (no
+    ``path`` column) degrade to the materialized tier transparently.
+    """
+
+    def __init__(self, table: str, sidecar: str,
+                 overrides: dict[str, dict | None]):
+        self._table = table
+        self._sidecar = sidecar
+        self._over = overrides
+        self._cols: set[str] | None = None
+        self._live: list[str] | None = None
+        self._live_set: frozenset[str] | None = None
+        self._full: dict[str, dict] | None = None
+        self._dv: dict[str, dict | None] | None = None
+
+    # -- sidecar IO ----------------------------------------------------
+    def _read(self, columns: list[str]):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        try:
+            return pq.read_table(self._sidecar, columns=columns)
+        except FileNotFoundError as exc:
+            raise DataSourceException(
+                f"checkpoint sidecar "
+                f"{os.path.basename(self._sidecar)!r} missing for "
+                f"{self._table!r} — the log directory was partially "
+                "copied or externally modified"
+            ) from exc
+
+    def sidecar_columns(self) -> set[str]:
+        """Column names present in the sidecar (footer-only read)."""
+        if self._cols is None:
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            try:
+                self._cols = set(
+                    pq.ParquetFile(self._sidecar).schema_arrow.names
+                )
+            except FileNotFoundError as exc:
+                raise DataSourceException(
+                    f"checkpoint sidecar "
+                    f"{os.path.basename(self._sidecar)!r} missing for "
+                    f"{self._table!r} — the log directory was partially "
+                    "copied or externally modified"
+                ) from exc
+        return self._cols
+
+    def typed(self) -> bool:
+        return "path" in self.sidecar_columns()
+
+    # -- Mapping protocol ----------------------------------------------
+    def _ensure_live(self) -> None:
+        if self._live is not None:
+            return
+        if self.typed():
+            base = self._read(["path"]).column("path").to_pylist()
+        else:  # pre-typed sidecar: add_json is the only path source
+            base = list(self._materialize_base())
+        over = self._over
+        live = [p for p in base if p not in over]
+        live += [p for p, a in over.items() if a is not None]
+        self._live = live
+        self._live_set = frozenset(live)
+
+    def __iter__(self):
+        self._ensure_live()
+        return iter(self._live)
+
+    def __len__(self) -> int:
+        self._ensure_live()
+        return len(self._live)
+
+    def __contains__(self, key) -> bool:
+        self._ensure_live()
+        return key in self._live_set
+
+    def _materialize_base(self) -> dict[str, dict]:
+        """path -> add for the SIDECAR rows only (no overrides)."""
+        adds = [
+            json.loads(s)
+            for s in self._read(["add_json"]).column("add_json").to_pylist()
+        ]
+        return {a["path"]: a for a in adds}
+
+    def _materialize(self) -> dict[str, dict]:
+        if self._full is None:
+            full = {
+                p: a for p, a in self._materialize_base().items()
+                if p not in self._over
+            }
+            for p, a in self._over.items():
+                if a is not None:
+                    full[p] = a
+            self._full = full
+        return self._full
+
+    def __getitem__(self, key):
+        if key in self._over:
+            a = self._over[key]
+            if a is None:
+                raise KeyError(key)
+            return a
+        return self._materialize()[key]
+
+    # -- metadata plane ------------------------------------------------
+    def dv_map(self) -> dict[str, dict | None]:
+        """path -> deletion-vector dict (or None) for the live set,
+        from the typed ``dv_json`` column — the scan plane's only
+        per-file need besides the path, so a plain read never
+        deserializes add actions."""
+        if self._dv is None:
+            if "dv_json" not in self.sidecar_columns():
+                self._dv = {
+                    p: a.get("dv") for p, a in self._materialize().items()
+                }
+            else:
+                t = self._read(["path", "dv_json"])
+                over = self._over
+                dv = {
+                    p: (json.loads(s) if s else None)
+                    for p, s in zip(t.column("path").to_pylist(),
+                                    t.column("dv_json").to_pylist())
+                    if p not in over
+                }
+                for p, a in over.items():
+                    if a is not None:
+                        dv[p] = a.get("dv")
+                self._dv = dv
+        return self._dv
+
+    def meta(self, stat_kinds: dict[str, str], pv_phys: list[str],
+             ) -> tuple[list[str], dict[str, tuple[list, list]],
+                        dict[str, list]]:
+        """``(paths, {phys: (mins, maxs)}, {phys: pv_values})`` for the
+        live set, reading ONLY the typed sidecar columns the caller
+        names (``stat_kinds``: phys col -> carrier kind). Sidecar rows
+        overridden by the tail are dropped; tail adds append with
+        values extracted from their dicts. A requested column absent
+        from the sidecar (added after the checkpoint was written)
+        yields None bounds for sidecar rows — never-prune, safe."""
+        have = self.sidecar_columns()
+        want = ["path"]
+        for c in stat_kinds:
+            want += [w for w in (f"min::{c}", f"max::{c}") if w in have]
+        want += [w for c in pv_phys if (w := f"pv::{c}") in have]
+        t = self._read(want)
+        base_paths = t.column("path").to_pylist()
+        over = self._over
+        keep = [i for i, p in enumerate(base_paths) if p not in over]
+        tail = [(p, a) for p, a in over.items() if a is not None]
+
+        def col(name: str, extract) -> list:
+            if name in have:
+                vals = t.column(name).to_pylist()
+                out = [vals[i] for i in keep]
+            else:
+                out = [None] * len(keep)
+            return out + [extract(a) for _, a in tail]
+
+        paths = [base_paths[i] for i in keep] + [p for p, _ in tail]
+        stats = {
+            c: (
+                col(f"min::{c}", lambda a, c=c, k=k: _typed_stat(
+                    k, ((a.get("stats") or {}).get("minValues") or {})
+                    .get(c))),
+                col(f"max::{c}", lambda a, c=c, k=k: _typed_stat(
+                    k, ((a.get("stats") or {}).get("maxValues") or {})
+                    .get(c))),
+            )
+            for c, k in stat_kinds.items()
+        }
+        pvs = {
+            c: col(f"pv::{c}", lambda a, c=c: (
+                a.get("partitionValues") or {}).get(c))
+            for c in pv_phys
+        }
+        return paths, stats, pvs
+
+
+def _files_meta(snap, stat_kinds: dict[str, str], pv_phys: list[str],
+                ) -> tuple[list[str], dict[str, tuple[list, list]],
+                           dict[str, list]]:
+    """``(paths, {phys: (mins, maxs)}, {phys: pv_values})`` for a
+    snapshot's live set — from the typed sidecar when available
+    (column-pruned parquet read, no add-action deserialization), else
+    extracted from the materialized add dicts (small tables and
+    pre-typed sidecars, where the dict already exists or is cheap)."""
+    files = snap.files
+    if isinstance(files, LazyAdds) and files.typed():
+        return files.meta(stat_kinds, pv_phys)
+    paths = sorted(files)
+
+    def stat(p: str, key: str, c: str, k: str):
+        return _typed_stat(
+            k, ((files[p].get("stats") or {}).get(key) or {}).get(c)
+        )
+
+    stats = {
+        c: ([stat(p, "minValues", c, k) for p in paths],
+            [stat(p, "maxValues", c, k) for p in paths])
+        for c, k in stat_kinds.items()
+    }
+    pvs = {
+        c: [(files[p].get("partitionValues") or {}).get(c) for p in paths]
+        for c in pv_phys
+    }
+    return paths, stats, pvs
+
+
+def _files_dv(snap) -> Mapping[str, dict | None]:
+    """path -> dv dict (or None) for the live set — typed-column read
+    on sidecar-backed snapshots, dict extraction otherwise."""
+    files = snap.files
+    if isinstance(files, LazyAdds) and files.typed():
+        return files.dv_map()
+    return {p: a.get("dv") for p, a in files.items()}
+
+
+def _np_bounds(vals: list, kind: str):
+    """(numpy array with null sentinel, validity mask) for a bounds
+    column — int64/float64 for the numeric kinds (int stays int64:
+    float promotion could mis-compare past 2^53), object array of
+    strings otherwise."""
+    import numpy as np  # noqa: PLC0415
+
+    n = len(vals)
+    valid = np.fromiter((v is not None for v in vals), dtype=bool, count=n)
+    if kind == "int":
+        arr = np.fromiter(
+            (v if v is not None else 0 for v in vals),
+            dtype=np.int64, count=n,
+        )
+    elif kind == "float":
+        arr = np.fromiter(
+            (v if v is not None else 0.0 for v in vals),
+            dtype=np.float64, count=n,
+        )
+    else:
+        arr = np.array([v if v is not None else "" for v in vals],
+                       dtype=object)
+    return arr, valid
+
+
 def _list_log(table: str) -> tuple[list[str], list[str]]:
     """(commit files, checkpoint files), each sorted by version."""
     d = _log_path(table)
@@ -468,6 +775,7 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
     configuration: dict[str, str] = {}
     row_id_high = -1
     start = 0
+    sidecar: str | None = None
     usable = [c for c in checkpoints if _version_of(c) <= target]
     if usable:
         with open(os.path.join(_log_path(table), usable[-1])) as fh:
@@ -475,9 +783,18 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
         schema_json = ck["schemaJson"]
         part_cols = ck["partitionColumns"]
         configuration = dict(ck.get("configuration", {}))
-        files = {a["path"]: a for a in _checkpoint_adds(table, ck)}
+        if "addsParquet" in ck:
+            # sidecar-backed: defer the per-add json.loads — at
+            # millions of live files that parse IS the snapshot-
+            # resolution bottleneck. Tail commits fold into an
+            # overrides dict (O(tail) <= CHECKPOINT_INTERVAL commits);
+            # LazyAdds merges on access.
+            sidecar = os.path.join(_log_path(table), ck["addsParquet"])
+        else:
+            files = {a["path"]: a for a in ck["adds"]}
         row_id_high = int(ck.get("rowIdHighWaterMark", -1))
         start = _version_of(usable[-1]) + 1
+    overrides: dict[str, dict | None] = {}
     for fname in commits:
         v = _version_of(fname)
         if v < start or v > target:
@@ -492,9 +809,15 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                         action["metaData"].get("configuration", {})
                     )
                 elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
+                    if sidecar is None:
+                        files[action["add"]["path"]] = action["add"]
+                    else:
+                        overrides[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
+                    if sidecar is None:
+                        files.pop(action["remove"]["path"], None)
+                    else:
+                        overrides[action["remove"]["path"]] = None
                 elif "rowIdHighWaterMark" in action:
                     # monotone: the mark never regresses, even through
                     # RESTORE (re-used ids would alias distinct rows)
@@ -503,7 +826,9 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                     )
     if schema_json is None:
         raise DataSourceException(f"txlog table {table!r} has no metaData action")
-    return Snapshot(target, schema_json, part_cols, files, configuration,
+    live = (LazyAdds(table, sidecar, overrides) if sidecar is not None
+            else files)
+    return Snapshot(target, schema_json, part_cols, live, configuration,
                     row_id_high=row_id_high)
 
 
@@ -1199,8 +1524,9 @@ class TxLogDataSource(BaseDataSource):
         if not rel:
             return self.spark.createDataFrame([], snap.schema)
         cols = [f.name for f in snap.schema.fields]
-        masked = [p for p in rel if (snap.files.get(p) or {}).get("dv")]
-        plain = [p for p in rel if not (snap.files.get(p) or {}).get("dv")]
+        dvs = _files_dv(snap)
+        masked = [p for p in rel if dvs.get(p)]
+        plain = [p for p in rel if not dvs.get(p)]
         parts: list[DataFrame] = []
         if plain:
             # column mapping: files store physical names; scan with the
@@ -1245,10 +1571,8 @@ class TxLogDataSource(BaseDataSource):
                  rels: list[str]) -> DataFrame:
         """Mask rows (``__fn``, ``__ri``) for live files of a snapshot
         (see :meth:`_dv_rows_for`)."""
-        return self._dv_rows_for(
-            table,
-            [(p, (snap.files.get(p) or {}).get("dv")) for p in rels],
-        )
+        dvs = _files_dv(snap)
+        return self._dv_rows_for(table, [(p, dvs.get(p)) for p in rels])
 
     def _dv_rows_for(self, table: str,
                      pairs: list[tuple[str, dict | None]]) -> DataFrame:
@@ -1665,9 +1989,52 @@ class TxLogDataSource(BaseDataSource):
             side = f"{version:020d}.checkpoint.adds.parquet"
             sfull = os.path.join(_log_path(table), side)
             stmp = sfull + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(pa.table({
-                "add_json": [json.dumps(a, default=str) for a in adds]
-            }), stmp)
+            # TYPED columns alongside the lossless add_json (replay
+            # truth): the metadata plane — candidate pruning, pv
+            # matching, file counts — reads just the columns it needs
+            # (column-pruned, vectorizable, distributable via
+            # spark.read.parquet when the driver outgrows it) and
+            # never deserializes an add. This is Delta's
+            # stats_parsed/partitionValues_parsed checkpoint design.
+            schema = snap.schema
+            pmap = _physical_map(schema)
+            pa_kind = {"int": pa.int64(), "float": pa.float64(),
+                       "str": pa.string()}
+            cols: dict = {
+                "path": pa.array([a["path"] for a in adds], pa.string()),
+                "size": pa.array(
+                    [None if a.get("size") is None else int(a["size"])
+                     for a in adds], pa.int64()),
+                "num_records": pa.array(
+                    [None if a.get("numRecords") is None
+                     else int(a["numRecords"]) for a in adds],
+                    pa.int64()),
+                # the scan plane's one per-file need besides the path:
+                # the deletion-vector pointer (null = plain scan)
+                "dv_json": pa.array(
+                    [json.dumps(a["dv"]) if a.get("dv") else None
+                     for a in adds], pa.string()),
+            }
+            for c in snap.partition_cols:
+                phys = pmap.get(c, c)
+                cols[f"pv::{phys}"] = pa.array(
+                    [(lambda v: None if v is None else str(v))(
+                        (a.get("partitionValues") or {}).get(phys))
+                     for a in adds], pa.string())
+            for f in schema.fields:
+                k = _stat_sidecar_kind(f.dataType)
+                if k is None:
+                    continue
+                phys = pmap.get(f.name, f.name)
+                for bound, key in (("min", "minValues"),
+                                   ("max", "maxValues")):
+                    cols[f"{bound}::{phys}"] = pa.array(
+                        [_typed_stat(
+                            k, ((a.get("stats") or {}).get(key) or {})
+                            .get(phys)) for a in adds], pa_kind[k])
+            cols["add_json"] = pa.array(
+                [json.dumps(a, default=str) for a in adds], pa.string())
+            pq.write_table(pa.table(cols), stmp)
             os.replace(stmp, sfull)
             ck["addsParquet"] = side
             ck["addCount"] = len(adds)
@@ -4516,7 +4883,8 @@ class TxLogDataSource(BaseDataSource):
             stored = json.load(fh)
         carried = ("txns", "copyLedgers", "rowIdHighWaterMark")
         if (any(k not in stored for k in carried)
-                or ("adds" not in stored and "addsParquet" not in stored)):
+                or ("adds" not in stored and "addsParquet" not in stored)
+                or self._sidecar_needs_upgrade(table, stored)):
             self._write_checkpoint(table, floor)
         for fname in commits + checkpoints:
             v = _version_of(fname)
@@ -4529,6 +4897,24 @@ class TxLogDataSource(BaseDataSource):
             deleted.append(fname)
         self._reap_log_orphans(table, now, min_age_sec, deleted)
         return deleted
+
+    @staticmethod
+    def _sidecar_needs_upgrade(table: str, stored: dict) -> bool:
+        """True when the floor checkpoint references a PRE-TYPED adds
+        sidecar (add_json only, no ``path``/``min::``/``max::``
+        columns) — the floor refresh then rewrites it in the typed
+        layout so the columnar metadata plane covers old tables too.
+        Footer-only read; a missing sidecar is left for the ordinary
+        resolution error to surface."""
+        if "addsParquet" not in stored:
+            return False
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        p = os.path.join(_log_path(table), stored["addsParquet"])
+        try:
+            return "path" not in pq.ParquetFile(p).schema_arrow.names
+        except OSError:
+            return False
 
     def _reap_log_orphans(self, table: str, now: float,
                           min_age_sec: float, deleted: list[str]) -> None:
@@ -5318,180 +5704,215 @@ class TxLogDataSource(BaseDataSource):
         """Files whose footer min/max range on ``key`` (the leading
         merge primary-key column) overlaps the source's key range —
         read-free data skipping; a pruned file provably holds no row a
-        source key can match. Missing stats => candidate (safe)."""
+        source key can match. Missing stats => candidate (safe).
+
+        Bounds come from the columnar metadata plane (typed sidecar
+        columns when the snapshot is sidecar-backed — no add-action
+        deserialization) and the disjointness test is vectorized: the
+        kind rules mirror the scalar ones exactly (ints/floats compare
+        natively, string-serialized date/timestamp lexicographically —
+        ISO shapes order chronologically — Decimal by exact re-parse;
+        a kind that cannot soundly compare keeps the file)."""
+        import datetime  # noqa: PLC0415
+        from decimal import Decimal, InvalidOperation  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
         row = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         lo, hi = row["lo"], row["hi"]
         if lo is None:
             return []  # empty source: no file can match
+        field = next(
+            (f for f in snap.schema.fields if f.name == key), None
+        )
+        kind = _stat_sidecar_kind(field.dataType) if field else None
+        if kind is None or isinstance(lo, bool):
+            return sorted(snap.files)  # un-prunable kind: all candidates
         pkey = _physical_map(snap.schema).get(key, key)  # stats keys are PHYSICAL
-        keep = []
-        for rel in sorted(snap.files):
-            st = snap.files[rel].get("stats") or {}
-            fmin = (st.get("minValues") or {}).get(pkey)
-            fmax = (st.get("maxValues") or {}).get(pkey)
-            if fmin is None or fmax is None:
-                keep.append(rel)
-                continue
-            d = self._stats_disjoint(fmin, fmax, lo, hi)
-            if d is None or not d:
-                keep.append(rel)
-        return keep
-
-    @staticmethod
-    def _stats_disjoint(fmin, fmax, lo, hi):
-        """Whether [lo, hi] (typed Python values from an agg) is
-        provably disjoint from the footer range [fmin, fmax] (JSON
-        round-tripped: ints/floats survive, Decimal/date/timestamp
-        become strings). None = cannot compare soundly, keep the file.
-        Kind-matched only — a Decimal bound lexicographically compared
-        against its string-serialized stat ('10' < '9.0') would
-        mis-prune, so Decimals re-parse exactly and mismatched kinds
-        never compare."""
-        import datetime
-        from decimal import Decimal, InvalidOperation
-
-        if isinstance(fmin, bool) or isinstance(lo, bool):
-            return None
-        if (isinstance(fmin, (int, float))
-                and isinstance(lo, (int, float))):
-            return hi < fmin or lo > fmax
-        if isinstance(fmin, str) and isinstance(fmax, str):
+        paths, stats, _ = _files_meta(snap, {pkey: kind}, [])
+        mins, maxs = stats[pkey]
+        fmin, vmin = _np_bounds(mins, kind)
+        fmax, vmax = _np_bounds(maxs, kind)
+        valid = vmin & vmax
+        exclude = np.zeros(len(paths), dtype=bool)
+        if kind in ("int", "float") and isinstance(lo, (int, float)):
+            exclude = valid & ((fmin > hi) | (fmax < lo))
+        elif kind == "str":
             if isinstance(lo, str):
-                return hi < fmin or lo > fmax
-            if isinstance(lo, Decimal):
-                try:
-                    return hi < Decimal(fmin) or lo > Decimal(fmax)
-                except InvalidOperation:
-                    return None
-            if isinstance(lo, (datetime.date, datetime.datetime)):
-                # str() of date/datetime is ISO-shaped, the same
-                # formatting the stats writer used: lexicographic
-                # order == chronological order
-                return str(hi) < fmin or str(lo) > fmax
-        return None
+                exclude = valid & (
+                    (fmin > hi).astype(bool) | (fmax < lo).astype(bool)
+                )
+            elif isinstance(lo, Decimal):
+                def _dis(mn, mx):
+                    if mn is None or mx is None:
+                        return False
+                    try:
+                        return Decimal(mn) > hi or Decimal(mx) < lo
+                    except InvalidOperation:
+                        return False
+
+                exclude = np.fromiter(
+                    (_dis(mn, mx) for mn, mx in zip(mins, maxs)),
+                    dtype=bool, count=len(paths),
+                )
+            elif isinstance(lo, (datetime.date, datetime.datetime)):
+                slo, shi = str(lo), str(hi)
+                exclude = valid & (
+                    (fmin > shi).astype(bool) | (fmax < slo).astype(bool)
+                )
+        return sorted(p for p, e in zip(paths, exclude) if not e)
 
     _PRUNE_LIT = r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))"
 
     @classmethod
-    def _simple_conjuncts(cls, predicate: str) -> list[tuple[str, str, list[str]]]:
-        """``(col, op, literals)`` for every top-level AND conjunct of
-        the shape ``col <op> literal`` (op in = < <= > >=) or ``col IN
-        (literals)`` — the fragments footer min/max stats can prune
-        on. A TOP-LEVEL OR disables pruning entirely — SQL precedence
-        binds AND tighter than OR (``a AND b OR c`` is
-        ``(a AND b) OR c``), so no fragment is a required conjunct.
-        Anything else unparseable (NOT, functions, column-column,
-        flipped operands) contributes no pruning, which is always
-        safe: AND semantics mean ONE provably-false conjunct excludes
+    def _parse_conjunct(cls, part: str):
+        """One predicate fragment parsed to ``(col, op, literals)``
+        when it has the shape footer min/max stats can prune on —
+        ``col <op> literal`` (op in = < <= > >=) or ``col IN
+        (literals)`` — else None. Anything unparseable (NOT,
+        functions, column-column, flipped operands, nested boolean
+        structure) contributes no pruning, which is always safe
+        inside an AND: ONE provably-false required conjunct excludes
         the file regardless of the rest."""
         import re
 
-        from x_spark.sources.sql_dml import (
-            _split_top_and, find_keyword, split_top_level,
-        )
+        from x_spark.sources.sql_dml import split_top_level
 
-        if find_keyword(predicate, "or") >= 0:
-            return []  # top-level OR: no fragment is required
-        out: list[tuple[str, str, list[tuple[str, bool]]]] = []
+        m = re.fullmatch(
+            rf"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|=|<|>)\s*"
+            rf"{cls._PRUNE_LIT}\s*", part,
+        )
+        if m:
+            quoted = m.group(3) is not None
+            lit = m.group(3) if quoted else m.group(4)
+            return (m.group(1), m.group(2),
+                    [(lit.replace("''", "'"), quoted)])
+        m = re.fullmatch(
+            rf"\s*`?([A-Za-z_]\w*)`?\s+in\s*\(([^()]*)\)\s*",
+            part, re.I,
+        )
+        if m:
+            # EVERY comma-separated element must be a bare literal —
+            # harvesting digit/string fragments out of column
+            # references or arithmetic (``IN (2, id2)``, ``IN (1+1)``)
+            # would prune on values that are not the IN-list's values
+            lits: list[tuple[str, bool]] = []
+            for el in split_top_level(m.group(2)):
+                lm = re.fullmatch(rf"\s*{cls._PRUNE_LIT}\s*", el)
+                if lm is None:
+                    return None
+                quoted = lm.group(1) is not None
+                lits.append((
+                    (lm.group(1) if quoted else lm.group(2))
+                    .replace("''", "'"),
+                    quoted,
+                ))
+            if lits:
+                return (m.group(1), "in", lits)
+        return None
+
+    @classmethod
+    def _simple_conjuncts(cls, predicate: str) -> list[tuple[str, str, list]]:
+        """Parsed ``(col, op, literals)`` conjuncts of a single
+        AND-only fragment (unparseable conjuncts dropped — safe, see
+        _parse_conjunct)."""
+        from x_spark.sources.sql_dml import _split_top_and
+
+        out = []
         for part in _split_top_and(predicate):
-            m = re.fullmatch(
-                rf"\s*`?([A-Za-z_]\w*)`?\s*(<=|>=|=|<|>)\s*"
-                rf"{cls._PRUNE_LIT}\s*", part,
-            )
-            if m:
-                quoted = m.group(3) is not None
-                lit = m.group(3) if quoted else m.group(4)
-                out.append((m.group(1), m.group(2),
-                            [(lit.replace("''", "'"), quoted)]))
-                continue
-            m = re.fullmatch(
-                rf"\s*`?([A-Za-z_]\w*)`?\s+in\s*\(([^()]*)\)\s*",
-                part, re.I,
-            )
-            if m:
-                # EVERY comma-separated element must be a bare
-                # literal — harvesting digit/string fragments out of
-                # column references or arithmetic (``IN (2, id2)``,
-                # ``IN (1+1)``) would prune on values that are not
-                # the IN-list's values
-                lits: list[tuple[str, bool]] = []
-                for el in split_top_level(m.group(2)):
-                    lm = re.fullmatch(rf"\s*{cls._PRUNE_LIT}\s*", el)
-                    if lm is None:
-                        lits = []
-                        break
-                    quoted = lm.group(1) is not None
-                    lits.append((
-                        (lm.group(1) if quoted else lm.group(2))
-                        .replace("''", "'"),
-                        quoted,
-                    ))
-                if lits:
-                    out.append((m.group(1), "in", lits))
+            parsed = cls._parse_conjunct(part)
+            if parsed is not None:
+                out.append(parsed)
         return out
 
-    @staticmethod
-    def _stats_exclude(add: dict, pcol: str, op: str,
-                       lits: list[tuple[str, bool]],
-                       declared) -> bool:
-        """True when the file's footer [min,max] on ``pcol`` proves NO
-        row satisfies ``col <op> lit`` — missing stats or a type
-        coercion failure keep the file (safe). The literal kind must
-        MATCH the column's declared type (numeric literal on a numeric
-        column, quoted string on a StringType column) — a quoted
-        literal compared lexicographically against a timestamp
-        column's string-serialized stats could prune a semantically
-        equal value ('2024-01-01' vs '2024-01-01 00:00:00'), so those
-        comparisons never prune."""
-        from pyspark.sql.types import (
-            ByteType, DecimalType, DoubleType, FloatType, IntegerType,
-            LongType, ShortType, StringType,
+    @classmethod
+    def _pruning_disjuncts(cls, predicate: str,
+                           ) -> list[list[tuple[str, str, list]]]:
+        """The predicate's OR-of-conjuncts pruning structure (Delta's
+        data-skipping rule for disjunctions): recursively split on
+        top-level OR (stripping redundant outer parens, which can
+        expose further ORs), parse each disjunct's top-level AND
+        conjuncts. A file may be excluded only when EVERY disjunct has
+        some conjunct its stats prove false, so a disjunct yielding no
+        parseable conjunct makes the whole predicate unprunable —
+        returns ``[]``.
+
+        This is what lets the reference's own generated replaceWhere
+        shape — OR-of-partition-tuples, ``(pk2='a') OR (pk2='b')``
+        (etl/overwrite.py:27-33) — skip files on footer stats instead
+        of degrading to a full candidate set."""
+        from x_spark.sources.sql_dml import (
+            _split_top_or, strip_outer_parens,
         )
 
-        numeric = (ByteType, ShortType, IntegerType, LongType,
-                   FloatType, DoubleType, DecimalType)
-        quoted_ok = isinstance(declared, StringType)
-        numeric_ok = isinstance(declared, numeric)
-        if not all((quoted and quoted_ok) or (not quoted and numeric_ok)
-                   for _, quoted in lits):
-            return False
-        st = add.get("stats") or {}
-        fmin = (st.get("minValues") or {}).get(pcol)
-        fmax = (st.get("maxValues") or {}).get(pcol)
-        if fmin is None or fmax is None:
-            return False
-        if isinstance(fmin, bool) or isinstance(fmax, bool):
-            return False  # bool stats never prune (coercion ambiguity)
-        # the STORED stat kind must match too: Decimal stats
-        # round-trip through json default=str into strings, and a
-        # numeric literal lexicographically compared against "9.0"
-        # would mis-prune ('10' < '9.0')
-        if numeric_ok and not (isinstance(fmin, (int, float))
-                               and isinstance(fmax, (int, float))):
-            return False
-        if quoted_ok and not (isinstance(fmin, str)
-                              and isinstance(fmax, str)):
-            return False
+        s = strip_outer_parens(predicate)
+        parts = _split_top_or(s)
+        if len(parts) > 1:
+            out: list[list] = []
+            for p in parts:
+                sub = cls._pruning_disjuncts(p)
+                if not sub:
+                    return []  # an unprunable branch poisons the OR
+                out.extend(sub)
+            return out
+        conjs = cls._simple_conjuncts(s)
+        return [conjs] if conjs else []
+
+    @staticmethod
+    def _exclude_mask(mins: list, maxs: list, kind: str, op: str,
+                      lits: list[tuple[str, bool]]):
+        """Vectorized footer-stats exclusion: a True element means the
+        file's [min,max] proves NO row satisfies ``col <op> lit``.
+        ``mins``/``maxs`` are kind-conformed bound columns (mismatched
+        stored kinds already nulled by _typed_stat — null never
+        prunes); literal parse failure onto the carrier kind (e.g. a
+        fractional literal against an integral column) excludes
+        nothing, exactly like the scalar rule it replaces."""
+        import numpy as np  # noqa: PLC0415
+
+        n = len(mins)
+        none = np.zeros(n, dtype=bool)
         try:
-            vals = [type(fmin)(str(v)) for v, _ in lits]
+            if kind == "int":
+                vals = [int(str(v)) for v, _ in lits]
+            elif kind == "float":
+                vals = [float(str(v)) for v, _ in lits]
+            else:
+                vals = [str(v) for v, _ in lits]
         except (TypeError, ValueError):
-            return False
-        try:
-            if op == "=":
-                return vals[0] < fmin or vals[0] > fmax
-            if op == "in":
-                return all(v < fmin or v > fmax for v in vals)
-            if op == "<":
-                return fmin >= vals[0]
-            if op == "<=":
-                return fmin > vals[0]
-            if op == ">":
-                return fmax <= vals[0]
-            if op == ">=":
-                return fmax < vals[0]
-        except TypeError:
-            return False
-        return False
+            return none
+        fmin, vmin = _np_bounds(mins, kind)
+        fmax, vmax = _np_bounds(maxs, kind)
+        valid = vmin & vmax
+
+        def lt(a, b):  # elementwise, object-array safe
+            return (a < b).astype(bool) if kind == "str" else a < b
+
+        def gt(a, b):
+            return (a > b).astype(bool) if kind == "str" else a > b
+
+        def le(a, b):
+            return (a <= b).astype(bool) if kind == "str" else a <= b
+
+        def ge(a, b):
+            return (a >= b).astype(bool) if kind == "str" else a >= b
+
+        if op == "=":
+            return valid & (gt(fmin, vals[0]) | lt(fmax, vals[0]))
+        if op == "in":
+            out = np.ones(n, dtype=bool)
+            for v in vals:
+                out &= gt(fmin, v) | lt(fmax, v)
+            return valid & out
+        if op == "<":
+            return valid & ge(fmin, vals[0])
+        if op == "<=":
+            return valid & gt(fmin, vals[0])
+        if op == ">":
+            return valid & le(fmax, vals[0])
+        if op == ">=":
+            return valid & lt(fmax, vals[0])
+        return none
 
     def _validate_predicate(self, snap: Snapshot, predicate: str) -> None:
         """Analyze ``predicate`` against the table schema (no job runs:
@@ -5506,46 +5927,79 @@ class TxLogDataSource(BaseDataSource):
         """Files that may hold rows where ``predicate`` is TRUE —
         Delta's data skipping, applied to every predicate-scoped
         rewrite (DELETE/UPDATE candidates, replaceWhere). Two
-        read-free passes: partition values prune files of
-        non-matching partitions, and footer min/max stats prune files
-        whose range provably excludes a simple conjunct (``col <op>
-        literal`` / ``col IN``). A pruned file's rows all evaluate
-        FALSE/NULL and survive untouched; at 100 TB this is what makes
-        ``DELETE WHERE id = k`` on a clustered table touch one file,
-        not every file."""
-        rels = sorted(snap.files)
-        if not rels:
+        read-free passes over the COLUMNAR metadata plane (typed
+        sidecar columns when the snapshot is sidecar-backed — no
+        add-action deserialization, column-pruned IO): footer min/max
+        stats prune files whose range provably excludes a simple
+        conjunct (``col <op> literal`` / ``col IN``), then partition
+        values prune files of non-matching partitions. A pruned file's
+        rows all evaluate FALSE/NULL and survive untouched; at 100 TB
+        this is what makes ``DELETE WHERE id = k`` on a clustered
+        table touch one file, not every file — and at millions of
+        files, what keeps candidate selection itself from becoming a
+        driver-side JSON-parsing bottleneck."""
+        import numpy as np  # noqa: PLC0415
+
+        from pyspark.sql.types import StringType  # noqa: PLC0415
+
+        if not snap.files:
             return []
         pmap = _physical_map(snap.schema)
         types = {f.name: f.dataType for f in snap.schema.fields}
-        conjuncts = [
-            (c, op, lits) for c, op, lits in
-            self._simple_conjuncts(predicate) if c in types
-        ]
-        if conjuncts:
-            rels = [
-                rel for rel in rels
-                if not any(
-                    self._stats_exclude(snap.files[rel],
-                                        pmap.get(c, c), op, lits,
-                                        types[c])
-                    for c, op, lits in conjuncts
-                )
-            ]
-        if not snap.partition_cols:
+
+        def gate(conjs: list) -> list:
+            """Type-resolved, literal-kind-gated conjuncts: numeric
+            literals prune numeric columns, quoted literals prune
+            StringType columns ONLY — a quoted literal
+            lexicographically compared against a timestamp column's
+            string-serialized stats could prune a semantically equal
+            value ('2024-01-01' vs '2024-01-01 00:00:00'), so those
+            never prune."""
+            out = []
+            for c, op, lits in conjs:
+                if c not in types:
+                    continue
+                declared = types[c]
+                kind = _stat_sidecar_kind(declared)
+                quoted_ok = isinstance(declared, StringType)
+                numeric_ok = kind in ("int", "float")
+                if not all((q and quoted_ok) or (not q and numeric_ok)
+                           for _, q in lits):
+                    continue
+                out.append((pmap.get(c, c), kind, op, lits))
+            return out
+
+        # OR-of-conjuncts skipping: a file is excluded iff EVERY
+        # disjunct has a gated conjunct its stats prove false; a
+        # disjunct left with no gated conjunct disables skipping
+        disjuncts = [gate(d) for d in self._pruning_disjuncts(predicate)]
+        if any(not d for d in disjuncts):
+            disjuncts = []
+        stat_kinds = {c: k for d in disjuncts for c, k, _, _ in d}
+        pv_phys = [pmap.get(c, c) for c in snap.partition_cols]
+        paths, stats, pvs = _files_meta(snap, stat_kinds, pv_phys)
+        keep = np.ones(len(paths), dtype=bool)
+        if disjuncts:
+            excl_all = np.ones(len(paths), dtype=bool)
+            for d in disjuncts:
+                excl_d = np.zeros(len(paths), dtype=bool)
+                for cphys, kind, op, lits in d:
+                    mins, maxs = stats[cphys]
+                    excl_d |= self._exclude_mask(mins, maxs, kind, op,
+                                                 lits)
+                excl_all &= excl_d
+            keep = ~excl_all
+        idx = np.flatnonzero(keep)
+        order = sorted(range(len(idx)), key=lambda j: paths[idx[j]])
+        idx = [idx[j] for j in order]
+        rels = [paths[i] for i in idx]
+        if not snap.partition_cols or not rels:
             return rels
-        if not rels:
-            return []
         by_name = {f.name: f for f in snap.schema.fields}
         part_fields = [by_name[c] for c in snap.partition_cols]
-        # pmap from the stats pass above; pv keys are PHYSICAL too
         rows = [
-            tuple(
-                (snap.files[rel].get("partitionValues") or {})
-                .get(pmap.get(c, c))
-                for c in snap.partition_cols
-            )
-            for rel in rels
+            tuple(pvs[pmap.get(c, c)][i] for c in snap.partition_cols)
+            for i in idx
         ]
         # partition values travel as strings in the log: build a string
         # frame, cast to the declared types, evaluate the predicate
