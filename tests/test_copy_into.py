@@ -466,3 +466,37 @@ def test_copy_into_missing_referenced_ledger_raises(spark, ds, tmp_path):
     os.remove(os.path.join(_log_path(ref.path), rel))
     with pytest.raises(DataSourceException, match="ledger.*missing"):
         ds.copy_into(ref, src)
+
+
+def test_copy_ledger_anti_join_past_driver_max(spark, ds, tmp_path,
+                                               monkeypatch):
+    """Past COPY_LEDGER_DRIVER_MAX accumulated ledger rows, the
+    already-loaded difference runs as a distributed left-anti join:
+    the ledger is never materialized on the driver, and exactly-once
+    holds across no-op re-COPYs, new landings, and force reloads."""
+    import x_spark.sources.txlog as tx
+
+    src = str(tmp_path / "src")
+    for i in range(12):
+        _write_batch(spark, src, i * 10, i * 10 + 3,
+                     fname=f"f{i:03d}.parquet")
+    ref = _make_table(ds, tmp_path)
+    assert ds.copy_into(ref, src) == (12, 36)
+
+    # ledger now holds 12 rows; cap the driver path below that
+    monkeypatch.setattr(tx, "COPY_LEDGER_DRIVER_MAX", 10)
+
+    def boom(table):
+        raise AssertionError("ledger materialized on the driver past "
+                             "COPY_LEDGER_DRIVER_MAX")
+
+    monkeypatch.setattr(ds, "_copy_loaded", boom)
+    assert ds.copy_into(ref, src) == (0, 0)  # re-COPY: distributed no-op
+    _write_batch(spark, src, 500, 504, fname="late.parquet")
+    assert ds.copy_into(ref, src) == (1, 4)  # only the new file loads
+    assert ds.copy_into(ref, src) == (0, 0)
+    assert ds.count_rows(ref) == 40
+    # force bypasses the ledger entirely (no driver set either)
+    files, rows = ds.copy_into(ref, src, force=True)
+    assert (files, rows) == (13, 40)
+    assert ds.count_rows(ref) == 80

@@ -495,3 +495,130 @@ def test_insert_replace_where(spark, ds):
         ds.sql(f"INSERT OVERWRITE {t} REPLACE WHERE part = 'a' VALUES (1, 'a')")
     with pytest.raises(DataSourceException, match="REPLACE WHERE"):
         ds.sql(f"INSERT INTO {t} REPLACE WHERE part = 'a'")
+
+
+# -- round-9 SQL surface: RENAME TO / SHOW PARTITIONS / views ---------------
+
+
+def test_alter_table_rename_to(spark, ds):
+    name, name2 = "rn_src_t", "rn_dst_t"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int, v int) USING txlog")
+    try:
+        ds._execute_statement(
+            f"INSERT INTO {name} VALUES (1, 10), (2, 20)"
+        )
+        ds._execute_statement(f"ALTER TABLE {name} RENAME TO {name2}")
+        out = ds._execute_statement(
+            f"SELECT sum(v) AS s FROM {name2}"
+        ).collect()
+        assert [tuple(r) for r in out] == [(30,)]
+        assert name not in ds._known_names()
+        with pytest.raises(DataSourceException, match="already exists"):
+            ds._execute_statement(
+                f"CREATE TABLE {name2} (pk int) USING txlog"
+            )
+            ds.rename_table(TableRef(table=name2), name2)
+        with pytest.raises(DataSourceException, match="unknown"):
+            ds.rename_table(TableRef(table=name), name2)
+    finally:
+        ds.drop_table(TableRef(table=name2))
+        ds.drop_table(TableRef(table=name))
+
+
+def test_show_partitions_typed_columns(spark, ds):
+    name = "shp_t"
+    ds._execute_statement(
+        f"CREATE TABLE {name} (pk int, part string, d int) USING txlog "
+        "PARTITIONED BY (part, d)"
+    )
+    try:
+        ds._execute_statement(
+            f"INSERT INTO {name} VALUES (1,'a',1),(2,'a',2),(3,'b',1),"
+            "(4,'b',1)"
+        )
+        out = ds._execute_statement(f"SHOW PARTITIONS {name}")
+        # reference D1 contract: one column PER partition column
+        assert out.columns == ["part", "d"]
+        assert dict(out.dtypes)["d"] == "int"  # typed, not stringly
+        assert sorted(map(tuple, out.collect())) == [
+            ("a", 1), ("a", 2), ("b", 1)
+        ]
+    finally:
+        ds.drop_table(TableRef(table=name))
+
+
+def test_show_partitions_unpartitioned_sniffable_error(spark, ds):
+    name = "shp_flat"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int) USING txlog")
+    try:
+        # the reference string-matches 'not partitioned' out of the
+        # error message (etl/overwrite.py:14-18)
+        with pytest.raises(DataSourceException, match="not partitioned"):
+            ds._execute_statement(f"SHOW PARTITIONS {name}")
+    finally:
+        ds.drop_table(TableRef(table=name))
+
+
+def test_create_view_reads_current_snapshot(spark, ds):
+    name, view = "vw_t", "vw_totals"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int, v int) USING txlog")
+    try:
+        ds._execute_statement(f"INSERT INTO {name} VALUES (1, 10)")
+        ds._execute_statement(
+            f"CREATE VIEW {view} AS SELECT sum(v) AS s FROM {name}"
+        )
+        assert ds._execute_statement(
+            f"SELECT s FROM {view}"
+        ).collect()[0][0] == 10
+        # the view follows the TABLE, not its creation-time snapshot
+        ds._execute_statement(f"INSERT INTO {name} VALUES (2, 5)")
+        assert ds._execute_statement(
+            f"SELECT s FROM {view}"
+        ).collect()[0][0] == 15
+        # persistent: a fresh datasource instance sees it
+        ds2 = init_datasource("txlog", spark)
+        assert ds2._execute_statement(
+            f"SELECT s FROM {view}"
+        ).collect()[0][0] == 15
+        # OR REPLACE + view-over-view + DROP
+        ds._execute_statement(
+            f"CREATE OR REPLACE VIEW {view} AS "
+            f"SELECT sum(v) * 2 AS s FROM {name}"
+        )
+        ds._execute_statement(
+            f"CREATE TEMPORARY VIEW {view}_2x AS "
+            f"SELECT s + 1 AS s1 FROM {view}"
+        )
+        assert ds._execute_statement(
+            f"SELECT s1 FROM {view}_2x"
+        ).collect()[0][0] == 31
+        with pytest.raises(DataSourceException, match="already exists"):
+            ds._execute_statement(
+                f"CREATE VIEW {view} AS SELECT 1 AS one FROM {name}"
+            )
+    finally:
+        ds._execute_statement(f"DROP VIEW IF EXISTS {view}_2x")
+        ds._execute_statement(f"DROP VIEW IF EXISTS {view}")
+        ds.drop_table(TableRef(table=name))
+    assert view not in ds._known_views()
+
+
+def test_create_view_validates_and_guards_cycles(spark, ds):
+    name = "vwv_t"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int) USING txlog")
+    try:
+        with pytest.raises(Exception):  # analysis error at CREATE time
+            ds._execute_statement(
+                f"CREATE VIEW vwv_bad AS SELECT nope FROM {name}"
+            )
+        assert "vwv_bad" not in ds._known_views()
+        ds._execute_statement(
+            f"CREATE TEMPORARY VIEW vwv_a AS SELECT pk FROM {name}"
+        )
+        # self-referential redefinition -> cycle guard at query time
+        ds._temp_views()["vwv_a"] = "SELECT pk FROM vwv_a"
+        with pytest.raises(DataSourceException, match="cycle"):
+            ds._execute_statement("SELECT * FROM vwv_a").collect()
+        ds.drop_view("vwv_a")
+    finally:
+        ds.drop_table(TableRef(table=name))

@@ -59,6 +59,15 @@ CHECKPOINT_INTERVAL = 20
 # live sets at or above this size checkpoint their adds as a parquet
 # sidecar instead of inline JSON (see _checkpoint_adds)
 CHECKPOINT_PARQUET_MIN = 256
+# COPY INTO ledgers holding more rows than this stop materializing on
+# the driver: the already-loaded set-difference becomes a distributed
+# left-anti join (see _copy_new_files)
+COPY_LEDGER_DRIVER_MAX = 100_000
+# liquid-clustering table properties: clusterBy names the layout
+# columns (JSON list), clusterBy.strategy the curve (default range);
+# ingest then auto-maintains the layout (see _maybe_auto_cluster)
+CLUSTER_BY_KEY = "clusterBy"
+CLUSTER_STRATEGY_KEY = "clusterBy.strategy"
 
 # Deletion vectors (Delta's merge-on-read soft deletes): when a table
 # sets this configuration key to "true", DELETE masks rows instead of
@@ -605,29 +614,36 @@ class LazyAdds(Mapping):
         return self._materialize()[key]
 
     # -- metadata plane ------------------------------------------------
+    def field_map(self, col: str, field: str,
+                  decode: bool = False) -> dict[str, object]:
+        """path -> one per-file metadata value for the live set, from
+        a typed sidecar column (tail overrides extracted from their
+        add dicts). A column the sidecar predates falls back to the
+        materialized dicts — correct, just unlazy."""
+        if col not in self.sidecar_columns():
+            return {
+                p: a.get(field) for p, a in self._materialize().items()
+            }
+        t = self._read(["path", col])
+        over = self._over
+        out = {
+            p: (json.loads(v) if decode and v else v)
+            for p, v in zip(t.column("path").to_pylist(),
+                            t.column(col).to_pylist())
+            if p not in over
+        }
+        for p, a in over.items():
+            if a is not None:
+                out[p] = a.get(field)
+        return out
+
     def dv_map(self) -> dict[str, dict | None]:
-        """path -> deletion-vector dict (or None) for the live set,
-        from the typed ``dv_json`` column — the scan plane's only
-        per-file need besides the path, so a plain read never
-        deserializes add actions."""
+        """path -> deletion-vector dict (or None) for the live set —
+        the scan plane's only per-file need besides the path, so a
+        plain read never deserializes add actions. Cached: every read
+        of the snapshot hits it."""
         if self._dv is None:
-            if "dv_json" not in self.sidecar_columns():
-                self._dv = {
-                    p: a.get("dv") for p, a in self._materialize().items()
-                }
-            else:
-                t = self._read(["path", "dv_json"])
-                over = self._over
-                dv = {
-                    p: (json.loads(s) if s else None)
-                    for p, s in zip(t.column("path").to_pylist(),
-                                    t.column("dv_json").to_pylist())
-                    if p not in over
-                }
-                for p, a in over.items():
-                    if a is not None:
-                        dv[p] = a.get("dv")
-                self._dv = dv
+            self._dv = self.field_map("dv_json", "dv", decode=True)
         return self._dv
 
     def meta(self, stat_kinds: dict[str, str], pv_phys: list[str],
@@ -716,6 +732,16 @@ def _files_dv(snap) -> Mapping[str, dict | None]:
     if isinstance(files, LazyAdds) and files.typed():
         return files.dv_map()
     return {p: a.get("dv") for p, a in files.items()}
+
+
+def _files_field(snap, col: str, field: str,
+                 decode: bool = False) -> dict[str, object]:
+    """path -> one per-file add field for the live set — typed-column
+    read on sidecar-backed snapshots, dict extraction otherwise."""
+    files = snap.files
+    if isinstance(files, LazyAdds) and files.typed():
+        return files.field_map(col, field, decode=decode)
+    return {p: a.get(field) for p, a in files.items()}
 
 
 def _np_bounds(vals: list, kind: str):
@@ -882,6 +908,142 @@ class TxLogDataSource(BaseDataSource):
             with open(nf) as fh:
                 return json.load(fh)
         return {}
+
+    def rename_table(self, ref: TableRef, new_name: str) -> None:
+        """``ALTER TABLE ... RENAME TO``: re-key the catalog name in
+        one atomic names-file republish. The table DIRECTORY does not
+        move, so the rename is O(1) at any table size — the metastore
+        rename Delta does on Databricks. Path-addressed tables have no
+        name to change; registered views store raw SQL and are NOT
+        rewritten (Delta's behavior: such a view breaks until
+        re-created)."""
+        if ref.is_path:
+            raise DataSourceException(
+                "ALTER TABLE RENAME TO needs a catalog table name"
+            )
+        new_name = _normalize_ident(new_name)
+        names = self._known_names()
+        if ref.table not in names:
+            raise DataSourceException(
+                f"unknown txlog table name {ref.table!r}"
+            )
+        if new_name in names:
+            raise DataSourceException(
+                f"txlog table {new_name!r} already exists"
+            )
+        names[new_name] = names.pop(ref.table)  # type: ignore[arg-type]
+        nf = self._names_file()
+        tmp = nf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(names, fh)
+        os.replace(tmp, nf)
+
+    # -- views -----------------------------------------------------------
+    def _views_file(self) -> str:
+        return os.path.join(
+            os.path.dirname(self._names_file()), "_txlog_views.json"
+        )
+
+    def _known_views(self) -> dict[str, str]:
+        vf = self._views_file()
+        if os.path.isfile(vf):
+            with open(vf) as fh:
+                return json.load(fh)
+        return {}
+
+    def _temp_views(self) -> dict[str, str]:
+        """Session-scoped view store (rides the SparkSession object so
+        every datasource instance of the session shares it)."""
+        store = getattr(self.spark, "_x_txlog_temp_views", None)
+        if store is None:
+            store = {}
+            self.spark._x_txlog_temp_views = store  # type: ignore[attr-defined]
+        return store
+
+    def create_view(self, name: str, query: str, replace: bool = False,
+                    temporary: bool = False) -> None:
+        """``CREATE [OR REPLACE] [TEMPORARY] VIEW name AS query`` over
+        txlog names. Stores the RAW SQL (persistent: a warehouse-level
+        views file, the metastore analogue of the names file;
+        temporary: session-scoped) and expands it at QUERY time, so
+        the view always reads the current snapshot — Spark/Delta view
+        semantics, never creation-time freezing. The definition is
+        analyzed now (plan only, no execution) so a typo errors at
+        CREATE like Spark's."""
+        name = _normalize_ident(name)
+        if name in self._known_names():
+            raise DataSourceException(
+                f"{name!r} is a txlog TABLE — pick another view name"
+            )
+        store = self._temp_views() if temporary else self._known_views()
+        if name in store and not replace:
+            raise DataSourceException(f"view {name!r} already exists")
+        _ = self.spark.sql(self._rewrite_query(query)).schema  # analyze
+        if temporary:
+            self._temp_views()[name] = query
+            return
+        views = self._known_views()
+        views[name] = query
+        vf = self._views_file()
+        os.makedirs(os.path.dirname(vf), exist_ok=True)
+        tmp = vf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(views, fh)
+        os.replace(tmp, vf)
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        """DROP VIEW: temporary first (it shadows), then persistent."""
+        name = _normalize_ident(name)
+        temp = self._temp_views()
+        if name in temp:
+            del temp[name]
+            return
+        views = self._known_views()
+        if name not in views:
+            if if_exists:
+                return
+            raise DataSourceException(f"unknown view {name!r}")
+        del views[name]
+        vf = self._views_file()
+        tmp = vf + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(views, fh)
+        os.replace(tmp, vf)
+
+    def show_partitions(self, ref: TableRef) -> DataFrame:
+        """``SHOW PARTITIONS`` (reference D1 — etl/overwrite.py:10-18
+        reads the result's ``.columns`` for the partition column names
+        and sniffs 'not partitioned' from the error): the distinct
+        partition tuples, one TYPED column per partition column,
+        computed entirely from the metadata plane's pv columns — no
+        data file is opened, so the answer is O(metadata) at any
+        table size."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(
+                f"txlog table {table!r} does not exist"
+            )
+        if not snap.partition_cols:
+            raise DataSourceException(
+                f"table {table!r} is not partitioned"
+            )
+        pmap = _physical_map(snap.schema)
+        pv_phys = [pmap.get(c, c) for c in snap.partition_cols]
+        _, _, pvs = _files_meta(snap, {}, pv_phys)
+        n = len(next(iter(pvs.values()))) if pvs else 0
+        rows = sorted(
+            {tuple(pvs[p][i] for p in pv_phys) for i in range(n)},
+            key=lambda t: tuple("" if v is None else str(v) for v in t),
+        )
+        by_name = {f.name: f for f in snap.schema.fields}
+        str_schema = ", ".join(
+            f"`{c}` string" for c in snap.partition_cols
+        )
+        return self.spark.createDataFrame(rows, str_schema).select(
+            *[F.col(c).cast(by_name[c].dataType).alias(c)
+              for c in snap.partition_cols]
+        )
 
     def drop_table(self, ref: TableRef, if_exists: bool = True) -> None:
         """Remove a txlog table: unregister the catalog name (atomic
@@ -1329,6 +1491,47 @@ class TxLogDataSource(BaseDataSource):
         if m and _normalize_ident(m.group(1)) in self._known_names():
             self.purge_dvs(TableRef(table=_normalize_ident(m.group(1))))
             return done
+        # ALTER TABLE t RENAME TO u — O(1) names-file re-key
+        m = re.fullmatch(
+            rf"\s*alter\s+table\s+{ident}\s+rename\s+to\s+{ident}\s*",
+            stmt, re.I,
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            self.rename_table(
+                TableRef(table=_normalize_ident(m.group(1))), m.group(2)
+            )
+            return done
+        # SHOW PARTITIONS t — one typed column per partition column
+        # (reference D1 reads .columns off the result and sniffs 'not
+        # partitioned' from the error, etl/overwrite.py:10-18)
+        m = re.fullmatch(
+            rf"\s*show\s+partitions\s+{ident}\s*", stmt, re.I
+        )
+        if m and _normalize_ident(m.group(1)) in self._known_names():
+            return self.show_partitions(
+                TableRef(table=_normalize_ident(m.group(1)))
+            )
+        # CREATE [OR REPLACE] [TEMPORARY] VIEW v AS query — ours when
+        # the body references a txlog table or registered view
+        m = re.match(
+            rf"\s*create\s+(or\s+replace\s+)?(temp(?:orary)?\s+)?view\s+"
+            rf"{ident}\s+as\s+(.+?)\s*$",
+            stmt, re.I | re.S,
+        )
+        if m and self._mentions_ours(m.group(4)):
+            self.create_view(m.group(3), m.group(4),
+                             replace=bool(m.group(1)),
+                             temporary=bool(m.group(2)))
+            return done
+        # DROP VIEW [IF EXISTS] v — ours when v is a registered view
+        m = re.fullmatch(
+            rf"\s*drop\s+view\s+(if\s+exists\s+)?{ident}\s*", stmt, re.I
+        )
+        if m and _normalize_ident(m.group(2)) in {
+            **self._known_views(), **self._temp_views()
+        }:
+            self.drop_view(m.group(2), if_exists=bool(m.group(1)))
+            return done
         # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — the switch
         # that turns on e.g. deletion vectors (enableDeletionVectors)
         m = re.fullmatch(
@@ -1382,14 +1585,19 @@ class TxLogDataSource(BaseDataSource):
 
         return pat.sub(repl, stmt)
 
-    def _rewrite_query(self, stmt: str) -> str:
+    def _rewrite_query(self, stmt: str,
+                       _view_seen: frozenset = frozenset()) -> str:
         """Replace known txlog table names (outside single-quoted
         string literals) with snapshot-backed temp views. Views are
         mangled (``__txlog_<name>``) so they never shadow same-named
-        Spark catalog tables for other sessions' SQL."""
+        Spark catalog tables for other sessions' SQL. Registered txlog
+        VIEWS expand first — each referenced view re-materializes from
+        its stored SQL at QUERY time, so views read the current
+        snapshot."""
         import re
 
         stmt = self._rewrite_table_changes(stmt)
+        stmt = self._expand_views(stmt, _view_seen)
 
         names = [n for n in self._known_names()
                  if self.table_exists(TableRef(table=n))]
@@ -1453,6 +1661,57 @@ class TxLogDataSource(BaseDataSource):
             if replaced:
                 self.read(TableRef(table=name)).createOrReplaceTempView(view)
         return "".join(segments)
+
+    def _mentions_ours(self, sql: str) -> bool:
+        """Whether ``sql`` references a txlog table or registered view
+        (outside string literals) — the claim probe for statements
+        Spark could otherwise own (CREATE VIEW)."""
+        import re
+
+        names = (set(self._known_names()) | set(self._known_views())
+                 | set(self._temp_views()))
+        if not names:
+            return False
+        segments = re.split(r"('(?:[^']|'')*')", sql)
+        for name in names:
+            pattern = re.compile(
+                rf"(?<![\w.`])(?:`{re.escape(name)}`|{re.escape(name)})"
+                r"(?![\w`])"
+            )
+            if any(pattern.search(segments[i])
+                   for i in range(0, len(segments), 2)):
+                return True
+        return False
+
+    def _expand_views(self, stmt: str,
+                      _seen: frozenset = frozenset()) -> str:
+        """Re-materialize every registered txlog view the statement
+        references as a session temp view under its own name (its
+        stored SQL rewritten recursively — views over views work, a
+        cycle raises). The statement itself is returned unchanged:
+        the name now resolves."""
+        import re
+
+        views = {**self._known_views(), **self._temp_views()}
+        if not views:
+            return stmt
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        for name in sorted(views, key=len, reverse=True):
+            pattern = re.compile(
+                rf"(?<![\w.`])(?:`{re.escape(name)}`|{re.escape(name)})"
+                r"(?![\w`])"
+            )
+            if not any(pattern.search(segments[i])
+                       for i in range(0, len(segments), 2)):
+                continue
+            if name in _seen:
+                raise DataSourceException(
+                    f"view definition cycle through {name!r}"
+                )
+            self.spark.sql(
+                self._rewrite_query(views[name], _seen | {name})
+            ).createOrReplaceTempView(name)
+        return stmt
 
     def table_exists(self, ref: TableRef) -> bool:
         try:
@@ -1923,37 +2182,72 @@ class TxLogDataSource(BaseDataSource):
 
         return self._replay_carried(table, "copyLedgers", seed, fold, upto)
 
-    def _copy_loaded(self, table: str) -> set[str]:
-        """Source-file identities (absolute paths) already ingested by
-        COPY INTO — the union of every committed ledger. Driver memory
-        is O(files ever copied) path strings; at extreme ledger sizes
-        the set-difference this feeds can move to a distributed
-        anti-join over ``spark.read.parquet(ledgers)`` — the ledger
-        layout (one parquet per COPY run) already supports it."""
-        import pyarrow.parquet as pq  # noqa: PLC0415
-
-        loaded: set[str] = set()
+    def _copy_ledger_paths(self, table: str) -> list[str]:
+        """Absolute paths of every REFERENCED COPY INTO ledger,
+        existence-validated. Referenced ledgers are carried forward by
+        every checkpoint and orphan reaping only removes UNreferenced
+        ones, so a missing referenced ledger is log corruption —
+        silently skipping it would degrade exactly-once into silent
+        duplicate reloads, so it fails loudly instead (mirrors the
+        missing-sidecar error in _checkpoint_adds)."""
+        out = []
         for rel in self._copy_ledger_refs(table):
             p = os.path.join(_log_path(table), rel)
-            try:
-                loaded.update(
-                    pq.read_table(p, columns=["path"])
-                    .column("path").to_pylist()
-                )
-            except FileNotFoundError:
-                # Referenced ledgers are carried forward by every
-                # checkpoint and orphan reaping only removes
-                # UNreferenced ones, so a missing referenced ledger is
-                # log corruption. Silently skipping would degrade
-                # exactly-once into silent duplicate reloads — fail
-                # loudly instead (mirrors the missing-sidecar error in
-                # _checkpoint_adds).
+            if not os.path.isfile(p):
                 raise DataSourceException(
                     f"COPY INTO ledger {rel!r} referenced by the log of "
                     f"{table!r} is missing — log corruption; restore the "
                     "ledger or FORCE-reload after auditing for duplicates"
-                ) from None
+                )
+            out.append(p)
+        return out
+
+    def _copy_loaded(self, table: str) -> set[str]:
+        """Source-file identities (absolute paths) already ingested by
+        COPY INTO — the union of every committed ledger, materialized
+        on the driver (the small-ledger path; see
+        :meth:`_copy_new_files` for the distributed form)."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        loaded: set[str] = set()
+        for p in self._copy_ledger_paths(table):
+            loaded.update(
+                pq.read_table(p, columns=["path"])
+                .column("path").to_pylist()
+            )
         return loaded
+
+    def _copy_new_files(self, table: str,
+                        discovered: list[tuple[str, int, int]],
+                        ) -> list[tuple[str, int, int]]:
+        """``discovered`` minus the files a committed COPY already
+        loaded. Small ledgers resolve as a driver set-difference; once
+        the accumulated ledger row count (footer metadata only — no
+        data read on the sizing probe) passes COPY_LEDGER_DRIVER_MAX,
+        the difference runs as a DISTRIBUTED left-anti join over the
+        ledger parquet files: the candidate batch (O(batch)) comes
+        back to the driver, the ledger (O(files ever copied)) never
+        does — the 100-TB landing zone drip-fed for years stays
+        ingestible by a driver of any size."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        paths = self._copy_ledger_paths(table)
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        if total <= COPY_LEDGER_DRIVER_MAX:
+            loaded = self._copy_loaded(table)
+            return [t for t in discovered if t[0] not in loaded]
+        disc = self.spark.createDataFrame(
+            [(t[0],) for t in discovered], "path string"
+        )
+        led = self.spark.read.parquet(*paths).select("path")
+        # left-anti with the huge ledger on the RIGHT: Spark shuffles
+        # both sides on path (never broadcasts the ledger); the result
+        # is bounded by the discovered batch
+        fresh = {
+            r["path"]
+            for r in disc.join(led, "path", "left_anti").collect()
+        }
+        return [t for t in discovered if t[0] in fresh]
 
     def _maybe_checkpoint(self, table: str, version: int) -> None:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
@@ -2013,6 +2307,12 @@ class TxLogDataSource(BaseDataSource):
                 # the deletion-vector pointer (null = plain scan)
                 "dv_json": pa.array(
                     [json.dumps(a["dv"]) if a.get("dv") else None
+                     for a in adds], pa.string()),
+                # liquid-clustering stamp: incremental cluster passes
+                # and the auto-cluster trigger count debt from it
+                "clustered_by": pa.array(
+                    [json.dumps(a["clusteredBy"], sort_keys=True)
+                     if a.get("clusteredBy") else None
                      for a in adds], pa.string()),
             }
             for c in snap.partition_cols:
@@ -2409,6 +2709,27 @@ class TxLogDataSource(BaseDataSource):
         snap = resolve_snapshot(table)
         if snap is None:
             raise DataSourceException(f"txlog table {table!r} does not exist")
+        if CLUSTER_BY_KEY in props or CLUSTER_STRATEGY_KEY in props:
+            # validate and normalize at DDL time so the ingest-path
+            # trigger never meets a malformed property
+            merged = {**snap.configuration,
+                      **{k: str(v) for k, v in props.items()}}
+            cols, strategy = self._parse_cluster_property(merged) or ([], "")
+            known = {f.name for f in snap.schema.fields}
+            bad = [c for c in cols if c not in known]
+            if not cols or bad:
+                raise DataSourceException(
+                    f"'{CLUSTER_BY_KEY}' must name existing columns "
+                    f"(got {props.get(CLUSTER_BY_KEY)!r}"
+                    + (f"; unknown: {bad}" if bad else "") + ")"
+                )
+            if strategy not in ("range", "zorder", "hilbert"):
+                raise DataSourceException(
+                    f"'{CLUSTER_STRATEGY_KEY}' must be range, zorder or "
+                    f"hilbert (got {strategy!r})"
+                )
+            if CLUSTER_BY_KEY in props:
+                props = {**props, CLUSTER_BY_KEY: json.dumps(cols)}
         config = {**snap.configuration,
                   **{k: str(v) for k, v in props.items()}}
         schema_json = snap.schema_json
@@ -3601,8 +3922,8 @@ class TxLogDataSource(BaseDataSource):
             # window — the winner's stamp would satisfy the freshly
             # read epoch while the stale ledger omitted its files.
             epoch = self._txn_stamps(table).get(self.COPY_APP_ID, -1) + 1
-            loaded = set() if force else self._copy_loaded(table)
-            new = [t for t in discovered if t[0] not in loaded]
+            new = (list(discovered) if force
+                   else self._copy_new_files(table, discovered))
             if not new:
                 return (0, 0)
             df = self._read_copy_source(table, fmt, [t[0] for t in new],
@@ -4590,6 +4911,7 @@ class TxLogDataSource(BaseDataSource):
 
     AUTO_COMPACT_KEY = "autoCompact"
     AUTO_COMPACT_MIN_FILES = 16
+    AUTO_CLUSTER_MIN_FILES = 8
 
     def _maybe_auto_compact(self, ref: TableRef,
                             configuration: dict[str, str]) -> None:
@@ -4599,10 +4921,59 @@ class TxLogDataSource(BaseDataSource):
         Best-effort by design — a concurrent writer winning the version
         race just means compaction happens on a later write; the append
         that triggered it has already durably committed."""
-        if configuration.get(self.AUTO_COMPACT_KEY, "").lower() != "true":
+        if configuration.get(self.AUTO_COMPACT_KEY, "").lower() == "true":
+            try:
+                self.optimize(ref, min_files=self.AUTO_COMPACT_MIN_FILES)
+            except ConcurrentWriteException:
+                pass
+        self._maybe_auto_cluster(ref, configuration)
+
+    @staticmethod
+    def _parse_cluster_property(configuration: dict[str, str],
+                                ) -> tuple[list[str], str] | None:
+        """(columns, strategy) from the ``clusterBy`` /
+        ``clusterBy.strategy`` table properties — JSON list or
+        comma-separated names; None when unset."""
+        raw = configuration.get(CLUSTER_BY_KEY)
+        if not raw:
+            return None
+        try:
+            cols = json.loads(raw)
+        except ValueError:
+            cols = [c.strip() for c in raw.split(",") if c.strip()]
+        if not isinstance(cols, list):
+            cols = [cols]
+        return ([str(c) for c in cols],
+                configuration.get(CLUSTER_STRATEGY_KEY, "range"))
+
+    def _maybe_auto_cluster(self, ref: TableRef,
+                            configuration: dict[str, str]) -> None:
+        """Liquid-clustering auto-maintenance (Delta's clustered-table
+        ingest behavior): a table whose ``clusterBy`` property names
+        layout columns keeps its layout fresh WITHOUT an operator
+        invoking `cluster` — after a successful append, once the
+        unclustered debt (files without the current stamp, counted
+        from the typed metadata plane — no add deserialization)
+        reaches AUTO_CLUSTER_MIN_FILES, an incremental pass re-lays-out
+        exactly those files. Cost is O(new data) per trigger, never
+        O(table); best-effort like autoCompact (a lost version race
+        just defers the pass to a later write)."""
+        parsed = self._parse_cluster_property(configuration)
+        if parsed is None:
+            return
+        cluster_by, strategy = parsed
+        snap = resolve_snapshot(self._table_path(ref))
+        if snap is None:
+            return
+        stamp = self._cluster_stamp(cluster_by, strategy)
+        stamps = _files_field(snap, "clustered_by", "clusteredBy",
+                              decode=True)
+        debt = sum(1 for s in stamps.values() if s != stamp)
+        if debt < self.AUTO_CLUSTER_MIN_FILES:
             return
         try:
-            self.optimize(ref, min_files=self.AUTO_COMPACT_MIN_FILES)
+            self.cluster(ref, cluster_by, strategy=strategy,
+                         incremental=True)
         except ConcurrentWriteException:
             pass
 
@@ -4796,10 +5167,9 @@ class TxLogDataSource(BaseDataSource):
             raise DataSourceException(f"txlog table {table!r} does not exist")
         stamp = self._cluster_stamp(cluster_by, strategy)
         if incremental:
-            scope = sorted(
-                p for p, a in snap.files.items()
-                if a.get("clusteredBy") != stamp
-            )
+            stamps = _files_field(snap, "clustered_by", "clusteredBy",
+                                  decode=True)
+            scope = sorted(p for p, s in stamps.items() if s != stamp)
             if not scope:
                 return 0  # converged: no commit
         else:
