@@ -37,11 +37,11 @@ FAMILY_REPRESENTATIVES = [
     "wealthy_idle_customers",   # scalar subquery + NOT EXISTS
     "corpus_vocab_overlap",     # pairwise source vocabulary Jaccard
     "stream_stateful_user_stats",
-    "copy_into_ingest",         # NEW r8s2: COPY INTO idempotent file
-                                # ingestion — anti-ledger load-only-
-                                # what's-new (takes incremental_dedup's
-                                # slot: the same left-anti-vs-persisted-
-                                # store algebra, 5 straight greens)
+    "partition_stats_metadata", # NEW r9: SHOW PARTITIONS + metadata-
+                                # only per-partition profile (reference
+                                # D1; takes copy_into_ingest's slot —
+                                # first-round green r8, ledger algebra
+                                # pinned by the 25-test copy_into suite)
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
@@ -74,12 +74,13 @@ FAMILY_REPRESENTATIVES = [
                                 # pruned probe search vs closed-form oracle
     "bloom_point_lookup",       # Bloom file-skipping sidecar
     "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
-    "row_tracking_lineage",     # NEW r8: row tracking — stable row ids
-                                # through UPDATE/DELETE/OPTIMIZE, id-join
-                                # lineage audit (takes the twice-green
-                                # stream_ivm_join_view slot; that family
-                                # is held by join_view_refresh +
-                                # stream_quantile_sketch, both head)
+    "simhash_near_dups",        # re-promoted r9: stalest driver hash
+                                # in the registry (last row r02) — a
+                                # fresh row re-pins the near-dup
+                                # family's third variant (takes
+                                # row_tracking_lineage's slot: first-
+                                # round green r8, protocol pinned by
+                                # the 14-test invariant suite)
     "events_resampled_locf",    # per-key dense grid + LOCF (as-of family;
                                 # the interpolation twin demoted r7 — same
                                 # per-key explode kernel)
@@ -88,13 +89,12 @@ FAMILY_REPRESENTATIVES = [
     "token_budget_selection",   # budget cut via distributed running sum
     "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
     "bigram_collocations",      # PMI collocation mining
-    "convert_time_travel",      # NEW r8: CONVERT TO TXLOG (atomic adopt
-                                # of plain parquet, footer stats riding)
-                                # + CoW DML + time travel to version 0
-                                # (takes quantile_sketch_store's slot —
-                                # that family is held by
-                                # stream_quantile_sketch, the same store
-                                # through exactly-once streaming ingest)
+    "or_delete_skipping",       # NEW r9: OR-of-conjuncts data skipping
+                                # through a CoW DELETE — the reference's
+                                # own replaceWhere predicate shape
+                                # (takes convert_time_travel's slot:
+                                # first-round green r8; the travel
+                                # family keeps txlog_restore_roundtrip)
     "hard_negative_mining",     # banded-similarity contrastive negatives
     "filter_attribution",       # first-fail C4/Gopher rule attribution
     "corpus_shuffle_shards",    # deterministic shuffle + shard manifest
@@ -105,11 +105,12 @@ FAMILY_REPRESENTATIVES = [
     "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
                                 # metadata subtraction + CDF mask delta
                                 # (demoted: quantity_cube, 4 straight greens)
-    "sql_dml_flow",             # NEW r8: pure-SQL write lifecycle (CTAS +
-                                # INSERT INTO SELECT + full MERGE INTO
-                                # clause matrix) with the 4-type cdc audit
-                                # (supersedes cdf_update_feed's head slot —
-                                # same feed audit over a richer merge)
+    "sql_view_flow",            # NEW r9: CREATE VIEW / TEMPORARY VIEW
+                                # with query-time re-expansion over the
+                                # SQL dispatcher (takes sql_dml_flow's
+                                # slot: first-round green r8; the MERGE
+                                # grammar stays pinned by the 31-test
+                                # sql_dml suite)
     "default_identity_ingest",  # NEW r7: dense identity allocation +
                                 # column DEFAULTs (id SET deterministic)
 ]

@@ -622,3 +622,31 @@ def test_create_view_validates_and_guards_cycles(spark, ds):
         ds.drop_view("vwv_a")
     finally:
         ds.drop_table(TableRef(table=name))
+
+
+def test_show_views_and_describe_view(spark, ds):
+    name, v = "svw_t", "svw_view"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int, v int) USING txlog")
+    try:
+        ds._execute_statement(f"INSERT INTO {name} VALUES (1, 10)")
+        ds._execute_statement(
+            f"CREATE VIEW {v} AS SELECT pk, v * 2 AS v2 FROM {name}"
+        )
+        ds._execute_statement(
+            f"CREATE TEMPORARY VIEW {v}_tmp AS SELECT pk FROM {v}"
+        )
+        out = ds._execute_statement("SHOW VIEWS")
+        # Spark's listing shape, with both registries present
+        assert out.columns == ["namespace", "viewName", "isTemporary"]
+        rows = {(r.viewName, r.isTemporary) for r in out.collect()}
+        assert (v, False) in rows and (f"{v}_tmp", True) in rows
+        desc = ds._execute_statement(f"DESCRIBE VIEW {v}").collect()
+        got = {r.col_name: r.data_type for r in desc}
+        assert got["pk"] == "int" and got["v2"] == "int"
+        assert name in got["# definition"]
+        with pytest.raises(DataSourceException, match="unknown view"):
+            ds.describe_view("nope_view")
+    finally:
+        ds._execute_statement(f"DROP VIEW IF EXISTS {v}_tmp")
+        ds._execute_statement(f"DROP VIEW IF EXISTS {v}")
+        ds.drop_table(TableRef(table=name))

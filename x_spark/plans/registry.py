@@ -72,6 +72,38 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-9 rotation (standing rule: last round's first-round-green
+    # head landings step down as this round's additions take their
+    # first-round head slots — or_delete_skipping (OR-of-conjuncts
+    # data skipping through DELETE, the reference's own replaceWhere
+    # shape), partition_stats_metadata (SHOW PARTITIONS + metadata-
+    # only per-partition profile, reference D1), sql_view_flow
+    # (CREATE VIEW / TEMPORARY VIEW with query-time re-expansion)):
+    "sql_dml_flow",            # green r08 (head, first round); the
+                               # SQL write-lifecycle family keeps
+                               # sql_view_flow (head — the same
+                               # dispatcher driving CTAS + INSERT +
+                               # view DDL) and the MERGE grammar stays
+                               # pinned by the 31-test sql_dml suite
+    "convert_time_travel",     # green r08 (head, first round); the
+                               # adopted-table DML + time-travel
+                               # family keeps txlog_restore_roundtrip
+                               # (head) on the travel side and
+                               # or_delete_skipping (head) re-runs the
+                               # same CoW DELETE kernel under a
+                               # strictly richer predicate
+    "row_tracking_lineage",    # green r08 (head, first round); the
+                               # row-id protocol surface is pinned by
+                               # the 14-test invariant suite; the
+                               # lifecycle audit stays hash-checked in
+                               # the local oracle-parity run
+    "copy_into_ingest",        # green r08 (head, first round); the
+                               # exactly-once ingest family keeps
+                               # stream_upsert_totals_txlog +
+                               # stream_quantile_sketch (head) on the
+                               # txn-stamp side; the ledger algebra is
+                               # pinned by the 25-test copy_into suite
+                               # incl. the round-9 race + anti-join
     # Round-8 session-2 rotation: copy_into_ingest (COPY INTO — Delta's
     # idempotent bulk-ingestion verb; ledger-tracked exactly-once file
     # loading, re-COPY no-op pinned in the hash) enters the head in its
@@ -457,8 +489,10 @@ _TAIL = [
     "dup_components",          # components: green r01+r02; dedup_survivors
                                # (head) runs the same iterative kernel;
                                # semantic_dedup_survivors re-runs it too
-    "simhash_near_dups",       # near-dup: green r01+r02; minhash + embedding
-                               # variants keep the family head-checked
+    # round-9 re-promotion: simhash_near_dups returns to the head —
+    # the rotation freed a 50th slot (4 demotions vs 3 additions) and
+    # its last driver row is r02, the stalest hash evidence in the
+    # registry; a fresh row re-pins the near-dup family's third variant
     "ann_topk_pandas",         # exact top-k: green r01+r02; hash-identical to
                                # ann_topk_bruteforce; ann_topk_bucketed keeps
                                # the ANN head slot

@@ -1981,6 +1981,198 @@ def q_row_tracking_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_or_delete_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjuncts data skipping through a real DELETE (Delta's
+    disjunction rule): a txlog table clustered on l_orderkey (tight
+    per-file footer ranges) takes a DELETE whose predicate is an OR of
+    range conjuncts — candidate selection excludes a file only when
+    EVERY disjunct is provably false on its stats, and the survivors
+    must equal the declarative complement. The reference's own
+    generated replaceWhere predicate is exactly this OR-of-ranges
+    shape (etl/overwrite.py:27-33). Result: per-returnflag survivor
+    profile."""
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_ordel_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "li"))
+        base = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 5 == 0
+        ).select("l_orderkey", "l_partkey", "l_quantity",
+                 "l_returnflag", "l_extendedprice")
+        ds.create(ref, base.schema)
+        ds.append(base, ref)
+        ds.cluster(ref, ["l_orderkey"], target_files=8)
+        ds.delete(
+            ref,
+            "(l_orderkey < 600) "
+            "OR (l_orderkey >= 4000 AND l_orderkey < 4600) "
+            "OR (l_quantity <= 2 AND l_orderkey >= 5000)",
+        )
+        return (
+            ds.read(ref).groupBy("l_returnflag").agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("l_extendedprice").alias("sum_price"),
+                F.min("l_orderkey").cast("bigint").alias("min_ok"),
+                F.max("l_orderkey").cast("bigint").alias("max_ok"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_OR_DELETE_SKIPPING = """
+WITH base AS (
+  SELECT l_orderkey, l_quantity, l_returnflag, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 5 = 0
+),
+survivors AS (
+  SELECT * FROM base
+  WHERE NOT ((l_orderkey < 600)
+             OR (l_orderkey >= 4000 AND l_orderkey < 4600)
+             OR (l_quantity <= 2 AND l_orderkey >= 5000))
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_price,
+       CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(max(l_orderkey) AS BIGINT) AS max_ok
+FROM survivors GROUP BY l_returnflag
+"""
+
+
+def q_partition_stats_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition discovery + per-partition profile from the METADATA
+    plane alone (reference D1 — ``SHOW PARTITIONS`` at
+    etl/overwrite.py:10-18 — plus the typed-sidecar pv/num_records
+    columns): neither surface opens a data file, which is what lets a
+    100-TB ingest dashboard poll partition health for free. SHOW
+    PARTITIONS supplies the typed tuple list, partition_stats the
+    per-partition row counts; the result must equal the declarative
+    GROUP BY over the data."""
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_pstats_")
+    try:
+        ds = TxLogDataSource(spark)
+        ref = TableRef(path=os.path.join(workdir, "ord"))
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        ds.create(ref, base.schema, partition_by=["o_orderpriority"])
+        # two appends: partitions hold several files, metadata must sum
+        ds.append(base.filter(F.col("o_orderkey") % 2 == 0), ref)
+        ds.append(base.filter(F.col("o_orderkey") % 2 == 1), ref)
+        parts = ds.show_partitions(ref)
+        n_parts = parts.count()
+        return (
+            ds.partition_stats(ref)
+            .select(
+                "o_orderpriority",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.lit(n_parts).cast("bigint").alias("n_parts"),
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_PARTITION_STATS_METADATA = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
+            AS BIGINT) AS n_parts
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sql_view_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW / TEMPORARY VIEW over txlog names: definitions
+    store raw SQL and re-expand at QUERY time, so a view created
+    BEFORE an insert reads the post-insert state (Spark/Delta view
+    semantics, never creation-time freezing), and a temp view over
+    the view exercises recursive expansion. Result: the view-over-view
+    segment profile."""
+    import uuid
+
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    ds = TxLogDataSource(spark)
+    tag = uuid.uuid4().hex[:8]
+    t, v, w = f"vwf_t_{tag}", f"vwf_v_{tag}", f"vwf_w_{tag}"
+    src = f"cust_src_{tag}"
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(src)
+    try:
+        ds.sql(
+            f"CREATE TABLE {t} USING txlog AS "
+            "SELECT c_custkey, c_mktsegment, c_acctbal "
+            f"FROM {src} WHERE c_custkey % 3 = 0"
+        )
+        # the view is defined BEFORE the second insert lands
+        ds.sql(
+            f"CREATE VIEW {v} AS SELECT c_mktsegment, c_acctbal, "
+            f"c_custkey FROM {t} WHERE c_acctbal > 0"
+        )
+        ds.sql(
+            f"INSERT INTO {t} SELECT c_custkey, c_mktsegment, "
+            f"c_acctbal FROM {src} WHERE c_custkey % 3 = 1"
+        )
+        ds.sql(
+            f"CREATE TEMPORARY VIEW {w} AS "
+            f"SELECT c_mktsegment, c_acctbal FROM {v} "
+            "WHERE c_custkey % 2 = 0"
+        )
+        return (
+            ds.sql(
+                f"SELECT c_mktsegment, count(*) AS n_rows, "
+                f"sum(CAST(c_acctbal AS DECIMAL(30,6))) AS bal "
+                f"FROM {w} GROUP BY c_mktsegment"
+            )
+            .select(
+                "c_mktsegment",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("bal").cast("double").alias("sum_bal"),
+            )
+            # materialize before table and views are dropped
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ds.sql(f"DROP VIEW IF EXISTS {w}")
+        ds.sql(f"DROP VIEW IF EXISTS {v}")
+        ds.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.dropTempView(src)
+
+
+ORACLE_SQL_VIEW_FLOW = """
+WITH t AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_custkey % 3 IN (0, 1)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+FROM t WHERE c_acctbal > 0 AND c_custkey % 2 = 0
+GROUP BY c_mktsegment
+"""
+
+
 ORACLE_ROW_TRACKING_LINEAGE = """
 WITH base AS (
   SELECT c_custkey, c_mktsegment, c_acctbal
@@ -2263,6 +2455,9 @@ RELATIONAL_QUERIES = {
     "sql_dml_flow": q_sql_dml_flow,
     "convert_time_travel": q_convert_time_travel,
     "row_tracking_lineage": q_row_tracking_lineage,
+    "or_delete_skipping": q_or_delete_skipping,
+    "partition_stats_metadata": q_partition_stats_metadata,
+    "sql_view_flow": q_sql_view_flow,
     "copy_into_ingest": q_copy_into_ingest,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
@@ -2304,6 +2499,9 @@ RELATIONAL_ORACLES = {
     "sql_dml_flow": ORACLE_SQL_DML_FLOW,
     "convert_time_travel": ORACLE_CONVERT_TIME_TRAVEL,
     "row_tracking_lineage": ORACLE_ROW_TRACKING_LINEAGE,
+    "or_delete_skipping": ORACLE_OR_DELETE_SKIPPING,
+    "partition_stats_metadata": ORACLE_PARTITION_STATS_METADATA,
+    "sql_view_flow": ORACLE_SQL_VIEW_FLOW,
     "copy_into_ingest": ORACLE_COPY_INTO_INGEST,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,

@@ -1010,6 +1010,38 @@ class TxLogDataSource(BaseDataSource):
             json.dump(views, fh)
         os.replace(tmp, vf)
 
+    def show_views(self) -> DataFrame:
+        """``SHOW VIEWS``: the session's Spark-catalog views UNIONed
+        with the txlog view registry (persistent + session temp), in
+        Spark's (namespace, viewName, isTemporary) shape — one listing
+        surface for both worlds."""
+        ours = [("", n, False) for n in sorted(self._known_views())]
+        ours += [("", n, True) for n in sorted(self._temp_views())]
+        mine = self.spark.createDataFrame(
+            ours or [("", "", True)],
+            "namespace string, viewName string, isTemporary boolean",
+        )
+        if not ours:
+            mine = mine.limit(0)
+        return self.spark.sql("SHOW VIEWS").unionByName(mine)
+
+    def describe_view(self, name: str) -> DataFrame:
+        """``DESCRIBE VIEW v``: the view's resolved columns (analyzed
+        from the stored SQL against CURRENT snapshots) followed by a
+        ``# definition`` metadata row carrying the raw stored SQL —
+        the read-back that lets a user audit what a registered view
+        will actually do."""
+        name = _normalize_ident(name)
+        views = {**self._known_views(), **self._temp_views()}
+        if name not in views:
+            raise DataSourceException(f"unknown view {name!r}")
+        schema = self.spark.sql(self._rewrite_query(views[name])).schema
+        rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        rows += [("# definition", views[name])]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string"
+        )
+
     def show_partitions(self, ref: TableRef) -> DataFrame:
         """``SHOW PARTITIONS`` (reference D1 — etl/overwrite.py:10-18
         reads the result's ``.columns`` for the partition column names
@@ -1043,6 +1075,53 @@ class TxLogDataSource(BaseDataSource):
         return self.spark.createDataFrame(rows, str_schema).select(
             *[F.col(c).cast(by_name[c].dataType).alias(c)
               for c in snap.partition_cols]
+        )
+
+    def partition_stats(self, ref: TableRef) -> DataFrame:
+        """Per-partition profile — typed partition columns plus
+        ``n_files`` and ``n_rows`` — computed ENTIRELY from the
+        metadata plane (the pv and num_records typed sidecar columns /
+        add metadata): the partition-level dashboard a 100-TB ingest
+        polls without opening a single data file. Rows masked by
+        deletion vectors are still counted (footer counts, Delta's
+        numRecords convention)."""
+        table = self._table_path(ref)
+        snap = resolve_snapshot(table)
+        if snap is None:
+            raise DataSourceException(
+                f"txlog table {table!r} does not exist"
+            )
+        if not snap.partition_cols:
+            raise DataSourceException(
+                f"table {table!r} is not partitioned"
+            )
+        pmap = _physical_map(snap.schema)
+        pv_phys = [pmap.get(c, c) for c in snap.partition_cols]
+        paths, _, pvs = _files_meta(snap, {}, pv_phys)
+        nrec = _files_field(snap, "num_records", "numRecords")
+        agg: dict[tuple, list[int]] = {}
+        for i, p in enumerate(paths):
+            key = tuple(pvs[c][i] for c in pv_phys)
+            cell = agg.setdefault(key, [0, 0])
+            cell[0] += 1
+            cell[1] += int(nrec.get(p) or 0)
+        rows = [
+            (*k, v[0], v[1]) for k, v in sorted(
+                agg.items(),
+                key=lambda kv: tuple(
+                    "" if x is None else str(x) for x in kv[0]
+                ),
+            )
+        ]
+        by_name = {f.name: f for f in snap.schema.fields}
+        schema = ", ".join(
+            [f"`{c}` string" for c in snap.partition_cols]
+            + ["n_files bigint", "n_rows bigint"]
+        )
+        return self.spark.createDataFrame(rows, schema).select(
+            *[F.col(c).cast(by_name[c].dataType).alias(c)
+              for c in snap.partition_cols],
+            "n_files", "n_rows",
         )
 
     def drop_table(self, ref: TableRef, if_exists: bool = True) -> None:
@@ -1532,6 +1611,17 @@ class TxLogDataSource(BaseDataSource):
         }:
             self.drop_view(m.group(2), if_exists=bool(m.group(1)))
             return done
+        # SHOW VIEWS — spark catalog views + the txlog registries
+        if re.fullmatch(r"\s*show\s+views\s*", stmt, re.I):
+            return self.show_views()
+        # DESCRIBE VIEW v — ours when v is a registered view
+        m = re.fullmatch(
+            rf"\s*desc(?:ribe)?\s+view\s+{ident}\s*", stmt, re.I
+        )
+        if m and _normalize_ident(m.group(1)) in {
+            **self._known_views(), **self._temp_views()
+        }:
+            return self.describe_view(m.group(1))
         # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — the switch
         # that turns on e.g. deletion vectors (enableDeletionVectors)
         m = re.fullmatch(
