@@ -119,6 +119,12 @@ def canary(spark: SparkSession) -> float:
 CANARY_EVERY = 20          # battery queries between canary samples
 AMBIENT_SPREAD_BOUND = 1.8  # max/min canary spread above which the
 #                             window is NOT quiet and a freeze refuses
+# The spread catches BURSTY contention; STEADY background load passes
+# it while inflating every number uniformly (observed: canary floor
+# 0.47 s under a sustained co-tenant vs the 0.20-0.27 s this host
+# measures quiet — r9 probe log). The floor bound catches that case:
+# a freeze also refuses when even the FASTEST canary sample ran slow.
+AMBIENT_FLOOR_BOUND = 0.35  # sec; quiet-host canary floor is ~0.20-0.27
 
 
 def isolated_probe(name: str, sf_dir: str, cpus: str, runs: int) -> None:
@@ -227,8 +233,10 @@ def main() -> None:
     ambient = {
         "canary_samples": canary_samples,
         "spread": round(max(canary_samples) / min(canary_samples), 3),
-        "quiet": max(canary_samples) / min(canary_samples)
-        <= AMBIENT_SPREAD_BOUND,
+        "floor": min(canary_samples),
+        "quiet": (max(canary_samples) / min(canary_samples)
+                  <= AMBIENT_SPREAD_BOUND
+                  and min(canary_samples) <= AMBIENT_FLOOR_BOUND),
     }
     print(f"# ambient: {ambient}", file=sys.stderr)
 
@@ -312,8 +320,9 @@ def main() -> None:
     if (freeze and not ambient["quiet"]
             and os.environ.get("SPARK_GRAFT_BENCH_FREEZE_FORCE") != "1"):
         detail["freeze_refused"] = (
-            f"ambient canary spread {ambient['spread']} > "
-            f"{AMBIENT_SPREAD_BOUND} — window not quiet"
+            f"ambient canary spread {ambient['spread']} "
+            f"(bound {AMBIENT_SPREAD_BOUND}) / floor {ambient['floor']} "
+            f"(bound {AMBIENT_FLOOR_BOUND}) — window not quiet"
         )
         print(f"# {detail['freeze_refused']}", file=sys.stderr)
         freeze = False
