@@ -254,15 +254,17 @@ def main() -> None:
     # here in the artifact — battery-order effects and ambient bursts
     # are the dominant cause of >2x rows on this host (BASELINE §19),
     # and the isolated sample is the evidence that separates them from
-    # real regressions. Runs on freeze (the artifact that grades) or
-    # with SPARK_GRAFT_BENCH_ISOLATE=1.
+    # real regressions. Runs in EVERY bench run (round-9 verdict #1b:
+    # driver artifacts must carry their own per-row verdicts, not
+    # leave flagged rows un-adjudicated) — a probe is one query in a
+    # fresh JVM, so even 15 flagged rows stay bounded minutes. Opt out
+    # with SPARK_GRAFT_BENCH_ISOLATE=0 for quick iteration loops.
     base = load_baselines()
     flagged = sorted(
         n for n in timings if n in base and timings[n] > 2.0 * base[n]
     )
     isolated: dict[str, dict] = {}
-    if flagged and (freeze
-                    or os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") == "1"):
+    if flagged and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") != "0":
         import subprocess  # noqa: PLC0415
 
         for name in flagged:

@@ -650,3 +650,56 @@ def test_show_views_and_describe_view(spark, ds):
         ds._execute_statement(f"DROP VIEW IF EXISTS {v}_tmp")
         ds._execute_statement(f"DROP VIEW IF EXISTS {v}")
         ds.drop_table(TableRef(table=name))
+
+
+def test_view_expansion_never_clobbers_user_temp_view(spark, ds):
+    """Round-10 ADVICE: view expansion materializes under a MANGLED
+    temp-view name and substitutes it into the statement, so a user's
+    same-named session temp view survives txlog queries."""
+    name, v = "vwm_t", "vwm_view"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int, v int) USING txlog")
+    try:
+        ds._execute_statement(f"INSERT INTO {name} VALUES (1, 10), (2, 5)")
+        ds._execute_statement(
+            f"CREATE VIEW {v} AS SELECT sum(v) AS s FROM {name}"
+        )
+        # the user's OWN Spark temp view under the same identifier
+        spark.range(1).selectExpr("id AS marker").createOrReplaceTempView(v)
+        # txlog SQL referencing the name resolves to the txlog view...
+        assert ds._execute_statement(
+            f"SELECT s FROM {v}"
+        ).collect()[0][0] == 15
+        # ...while the user's temp view is untouched (pre-fix the
+        # expansion ran createOrReplaceTempView under the RAW name)
+        assert spark.table(v).columns == ["marker"]
+    finally:
+        spark.catalog.dropTempView(v)
+        ds._execute_statement(f"DROP VIEW IF EXISTS {v}")
+        ds.drop_table(TableRef(table=name))
+
+
+def test_rename_to_rejects_view_name_collision(spark, ds):
+    """Round-10 ADVICE: RENAME TO must not hand one identifier to both
+    registries (view expansion would then shadow the renamed table)."""
+    name, v = "rnv_t", "rnv_view"
+    ds._execute_statement(f"CREATE TABLE {name} (pk int) USING txlog")
+    try:
+        ds._execute_statement(f"INSERT INTO {name} VALUES (1)")
+        ds._execute_statement(
+            f"CREATE VIEW {v} AS SELECT pk FROM {name}"
+        )
+        with pytest.raises(DataSourceException, match="VIEW"):
+            ds._execute_statement(f"ALTER TABLE {name} RENAME TO {v}")
+        ds._execute_statement(
+            f"CREATE TEMPORARY VIEW {v}_tmp AS SELECT pk FROM {name}"
+        )
+        with pytest.raises(DataSourceException, match="VIEW"):
+            ds.rename_table(TableRef(table=name), f"{v}_tmp")
+        # table still addressable under its original name
+        assert ds._execute_statement(
+            f"SELECT pk FROM {name}"
+        ).collect()[0][0] == 1
+    finally:
+        ds._execute_statement(f"DROP VIEW IF EXISTS {v}_tmp")
+        ds._execute_statement(f"DROP VIEW IF EXISTS {v}")
+        ds.drop_table(TableRef(table=name))

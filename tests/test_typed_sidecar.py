@@ -404,3 +404,41 @@ def test_or_pruning_typed_and_dict_agree(spark, ds, tmp_path, monkeypatch):
         a = ds._files_matching_predicate(ref.path, lazy, pred)
         b = ds._files_matching_predicate(ref.path, twin, pred)
         assert a == b, f"typed/dict divergence for {pred!r}"
+
+
+# -- round-10: partition-predicate pre-check (log-clean no-pruning path) -----
+
+
+def test_partition_only_predicate_precheck():
+    from x_spark.sources.txlog import _partition_only_predicate as p
+
+    # partition-only shapes: pruning pass may run
+    assert p("part = 'a'", ["part"])
+    assert p("part IN ('a', 'b') AND d = 3", ["Part", "d"])
+    assert p("`part` = 'a' OR part IS NULL", ["part"])
+    assert p("year(part) = 2024", ["part"])  # function names skipped
+    assert p("CAST(part AS INT) BETWEEN 1 AND 2", ["part"])
+    assert p("part LIKE 'a%' AND NOT (part = 'b')", ["part"])
+    # non-partition references: skip pruning BEFORE JVM analysis
+    assert not p("pk = 3", ["part"])
+    assert not p("part = 'a' AND pk < 5", ["part"])
+    assert not p("t.part = 'a'", ["part"])  # qualified: frame is bare
+    assert not p("upper(name) = 'X'", ["part"])
+
+
+def test_non_partition_predicate_skips_jvm_partition_eval(
+        spark, ds, tmp_path, monkeypatch):
+    """A predicate over non-partition columns must take the no-pruning
+    path WITHOUT evaluating against a partition-tuple frame (pre-fix
+    that evaluation failed analysis and logged an ERROR stack trace
+    per occurrence)."""
+    ref = _sidecar_table(spark, ds, tmp_path, monkeypatch)
+    snap = resolve_snapshot(ref.path)
+    stats_only = ds._files_matching_predicate(ref.path, snap, "pk = 3")
+
+    def boom(*a, **k):
+        raise AssertionError("partition eval must not reach the JVM")
+
+    monkeypatch.setattr(ds.spark, "createDataFrame", boom)
+    got = ds._files_matching_predicate(ref.path, snap, "pk = 3")
+    assert got == stats_only  # stats skipping unaffected, no JVM eval

@@ -44,6 +44,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Mapping
@@ -57,7 +58,7 @@ from x_spark.sources.base import BaseDataSource, MergeSpec, TableRef
 LOG_DIR = "_txlog"
 CHECKPOINT_INTERVAL = 20
 # live sets at or above this size checkpoint their adds as a parquet
-# sidecar instead of inline JSON (see _checkpoint_adds)
+# sidecar instead of inline JSON (see _write_checkpoint / LazyAdds)
 CHECKPOINT_PARQUET_MIN = 256
 # COPY INTO ledgers holding more rows than this stop materializing on
 # the driver: the already-loaded set-difference becomes a distributed
@@ -421,31 +422,6 @@ def _parse_update_statement(stmt: str):
     return _normalize_ident(m.group(1)), assignments, predicate
 
 
-def _checkpoint_adds(table: str, ck: dict) -> list[dict]:
-    """The add-action list of a loaded checkpoint. Small checkpoints
-    inline it (``adds``); large ones reference a parquet sidecar
-    (``addsParquet`` — one snappy-compressed ``add_json`` string row
-    per live file), written because at millions of live files the
-    monolithic-JSON checkpoint becomes the metadata bottleneck: the
-    sidecar is a fraction of the size, row-group streamable, and
-    readable distributed (``spark.read.parquet`` + ``from_json``) when
-    a metadata-plane query outgrows the driver."""
-    if "addsParquet" not in ck:
-        return ck["adds"]
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
-    p = os.path.join(_log_path(table), ck["addsParquet"])
-    try:
-        rows = pq.read_table(p, columns=["add_json"]).column("add_json")
-    except FileNotFoundError as exc:
-        raise DataSourceException(
-            f"checkpoint sidecar {ck['addsParquet']!r} missing for "
-            f"{table!r} — the log directory was partially copied or "
-            "externally modified"
-        ) from exc
-    return [json.loads(s) for s in rows.to_pylist()]
-
-
 def _stat_sidecar_kind(declared) -> str | None:
     """Arrow carrier kind for a column's min/max in the TYPED sidecar:
     ``int`` (integral types), ``float`` (float/double), ``str``
@@ -492,6 +468,53 @@ def _typed_stat(kind: str, raw):
     return None
 
 
+# words a predicate may contain that are never column references:
+# operators/keywords, literal prefixes, CAST targets. Anything NOT here
+# (and not called as a function) must be a partition column for the
+# partition-pruning pass to run — see _partition_only_predicate.
+_SQL_NONCOLUMN_WORDS = frozenset("""
+and or not in is null between like ilike rlike regexp true false
+date timestamp timestamp_ntz interval cast as case when then else end
+distinct exists all any some escape div
+int integer bigint smallint tinyint float double real decimal numeric
+string boolean varchar char binary
+""".split())
+
+
+def _partition_only_predicate(predicate: str,
+                              partition_cols: list[str]) -> bool:
+    """Cheap driver-side pre-check that every column reference in
+    ``predicate`` is a partition column. Predicates referencing
+    non-partition columns must skip partition-value pruning (correct:
+    pruning is an optimization), and deciding that by letting JVM
+    analysis fail logs a full ERROR stack trace per occurrence — this
+    check keeps a 100-TB job's logs clean on every non-partition
+    predicate. Conservative by construction: an identifier that is not
+    a keyword, not immediately called as a function, not a number, and
+    not a partition column — or any dotted qualifier — returns False
+    (no pruning, always sound). A predicate passing this check still
+    evaluates under the exception backstop, so a false positive cannot
+    mis-prune."""
+    parts = {c.lower() for c in partition_cols}
+    segs = re.split(r"('(?:[^']|'')*')", predicate)
+    for i in range(0, len(segs), 2):
+        seg = segs[i]
+        for m in re.finditer(r"`([^`]+)`|\b([A-Za-z_]\w*)\b", seg):
+            ident = (m.group(1) or m.group(2))
+            rest = seg[m.end():].lstrip()
+            before = seg[:m.start()].rstrip()
+            if before.endswith(".") or rest.startswith("."):
+                return False  # qualified name: frame has bare names
+            if m.group(2) is not None:
+                if rest.startswith("("):
+                    continue  # function call
+                if ident.lower() in _SQL_NONCOLUMN_WORDS:
+                    continue
+            if ident.lower() not in parts:
+                return False
+    return True
+
+
 class LazyAdds(Mapping):
     """The live file set of a sidecar-backed snapshot, JSON-parse
     deferred. Three access tiers, each touching only what it needs:
@@ -511,6 +534,16 @@ class LazyAdds(Mapping):
     or None for a remove) — bounded by CHECKPOINT_INTERVAL commits, so
     the merge is O(tail), never O(live set). Pre-typed sidecars (no
     ``path`` column) degrade to the materialized tier transparently.
+
+    SNAPSHOT LIFETIME: unlike the old eager parse, a resolved snapshot
+    is backed by the sidecar FILE on disk, so it stays valid only while
+    that file exists. clean_log's floor refresh may supersede the
+    sidecar, but the superseded file is reaped strictly age-guarded
+    (``_reap_log_orphans``: only past ``min_age_sec``, default 600 s) —
+    a snapshot is therefore safe for any read shorter than the vacuum
+    retention window, the same contract Delta gives data files. Hold a
+    snapshot longer than ``min_age_sec`` across a concurrent
+    ``clean_log`` and ``_read`` fails loudly (never silently changes).
     """
 
     def __init__(self, table: str, sidecar: str,
@@ -521,6 +554,7 @@ class LazyAdds(Mapping):
         self._cols: set[str] | None = None
         self._live: list[str] | None = None
         self._live_set: frozenset[str] | None = None
+        self._base: dict[str, dict] | None = None
         self._full: dict[str, dict] | None = None
         self._dv: dict[str, dict | None] | None = None
 
@@ -535,7 +569,10 @@ class LazyAdds(Mapping):
                 f"checkpoint sidecar "
                 f"{os.path.basename(self._sidecar)!r} missing for "
                 f"{self._table!r} — the log directory was partially "
-                "copied or externally modified"
+                "copied or externally modified, or this snapshot "
+                "outlived clean_log's sidecar retention window "
+                "(min_age_sec) across a concurrent clean_log; "
+                "re-resolve the snapshot"
             ) from exc
 
     def sidecar_columns(self) -> set[str]:
@@ -586,12 +623,18 @@ class LazyAdds(Mapping):
         return key in self._live_set
 
     def _materialize_base(self) -> dict[str, dict]:
-        """path -> add for the SIDECAR rows only (no overrides)."""
-        adds = [
-            json.loads(s)
-            for s in self._read(["add_json"]).column("add_json").to_pylist()
-        ]
-        return {a["path"]: a for a in adds}
+        """path -> add for the SIDECAR rows only (no overrides).
+        Cached: a pre-typed sidecar routes _ensure_live through here
+        too, and re-reading + re-json.loads-ing the whole add_json
+        column for a later value access would double the parse cost."""
+        if self._base is None:
+            adds = [
+                json.loads(s)
+                for s in self._read(["add_json"])
+                .column("add_json").to_pylist()
+            ]
+            self._base = {a["path"]: a for a in adds}
+        return self._base
 
     def _materialize(self) -> dict[str, dict]:
         if self._full is None:
@@ -930,6 +973,13 @@ class TxLogDataSource(BaseDataSource):
         if new_name in names:
             raise DataSourceException(
                 f"txlog table {new_name!r} already exists"
+            )
+        # mirror create_view's table-name guard in reverse: one
+        # identifier must never be owned by both registries, or view
+        # expansion would shadow the renamed table
+        if new_name in self._known_views() or new_name in self._temp_views():
+            raise DataSourceException(
+                f"{new_name!r} is a txlog VIEW — pick another table name"
             )
         names[new_name] = names.pop(ref.table)  # type: ignore[arg-type]
         nf = self._names_file()
@@ -1776,10 +1826,13 @@ class TxLogDataSource(BaseDataSource):
     def _expand_views(self, stmt: str,
                       _seen: frozenset = frozenset()) -> str:
         """Re-materialize every registered txlog view the statement
-        references as a session temp view under its own name (its
-        stored SQL rewritten recursively — views over views work, a
-        cycle raises). The statement itself is returned unchanged:
-        the name now resolves."""
+        references as a MANGLED session temp view
+        (``__txlog_view_<name>``) and substitute the mangled name into
+        the statement — the same shadow-avoidance table rewrites use,
+        so a user's same-named Spark temp view is never clobbered.
+        Definitions rewrite recursively (views over views work, a
+        cycle raises) and re-expand at QUERY time, so the view always
+        reads the current snapshot."""
         import re
 
         views = {**self._known_views(), **self._temp_views()}
@@ -1798,10 +1851,13 @@ class TxLogDataSource(BaseDataSource):
                 raise DataSourceException(
                     f"view definition cycle through {name!r}"
                 )
+            view = "__txlog_view_" + re.sub(r"\W", "_", name)
             self.spark.sql(
                 self._rewrite_query(views[name], _seen | {name})
-            ).createOrReplaceTempView(name)
-        return stmt
+            ).createOrReplaceTempView(view)
+            for i in range(0, len(segments), 2):
+                segments[i] = pattern.sub(view, segments[i])
+        return "".join(segments)
 
     def table_exists(self, ref: TableRef) -> bool:
         try:
@@ -2279,7 +2335,7 @@ class TxLogDataSource(BaseDataSource):
         ones, so a missing referenced ledger is log corruption —
         silently skipping it would degrade exactly-once into silent
         duplicate reloads, so it fails loudly instead (mirrors the
-        missing-sidecar error in _checkpoint_adds)."""
+        missing-sidecar error in LazyAdds._read)."""
         out = []
         for rel in self._copy_ledger_refs(table):
             p = os.path.join(_log_path(table), rel)
@@ -2363,7 +2419,7 @@ class TxLogDataSource(BaseDataSource):
         }
         if len(adds) >= CHECKPOINT_PARQUET_MIN:
             # large live set: the adds go to a parquet sidecar (see
-            # _checkpoint_adds). Sidecar lands BEFORE the JSON that
+            # LazyAdds). Sidecar lands BEFORE the JSON that
             # references it, so a reader can never see a dangling
             # reference; an orphan from a failed JSON publish is inert
             # and reaped by clean_log.
@@ -5382,7 +5438,12 @@ class TxLogDataSource(BaseDataSource):
         adds-sidecars whose owner JSON is gone — covering pruned
         checkpoints and failed publishes in one rule — and copy
         ledgers outside the carried reference list. Needs no floor, so
-        clean_log runs it even when there is nothing to prune."""
+        clean_log runs it even when there is nothing to prune.
+
+        The ``min_age_sec`` guard doubles as the LazyAdds snapshot-
+        lifetime contract: a resolved snapshot keeps reading its
+        (possibly superseded) sidecar safely for at least that long —
+        see the LazyAdds class docstring."""
         for fname in os.listdir(_log_path(table)):
             if not fname.endswith(".checkpoint.adds.parquet"):
                 continue
@@ -6455,6 +6516,8 @@ class TxLogDataSource(BaseDataSource):
         rels = [paths[i] for i in idx]
         if not snap.partition_cols or not rels:
             return rels
+        if not _partition_only_predicate(predicate, snap.partition_cols):
+            return rels  # references non-partition columns: no pruning
         by_name = {f.name: f for f in snap.schema.fields}
         part_fields = [by_name[c] for c in snap.partition_cols]
         rows = [
@@ -6476,7 +6539,9 @@ class TxLogDataSource(BaseDataSource):
                 "_match", F.coalesce(F.expr(predicate), F.lit(False))
             ).collect()
         except Exception:
-            # predicate references non-partition columns: no pruning
+            # backstop for shapes the pre-check above can't see (e.g.
+            # a partition-named lambda variable): no pruning, correct
+            # by the same rule
             return rels
         return [rel for rel, row in zip(rels, flags) if row["_match"]]
 
