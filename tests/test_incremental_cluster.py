@@ -212,3 +212,68 @@ def test_cluster_property_ddl_validation(spark, ds, tmp_path):
     snap = resolve_snapshot(ref.path)
     assert snap.configuration["clusterBy"] == '["a", "b"]'
     assert snap.configuration["clusterBy.strategy"] == "hilbert"
+
+
+def test_auto_cluster_per_partition_scope(spark, ds, tmp_path,
+                                          monkeypatch):
+    """Round-10: per-partition convergence stamps. Ingest churn in ONE
+    partition triggers clustering of that partition alone — unstamped
+    files in cold partitions are never re-read or rewritten (pinned
+    byte-identical), so enabling clusterBy on a pre-existing table
+    can't make an ingest fire an O(table) rewrite."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    sch = "a int, part string, s string"
+    ref = TableRef(path=str(tmp_path / "pp"))
+    ds.create(ref, T._parse_datatype_string(sch), partition_by=["part"])
+
+    def batch(lo, hi, part):
+        return spark.createDataFrame(
+            [(i, part, f"r{i}") for i in range(lo, hi)], sch
+        ).coalesce(1)
+
+    # cold partition: 2 unstamped files — below the (lowered) threshold
+    ds.append(batch(0, 10, "cold"), ref)
+    ds.append(batch(10, 20, "cold"), ref)
+    ds.set_properties(ref, {"clusterBy": '["a"]'})
+    monkeypatch.setattr(type(ds), "AUTO_CLUSTER_MIN_FILES", 3)
+
+    def file_hashes(part):
+        snap = resolve_snapshot(ref.path)
+        out = {}
+        for p, a in dict(snap.files).items():
+            if (a.get("partitionValues") or {}).get("part") == part:
+                with open(os.path.join(ref.path, p), "rb") as fh:
+                    out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    cold_before = file_hashes("cold")
+    assert len(cold_before) == 2
+
+    # hot partition: 3 single-file appends -> debt 3 in 'hot' ALONE
+    # (old table-wide counting would have fired at the FIRST hot
+    # append: 2 cold + 1 hot = 3)
+    ds.append(batch(100, 110, "hot"), ref)
+    ds.append(batch(110, 120, "hot"), ref)
+    ds.append(batch(120, 130, "hot"), ref)
+
+    snap = resolve_snapshot(ref.path)
+    files = dict(snap.files)
+    stamp = {"cols": ["a"], "strategy": "range"}
+    hot = {p: a for p, a in files.items()
+           if (a.get("partitionValues") or {}).get("part") == "hot"}
+    assert hot, "hot partition lost its files"
+    assert all(a.get("clusteredBy") == stamp for a in hot.values()), \
+        "hot partition did not converge"
+    # cold partition: same paths, same bytes, still unstamped
+    assert file_hashes("cold") == cold_before
+    cold = {p: a for p, a in files.items()
+            if (a.get("partitionValues") or {}).get("part") == "cold"}
+    assert all(a.get("clusteredBy") is None for a in cold.values())
+    # nothing lost
+    assert ds.read(ref).count() == 50
+    got = ds.read(ref).filter(F.col("part") == "hot").count()
+    assert got == 30

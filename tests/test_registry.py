@@ -37,11 +37,14 @@ FAMILY_REPRESENTATIVES = [
     "wealthy_idle_customers",   # scalar subquery + NOT EXISTS
     "corpus_vocab_overlap",     # pairwise source vocabulary Jaccard
     "stream_stateful_user_stats",
-    "partition_stats_metadata", # NEW r9: SHOW PARTITIONS + metadata-
-                                # only per-partition profile (reference
-                                # D1; takes copy_into_ingest's slot —
-                                # first-round green r8, ledger algebra
-                                # pinned by the 25-test copy_into suite)
+    # partition_stats_metadata demoted r10 (first-round green r9; the
+    # metadata-only-read family keeps txlog_restore_roundtrip +
+    # txlog_version_diff; SHOW PARTITIONS pinned by test_sql_dml) —
+    # slot went to approx_profile_gate
+    "approx_profile_gate",      # NEW r10: the 100-TB APPROX profile
+                                # plan (one shared HLL+sketch pass),
+                                # portable metrics hash-checked + a
+                                # sketch-invariant gate row
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
@@ -74,13 +77,11 @@ FAMILY_REPRESENTATIVES = [
                                 # pruned probe search vs closed-form oracle
     "bloom_point_lookup",       # Bloom file-skipping sidecar
     "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
-    "simhash_near_dups",        # re-promoted r9: stalest driver hash
-                                # in the registry (last row r02) — a
-                                # fresh row re-pins the near-dup
-                                # family's third variant (takes
-                                # row_tracking_lineage's slot: first-
-                                # round green r8, protocol pinned by
-                                # the 14-test invariant suite)
+    # simhash_near_dups re-promoted r9 for a fresh row (green r09),
+    # demoted again r10 — slot went to trimmed_price_stats (stalest
+    # remaining driver hash, last row r06)
+    "trimmed_price_stats",      # re-promoted r10: trimmed/winsorized
+                                # robust price stats (last row r06)
     "events_resampled_locf",    # per-key dense grid + LOCF (as-of family;
                                 # the interpolation twin demoted r7 — same
                                 # per-key explode kernel)
@@ -89,12 +90,11 @@ FAMILY_REPRESENTATIVES = [
     "token_budget_selection",   # budget cut via distributed running sum
     "doc_keywords_tfidf",       # per-doc TF-IDF keyword extraction
     "bigram_collocations",      # PMI collocation mining
-    "or_delete_skipping",       # NEW r9: OR-of-conjuncts data skipping
-                                # through a CoW DELETE — the reference's
-                                # own replaceWhere predicate shape
-                                # (takes convert_time_travel's slot:
-                                # first-round green r8; the travel
-                                # family keeps txlog_restore_roundtrip)
+    # or_delete_skipping demoted r10 (first-round green r9; the CoW
+    # DELETE + skipping family keeps dv_delete_scan, OR-pruning pinned
+    # by test_typed_sidecar) — slot went to price_histogram
+    "price_histogram",          # re-promoted r10: fixed-grid histogram
+                                # (last row r06)
     "hard_negative_mining",     # banded-similarity contrastive negatives
     "filter_attribution",       # first-fail C4/Gopher rule attribution
     "corpus_shuffle_shards",    # deterministic shuffle + shard manifest
@@ -105,12 +105,11 @@ FAMILY_REPRESENTATIVES = [
     "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
                                 # metadata subtraction + CDF mask delta
                                 # (demoted: quantity_cube, 4 straight greens)
-    "sql_view_flow",            # NEW r9: CREATE VIEW / TEMPORARY VIEW
-                                # with query-time re-expansion over the
-                                # SQL dispatcher (takes sql_dml_flow's
-                                # slot: first-round green r8; the MERGE
-                                # grammar stays pinned by the 31-test
-                                # sql_dml suite)
+    # sql_view_flow demoted r10 (first-round green r9; view
+    # re-expansion pinned by the 34-test sql_dml suite) — slot went to
+    # events_resampled_interp
+    "events_resampled_interp",  # re-promoted r10: interpolating
+                                # resample fill (last row r06)
     "default_identity_ingest",  # NEW r7: dense identity allocation +
                                 # column DEFAULTs (id SET deterministic)
 ]

@@ -72,6 +72,37 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-10 rotation (standing rule): last round's first-round-green
+    # head landings step down as this round's addition
+    # (approx_profile_gate — the 100-TB approx profile plan,
+    # hash-gated) and the three stalest once-checked tail flavors
+    # (events_resampled_interp, price_histogram, trimmed_price_stats —
+    # all last driver-checked r06) take head slots:
+    "or_delete_skipping",      # green r09 (head, first round); the
+                               # CoW DELETE + data-skipping family
+                               # keeps dv_delete_scan (head) and the
+                               # OR-of-conjuncts pruning algebra is
+                               # pinned by the adversarial OR-nesting
+                               # battery in test_typed_sidecar
+    "partition_stats_metadata",  # green r09 (head, first round); the
+                               # metadata-only-read family keeps
+                               # txlog_version_diff +
+                               # txlog_restore_roundtrip (head) on the
+                               # log-read side; SHOW PARTITIONS'
+                               # contract is pinned by test_sql_dml
+    "sql_view_flow",           # green r09 (head, first round); the
+                               # SQL dispatcher family keeps
+                               # default_identity_ingest +
+                               # schema_evolution_scan (head); view
+                               # re-expansion (now mangled, round-10
+                               # ADVICE) is pinned by the 34-test
+                               # sql_dml suite
+    "simhash_near_dups",       # green r09 (re-promoted, fresh row);
+                               # the near-dup family keeps
+                               # minhash_near_dups' kernel locally
+                               # checked and embedding_near_dups
+                               # (head); three variants never need
+                               # three head slots at once
     # Round-9 rotation (standing rule: last round's first-round-green
     # head landings step down as this round's additions take their
     # first-round head slots — or_delete_skipping (OR-of-conjuncts
@@ -163,9 +194,8 @@ _TAIL = [
     # family keeps ANOTHER head representative step down so the 13
     # never-driver-checked promotions of this round's rotation all
     # stay inside the 50-row window:
-    "trimmed_price_stats",     # green r06 (head); robust-stats family
-                               # held by price_histogram + profile_drift
-                               # + robust_outliers (all head)
+    # (round-10: trimmed_price_stats re-promoted to the head — last
+    # driver row r06, among the stalest hash evidence in the registry)
     "stream_ivm_user_totals",  # green r05+r06 (head); the exactly-once
                                # epoch-stamped ingest + maintained-view
                                # family keeps TWO head reps:
@@ -174,18 +204,10 @@ _TAIL = [
                                # machinery plus dim churn) and the NEW
                                # stream_quantile_sketch (same foreachBatch
                                # txn-stamped ingest into the sketch store)
-    "price_histogram",         # green r06 (head); histogram family now
-                               # held by quantile_sketch_store (head,
-                               # strictly stronger: the SAME fixed-grid
-                               # bucketing maintained as a lossless-
-                               # mergeable txlog sketch store + inverse-
-                               # CDF quantiles from merged counts) with
-                               # profile_drift + robust_outliers still
-                               # head-side for the distribution family
-    "events_resampled_interp", # green r06 (head); resampling family
-                               # held by events_resampled_locf (head) —
-                               # same per-key explode kernel, LOCF vs
-                               # interpolate differ only in the fill expr
+    # (round-10: price_histogram and events_resampled_interp
+    # re-promoted to the head — both last driver-checked r06; fresh
+    # rows re-pin the fixed-grid histogram and the interpolating
+    # resample fill)
     # ------------------------------------------------------------------
     # Round-7 rotation (verdict r6 task #1 — close the driver-check
     # book): the 13 oracle-backed queries that have NEVER had a driver
@@ -489,10 +511,8 @@ _TAIL = [
     "dup_components",          # components: green r01+r02; dedup_survivors
                                # (head) runs the same iterative kernel;
                                # semantic_dedup_survivors re-runs it too
-    # round-9 re-promotion: simhash_near_dups returns to the head —
-    # the rotation freed a 50th slot (4 demotions vs 3 additions) and
-    # its last driver row is r02, the stalest hash evidence in the
-    # registry; a fresh row re-pins the near-dup family's third variant
+    # (round-9 re-promoted simhash_near_dups for a fresh row — green
+    # r09 — and round-10 demoted it again; see the top of this list)
     "ann_topk_pandas",         # exact top-k: green r01+r02; hash-identical to
                                # ann_topk_bruteforce; ann_topk_bucketed keeps
                                # the ANN head slot

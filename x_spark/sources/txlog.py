@@ -60,10 +60,20 @@ CHECKPOINT_INTERVAL = 20
 # live sets at or above this size checkpoint their adds as a parquet
 # sidecar instead of inline JSON (see _write_checkpoint / LazyAdds)
 CHECKPOINT_PARQUET_MIN = 256
+# commits carrying at least this many add actions write them as a
+# parquet BATCH sidecar referenced by one addBatch action instead of
+# N JSON lines — the multi-part-checkpoint idea applied to the TAIL,
+# so replaying a huge write between checkpoints is a lazy columnar
+# scan, never a driver-side JSON parse loop (see _commit / LazyAdds)
+COMMIT_PARQUET_MIN = 256
 # COPY INTO ledgers holding more rows than this stop materializing on
 # the driver: the already-loaded set-difference becomes a distributed
 # left-anti join (see _copy_new_files)
 COPY_LEDGER_DRIVER_MAX = 100_000
+# publishes staging at least this many files collect their parquet
+# footer stats EXECUTOR-side (parallelize + per-file footer read)
+# instead of a driver loop (see _collect_footer_stats)
+FOOTER_STATS_DISTRIBUTED_MIN = 64
 # liquid-clustering table properties: clusterBy names the layout
 # columns (JSON list), clusterBy.strategy the curve (default range);
 # ingest then auto-maintains the layout (see _maybe_auto_cluster)
@@ -468,6 +478,140 @@ def _typed_stat(kind: str, raw):
     return None
 
 
+def _publish_adds_sidecar(dest: str, adds: list[dict], schema,
+                          partition_cols: list[str]) -> None:
+    """Write a TYPED adds sidecar (checkpoint or commit batch) to
+    ``dest`` via tmp+rename: typed columns alongside the lossless
+    ``add_json`` (replay truth) — the metadata plane (candidate
+    pruning, pv matching, file counts) reads just the columns it
+    needs (column-pruned, vectorizable, distributable via
+    ``spark.read.parquet`` when the driver outgrows it) and never
+    deserializes an add. This is Delta's stats_parsed /
+    partitionValues_parsed checkpoint design."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    pmap = _physical_map(schema)
+    pa_kind = {"int": pa.int64(), "float": pa.float64(),
+               "str": pa.string()}
+    cols: dict = {
+        "path": pa.array([a["path"] for a in adds], pa.string()),
+        "size": pa.array(
+            [None if a.get("size") is None else int(a["size"])
+             for a in adds], pa.int64()),
+        "num_records": pa.array(
+            [None if a.get("numRecords") is None
+             else int(a["numRecords"]) for a in adds],
+            pa.int64()),
+        # the scan plane's one per-file need besides the path:
+        # the deletion-vector pointer (null = plain scan)
+        "dv_json": pa.array(
+            [json.dumps(a["dv"]) if a.get("dv") else None
+             for a in adds], pa.string()),
+        # liquid-clustering stamp: incremental cluster passes
+        # and the auto-cluster trigger count debt from it
+        "clustered_by": pa.array(
+            [json.dumps(a["clusteredBy"], sort_keys=True)
+             if a.get("clusteredBy") else None
+             for a in adds], pa.string()),
+    }
+    for c in partition_cols:
+        phys = pmap.get(c, c)
+        cols[f"pv::{phys}"] = pa.array(
+            [(lambda v: None if v is None else str(v))(
+                (a.get("partitionValues") or {}).get(phys))
+             for a in adds], pa.string())
+    for f in schema.fields:
+        k = _stat_sidecar_kind(f.dataType)
+        if k is None:
+            continue
+        phys = pmap.get(f.name, f.name)
+        for bound, key in (("min", "minValues"),
+                           ("max", "maxValues")):
+            cols[f"{bound}::{phys}"] = pa.array(
+                [_typed_stat(
+                    k, ((a.get("stats") or {}).get(key) or {})
+                    .get(phys)) for a in adds], pa_kind[k])
+    cols["add_json"] = pa.array(
+        [json.dumps(a, default=str) for a in adds], pa.string())
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, dest)
+
+
+def _footer_stats_of(path: str) -> tuple[int, dict]:
+    """(row count, {minValues, maxValues}) from the parquet footer —
+    collected once at write time, used for merge/delete file skipping.
+    Non-primitive and statless columns are omitted (consumers treat a
+    missing bound as 'could match'). Module-level and self-contained
+    so large publishes can run it EXECUTOR-side (cloudpickled by
+    reference into a mapPartitions over the staged file list)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested: no row-level skipping
+                continue
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError for
+                # types it cannot extract (DECIMAL statistics) —
+                # has_min_max alone does not guarantee access;
+                # the column simply gets no skipping bounds
+                continue
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return md.num_rows, {"minValues": mins, "maxValues": maxs}
+
+
+def _read_batch_adds(table: str, batch: dict) -> list[dict]:
+    """The parsed add actions of one ``addBatch`` reference — bulk
+    columnar read, for flows that need per-action granularity (CDF,
+    streaming admission, vacuum); snapshot resolution instead layers
+    the batch lazily through LazyAdds."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    p = os.path.join(_log_path(table), batch["parquet"])
+    try:
+        rows = pq.read_table(p, columns=["add_json"]).column("add_json")
+    except FileNotFoundError as exc:
+        raise DataSourceException(
+            f"commit batch sidecar {batch['parquet']!r} missing for "
+            f"{table!r} — the log directory was partially copied or "
+            "externally modified"
+        ) from exc
+    return [json.loads(s) for s in rows.to_pylist()]
+
+
+def iter_commit_actions(table: str, fname: str):
+    """Yield one commit's actions in order, expanding any ``addBatch``
+    parquet reference back into its add actions — the uniform reader
+    for per-action consumers (CDF derivation, streaming admission,
+    vacuum candidates)."""
+    with open(os.path.join(_log_path(table), fname)) as fh:
+        for line in fh:
+            action = json.loads(line)
+            if "addBatch" in action:
+                for a in _read_batch_adds(table, action["addBatch"]):
+                    yield {"add": a}
+            else:
+                yield action
+
+
 # words a predicate may contain that are never column references:
 # operators/keywords, literal prefixes, CAST targets. Anything NOT here
 # (and not called as a function) must be a partition column for the
@@ -519,7 +663,7 @@ class LazyAdds(Mapping):
     """The live file set of a sidecar-backed snapshot, JSON-parse
     deferred. Three access tiers, each touching only what it needs:
 
-    - iteration / ``len`` / ``in`` read the sidecar's ``path`` column
+    - iteration / ``len`` / ``in`` read the sidecars' ``path`` column
       (no JSON);
     - the metadata plane (:meth:`meta`) reads the TYPED stat columns
       (``min::<phys>`` / ``max::<phys>`` / ``pv::<phys>`` /
@@ -530,14 +674,20 @@ class LazyAdds(Mapping):
       (bulk ``add_json`` read + json.loads), paid only by flows that
       truly rewrite files.
 
-    Post-checkpoint commits ride in ``overrides`` (path -> add dict,
-    or None for a remove) — bounded by CHECKPOINT_INTERVAL commits, so
-    the merge is O(tail), never O(live set). Pre-typed sidecars (no
-    ``path`` column) degrade to the materialized tier transparently.
+    The live set is an ordered stack of LAYERS, merged later-wins:
+    ``("sidecar", path)`` — a parquet adds sidecar (the checkpoint's,
+    or a large commit's batch — Delta's multi-part-checkpoint
+    analogue applied to the tail, so a 100k-file write replays as a
+    columnar scan, never 100k driver-side json.loads) — and
+    ``("delta", {path: add|None})`` — small-commit adds/removes in
+    replay order. The tail is bounded by CHECKPOINT_INTERVAL commits,
+    so the merge is O(tail sidecars + small-commit actions), never
+    O(live set). A pre-typed sidecar (no ``path`` column) degrades
+    every lazy tier to the materialized one transparently.
 
     SNAPSHOT LIFETIME: unlike the old eager parse, a resolved snapshot
-    is backed by the sidecar FILE on disk, so it stays valid only while
-    that file exists. clean_log's floor refresh may supersede the
+    is backed by the sidecar FILEs on disk, so it stays valid only
+    while those files exist. clean_log's floor refresh may supersede a
     sidecar, but the superseded file is reaped strictly age-guarded
     (``_reap_log_orphans``: only past ``min_age_sec``, default 600 s) —
     a snapshot is therefore safe for any read shorter than the vacuum
@@ -546,28 +696,29 @@ class LazyAdds(Mapping):
     ``clean_log`` and ``_read`` fails loudly (never silently changes).
     """
 
-    def __init__(self, table: str, sidecar: str,
-                 overrides: dict[str, dict | None]):
+    def __init__(self, table: str,
+                 layers: list[tuple[str, object]]):
         self._table = table
-        self._sidecar = sidecar
-        self._over = overrides
+        self._layers = layers
         self._cols: set[str] | None = None
         self._live: list[str] | None = None
         self._live_set: frozenset[str] | None = None
-        self._base: dict[str, dict] | None = None
         self._full: dict[str, dict] | None = None
         self._dv: dict[str, dict | None] | None = None
 
     # -- sidecar IO ----------------------------------------------------
-    def _read(self, columns: list[str]):
+    def _sidecar_paths(self) -> list[str]:
+        return [p for kind, p in self._layers if kind == "sidecar"]
+
+    def _read_one(self, sidecar: str, columns: list[str]):
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         try:
-            return pq.read_table(self._sidecar, columns=columns)
+            return pq.read_table(sidecar, columns=columns)
         except FileNotFoundError as exc:
             raise DataSourceException(
-                f"checkpoint sidecar "
-                f"{os.path.basename(self._sidecar)!r} missing for "
+                f"adds sidecar "
+                f"{os.path.basename(sidecar)!r} missing for "
                 f"{self._table!r} — the log directory was partially "
                 "copied or externally modified, or this snapshot "
                 "outlived clean_log's sidecar retention window "
@@ -576,37 +727,63 @@ class LazyAdds(Mapping):
             ) from exc
 
     def sidecar_columns(self) -> set[str]:
-        """Column names present in the sidecar (footer-only read)."""
+        """Column names present in EVERY sidecar layer (footer-only
+        reads) — the intersection, so a column one layer predates
+        falls back to the materialized tier rather than serving
+        part-missing values."""
         if self._cols is None:
             import pyarrow.parquet as pq  # noqa: PLC0415
 
-            try:
-                self._cols = set(
-                    pq.ParquetFile(self._sidecar).schema_arrow.names
-                )
-            except FileNotFoundError as exc:
-                raise DataSourceException(
-                    f"checkpoint sidecar "
-                    f"{os.path.basename(self._sidecar)!r} missing for "
-                    f"{self._table!r} — the log directory was partially "
-                    "copied or externally modified"
-                ) from exc
+            cols: set[str] | None = None
+            for sidecar in self._sidecar_paths():
+                try:
+                    names = set(
+                        pq.ParquetFile(sidecar).schema_arrow.names
+                    )
+                except FileNotFoundError as exc:
+                    raise DataSourceException(
+                        f"adds sidecar "
+                        f"{os.path.basename(sidecar)!r} missing for "
+                        f"{self._table!r} — the log directory was "
+                        "partially copied or externally modified"
+                    ) from exc
+                cols = names if cols is None else (cols & names)
+            self._cols = cols or set()
         return self._cols
 
     def typed(self) -> bool:
         return "path" in self.sidecar_columns()
+
+    # -- layered merge core ---------------------------------------------
+    def _fold(self, sidecar_cols: list[str], sidecar_row, delta_val):
+        """Merge the layer stack into ``{path: value}``, later layer
+        wins: sidecar layers contribute ``sidecar_row(zipped column
+        values)`` per row (columns read column-pruned), delta layers
+        ``delta_val(add)`` per surviving add (None = remove)."""
+        out: dict[str, object] = {}
+        for kind, payload in self._layers:
+            if kind == "sidecar":
+                t = self._read_one(payload, ["path", *sidecar_cols])
+                cols = [t.column(c).to_pylist() for c in sidecar_cols]
+                for i, p in enumerate(t.column("path").to_pylist()):
+                    out[p] = sidecar_row(*(c[i] for c in cols))
+            else:
+                for p, a in payload.items():
+                    if a is None:
+                        out.pop(p, None)
+                    else:
+                        out[p] = delta_val(a)
+        return out
 
     # -- Mapping protocol ----------------------------------------------
     def _ensure_live(self) -> None:
         if self._live is not None:
             return
         if self.typed():
-            base = self._read(["path"]).column("path").to_pylist()
+            alive = self._fold([], lambda: True, lambda a: True)
+            live = list(alive)
         else:  # pre-typed sidecar: add_json is the only path source
-            base = list(self._materialize_base())
-        over = self._over
-        live = [p for p in base if p not in over]
-        live += [p for p, a in over.items() if a is not None]
+            live = list(self._materialize())
         self._live = live
         self._live_set = frozenset(live)
 
@@ -622,63 +799,56 @@ class LazyAdds(Mapping):
         self._ensure_live()
         return key in self._live_set
 
-    def _materialize_base(self) -> dict[str, dict]:
-        """path -> add for the SIDECAR rows only (no overrides).
-        Cached: a pre-typed sidecar routes _ensure_live through here
-        too, and re-reading + re-json.loads-ing the whole add_json
-        column for a later value access would double the parse cost."""
-        if self._base is None:
-            adds = [
-                json.loads(s)
-                for s in self._read(["add_json"])
-                .column("add_json").to_pylist()
-            ]
-            self._base = {a["path"]: a for a in adds}
-        return self._base
-
     def _materialize(self) -> dict[str, dict]:
+        """The fully-parsed add dicts (bulk ``add_json`` read +
+        json.loads per sidecar layer, in layer order). Cached: paid
+        once, only by flows that truly need every dict. Pre-typed
+        sidecars have no ``path`` column — the parsed dict supplies
+        the key instead."""
         if self._full is None:
-            full = {
-                p: a for p, a in self._materialize_base().items()
-                if p not in self._over
-            }
-            for p, a in self._over.items():
-                if a is not None:
-                    full[p] = a
-            self._full = full
+            if self.typed():
+                self._full = self._fold(
+                    ["add_json"], lambda s: json.loads(s), lambda a: a
+                )
+            else:
+                out: dict[str, dict] = {}
+                for kind, payload in self._layers:
+                    if kind == "sidecar":
+                        col = self._read_one(
+                            payload, ["add_json"]
+                        ).column("add_json")
+                        for s in col.to_pylist():
+                            a = json.loads(s)
+                            out[a["path"]] = a
+                    else:
+                        for p, a in payload.items():
+                            if a is None:
+                                out.pop(p, None)
+                            else:
+                                out[p] = a
+                self._full = out
         return self._full
 
     def __getitem__(self, key):
-        if key in self._over:
-            a = self._over[key]
-            if a is None:
-                raise KeyError(key)
-            return a
         return self._materialize()[key]
 
     # -- metadata plane ------------------------------------------------
     def field_map(self, col: str, field: str,
                   decode: bool = False) -> dict[str, object]:
         """path -> one per-file metadata value for the live set, from
-        a typed sidecar column (tail overrides extracted from their
-        add dicts). A column the sidecar predates falls back to the
+        a typed sidecar column (delta-layer adds extracted from their
+        dicts). A column any sidecar predates falls back to the
         materialized dicts — correct, just unlazy."""
         if col not in self.sidecar_columns():
             return {
                 p: a.get(field) for p, a in self._materialize().items()
             }
-        t = self._read(["path", col])
-        over = self._over
-        out = {
-            p: (json.loads(v) if decode and v else v)
-            for p, v in zip(t.column("path").to_pylist(),
-                            t.column(col).to_pylist())
-            if p not in over
-        }
-        for p, a in over.items():
-            if a is not None:
-                out[p] = a.get(field)
-        return out
+        return self._fold(
+            [col],
+            (lambda v: json.loads(v) if v else None) if decode
+            else (lambda v: v),
+            lambda a: a.get(field),
+        )
 
     def dv_map(self) -> dict[str, dict | None]:
         """path -> deletion-vector dict (or None) for the live set —
@@ -694,47 +864,49 @@ class LazyAdds(Mapping):
                         dict[str, list]]:
         """``(paths, {phys: (mins, maxs)}, {phys: pv_values})`` for the
         live set, reading ONLY the typed sidecar columns the caller
-        names (``stat_kinds``: phys col -> carrier kind). Sidecar rows
-        overridden by the tail are dropped; tail adds append with
-        values extracted from their dicts. A requested column absent
-        from the sidecar (added after the checkpoint was written)
-        yields None bounds for sidecar rows — never-prune, safe."""
+        names (``stat_kinds``: phys col -> carrier kind), merged
+        across layers later-wins. A requested column absent from the
+        sidecars (added after they were written) yields None bounds
+        for sidecar rows — never-prune, safe."""
         have = self.sidecar_columns()
-        want = ["path"]
-        for c in stat_kinds:
-            want += [w for w in (f"min::{c}", f"max::{c}") if w in have]
-        want += [w for c in pv_phys if (w := f"pv::{c}") in have]
-        t = self._read(want)
-        base_paths = t.column("path").to_pylist()
-        over = self._over
-        keep = [i for i, p in enumerate(base_paths) if p not in over]
-        tail = [(p, a) for p, a in over.items() if a is not None]
-
-        def col(name: str, extract) -> list:
-            if name in have:
-                vals = t.column(name).to_pylist()
-                out = [vals[i] for i in keep]
-            else:
-                out = [None] * len(keep)
-            return out + [extract(a) for _, a in tail]
-
-        paths = [base_paths[i] for i in keep] + [p for p, _ in tail]
-        stats = {
-            c: (
-                col(f"min::{c}", lambda a, c=c, k=k: _typed_stat(
-                    k, ((a.get("stats") or {}).get("minValues") or {})
-                    .get(c))),
-                col(f"max::{c}", lambda a, c=c, k=k: _typed_stat(
-                    k, ((a.get("stats") or {}).get("maxValues") or {})
-                    .get(c))),
-            )
-            for c, k in stat_kinds.items()
-        }
-        pvs = {
-            c: col(f"pv::{c}", lambda a, c=c: (
+        names: list[str] = []
+        extractors = []
+        for c, k in stat_kinds.items():
+            names.append(f"min::{c}")
+            extractors.append(lambda a, c=c, k=k: _typed_stat(
+                k, ((a.get("stats") or {}).get("minValues") or {})
+                .get(c)))
+            names.append(f"max::{c}")
+            extractors.append(lambda a, c=c, k=k: _typed_stat(
+                k, ((a.get("stats") or {}).get("maxValues") or {})
+                .get(c)))
+        for c in pv_phys:
+            names.append(f"pv::{c}")
+            extractors.append(lambda a, c=c: (
                 a.get("partitionValues") or {}).get(c))
-            for c in pv_phys
+
+        sidecar_cols = [n for n in names if n in have]
+        idx = {n: sidecar_cols.index(n) for n in names if n in have}
+
+        def sidecar_row(*vals):
+            return tuple(
+                vals[idx[n]] if n in idx else None for n in names
+            )
+
+        def delta_val(a):
+            return tuple(ex(a) for ex in extractors)
+
+        rows = self._fold(sidecar_cols, sidecar_row, delta_val)
+        paths = list(rows)
+        columns = list(zip(*rows.values())) if rows else [
+            [] for _ in names
+        ]
+        by_name = dict(zip(names, (list(c) for c in columns)))
+        stats = {
+            c: (by_name[f"min::{c}"], by_name[f"max::{c}"])
+            for c in stat_kinds
         }
+        pvs = {c: by_name[f"pv::{c}"] for c in pv_phys}
         return paths, stats, pvs
 
 
@@ -829,7 +1001,11 @@ def _list_log(table: str) -> tuple[list[str], list[str]]:
 def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
     """Replay the log up to ``version`` (default: latest). Starts from
     the newest checkpoint at or below the target so replay cost is
-    bounded by CHECKPOINT_INTERVAL, not table age."""
+    bounded by CHECKPOINT_INTERVAL, not table age — and within that
+    tail, a large commit's adds live in a parquet BATCH sidecar
+    (``addBatch`` action) that replays as one lazy columnar layer, so
+    even a 100k-file write between checkpoints never json.loads its
+    adds on the driver."""
     commits, checkpoints = _list_log(table)
     if not commits:
         return None
@@ -838,13 +1014,15 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
         raise DataSourceException(
             f"version {version} does not exist for txlog table {table!r}"
         )
-    files: dict[str, dict] = {}
     schema_json: str | None = None
     part_cols: list[str] = []
     configuration: dict[str, str] = {}
     row_id_high = -1
     start = 0
-    sidecar: str | None = None
+    # ordered layer stack (see LazyAdds): ("sidecar", parquet path) |
+    # ("delta", {path: add|None}); stays a plain eager dict unless a
+    # sidecar layer appears anywhere
+    layers: list[tuple[str, object]] = []
     usable = [c for c in checkpoints if _version_of(c) <= target]
     if usable:
         with open(os.path.join(_log_path(table), usable[-1])) as fh:
@@ -855,15 +1033,23 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
         if "addsParquet" in ck:
             # sidecar-backed: defer the per-add json.loads — at
             # millions of live files that parse IS the snapshot-
-            # resolution bottleneck. Tail commits fold into an
-            # overrides dict (O(tail) <= CHECKPOINT_INTERVAL commits);
-            # LazyAdds merges on access.
-            sidecar = os.path.join(_log_path(table), ck["addsParquet"])
+            # resolution bottleneck.
+            layers.append(("sidecar",
+                           os.path.join(_log_path(table),
+                                        ck["addsParquet"])))
         else:
-            files = {a["path"]: a for a in ck["adds"]}
+            layers.append(
+                ("delta", {a["path"]: a for a in ck["adds"]})
+            )
         row_id_high = int(ck.get("rowIdHighWaterMark", -1))
         start = _version_of(usable[-1]) + 1
-    overrides: dict[str, dict | None] = {}
+
+    def delta() -> dict:
+        """The current trailing delta layer (created on demand)."""
+        if not layers or layers[-1][0] != "delta":
+            layers.append(("delta", {}))
+        return layers[-1][1]  # type: ignore[return-value]
+
     for fname in commits:
         v = _version_of(fname)
         if v < start or v > target:
@@ -878,15 +1064,13 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                         action["metaData"].get("configuration", {})
                     )
                 elif "add" in action:
-                    if sidecar is None:
-                        files[action["add"]["path"]] = action["add"]
-                    else:
-                        overrides[action["add"]["path"]] = action["add"]
+                    delta()[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    if sidecar is None:
-                        files.pop(action["remove"]["path"], None)
-                    else:
-                        overrides[action["remove"]["path"]] = None
+                    delta()[action["remove"]["path"]] = None
+                elif "addBatch" in action:
+                    layers.append(("sidecar", os.path.join(
+                        _log_path(table), action["addBatch"]["parquet"]
+                    )))
                 elif "rowIdHighWaterMark" in action:
                     # monotone: the mark never regresses, even through
                     # RESTORE (re-used ids would alias distinct rows)
@@ -895,8 +1079,17 @@ def resolve_snapshot(table: str, version: int | None = None) -> Snapshot | None:
                     )
     if schema_json is None:
         raise DataSourceException(f"txlog table {table!r} has no metaData action")
-    live = (LazyAdds(table, sidecar, overrides) if sidecar is not None
-            else files)
+    if any(kind == "sidecar" for kind, _ in layers):
+        live: Mapping = LazyAdds(table, layers)
+    else:
+        files: dict[str, dict] = {}
+        for _, d in layers:
+            for p, a in d.items():  # type: ignore[union-attr]
+                if a is None:
+                    files.pop(p, None)
+                else:
+                    files[p] = a
+        live = files
     return Snapshot(target, schema_json, part_cols, live, configuration,
                     row_id_high=row_id_high)
 
@@ -2182,6 +2375,9 @@ class TxLogDataSource(BaseDataSource):
         if txn is not None:
             info["txn"] = {"appId": txn[0], "version": int(txn[1])}
         actions = self._assign_row_ids(table, expected_version, actions)
+        actions, batch_side = self._maybe_batch_adds(
+            table, expected_version, actions
+        )
         payload = "".join(
             json.dumps(a, default=str) + "\n"
             for a in actions + [{"commitInfo": info}]
@@ -2189,6 +2385,12 @@ class TxLogDataSource(BaseDataSource):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as exc:
+            if batch_side is not None:
+                # lost the version race: this batch sidecar will never
+                # be referenced — reap it now (the age-guarded orphan
+                # sweep is the crash backstop)
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(_log_path(table), batch_side))
             raise ConcurrentWriteException(
                 f"version {expected_version} of {table!r} was committed "
                 f"concurrently (operation {operation})"
@@ -2197,6 +2399,49 @@ class TxLogDataSource(BaseDataSource):
             fh.write(payload)
         self._maybe_checkpoint(table, expected_version)
         return expected_version
+
+    def _maybe_batch_adds(self, table: str, expected_version: int,
+                          actions: list[dict],
+                          ) -> tuple[list[dict], str | None]:
+        """Convert a large commit's add actions into a TYPED parquet
+        batch sidecar referenced by one ``addBatch`` action (Delta's
+        multi-part-checkpoint idea applied to the tail): a 100k-file
+        COPY INTO / RESTORE / DV sweep then replays — and serves the
+        metadata plane — as a lazy columnar layer, never N driver-side
+        json.loads. The sidecar lands BEFORE the O_EXCL commit that
+        references it (uniquely named, so racing writers can't clobber
+        each other); a loser's orphan is reaped immediately on the
+        race, or age-guarded by clean_log after a crash."""
+        n_adds = sum(1 for a in actions if "add" in a)
+        if n_adds < COMMIT_PARQUET_MIN:
+            return actions, None
+        meta = next((a["metaData"] for a in actions if "metaData" in a),
+                    None)
+        if meta is not None:
+            schema = StructType.fromJson(json.loads(meta["schemaJson"]))
+            part_cols = meta["partitionColumns"]
+        else:
+            snap = resolve_snapshot(table)
+            if snap is None:  # first commit without metaData: caller
+                return actions, None  # bug, let the ordinary path error
+            schema, part_cols = snap.schema, snap.partition_cols
+        adds = [a["add"] for a in actions if "add" in a]
+        side = (f"{expected_version:020d}.commit.adds-"
+                f"{uuid.uuid4().hex[:8]}.parquet")
+        _publish_adds_sidecar(
+            os.path.join(_log_path(table), side), adds, schema, part_cols
+        )
+        batch = {"addBatch": {"parquet": side, "count": len(adds)}}
+        out: list[dict] = []
+        placed = False
+        for a in actions:
+            if "add" in a:
+                if not placed:  # batch rides at the FIRST add's slot,
+                    out.append(batch)  # preserving action order
+                    placed = True
+            else:
+                out.append(a)
+        return out, side
 
     def _assign_row_ids(self, table: str, expected_version: int,
                         actions: list[dict]) -> list[dict]:
@@ -2423,65 +2668,11 @@ class TxLogDataSource(BaseDataSource):
             # references it, so a reader can never see a dangling
             # reference; an orphan from a failed JSON publish is inert
             # and reaped by clean_log.
-            import pyarrow as pa  # noqa: PLC0415
-            import pyarrow.parquet as pq  # noqa: PLC0415
-
             side = f"{version:020d}.checkpoint.adds.parquet"
-            sfull = os.path.join(_log_path(table), side)
-            stmp = sfull + f".tmp-{uuid.uuid4().hex}"
-            # TYPED columns alongside the lossless add_json (replay
-            # truth): the metadata plane — candidate pruning, pv
-            # matching, file counts — reads just the columns it needs
-            # (column-pruned, vectorizable, distributable via
-            # spark.read.parquet when the driver outgrows it) and
-            # never deserializes an add. This is Delta's
-            # stats_parsed/partitionValues_parsed checkpoint design.
-            schema = snap.schema
-            pmap = _physical_map(schema)
-            pa_kind = {"int": pa.int64(), "float": pa.float64(),
-                       "str": pa.string()}
-            cols: dict = {
-                "path": pa.array([a["path"] for a in adds], pa.string()),
-                "size": pa.array(
-                    [None if a.get("size") is None else int(a["size"])
-                     for a in adds], pa.int64()),
-                "num_records": pa.array(
-                    [None if a.get("numRecords") is None
-                     else int(a["numRecords"]) for a in adds],
-                    pa.int64()),
-                # the scan plane's one per-file need besides the path:
-                # the deletion-vector pointer (null = plain scan)
-                "dv_json": pa.array(
-                    [json.dumps(a["dv"]) if a.get("dv") else None
-                     for a in adds], pa.string()),
-                # liquid-clustering stamp: incremental cluster passes
-                # and the auto-cluster trigger count debt from it
-                "clustered_by": pa.array(
-                    [json.dumps(a["clusteredBy"], sort_keys=True)
-                     if a.get("clusteredBy") else None
-                     for a in adds], pa.string()),
-            }
-            for c in snap.partition_cols:
-                phys = pmap.get(c, c)
-                cols[f"pv::{phys}"] = pa.array(
-                    [(lambda v: None if v is None else str(v))(
-                        (a.get("partitionValues") or {}).get(phys))
-                     for a in adds], pa.string())
-            for f in schema.fields:
-                k = _stat_sidecar_kind(f.dataType)
-                if k is None:
-                    continue
-                phys = pmap.get(f.name, f.name)
-                for bound, key in (("min", "minValues"),
-                                   ("max", "maxValues")):
-                    cols[f"{bound}::{phys}"] = pa.array(
-                        [_typed_stat(
-                            k, ((a.get("stats") or {}).get(key) or {})
-                            .get(phys)) for a in adds], pa_kind[k])
-            cols["add_json"] = pa.array(
-                [json.dumps(a, default=str) for a in adds], pa.string())
-            pq.write_table(pa.table(cols), stmp)
-            os.replace(stmp, sfull)
+            _publish_adds_sidecar(
+                os.path.join(_log_path(table), side),
+                adds, snap.schema, snap.partition_cols,
+            )
             ck["addsParquet"] = side
             ck["addCount"] = len(adds)
         else:
@@ -2562,41 +2753,71 @@ class TxLogDataSource(BaseDataSource):
         writer.parquet(staging)
         adds: list[dict] = []
         try:
+            staged: list[tuple[str, str]] = []  # (src, relpart)
             for root, _dirs, names in os.walk(staging):
-                for name in names:
-                    if not name.endswith(".parquet"):
-                        continue
-                    src = os.path.join(root, name)
-                    relpart = os.path.relpath(root, staging)
-                    part_values = self._parse_partition_values(
-                        relpart, write_part_cols
-                    )
-                    fname = f"part-{uuid.uuid4().hex}.parquet"
-                    rel = fname if relpart == "." else os.path.join(relpart, fname)
-                    dst = os.path.join(table, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    num_rows, stats = self._footer_stats(src)
-                    shutil.move(src, dst)
-                    # vacuum's retention guard measures age by mtime;
-                    # a move preserves the STAGING-write mtime, so a
-                    # long-running write could look old the moment it
-                    # publishes — restamp so age = time-since-publish
-                    os.utime(dst)
-                    adds.append(
-                        {
-                            "path": rel,
-                            "partitionValues": part_values,
-                            "numRecords": num_rows,
-                            # published byte size (Delta's add.size):
-                            # drives maxBytesPerTrigger admission and
-                            # size-aware maintenance without a stat call
-                            "size": os.path.getsize(dst),
-                            "stats": stats,
-                        }
-                    )
+                staged.extend(
+                    (os.path.join(root, name),
+                     os.path.relpath(root, staging))
+                    for name in names if name.endswith(".parquet")
+                )
+            # one batched stats pass (executor-side past the
+            # threshold) instead of a per-file read inside the loop:
+            # a 100k-file publish must not serialize 100k footer
+            # reads on one driver core
+            stats_by_src = self._collect_footer_stats(
+                [s for s, _ in staged]
+            )
+            for src, relpart in staged:
+                part_values = self._parse_partition_values(
+                    relpart, write_part_cols
+                )
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel = fname if relpart == "." else os.path.join(relpart, fname)
+                dst = os.path.join(table, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                num_rows, stats = stats_by_src[src]
+                shutil.move(src, dst)
+                # vacuum's retention guard measures age by mtime;
+                # a move preserves the STAGING-write mtime, so a
+                # long-running write could look old the moment it
+                # publishes — restamp so age = time-since-publish
+                os.utime(dst)
+                adds.append(
+                    {
+                        "path": rel,
+                        "partitionValues": part_values,
+                        "numRecords": num_rows,
+                        # published byte size (Delta's add.size):
+                        # drives maxBytesPerTrigger admission and
+                        # size-aware maintenance without a stat call
+                        "size": os.path.getsize(dst),
+                        "stats": stats,
+                    }
+                )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return adds
+
+    def _collect_footer_stats(
+            self, srcs: list[str]) -> dict[str, tuple[int, dict]]:
+        """src path -> (row count, {minValues, maxValues}) for every
+        staged file of a publish. Small batches read on the driver
+        (one footer each); batches of FOOTER_STATS_DISTRIBUTED_MIN or
+        more fan out EXECUTOR-side (``sc.parallelize`` +
+        :func:`_footer_stats_of` per file) — workers read only
+        FOOTERS, and each returns a few hundred bytes of bounds, so
+        the collect is O(batch metadata), never data. Results are
+        bit-identical to the driver loop (same function), pinned by
+        ``tests/test_commit_batch.py`` parity."""
+        if len(srcs) < FOOTER_STATS_DISTRIBUTED_MIN:
+            return {p: _footer_stats_of(p) for p in srcs}
+        sc = self.spark.sparkContext
+        n_slices = min(len(srcs), max(2, sc.defaultParallelism))
+        return dict(
+            sc.parallelize(srcs, n_slices)
+            .map(lambda p: (p, _footer_stats_of(p)))
+            .collect()
+        )
 
     def _enforce_constraints(self, df: DataFrame, table: str,
                              config: dict[str, str] | None = None) -> None:
@@ -3430,40 +3651,10 @@ class TxLogDataSource(BaseDataSource):
 
     @staticmethod
     def _footer_stats(path: str) -> tuple[int, dict]:
-        """(row count, {minValues, maxValues}) from the parquet footer —
-        collected once at write time, used for merge/delete file
-        skipping. Non-primitive and statless columns are omitted
-        (consumers treat a missing bound as 'could match')."""
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(path).metadata
-        mins: dict = {}
-        maxs: dict = {}
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                col = md.row_group(rg).column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                name = col.path_in_schema
-                if "." in name:  # nested: no row-level skipping
-                    continue
-                try:
-                    lo, hi = st.min, st.max
-                except Exception:
-                    # pyarrow raises ArrowNotImplementedError for
-                    # types it cannot extract (DECIMAL statistics) —
-                    # has_min_max alone does not guarantee access;
-                    # the column simply gets no skipping bounds
-                    continue
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode(), hi.decode()
-                    except UnicodeDecodeError:
-                        continue
-                mins[name] = lo if name not in mins else min(mins[name], lo)
-                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        return md.num_rows, {"minValues": mins, "maxValues": maxs}
+        """(row count, {minValues, maxValues}) from the parquet footer
+        — see :func:`_footer_stats_of` (module-level so the publish
+        path can ship it to executors)."""
+        return _footer_stats_of(path)
 
     # -- operations ----------------------------------------------------
     def _register_name(self, name: str, path: str) -> None:
@@ -5114,12 +5305,38 @@ class TxLogDataSource(BaseDataSource):
         stamp = self._cluster_stamp(cluster_by, strategy)
         stamps = _files_field(snap, "clustered_by", "clusteredBy",
                               decode=True)
-        debt = sum(1 for s in stamps.values() if s != stamp)
-        if debt < self.AUTO_CLUSTER_MIN_FILES:
-            return
+        if not snap.partition_cols:
+            debt = sum(1 for s in stamps.values() if s != stamp)
+            if debt < self.AUTO_CLUSTER_MIN_FILES:
+                return
+            scope_parts = None
+        else:
+            # PER-PARTITION convergence: debt is counted per partition
+            # tuple (typed metadata plane — pv columns + stamps, no
+            # add deserialization), and only partitions whose OWN debt
+            # crossed the threshold re-layout. One hot partition's
+            # churn therefore converges without ever re-reading the
+            # table's cold partitions — crucial when clusterBy lands
+            # on a pre-existing table whose old partitions are
+            # unstamped: ingest must never trigger an O(table) rewrite.
+            pmap = _physical_map(snap.schema)
+            pv_phys = [pmap.get(c, c) for c in snap.partition_cols]
+            paths, _stats, pvs = _files_meta(snap, {}, pv_phys)
+            debt_by_part: dict[tuple, int] = {}
+            for i, p in enumerate(paths):
+                if stamps.get(p) == stamp:
+                    continue
+                key = tuple(pvs[c][i] for c in pv_phys)
+                debt_by_part[key] = debt_by_part.get(key, 0) + 1
+            scope_parts = [
+                k for k, n in debt_by_part.items()
+                if n >= self.AUTO_CLUSTER_MIN_FILES
+            ]
+            if not scope_parts:
+                return
         try:
             self.cluster(ref, cluster_by, strategy=strategy,
-                         incremental=True)
+                         incremental=True, partition_scope=scope_parts)
         except ConcurrentWriteException:
             pass
 
@@ -5275,7 +5492,8 @@ class TxLogDataSource(BaseDataSource):
     def cluster(self, ref: TableRef, cluster_by: list[str],
                 target_files: int | None = None,
                 strategy: str = "range",
-                incremental: bool = False) -> int:
+                incremental: bool = False,
+                partition_scope: list[tuple] | None = None) -> int:
         """Layout management (the OPTIMIZE ... ZORDER analogue): rewrite
         the table range-partitioned and sorted on ``cluster_by``, one
         atomic commit. Afterwards each file covers a narrow key range,
@@ -5306,7 +5524,15 @@ class TxLogDataSource(BaseDataSource):
         nothing unclustered burns no commit. Changing columns or
         strategy invalidates the stamps, so the next pass (full or
         incremental) re-lays-out everything — Delta's ALTER CLUSTER
-        BY semantics."""
+        BY semantics.
+
+        ``partition_scope`` (incremental only; list of partition-value
+        tuples aligned with the table's partition columns, string-
+        typed as the log stores them) additionally bounds the pass to
+        those partitions — the per-partition convergence unit
+        auto-clustering uses so a hot partition's churn never drags
+        unstamped files of COLD partitions into its rewrite; files
+        outside the scope stay byte-identical."""
         table = self._table_path(ref)
         snap = resolve_snapshot(table)
         if snap is None:
@@ -5316,6 +5542,16 @@ class TxLogDataSource(BaseDataSource):
             stamps = _files_field(snap, "clustered_by", "clusteredBy",
                                   decode=True)
             scope = sorted(p for p, s in stamps.items() if s != stamp)
+            if partition_scope is not None and snap.partition_cols:
+                pmap = _physical_map(snap.schema)
+                pv_phys = [pmap.get(c, c) for c in snap.partition_cols]
+                paths, _st, pvs = _files_meta(snap, {}, pv_phys)
+                tuple_of = {
+                    p: tuple(pvs[c][i] for c in pv_phys)
+                    for i, p in enumerate(paths)
+                }
+                allowed = set(partition_scope)
+                scope = [p for p in scope if tuple_of.get(p) in allowed]
             if not scope:
                 return 0  # converged: no commit
         else:
@@ -5445,21 +5681,38 @@ class TxLogDataSource(BaseDataSource):
         (possibly superseded) sidecar safely for at least that long —
         see the LazyAdds class docstring."""
         for fname in os.listdir(_log_path(table)):
-            if not fname.endswith(".checkpoint.adds.parquet"):
+            is_ck_side = fname.endswith(".checkpoint.adds.parquet")
+            is_batch_side = (".commit.adds-" in fname
+                             and fname.endswith(".parquet"))
+            if not is_ck_side and not is_batch_side:
                 continue
-            owner = f"{_version_of(fname):020d}.checkpoint.json"
-            owner_full = os.path.join(_log_path(table), owner)
             full = os.path.join(_log_path(table), fname)
+            if is_ck_side:
+                owner = f"{_version_of(fname):020d}.checkpoint.json"
+            else:
+                # commit batch sidecar: owner is the commit JSON; a
+                # loser of the version race or a crashed writer left
+                # one the (immutable) owner never references
+                owner = f"{_version_of(fname):020d}.json"
+            owner_full = os.path.join(_log_path(table), owner)
             if os.path.isfile(owner_full):
-                # Owner exists — but clean_log's floor refresh may have
-                # REWRITTEN it with inline adds (table shrank below
-                # CHECKPOINT_PARQUET_MIN), in which case the sidecar is
-                # stale and, with its owner alive, would never age out:
-                # a permanent log-dir leak. Reap unless the owner still
-                # names this sidecar.
+                # Owner exists — but a checkpoint owner may have been
+                # REWRITTEN by clean_log's floor refresh with inline
+                # adds (table shrank below CHECKPOINT_PARQUET_MIN),
+                # and a commit owner may reference a DIFFERENT batch
+                # (race loser). With its owner alive such a sidecar
+                # would never age out: a permanent log-dir leak. Reap
+                # unless the owner still names this sidecar.
                 try:
                     with open(owner_full) as fh:
-                        if json.load(fh).get("addsParquet") == fname:
+                        if is_ck_side:
+                            if json.load(fh).get("addsParquet") == fname:
+                                continue
+                        elif any(
+                            json.loads(line).get(
+                                "addBatch", {}).get("parquet") == fname
+                            for line in fh if '"addBatch"' in line
+                        ):
                             continue
                 except (OSError, ValueError):
                     continue  # unreadable owner: keep the sidecar
@@ -5485,6 +5738,26 @@ class TxLogDataSource(BaseDataSource):
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(full)
                     deleted.append(rel)
+
+    @staticmethod
+    def _batch_dv_dirs(table: str, action: dict) -> set[str]:
+        """Deletion-vector directory paths referenced by one commit
+        batch's adds — read from the batch sidecar's ``dv_json``
+        column (columnar, no add deserialization), for vacuum-lite
+        candidate discovery."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        p = os.path.join(_log_path(table), action["addBatch"]["parquet"])
+        try:
+            col = pq.read_table(p, columns=["dv_json"]).column("dv_json")
+        except FileNotFoundError as exc:
+            raise DataSourceException(
+                f"commit batch sidecar "
+                f"{action['addBatch']['parquet']!r} missing for "
+                f"{table!r} — the log directory was partially copied "
+                "or externally modified"
+            ) from exc
+        return {json.loads(v)["path"] for v in col.to_pylist() if v}
 
     def vacuum(self, ref: TableRef, keep_last: int | None = None,
                min_age_sec: float = 600.0,
@@ -5580,9 +5853,12 @@ class TxLogDataSource(BaseDataSource):
                     for line in fh:
                         # cheap substring prefilter: add actions (the
                         # bulk of the log, stats payloads included)
-                        # never deserialize unless they carry a dv
+                        # never deserialize unless they carry a dv;
+                        # addBatch lines are tiny references whose dv
+                        # pointers live in the batch's dv_json column
                         if ('"remove"' not in line and '"cdc"' not in line
-                                and '"dv"' not in line):
+                                and '"dv"' not in line
+                                and '"addBatch"' not in line):
                             continue
                         action = json.loads(line)
                         if "remove" in action:
@@ -5591,6 +5867,11 @@ class TxLogDataSource(BaseDataSource):
                             candidates.add(action["cdc"]["path"])
                         elif "add" in action and action["add"].get("dv"):
                             seen_dv_dirs.add(action["add"]["dv"]["path"])
+                        elif "addBatch" in action:
+                            # columnar dv pointer read — no add parse
+                            seen_dv_dirs.update(
+                                self._batch_dv_dirs(table, action)
+                            )
             for dv in seen_dv_dirs - dv_dirs:
                 for root, _dirs, names in os.walk(os.path.join(table, dv)):
                     for name in names:
@@ -5686,30 +5967,30 @@ class TxLogDataSource(BaseDataSource):
             added: dict[str, dict] = {}
             removed: dict[str, dict] = {}
             cdc_paths: list[str] = []
-            with open(os.path.join(_log_path(table), fname)) as fh:
-                for line in fh:
-                    action = json.loads(line)
-                    if "add" in action:
-                        a = action["add"]
-                        live[a["path"]] = a
-                        # dataChange=false (compaction/cluster/purge):
-                        # live bookkeeping only, no row emission
-                        if a.get("dataChange", True):
-                            added[a["path"]] = a
-                    elif "remove" in action:
-                        # only files that were live count as deletes;
-                        # the popped add dict carries the file's mask
-                        # AT REMOVAL TIME, so already-masked rows are
-                        # not re-emitted as deletes
-                        popped = live.pop(action["remove"]["path"], None)
-                        if popped is not None and action["remove"].get(
-                                "dataChange", True):
-                            removed[action["remove"]["path"]] = popped
-                    elif "cdc" in action:
-                        cdc_paths.append(
-                            (action["cdc"]["path"],
-                             action["cdc"].get("partitionValues") or {})
-                        )
+            # iter_commit_actions expands addBatch parquet references
+            # (large commits) back into their add actions
+            for action in iter_commit_actions(table, fname):
+                if "add" in action:
+                    a = action["add"]
+                    live[a["path"]] = a
+                    # dataChange=false (compaction/cluster/purge):
+                    # live bookkeeping only, no row emission
+                    if a.get("dataChange", True):
+                        added[a["path"]] = a
+                elif "remove" in action:
+                    # only files that were live count as deletes;
+                    # the popped add dict carries the file's mask
+                    # AT REMOVAL TIME, so already-masked rows are
+                    # not re-emitted as deletes
+                    popped = live.pop(action["remove"]["path"], None)
+                    if popped is not None and action["remove"].get(
+                            "dataChange", True):
+                        removed[action["remove"]["path"]] = popped
+                elif "cdc" in action:
+                    cdc_paths.append(
+                        (action["cdc"]["path"],
+                         action["cdc"].get("partitionValues") or {})
+                    )
             if cdc_paths:
                 # Delta's rule: a commit carrying cdc actions is served
                 # FROM them (row-exact 4-type change rows written by

@@ -246,7 +246,7 @@ def _cdf_partitions(table: str, base_v: int,
     mask-delta partitions in both directions (same rule as the
     connector's ``changes``)."""
     from x_spark.sources.txlog import (
-        _list_log, _log_path, _version_of, resolve_snapshot,
+        _list_log, _version_of, iter_commit_actions, resolve_snapshot,
     )
 
     base = resolve_snapshot(table, base_v) if base_v >= 0 else None
@@ -262,25 +262,24 @@ def _cdf_partitions(table: str, base_v: int,
         added: dict[str, dict] = {}
         removed: dict[str, dict] = {}
         cdc_paths: list[str] = []
-        with open(os.path.join(_log_path(table), fname)) as fh:
-            for line in fh:
-                action = json.loads(line)
-                if "add" in action:
-                    a = action["add"]
-                    live[a["path"]] = a
-                    # dataChange=false: live bookkeeping only
-                    if a.get("dataChange", True):
-                        added[a["path"]] = a
-                elif "remove" in action:
-                    popped = live.pop(action["remove"]["path"], None)
-                    if popped is not None and action["remove"].get(
-                            "dataChange", True):
-                        removed[action["remove"]["path"]] = popped
-                elif "cdc" in action:
-                    cdc_paths.append(
-                        (action["cdc"]["path"],
-                         action["cdc"].get("partitionValues") or {})
-                    )
+        # iter_commit_actions expands addBatch parquet references
+        for action in iter_commit_actions(table, fname):
+            if "add" in action:
+                a = action["add"]
+                live[a["path"]] = a
+                # dataChange=false: live bookkeeping only
+                if a.get("dataChange", True):
+                    added[a["path"]] = a
+            elif "remove" in action:
+                popped = live.pop(action["remove"]["path"], None)
+                if popped is not None and action["remove"].get(
+                        "dataChange", True):
+                    removed[action["remove"]["path"]] = popped
+            elif "cdc" in action:
+                cdc_paths.append(
+                    (action["cdc"]["path"],
+                     action["cdc"].get("partitionValues") or {})
+                )
         if cdc_paths:
             # a commit carrying cdc actions is served FROM them (the
             # same rule as the connector's changes()): row-exact 4-type
@@ -556,24 +555,22 @@ class TxLogStreamReader(DataSourceStreamReader):
         batch sizes. Cached: the per-version log is immutable. Adds
         predating the size field fall back to one driver stat call,
         amortized by the same cache."""
-        from x_spark.sources.txlog import _log_path
+        from x_spark.sources.txlog import iter_commit_actions
 
         cached = self._add_counts.get(v)
         if cached is not None:
             return cached
         added: dict[str, int | None] = {}
         removed: set[str] = set()
-        with open(os.path.join(_log_path(self.table), fname)) as fh:
-            for line in fh:
-                if '"add"' not in line and '"remove"' not in line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    if action["add"].get("dataChange", True):
-                        added[action["add"]["path"]] = \
-                            action["add"].get("size")
-                elif "remove" in action:
-                    removed.add(action["remove"]["path"])
+        # iter_commit_actions expands addBatch parquet references
+        # (large commits) back into their add actions
+        for action in iter_commit_actions(self.table, fname):
+            if "add" in action:
+                if action["add"].get("dataChange", True):
+                    added[action["add"]["path"]] = \
+                        action["add"].get("size")
+            elif "remove" in action:
+                removed.add(action["remove"]["path"])
         live = {p: sz for p, sz in added.items() if p not in removed}
         total = 0
         for p, sz in live.items():
@@ -625,7 +622,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
-        from x_spark.sources.txlog import _list_log, _log_path, _version_of
+        from x_spark.sources.txlog import (
+            _list_log, _version_of, iter_commit_actions,
+        )
 
         if self.cdf:
             self._pos = max(self._pos, end["version"])
@@ -638,27 +637,26 @@ class TxLogStreamReader(DataSourceStreamReader):
             v = _version_of(fname)
             if v <= start["version"] or v > end["version"]:
                 continue
-            with open(os.path.join(_log_path(self.table), fname)) as fh:
-                for line in fh:
-                    action = json.loads(line)
-                    if ("remove" in action and not self.ignore_changes
-                            and action["remove"].get("dataChange", True)):
-                        raise DataSourceException(
-                            f"txlog stream over {self.table!r}: version {v} "
-                            "rewrites data (merge/delete/overwrite); streaming "
-                            "supports append-only tables — set "
-                            "ignoreChanges=true to stream re-added files"
+            # iter_commit_actions expands addBatch parquet references
+            for action in iter_commit_actions(self.table, fname):
+                if ("remove" in action and not self.ignore_changes
+                        and action["remove"].get("dataChange", True)):
+                    raise DataSourceException(
+                        f"txlog stream over {self.table!r}: version {v} "
+                        "rewrites data (merge/delete/overwrite); streaming "
+                        "supports append-only tables — set "
+                        "ignoreChanges=true to stream re-added files"
+                    )
+                if "add" in action and action["add"].get(
+                        "dataChange", True):
+                    parts.append(
+                        _FilePartition(
+                            self.table,
+                            action["add"]["path"],
+                            action["add"].get("partitionValues") or {},
+                            action["add"].get("dv"),
                         )
-                    if "add" in action and action["add"].get(
-                            "dataChange", True):
-                        parts.append(
-                            _FilePartition(
-                                self.table,
-                                action["add"]["path"],
-                                action["add"].get("partitionValues") or {},
-                                action["add"].get("dv"),
-                            )
-                        )
+                    )
         # a replayed checkpointed batch may run before any latestOffset
         # call — keep the admission cursor ahead of everything served
         self._pos = max(self._pos, end["version"])
