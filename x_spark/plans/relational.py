@@ -1253,9 +1253,14 @@ def q_approx_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x_spark.operators.profile import profile_table
 
     orders = _t(spark, sf_dir, "orders")
+    # ONE shared agg pass produces the whole long profile (~20 rows);
+    # persist it so the gate's pivot branches (ordering checks, HLL
+    # bound checks) read the tiny cached frame instead of re-running
+    # the table scan per branch (the registry's standing
+    # project-collapse rule — measured 6x without this)
     prof = profile_table(
         orders, _PROFILE_NUM_COLS + _PROFILE_STR_COLS, mode="approx"
-    )
+    ).persist()
     portable = prof.filter(
         F.col("metric").isin(
             "null_count", "min", "max", "avg_len", "max_len"
