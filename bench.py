@@ -244,6 +244,11 @@ def main() -> None:
     recall = ann_recall_report(spark, sf_dir) if not only else {}
     pruning = clustering_pruning_report(spark, sf_dir) if not only else {}
     bloom = bloom_pruning_report(spark, sf_dir) if not only else {}
+    # nothing below needs the session — stop it BEFORE the isolated
+    # probes so the parent JVM's background threads (GC, cleaner,
+    # ~1.5 cores measured) don't contaminate the fresh-JVM probe
+    # samples they exist to de-noise
+    spark.stop()
 
     freeze = ("--freeze" in sys.argv[1:]
               or os.environ.get("SPARK_GRAFT_BENCH_FREEZE") == "1")
@@ -378,7 +383,6 @@ def main() -> None:
         payload["queries_truncated_see_detail"] = True
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
-    spark.stop()
 
 
 def clustering_pruning_report(spark: SparkSession, sf_dir: str) -> dict:

@@ -308,3 +308,74 @@ def test_large_publish_reads_footers_executor_side(spark, ds, tmp_path,
         assert add["stats"]["minValues"].get("pk") is not None
     # and the stats actually prune
     assert len(ds._files_matching_predicate(ref.path, snap, "pk = 0")) == 1
+
+
+# -- incremental columnar checkpoint refresh --------------------------------
+
+
+def test_checkpoint_incremental_refresh_parity_and_lazy(
+        spark, ds, tmp_path, monkeypatch):
+    """The every-Nth-commit checkpoint on a sidecar-backed table
+    refreshes COLUMNAR (old sidecar rows copy through arrow-side,
+    kill-set filtered; only tail delta adds serialize fresh): it must
+    never materialize the live set's add dicts, and its output must
+    equal the from-dicts truth row-for-row."""
+    monkeypatch.setattr(tx, "CHECKPOINT_PARQUET_MIN", 2)
+    monkeypatch.setattr(tx, "COMMIT_PARQUET_MIN", 3)
+    monkeypatch.setattr(tx, "CHECKPOINT_INTERVAL", 4)
+    ref = TableRef(path=str(tmp_path / "ck"))
+    ds.create(ref, T._parse_datatype_string(SCHEMA),
+              partition_by=["part"])
+
+    def one(lo, hi, part):
+        return spark.createDataFrame(
+            [(i, part, i) for i in range(lo, hi)], SCHEMA
+        ).coalesce(1)
+
+    for k in range(4):  # v1..v4 -> checkpoint at v4 (typed sidecar)
+        ds.append(one(k * 10, k * 10 + 10, f"p{k}"), ref)
+    _, cks = _list_log(ref.path)
+    assert cks and tx._version_of(cks[-1]) == 4
+    ds.append(one(100, 110, "p0"), ref)  # v5: small delta add
+    ds.delete(ref, "pk >= 100")          # v6: delta remove of v5's file
+    big = spark.createDataFrame(
+        [(200 + i, f"p{i % 3}", i) for i in range(30)], SCHEMA
+    ).repartition(3, "part")
+    ds.append(big, ref)                  # v7: >=3 adds -> batch sidecar
+    commits, _ = _list_log(ref.path)
+    assert any("addBatch" in a
+               for a in _commit_actions_raw(ref.path, commits[-1]))
+
+    def boom(self):
+        raise AssertionError("checkpoint materialized add dicts")
+
+    monkeypatch.setattr(LazyAdds, "_materialize", boom)
+    ds.append(one(300, 310, "p1"), ref)  # v8: triggers the checkpoint
+    monkeypatch.undo()
+    _, cks = _list_log(ref.path)
+    assert tx._version_of(cks[-1]) == 8
+    with open(os.path.join(_log_path(ref.path), cks[-1])) as fh:
+        ck = json.load(fh)
+    assert "addsParquet" in ck
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_log_path(ref.path),
+                                   ck["addsParquet"]))
+    paths = t.column("path").to_pylist()
+    assert paths == sorted(paths)  # deterministic, same as dict path
+    assert ck["addCount"] == len(paths)
+    truth = dict(resolve_snapshot(ref.path).files)
+    assert set(paths) == set(truth)
+    by_path = {
+        json.loads(s)["path"]: json.loads(s)
+        for s in t.column("add_json").to_pylist()
+    }
+    assert by_path == truth  # lossless replay column carried verbatim
+    # typed columns survive for old AND new rows (pruning plane whole)
+    assert all(v is not None for v in t.column("min::pk").to_pylist())
+    assert ds.read(ref).count() == 40 + 30 + 10
+    # and the refreshed checkpoint serves reads/pruning end-to-end
+    snap = resolve_snapshot(ref.path)
+    assert isinstance(snap.files, LazyAdds)
+    got = ds._files_matching_predicate(ref.path, snap, "pk = 5")
+    assert len(got) == 1

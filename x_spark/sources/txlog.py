@@ -478,6 +478,33 @@ def _typed_stat(kind: str, raw):
     return None
 
 
+def _sidecar_arrow_fields(schema, partition_cols: list[str]) -> list:
+    """(name, arrow type) for the TYPED sidecar layout of the CURRENT
+    table schema — the target layout both the from-dicts builder and
+    the incremental columnar refresh align to."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    pmap = _physical_map(schema)
+    pa_kind = {"int": pa.int64(), "float": pa.float64(),
+               "str": pa.string()}
+    fields = [
+        ("path", pa.string()), ("size", pa.int64()),
+        ("num_records", pa.int64()), ("dv_json", pa.string()),
+        ("clustered_by", pa.string()),
+    ]
+    for c in partition_cols:
+        fields.append((f"pv::{pmap.get(c, c)}", pa.string()))
+    for f in schema.fields:
+        k = _stat_sidecar_kind(f.dataType)
+        if k is None:
+            continue
+        phys = pmap.get(f.name, f.name)
+        fields.append((f"min::{phys}", pa_kind[k]))
+        fields.append((f"max::{phys}", pa_kind[k]))
+    fields.append(("add_json", pa.string()))
+    return fields
+
+
 def _publish_adds_sidecar(dest: str, adds: list[dict], schema,
                           partition_cols: list[str]) -> None:
     """Write a TYPED adds sidecar (checkpoint or commit batch) to
@@ -488,8 +515,18 @@ def _publish_adds_sidecar(dest: str, adds: list[dict], schema,
     ``spark.read.parquet`` when the driver outgrows it) and never
     deserializes an add. This is Delta's stats_parsed /
     partitionValues_parsed checkpoint design."""
-    import pyarrow as pa  # noqa: PLC0415
     import pyarrow.parquet as pq  # noqa: PLC0415
+
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(_adds_arrow_table(adds, schema, partition_cols), tmp)
+    os.replace(tmp, dest)
+
+
+def _adds_arrow_table(adds: list[dict], schema,
+                      partition_cols: list[str]):
+    """The TYPED sidecar pyarrow table for a list of parsed add
+    dicts (see :func:`_publish_adds_sidecar`)."""
+    import pyarrow as pa  # noqa: PLC0415
 
     pmap = _physical_map(schema)
     pa_kind = {"int": pa.int64(), "float": pa.float64(),
@@ -534,9 +571,83 @@ def _publish_adds_sidecar(dest: str, adds: list[dict], schema,
                     .get(phys)) for a in adds], pa_kind[k])
     cols["add_json"] = pa.array(
         [json.dumps(a, default=str) for a in adds], pa.string())
+    return pa.table(cols)
+
+
+def _refresh_typed_sidecar(lazy: "LazyAdds", schema,
+                           partition_cols: list[str],
+                           dest: str) -> int:
+    """Write the NEXT checkpoint's adds sidecar by COLUMNAR refresh of
+    a typed layered live set: previous sidecar(s) filter out rows
+    superseded by later layers (arrow is_in mask — no JSON touched),
+    only the tail's small-commit delta adds serialize fresh, and the
+    result concatenates + sorts arrow-side. The every-20th-commit
+    checkpoint on a million-file table therefore costs O(tail changes
+    + columnar copy), never O(live set) driver-side json.loads —
+    the incremental-checkpoint idea applied to stats_parsed. Returns
+    the row count written; output is row-equivalent to the from-dicts
+    builder (parity-pinned by tests/test_commit_batch.py)."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    layers = lazy._layers
+    # kill-set per layer: paths any LATER layer adds/removes supersede
+    kills: list[set[str]] = [set() for _ in layers]
+    later: set[str] = set()
+    sidecar_paths: dict[int, list[str]] = {}
+    for i in range(len(layers) - 1, -1, -1):
+        kills[i] = set(later)
+        kind, payload = layers[i]
+        if kind == "sidecar":
+            ps = lazy._read_one(payload, ["path"]).column(
+                "path").to_pylist()
+            sidecar_paths[i] = ps
+            later.update(ps)
+        else:
+            later.update(payload.keys())
+
+    target = _sidecar_arrow_fields(schema, partition_cols)
+
+    def align(t):
+        """``t`` reshaped onto the target layout: missing columns
+        null-fill (a column the old sidecar predates never prunes),
+        extra columns drop (stats of since-dropped logical columns),
+        kind changes cast (type widening, e.g. int -> double)."""
+        cols = []
+        for name, typ in target:
+            if name in t.column_names:
+                cols.append(pc.cast(t.column(name), typ))
+            else:
+                cols.append(pa.nulls(t.num_rows, typ))
+        return pa.table(dict(zip((n for n, _ in target), cols)))
+
+    chunks = []
+    for i, (kind, payload) in enumerate(layers):
+        if kind == "sidecar":
+            t = lazy._read_one(payload, None)
+            if kills[i] & set(sidecar_paths[i]):
+                mask = pc.invert(pc.is_in(
+                    t.column("path"),
+                    value_set=pa.array(sorted(kills[i]), pa.string()),
+                ))
+                t = t.filter(mask)
+            chunks.append(align(t))
+        else:
+            adds = [a for p, a in payload.items()
+                    if a is not None and p not in kills[i]]
+            if adds:
+                chunks.append(align(
+                    _adds_arrow_table(adds, schema, partition_cols)
+                ))
+    if chunks:
+        out = pa.concat_tables(chunks).sort_by("path")
+    else:
+        out = _adds_arrow_table([], schema, partition_cols)
     tmp = dest + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(pa.table(cols), tmp)
+    pq.write_table(out, tmp)
     os.replace(tmp, dest)
+    return out.num_rows
 
 
 def _footer_stats_of(path: str) -> tuple[int, dict]:
@@ -2652,7 +2763,6 @@ class TxLogDataSource(BaseDataSource):
         pruning, which retrofits keys older checkpoints predate
         (``txns``, ``copyLedgers``) while their commits still exist."""
         snap = resolve_snapshot(table, version)
-        adds = [snap.files[p] for p in sorted(snap.files)]
         ck = {
             "version": version,
             "schemaJson": snap.schema_json,
@@ -2662,21 +2772,33 @@ class TxLogDataSource(BaseDataSource):
             "rowIdHighWaterMark": snap.row_id_high,
             "copyLedgers": self._copy_ledger_refs(table, upto=version),
         }
-        if len(adds) >= CHECKPOINT_PARQUET_MIN:
+        files = snap.files
+        n_live = len(files)  # path-column read on a lazy set, no JSON
+        if n_live >= CHECKPOINT_PARQUET_MIN:
             # large live set: the adds go to a parquet sidecar (see
             # LazyAdds). Sidecar lands BEFORE the JSON that
             # references it, so a reader can never see a dangling
             # reference; an orphan from a failed JSON publish is inert
             # and reaped by clean_log.
             side = f"{version:020d}.checkpoint.adds.parquet"
-            _publish_adds_sidecar(
-                os.path.join(_log_path(table), side),
-                adds, snap.schema, snap.partition_cols,
-            )
+            dest = os.path.join(_log_path(table), side)
+            if isinstance(files, LazyAdds) and files.typed():
+                # INCREMENTAL columnar refresh: previous sidecar rows
+                # copy through arrow-side (kill-set filtered), only
+                # tail delta adds serialize fresh — the checkpoint on
+                # a million-file table never json.loads its live set
+                ck["addCount"] = _refresh_typed_sidecar(
+                    files, snap.schema, snap.partition_cols, dest
+                )
+            else:
+                adds = [files[p] for p in sorted(files)]
+                _publish_adds_sidecar(
+                    dest, adds, snap.schema, snap.partition_cols
+                )
+                ck["addCount"] = len(adds)
             ck["addsParquet"] = side
-            ck["addCount"] = len(adds)
         else:
-            ck["adds"] = adds
+            ck["adds"] = [files[p] for p in sorted(files)]
         path = os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
