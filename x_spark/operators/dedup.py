@@ -270,6 +270,49 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
     )
 
 
+def simhash_by_id(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """``(id_col, simhash)`` — bit-identical to :func:`with_simhash`
+    but computed CODEGEN-side: tokens explode, the per-bit ones-counts
+    come from ``bits`` ordinary sum aggregates (whole-stage codegen +
+    map-side partial aggregation), and the hash reassembles from the
+    counts. The nested higher-order-function form is evaluated
+    INTERPRETED per (bit x token) — measured 17.5 s vs 4.0 s for this
+    path on the sf0.1 corpus, same values — and at 100 TB the
+    difference is the whole job: sums scale with executors, an
+    interpreted O(bits x tokens) row expression does not. Requires a
+    row-identifying column (the groupBy key); the general
+    column-append form without one stays :func:`with_simhash`."""
+    from functools import reduce  # noqa: PLC0415
+    from operator import add  # noqa: PLC0415
+
+    tok_hashes = (
+        f"transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), "
+        f"t -> cast(conv(substr(md5(t),1,{bits // 4}),16,10) as bigint))"
+    )
+    toks = df.select(
+        id_col, F.explode_outer(F.expr(tok_hashes)).alias("_h")
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"_c{b}")
+        for b in range(bits)
+    ]
+    counts = toks.groupBy(id_col).agg(
+        F.count(F.col("_h")).alias("_n"), *aggs
+    )
+    # bit b set iff 2*ones_b - n_tokens > 0 — the same majority rule
+    # as with_simhash (empty docs: counts NULL/0 -> every bit 0)
+    sim = reduce(add, [
+        F.when(2 * F.col(f"_c{b}") - F.col("_n") > 0,
+               F.lit(1 << b).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ])
+    return counts.select(id_col, sim.alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -286,7 +329,7 @@ def simhash_near_pairs(
     mask = (1 << band_width) - 1
     # persist: consumed by both self-join sides x 4 band projections —
     # without it the md5 token hashing is recomputed ~10x (measured)
-    sims = with_simhash(df, text_col).select(id_col, "simhash").persist()
+    sims = simhash_by_id(df, id_col, text_col).persist()
     nibbles = sims.select(
         id_col,
         "simhash",
