@@ -58,7 +58,11 @@ FAMILY_REPRESENTATIVES = [
     "salted_brand_volume",      # skew-salted replicated JOIN
     "stream_user_stats_agg",    # JVM state-store streaming aggregation
     "txlog_restore_roundtrip",  # RESTORE TO VERSION rollback + CDF audit
-    "join_view_refresh",        # incrementally maintained equi-join view
+    # join_view_refresh demoted r10 second swap (green r05-r09, 5
+    # straight); the family slot returns to stream_ivm_join_view for a
+    # fresh row (last green r07 — the strictly stronger composition)
+    "stream_ivm_join_view",     # exactly-once streaming ingest into an
+                                # incrementally maintained equi-join view
     "stream_quantile_sketch",   # NEW r7: streaming epoch-stamped sketch
                                 # ingest -> quantiles from the store
                                 # (subsumes the demoted

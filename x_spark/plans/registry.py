@@ -163,18 +163,19 @@ _TAIL = [
                                # dispatcher) with dv_delete_scan +
                                # txlog_restore_roundtrip keeping the
                                # CDF read surfaces head-side
-    "stream_ivm_join_view",    # green r06+r07 (head, twice); the
-                               # exactly-once-ingest + maintained-view
-                               # family keeps join_view_refresh (head —
-                               # the same JoinView incremental-refresh
-                               # kernel incl. merge/delete churn) and
-                               # stream_quantile_sketch (head — the
-                               # same txn-stamped foreachBatch
-                               # exactly-once ingest); streaming keeps
-                               # three other head reps. Slot goes to
-                               # row_tracking_lineage (Delta
-                               # rowTracking parity — a brand-new
-                               # protocol surface, round 8)
+    # (round-10 second swap, finishing the round-9 verdict's promote
+    # list: stream_ivm_join_view RETURNS to the head for a fresh row —
+    # last green r07, the stalest remaining maintained-view evidence —
+    # and its same-family twin steps down:)
+    "join_view_refresh",       # green r05-r09 (head, 5 straight); the
+                               # maintained-join-view family's head
+                               # slot goes back to stream_ivm_join_view,
+                               # the STRICTLY stronger composition
+                               # (same JoinView incremental-refresh
+                               # kernel + exactly-once streaming
+                               # ingest + dim churn); the batch
+                               # refresh kernel stays pinned by
+                               # test_ivm.py + local oracle parity
     "quantile_sketch_store",   # green r07 (head); the maintained
                                # sketch-store family keeps
                                # stream_quantile_sketch (head — the
