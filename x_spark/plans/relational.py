@@ -1100,6 +1100,98 @@ def q_minmax_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Aggregate-view AUTO-ROUTING (operators/view_router.ViewRouter): the
+# warehouse summary-table rewrite. A txlog base built from lineitem
+# carries a maintained (returnflag, linestatus) aggregate; a coarser
+# GROUP BY returnflag request is answered by ROLLING UP THE VIEW —
+# O(groups), the base fact table is never scanned (inputFiles pinned
+# in tests/test_view_router.py). The base goes stale between refresh
+# and request, so the route also exercises the auto-refresh (O(delta)
+# CDF fold) path. The oracle recomputes everything from the declared
+# final state; served_from is asserted in-plan (a silent fallback to
+# the base scan would defeat the routed-plan claim, so it raises).
+def q_agg_view_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from x_spark.operators.ivm import AggregateView
+    from x_spark.operators.view_router import Measure, ViewRouter
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxLogDataSource
+
+    workdir = tempfile.mkdtemp(prefix="xs_view_route_")
+    try:
+        ds = TxLogDataSource(spark)
+        base_ref = TableRef(path=os.path.join(workdir, "fact"))
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice",
+        )
+        b0 = li.filter(F.col("l_orderkey") % 3 == 0)
+        ds.create(base_ref, b0.schema)
+        ds.append(b0, base_ref)  # v1
+        view = AggregateView(
+            ds, base_ref, TableRef(path=os.path.join(workdir, "agg")),
+            keys=["l_returnflag", "l_linestatus"],
+            sums=["l_quantity", "l_extendedprice"],
+            minmax=["l_extendedprice"],
+        )
+        view.refresh()
+        # second ingest AFTER the refresh: the route below must detect
+        # staleness and fold only this delta before serving
+        ds.append(
+            li.filter((F.col("l_orderkey") % 3 == 1)
+                      & (F.col("l_linenumber") <= 2)),
+            base_ref,
+        )  # v2
+        router = ViewRouter(ds, base_ref)
+        router.register("rf_ls", view)
+        routed = router.route(
+            ["l_returnflag"],
+            [Measure("count", alias="n_rows"),
+             Measure("sum", "l_quantity", "sum_qty"),
+             Measure("avg", "l_extendedprice", "avg_price"),
+             Measure("max", "l_extendedprice", "max_price")],
+        )
+        if not routed.served_from.startswith("view:"):
+            raise AssertionError(
+                f"expected view-routed plan, got {routed.served_from}"
+            )
+        return (
+            routed.df.select(
+                "l_returnflag",
+                "n_rows",
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+                "avg_price",
+                "max_price",
+            )
+            # materialize before the temp store disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_AGG_VIEW_ROUTE = """
+WITH s AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey % 3 = 0
+     OR (l_orderkey % 3 = 1 AND l_linenumber <= 2)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         / count(*) AS avg_price,
+       max(l_extendedprice) AS max_price
+FROM s
+GROUP BY l_returnflag
+"""
+
+
 ORACLE_MINMAX_VIEW_REFRESH = """
 WITH s AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -2573,6 +2665,7 @@ RELATIONAL_QUERIES = {
     "copy_into_ingest": q_copy_into_ingest,
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
+    "agg_view_route": q_agg_view_route,
     "lineitem_key_skew": q_lineitem_key_skew,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
@@ -2618,6 +2711,7 @@ RELATIONAL_ORACLES = {
     "copy_into_ingest": ORACLE_COPY_INTO_INGEST,
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
+    "agg_view_route": ORACLE_AGG_VIEW_ROUTE,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
