@@ -644,3 +644,145 @@ def filter_attribution(
     return counts.crossJoin(F.broadcast(total)).select(
         "rule", "n_docs", F.round(F.col("n_docs") / F.col("_total"), 6).alias("share")
     )
+
+
+def scrub_cross_doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style REMOVAL (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): where :func:`cross_doc_ngram_spans`
+    only measures repeated-span mass, this rewrites the corpus — every
+    occurrence of a token ``n``-gram that appears in >= ``min_docs``
+    distinct documents is CUT except the globally first one (ordered by
+    ``(doc_id, char_start)``), and overlapping cut spans merge before
+    the splice so each character is removed at most once.
+
+    Shape (never doc x doc, one window pass per stage):
+      1. tokenize WITH POSITIONS: ``split(text, ' ')`` + one per-doc
+         prefix-sum window gives each token's char offset — the exact
+         reconstruction identity ``' '.join(tokens) == text`` makes
+         every span a literal substring of the document;
+      2. grams via ``lead`` over the same per-doc window (full windows
+         only), so gram assembly is O(n) per token inside codegen;
+      3. one ``groupBy(gram)`` doc-frequency count (the only
+         corpus-wide shuffle; gram keys are near-uniform, hot keys ARE
+         the boilerplate signal) + a ``row_number`` over each shared
+         gram picks the global survivor;
+      4. gaps-and-islands window per doc merges overlapping cut spans;
+      5. the splice itself is an ``aggregate`` fold over the per-doc
+         ISLAND list (O(islands), bounded by text length / n — not the
+         O(bits x tokens) interpreted-HOF trap simhash hit), entirely
+         JVM-side.
+
+    Returns one row per input document: ``(id_col, text_scrubbed,
+    chars_removed, spans_cut)`` — ``length(text_scrubbed) ==
+    length(text) - chars_removed`` by construction (the registry oracle
+    re-derives the right side declaratively, so a splice bug breaks the
+    driver hash).
+
+    Greedy caveat (same as the reference ExactSubstr pipeline): the
+    kept first occurrence of gram X may itself sit inside a span cut
+    because of a different gram Y overlapping it — removal is greedy
+    per document, not globally optimal coverage.
+
+    At 100 TB: stages 1-2 and 4-5 are per-document map work after an
+    ``id``-hash shuffle; stage 3 shuffles (gram, doc, start) triples —
+    O(tokens) rows of ~n-token strings. Hash the gram key (see
+    ngram_hash_table's rolling hash) to shrink that shuffle when grams
+    are long; the string key is kept here for oracle-exact parity.
+    """
+    from pyspark.sql import Window as W
+
+    doc = F.col(id_col)
+    toks = df.select(
+        doc, F.posexplode(F.split(F.col(text_col), " ")).alias("idx", "tok")
+    )
+    wdoc = W.partitionBy(id_col).orderBy("idx")
+    prev = wdoc.rowsBetween(W.unboundedPreceding, -1)
+    toks = toks.withColumn(
+        "cs",
+        F.coalesce(F.sum(F.length("tok") + 1).over(prev), F.lit(0)).cast("bigint"),
+    )
+    gram_parts = [F.col("tok")]
+    for k in range(1, n):
+        gram_parts += [F.lit(" "), F.lead("tok", k).over(wdoc)]
+    last_tok = F.lead("tok", n - 1).over(wdoc)
+    grams = (
+        toks.select(
+            doc,
+            F.concat(*gram_parts).alias("gram"),
+            F.col("cs").alias("s"),
+            (F.lead("cs", n - 1).over(wdoc) + F.length(last_tok))
+            .cast("bigint")
+            .alias("e"),
+        )
+        .filter(F.col("gram").isNotNull())
+        # barrier: hot-gram groupBy and the join-back both consume this
+        # frame; project collapse would re-run tokenize+window twice
+        .persist()
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    wfirst = W.partitionBy("gram").orderBy(id_col, "s")
+    cut = (
+        grams.join(hot, "gram")
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "s", "e")
+    )
+    worder = W.partitionBy(id_col).orderBy("s", "e")
+    wprev = worder.rowsBetween(W.unboundedPreceding, -1)
+    wrun = worder.rowsBetween(W.unboundedPreceding, 0)
+    islands = (
+        cut.withColumn("pmax", F.max("e").over(wprev))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1)
+            .otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(wrun))
+        .groupBy(id_col, "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("islands"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("chars_removed"),
+            F.count("*").cast("bigint").alias("n_islands"),
+        )
+    )
+    spans_per_doc = cut.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("spans_cut")
+    )
+    # O(islands) fold: walk the sorted islands, copying the kept text
+    # between them, then the tail after the last island
+    splice = (
+        "aggregate(islands, struct(0L as pos, '' as acc), "
+        "(a, i) -> struct(i.e, concat(a.acc, "
+        f"substring({text_col}, cast(a.pos + 1 as int), cast(i.s - a.pos as int)))), "
+        f"a -> concat(a.acc, substring({text_col}, cast(a.pos + 1 as int), "
+        f"cast(length({text_col}) - a.pos as int))))"
+    )
+    out = (
+        df.select(doc, text_col)
+        .join(islands, id_col, "left")
+        .join(spans_per_doc, id_col, "left")
+        .select(
+            doc,
+            F.when(F.col("islands").isNull(), F.col(text_col))
+            .otherwise(F.expr(splice))
+            .alias("text_scrubbed"),
+            F.coalesce("chars_removed", F.lit(0)).cast("bigint").alias(
+                "chars_removed"
+            ),
+            F.coalesce("spans_cut", F.lit(0)).cast("bigint").alias("spans_cut"),
+        )
+    )
+    return out

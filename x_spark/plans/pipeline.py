@@ -284,6 +284,103 @@ FROM tot t LEFT JOIN per_doc p USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Cross-document span REMOVAL (the acting half of ExactSubstr dedup:
+# cross_doc_spans measures, this one rewrites). Every occurrence of a
+# 6-token gram shared by >= 2 docs is cut except the global first;
+# overlapping cuts island-merge; the splice is an O(islands) JVM fold.
+# The oracle re-derives chars_after as length(text) - merged-island
+# mass from the SAME window algebra — if the Spark-side surgery
+# dropped or double-cut a single character anywhere in the corpus,
+# sum(length(text_scrubbed)) diverges and the hash breaks.
+_SCRUB_N = 6
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    scrubbed = X.scrub_cross_doc_spans(
+        docs.select("doc_id", "text"), n=_SCRUB_N
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scrubbed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("chars_removed") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_scrubbed"),
+            F.sum("spans_cut").cast("bigint").alias("spans_cut"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+            F.sum(F.length("text_scrubbed")).cast("bigint").alias("chars_after"),
+        )
+    )
+
+
+def _span_scrub_oracle(n: int = _SCRUB_N) -> str:
+    gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, n)]
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, coalesce(text, '') AS text FROM documents
+), toks AS (
+  SELECT doc_id, u.tok, u.i
+  FROM d, LATERAL (
+    SELECT UNNEST(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i) u
+), pos AS (
+  SELECT doc_id, tok, i,
+         coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+  FROM toks
+), grams AS (
+  SELECT doc_id, {gram} AS gram, cs AS s,
+         lead(cs, {n - 1}) OVER w + length(lead(tok, {n - 1}) OVER w) AS e
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), fg AS (
+  SELECT doc_id, gram, s, e FROM grams WHERE gram IS NOT NULL
+), hot AS (
+  SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cut AS (
+  SELECT doc_id, s, e FROM (
+    SELECT f.doc_id, f.s, f.e,
+           row_number() OVER (PARTITION BY f.gram ORDER BY f.doc_id, f.s) AS rn
+    FROM fg f JOIN hot USING (gram)) WHERE rn > 1
+), marked AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM cut
+), numbered AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+), mrg AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM numbered GROUP BY doc_id, isl
+), per_doc AS (
+  SELECT doc_id, sum(e - s) AS removed FROM mrg GROUP BY doc_id
+), spd AS (
+  SELECT doc_id, count(*) AS spans FROM cut GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(removed, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_scrubbed,
+       CAST(coalesce(sum(spans), 0) AS BIGINT) AS spans_cut,
+       CAST(coalesce(sum(removed), 0) AS BIGINT) AS chars_removed,
+       CAST(sum(length(text)) - coalesce(sum(removed), 0) AS BIGINT)
+         AS chars_after
+FROM d LEFT JOIN per_doc USING (doc_id) LEFT JOIN spd USING (doc_id)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document chunking: overlapping fixed-token windows (pretraining/RAG
 # prep). chunk=16/overlap=4 fits the ~50-token synthetic docs; real
 # corpora run the operator defaults (256/32).
@@ -2542,6 +2639,7 @@ PIPELINE_QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "document_chunks": q_document_chunks,
     "cross_doc_spans": q_cross_doc_spans,
+    "span_scrub": q_span_scrub,
     "language_profile": q_language_profile,
     "quality_histogram": q_quality_histogram,
     "exact_dedup": q_exact_dedup,
@@ -2608,6 +2706,7 @@ PIPELINE_ORACLES = {
     "benchmark_contamination": ORACLE_BENCHMARK_CONTAMINATION,
     "document_chunks": ORACLE_DOCUMENT_CHUNKS,
     "cross_doc_spans": _cross_doc_spans_oracle(),
+    "span_scrub": _span_scrub_oracle(),
     "language_profile": ORACLE_LANGUAGE_PROFILE,
     "quality_histogram": ORACLE_QUALITY_HISTOGRAM,
     "exact_dedup": ORACLE_EXACT_DEDUP,
