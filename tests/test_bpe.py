@@ -316,3 +316,28 @@ def test_incremental_word_freq_store_trains_identically(spark, tmp_path):
     from_store = train_bpe_from_word_freqs(ds.read(ref), **kw)
     from_scratch = train_bpe(full, **kw)
     assert from_store == from_scratch
+
+
+def test_encode_corpus_gate_catches_bad_segmentation(spark):
+    """The q_bpe_encode_corpus roundtrip gate is a real tripwire: a
+    merge table whose fused symbol drops a character must produce
+    nonzero rt_fail flags through the same expression."""
+    from pyspark.sql import functions as F
+
+    from x_spark.operators.bpe import END_OF_WORD, bpe_encode_pandas
+
+    bad = [{"rank": 0, "left": "a", "right": "b", "merged": "aX"}]
+    vocab = spark.createDataFrame([("abc",), ("zzz",)], "word string")
+    enc = bpe_encode_pandas(
+        vocab.select("word", F.col("word").alias("wtext")),
+        bad, text_col="wtext", id_col="word",
+    )
+    flags = enc.select(
+        "word",
+        (F.array_join("bpe_tokens", "")
+         != F.concat(F.col("word"), F.lit(END_OF_WORD)))
+        .cast("int").alias("rt_fail"),
+    )
+    got = {r.word: r.rt_fail for r in flags.collect()}
+    assert got["abc"] == 1  # 'ab' fused to 'aX': roundtrip broken
+    assert got["zzz"] == 0  # untouched word still roundtrips

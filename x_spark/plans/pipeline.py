@@ -749,6 +749,78 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide BPE ENCODING through the production encoder shape:
+# train merges on the corpus, encode the DISTINCT word vocabulary once
+# with the Arrow-batched rank-greedy encoder (bpe_encode_pandas — the
+# GPT-2 loop), then broadcast-join token segmentations back onto word
+# occurrences. At 100 TB the Python encoder runs over the
+# Heaps-sublinear vocabulary, never the corpus: tokenizing 10^12 words
+# costs one distinct-vocab pass + a broadcast hash join, the same
+# artifact-reuse argument as the IVF codebooks. Correctness is gated
+# IN-PLAN on the full vocabulary: every word's segmentation must
+# concat back to word || '</w>' (decode-roundtrip) and its token count
+# must sit in [1, len(word)+1] — the oracle predicts both gate sums as
+# ZERO, so a single mis-segmented word anywhere breaks the driver
+# hash. (Rank-greedy == rank-replay equivalence is separately pinned
+# by tests/test_bpe.py against apply_merges.)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    merges = B.train_bpe(docs, n_merges=16, max_words=10_000)
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> length(x) > 0)")
+        ).alias("word"),
+    )
+    vocab = words.select("word").distinct()
+    enc = B.bpe_encode_pandas(
+        vocab.select("word", F.col("word").alias("wtext")),
+        merges, text_col="wtext", id_col="word",
+    )
+    flags = enc.select(
+        "word",
+        (F.array_join("bpe_tokens", "")
+         != F.concat(F.col("word"), F.lit(B.END_OF_WORD)))
+        .cast("int").alias("rt_fail"),
+        (~F.size("bpe_tokens").between(1, F.length("word") + 1))
+        .cast("int").alias("bound_fail"),
+    )
+    return (
+        words.join(F.broadcast(flags), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.countDistinct("word").cast("bigint").alias("n_distinct_words"),
+            F.sum("rt_fail").cast("bigint").alias("encode_fail_words"),
+            F.sum("bound_fail").cast("bigint").alias("bound_fail_words"),
+        )
+    )
+
+
+ORACLE_BPE_ENCODE_CORPUS = r"""
+WITH d AS (
+  SELECT doc_id, source, coalesce(text, '') AS text FROM documents
+), w AS (
+  SELECT source, doc_id,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS word
+  FROM d
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       CAST(0 AS BIGINT) AS encode_fail_words,
+       CAST(0 AS BIGINT) AS bound_fail_words
+FROM w
+GROUP BY source
+"""
+
+
 # First 12 merges trained on the sf0.01 corpus (deterministic; pinned
 # here as a FIXED vocabulary so the application query is a constant
 # function of its input — mirrored literally in the oracle).
@@ -2650,6 +2722,7 @@ PIPELINE_QUERIES = {
     "edit_distance_dups": q_edit_distance_dups,
     "set_similarity_dups": q_set_similarity_dups,
     "bpe_token_stats": q_bpe_token_stats,
+    "bpe_encode_corpus": q_bpe_encode_corpus,
     "bpe_merge_table": q_bpe_merge_table,  # rows-only: iterative trainer
     "quality_classifier": q_quality_classifier,
     "dsir_selection": q_dsir_selection,
@@ -2717,6 +2790,7 @@ PIPELINE_ORACLES = {
     "edit_distance_dups": _edit_distance_oracle(),
     "set_similarity_dups": ORACLE_SET_SIMILARITY_DUPS,
     "bpe_token_stats": _bpe_oracle(),
+    "bpe_encode_corpus": ORACLE_BPE_ENCODE_CORPUS,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "dsir_selection": ORACLE_DSIR_SELECTION,
     "event_sessions": ORACLE_EVENT_SESSIONS,
