@@ -37,14 +37,19 @@ FAMILY_REPRESENTATIVES = [
     "wealthy_idle_customers",   # scalar subquery + NOT EXISTS
     "corpus_vocab_overlap",     # pairwise source vocabulary Jaccard
     "stream_stateful_user_stats",
-    # partition_stats_metadata demoted r10 (first-round green r9; the
-    # metadata-only-read family keeps txlog_restore_roundtrip +
-    # txlog_version_diff; SHOW PARTITIONS pinned by test_sql_dml) —
-    # slot went to approx_profile_gate
-    "approx_profile_gate",      # NEW r10: the 100-TB APPROX profile
-                                # plan (one shared HLL+sketch pass),
-                                # portable metrics hash-checked + a
-                                # sketch-invariant gate row
+    # approx_profile_gate demoted r11 (first-round green r10; profile
+    # family keeps profile_drift) — slot went to agg_view_route
+    "agg_view_route",           # NEW r11: aggregate-view auto-routing
+                                # (warehouse MV rewrite: covered
+                                # group-bys served from maintained IVM
+                                # views, auto-refresh, base fallback)
+    "span_scrub",               # NEW r11: cross-doc span REMOVAL
+                                # (ExactSubstr acting half: global-
+                                # first survivor, island-merged cuts,
+                                # splice length re-derived by oracle)
+    "bpe_encode_corpus",        # NEW r11: corpus BPE encoding via
+                                # vocab-encode + broadcast join with
+                                # in-plan decode-roundtrip gates
     "recon_3way",               # pairwise N>2 reconciliation extension
     "dsir_selection",           # DSIR importance-resampling data selection
     "robust_outliers",          # median/MAD robust outlier screen
@@ -81,14 +86,12 @@ FAMILY_REPRESENTATIVES = [
                                 # pruned probe search vs closed-form oracle
     "bloom_point_lookup",       # Bloom file-skipping sidecar
     "minmax_view_refresh",      # MIN/MAX maintained view, targeted rescans
-    # simhash_near_dups re-promoted r9 for a fresh row (green r09),
-    # demoted again r10 — slot went to trimmed_price_stats (stalest
-    # remaining driver hash, last row r06)
-    "trimmed_price_stats",      # re-promoted r10: trimmed/winsorized
-                                # robust price stats (last row r06)
+    # trimmed_price_stats demoted r11 (fresh row r10; robust-stats
+    # family keeps robust_outliers)
     "events_resampled_locf",    # per-key dense grid + LOCF (as-of family;
-                                # the interpolation twin demoted r7 — same
-                                # per-key explode kernel)
+                                # the interpolation twin demoted r7,
+                                # re-promoted r10 for a fresh row,
+                                # demoted again r11 — same kernel)
     "rolling_value_anomalies",  # trailing-window z-score anomalies
     "curriculum_positions",     # two-stage distributed global ranking
     "token_budget_selection",   # budget cut via distributed running sum
@@ -109,11 +112,8 @@ FAMILY_REPRESENTATIVES = [
     "dv_delete_scan",           # deletion vectors: merge-on-read DELETE +
                                 # metadata subtraction + CDF mask delta
                                 # (demoted: quantity_cube, 4 straight greens)
-    # sql_view_flow demoted r10 (first-round green r9; view
-    # re-expansion pinned by the 34-test sql_dml suite) — slot went to
-    # events_resampled_interp
-    "events_resampled_interp",  # re-promoted r10: interpolating
-                                # resample fill (last row r06)
+    # events_resampled_interp demoted r11 (fresh row r10; resample
+    # family keeps events_resampled_locf above)
     "default_identity_ingest",  # NEW r7: dense identity allocation +
                                 # column DEFAULTs (id SET deterministic)
 ]

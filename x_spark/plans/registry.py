@@ -72,6 +72,27 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # Round-11 rotation (standing rule): round-10's first-round-green
+    # head landings step down as this round's three NEW operator
+    # families take head slots (agg_view_route — aggregate-view
+    # auto-routing; span_scrub — cross-doc span REMOVAL;
+    # bpe_encode_corpus — vocab-encode + broadcast-join corpus
+    # tokenization):
+    "approx_profile_gate",     # green r10 (head, first round); the
+                               # profile family keeps profile_drift
+                               # (head) and the approx-sketch plan
+                               # stays pinned by test_profile + local
+                               # oracle parity
+    "events_resampled_interp", # green r10 (re-promoted, fresh row);
+                               # the resample family keeps
+                               # events_resampled_locf (head) — same
+                               # per-key dense-grid explode kernel,
+                               # interpolation vs LOCF fill
+    "trimmed_price_stats",     # green r10 (re-promoted, fresh row);
+                               # the robust-stats family keeps
+                               # robust_outliers (head); the trimmed/
+                               # winsorized kernel is oracle-parity
+                               # covered locally every round
     # Round-10 rotation (standing rule): last round's first-round-green
     # head landings step down as this round's addition
     # (approx_profile_gate — the 100-TB approx profile plan,
