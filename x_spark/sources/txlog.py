@@ -1285,6 +1285,11 @@ class TxLogDataSource(BaseDataSource):
             raise DataSourceException(
                 f"{new_name!r} is a txlog VIEW — pick another table name"
             )
+        if new_name in self.mviews.specs():
+            raise DataSourceException(
+                f"{new_name!r} is a MATERIALIZED view — pick another "
+                "table name"
+            )
         names[new_name] = names.pop(ref.table)  # type: ignore[arg-type]
         nf = self._names_file()
         tmp = nf + f".tmp-{uuid.uuid4().hex}"
@@ -1328,6 +1333,10 @@ class TxLogDataSource(BaseDataSource):
         if name in self._known_names():
             raise DataSourceException(
                 f"{name!r} is a txlog TABLE — pick another view name"
+            )
+        if name in self.mviews.specs():
+            raise DataSourceException(
+                f"{name!r} is a MATERIALIZED view — pick another view name"
             )
         store = self._temp_views() if temporary else self._known_views()
         if name in store and not replace:
@@ -1512,7 +1521,24 @@ class TxLogDataSource(BaseDataSource):
         handled = self._dispatch_statement(stmt)
         if handled is not None:
             return handled
+        # transparent MV routing: a canonical aggregate SELECT over a
+        # base table with a covering materialized view is served from
+        # the maintained O(groups) state (refreshed if stale) instead
+        # of scanning the fact table; anything not provably coverable
+        # returns None and keeps the ordinary plan
+        routed = self.mviews.route_select(stmt)
+        if routed is not None:
+            return routed
         return self.spark.sql(self._rewrite_query(stmt))
+
+    @property
+    def mviews(self):
+        """Materialized-view registry + lifecycle (sources/mview.py):
+        stateless accessor — everything durable lives in the registry
+        file and the per-MV txlog aggregate tables."""
+        from x_spark.sources.mview import MViewStore
+
+        return MViewStore(self)
 
     def _dispatch_statement(self, stmt: str) -> DataFrame | None:
         """Route statements targeting a known txlog name to the
@@ -1944,6 +1970,42 @@ class TxLogDataSource(BaseDataSource):
             return self.show_partitions(
                 TableRef(table=_normalize_ident(m.group(1)))
             )
+        # MATERIALIZED VIEW verbs (sources/mview.py) — the verb family
+        # exists only in our dialect (OSS Spark has no MATERIALIZED
+        # VIEW), so every such statement is claimed; a non-txlog base
+        # raises a clean typed error instead of a Spark parse error
+        m = re.match(
+            rf"\s*create\s+(or\s+replace\s+)?materialized\s+view\s+"
+            rf"{ident}\s+as\s+(.+?)\s*$",
+            stmt, re.I | re.S,
+        )
+        if m:
+            self.mviews.create(m.group(2), m.group(3),
+                               replace=bool(m.group(1)))
+            return done
+        m = re.fullmatch(
+            rf"\s*refresh\s+materialized\s+view\s+{ident}\s*", stmt, re.I
+        )
+        if m:
+            v = self.mviews.refresh(m.group(1))
+            return self.spark.createDataFrame(
+                [(v,)], "refreshed_to_version bigint"
+            )
+        m = re.fullmatch(
+            rf"\s*drop\s+materialized\s+view\s+(if\s+exists\s+)?{ident}\s*",
+            stmt, re.I,
+        )
+        if m:
+            self.mviews.drop(m.group(2), if_exists=bool(m.group(1)))
+            return done
+        if re.fullmatch(r"\s*show\s+materialized\s+views\s*", stmt, re.I):
+            return self.mviews.listing()
+        m = re.fullmatch(
+            rf"\s*desc(?:ribe)?\s+materialized\s+view\s+{ident}\s*",
+            stmt, re.I,
+        )
+        if m:
+            return self.mviews.describe(m.group(1))
         # CREATE [OR REPLACE] [TEMPORARY] VIEW v AS query — ours when
         # the body references a txlog table or registered view
         m = re.match(
@@ -2042,6 +2104,7 @@ class TxLogDataSource(BaseDataSource):
 
         stmt = self._rewrite_table_changes(stmt)
         stmt = self._expand_views(stmt, _view_seen)
+        stmt = self._expand_mviews(stmt)
 
         names = [n for n in self._known_names()
                  if self.table_exists(TableRef(table=n))]
@@ -2159,6 +2222,32 @@ class TxLogDataSource(BaseDataSource):
             self.spark.sql(
                 self._rewrite_query(views[name], _seen | {name})
             ).createOrReplaceTempView(view)
+            for i in range(0, len(segments), 2):
+                segments[i] = pattern.sub(view, segments[i])
+        return "".join(segments)
+
+    def _expand_mviews(self, stmt: str) -> str:
+        """Substitute referenced MATERIALIZED VIEW names with mangled
+        temp views over their maintained state (as of last refresh —
+        MV reads never trigger hidden base scans; REFRESH is the
+        explicit freshness verb, transparent routing the automatic
+        one)."""
+        import re
+
+        specs = self.mviews.specs()
+        if not specs:
+            return stmt
+        segments = re.split(r"('(?:[^']|'')*')", stmt)
+        for name in sorted(specs, key=len, reverse=True):
+            pattern = re.compile(
+                rf"(?<![\w.`])(?:`{re.escape(name)}`|{re.escape(name)})"
+                r"(?![\w`])"
+            )
+            if not any(pattern.search(segments[i])
+                       for i in range(0, len(segments), 2)):
+                continue
+            view = "__txlog_mv_" + re.sub(r"\W", "_", name)
+            self.mviews.frame(name).createOrReplaceTempView(view)
             for i in range(0, len(segments), 2):
                 segments[i] = pattern.sub(view, segments[i])
         return "".join(segments)
