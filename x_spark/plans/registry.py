@@ -72,6 +72,11 @@ _ALL_QUERIES = {
 # stream_session_profile, scd2_customer — each green >= 3 consecutive
 # rounds with its family still head-represented.
 _TAIL = [
+    # NEW round 11, tail-first (head is full this round): the SQL-
+    # driven MATERIALIZED VIEW lifecycle (CREATE/INSERT/transparent
+    # routed SELECT with auto-refresh). Locally hash-checked at
+    # sf0.001/0.01 via test_oracle_parity; r12 promotion candidate.
+    "mv_sql_flow",
     # Round-11 rotation (standing rule): round-10's first-round-green
     # head landings step down as this round's three NEW operator
     # families take head slots (agg_view_route — aggregate-view

@@ -2061,6 +2061,86 @@ def q_sql_dml_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(view)
 
 
+def q_mv_sql_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED VIEW lifecycle driven purely through SQL
+    (sources/mview.py): CTAS a txlog fact slice, CREATE MATERIALIZED
+    VIEW over it, INSERT more data (view goes stale), then run a
+    coarser aggregate SELECT against the BASE table — the statement
+    must be transparently ROUTED to the (auto-refreshed) MV, never
+    re-scanning the fact table, and a raised tripwire guards against a
+    silent fallback. The oracle recomputes the aggregate from the
+    declared final base state, so routing correctness (the O(groups)
+    roll-up + the O(delta) refresh algebra) is what the hash checks."""
+    import uuid
+
+    from x_spark.sources.txlog import TxLogDataSource
+
+    ds = TxLogDataSource(spark)
+    t = f"mvflow_{uuid.uuid4().hex[:8]}"
+    mv = f"mvflow_mv_{uuid.uuid4().hex[:8]}"
+    view = f"lineitem_src_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice",
+    ).createOrReplaceTempView(view)
+    try:
+        ds.sql(
+            f"CREATE TABLE {t} USING txlog AS "
+            f"SELECT * FROM {view} WHERE l_orderkey % 5 = 0"
+        )
+        ds.sql(
+            f"CREATE MATERIALIZED VIEW {mv} AS "
+            f"SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            f"sum(l_quantity) AS qty, max(l_extendedprice) AS hi "
+            f"FROM {t} GROUP BY l_returnflag, l_linestatus"
+        )
+        ds.sql(
+            f"INSERT INTO {t} SELECT * FROM {view} "
+            "WHERE l_orderkey % 5 = 2 AND l_linenumber <= 3"
+        )  # MV now stale by one version
+        stmt = (
+            f"SELECT l_returnflag, count(*) AS n_rows, "
+            f"sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price "
+            f"FROM {t} GROUP BY l_returnflag"
+        )
+        if ds.mviews.route_select(stmt) is None:
+            raise AssertionError("aggregate SELECT was not MV-routable")
+        routed = ds.sql(stmt)  # end-to-end: routed + auto-refreshed
+        stale = ds.mviews.staleness(mv)  # 0 after the routed refresh
+        return (
+            routed.select(
+                "l_returnflag",
+                "n_rows",
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+                "max_price",
+                F.lit(stale).cast("bigint").alias("staleness"),
+            )
+            # materialize before the table + MV are dropped
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ds.sql(f"DROP MATERIALIZED VIEW IF EXISTS {mv}")
+        ds.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.catalog.dropTempView(view)
+
+
+ORACLE_MV_SQL_FLOW = """
+WITH s AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey % 5 = 0
+     OR (l_orderkey % 5 = 2 AND l_linenumber <= 3)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       max(l_extendedprice) AS max_price,
+       CAST(0 AS BIGINT) AS staleness
+FROM s
+GROUP BY l_returnflag
+"""
+
+
 def q_convert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERT TO TXLOG then DML then time travel (Delta's CONVERT TO
     DELTA migration on-ramp): a plain hive-partitioned parquet
@@ -2666,6 +2746,7 @@ RELATIONAL_QUERIES = {
     "join_view_refresh": q_join_view_refresh,
     "minmax_view_refresh": q_minmax_view_refresh,
     "agg_view_route": q_agg_view_route,
+    "mv_sql_flow": q_mv_sql_flow,
     "lineitem_key_skew": q_lineitem_key_skew,
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
@@ -2712,6 +2793,7 @@ RELATIONAL_ORACLES = {
     "join_view_refresh": ORACLE_JOIN_VIEW_REFRESH,
     "minmax_view_refresh": ORACLE_MINMAX_VIEW_REFRESH,
     "agg_view_route": ORACLE_AGG_VIEW_ROUTE,
+    "mv_sql_flow": ORACLE_MV_SQL_FLOW,
     "lineitem_key_skew": ORACLE_LINEITEM_KEY_SKEW,
     "table_profile": _table_profile_oracle(),
     "profile_drift": _profile_drift_oracle(),
