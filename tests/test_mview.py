@@ -47,8 +47,24 @@ def test_parse_canonical_shapes():
     assert p["base"] == "t" and p["keys"] == ["part"]
     assert ("count", None, "n") in p["items"]
     assert ("avg", "v", "avg_v") in p["items"]  # default alias
-    # not canonical: WHERE / join / expression / no measures
-    assert parse_agg_select("SELECT part, count(*) FROM t WHERE v > 1 GROUP BY part") is None
+    # WHERE over plain comparisons parses, with its columns enumerated
+    p = parse_agg_select(
+        "SELECT part, count(*) AS n FROM t "
+        "WHERE grp = 'x' AND part IN ('a', 'b') GROUP BY part"
+    )
+    assert p["where_cols"] == ["grp", "part"]
+    # a string literal can't fake an identifier
+    p = parse_agg_select(
+        "SELECT part, count(*) AS n FROM t WHERE grp = 'v max(zz)' "
+        "GROUP BY part"
+    )
+    assert p["where_cols"] == ["grp"]
+    # functions in WHERE -> not canonical
+    assert parse_agg_select(
+        "SELECT part, count(*) AS n FROM t WHERE upper(grp) = 'X' "
+        "GROUP BY part"
+    ) is None
+    # not canonical: join / expression / no measures
     assert parse_agg_select("SELECT part FROM t GROUP BY part") is None
     assert parse_agg_select("SELECT part, v + 1 FROM t GROUP BY part") is None
     assert parse_agg_select("SELECT count(*) FROM a JOIN b GROUP BY k") is None
@@ -160,6 +176,28 @@ def test_non_coverable_selects_keep_ordinary_plan(spark, ds, base):
         ds, f"SELECT part, count(*) AS n FROM {name} WHERE v > 15 GROUP BY part"
     ).collect()}
     assert got == {"a": 1, "b": 2}
+
+
+def test_where_on_view_keys_routes(spark, ds, base):
+    name, ref = base
+    _sql(ds, f"CREATE MATERIALIZED VIEW m5 AS SELECT part, grp,"
+             f" count(*) AS n, sum(v) AS total FROM {name}"
+             f" GROUP BY part, grp")
+    # predicate over a NON-grouped view key: commutes with the rollup
+    stmt = (f"SELECT part, count(*) AS n, sum(v) AS total FROM {name} "
+            f"WHERE grp = 'x' GROUP BY part")
+    routed = ds.mviews.route_select(stmt)
+    assert routed is not None
+    assert all("_txlog_mviews" in f for f in routed.inputFiles())
+    got = {r.part: (r.n, float(r.total)) for r in routed.collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 30.0)}
+    # same answer end-to-end and from the ordinary pass-through plan
+    assert got == {r.part: (r.n, float(r.total))
+                   for r in _sql(ds, stmt).collect()}
+    # predicate over a NON-key column: not routable, pass-through
+    assert ds.mviews.route_select(
+        f"SELECT part, count(*) AS n FROM {name} WHERE pk > 2 GROUP BY part"
+    ) is None
 
 
 def test_registry_persists_across_sessions(spark, ds, base):

@@ -156,6 +156,25 @@ def test_routed_equals_base_after_churn(spark, ds, rig):
     assert _rows(routed.df) == _rows(empty.route(["part", "grp"], ms).df)
 
 
+def test_where_over_key_columns(spark, ds, rig):
+    base, router, fine, coarse = rig
+    ms = [Measure("count", alias="n"), Measure("sum", "v", "total")]
+    # grp is a key of the fine view only -> coarse is skipped
+    routed = router.route(["part"], ms, where="grp = 'y'",
+                          where_cols={"grp"})
+    assert routed.served_from == "view:fine"
+    empty = ViewRouter(ds, base)
+    expect = empty.route(["part"], ms, where="grp = 'y'",
+                         where_cols={"grp"})
+    assert expect.served_from == "base"
+    assert _rows(routed.df) == _rows(expect.df)
+    # predicate over a non-key column -> base fallback
+    routed = router.route(["part"], ms, where="pk > 1", where_cols={"pk"})
+    assert routed.served_from == "base"
+    with pytest.raises(ValueError):
+        router.route(["part"], ms, where="grp = 'y'")  # no where_cols
+
+
 def test_register_rejects_foreign_base(ds, rig, tmp_path, spark):
     base, router, *_ = rig
     other = TableRef(path=str(tmp_path / "other"))

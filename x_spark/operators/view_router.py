@@ -108,8 +108,15 @@ class ViewRouter:
     # -- coverage ------------------------------------------------------
     @staticmethod
     def _covers(view: AggregateView, dims: list[str],
-                measures: list[Measure]) -> bool:
+                measures: list[Measure],
+                filter_cols: set[str] | None = None) -> bool:
         if not set(dims) <= set(view.keys):
+            return False
+        if filter_cols and not filter_cols <= set(view.keys):
+            # a predicate over KEY columns commutes with the roll-up
+            # (every base row of a group shares its key values), so
+            # filtering the view frame == filtering the base; any
+            # other column makes the request non-derivable
             return False
         for m in measures:
             if m.op == "count":
@@ -120,14 +127,15 @@ class ViewRouter:
                 return False
         return True
 
-    def _pick(self, dims: list[str],
-              measures: list[Measure]) -> tuple[str, AggregateView] | None:
+    def _pick(self, dims: list[str], measures: list[Measure],
+              filter_cols: set[str] | None = None,
+              ) -> tuple[str, AggregateView] | None:
         """Cheapest covering view: fewest group keys (smallest frame —
         the cardinality of a maintained aggregate is monotone in its
         key set). Ties break on registration order."""
         best = None
         for name, view in self._views.items():
-            if self._covers(view, dims, measures):
+            if self._covers(view, dims, measures, filter_cols):
                 if best is None or len(view.keys) < len(best[1].keys):
                     best = (name, view)
         return best
@@ -183,18 +191,28 @@ class ViewRouter:
         return out
 
     def route(self, dims: list[str], measures: list[Measure], *,
-              refresh: str = "stale", allow_stale: bool = False) -> Routed:
-        """Serve ``GROUP BY dims : measures``.
+              refresh: str = "stale", allow_stale: bool = False,
+              where: str | None = None,
+              where_cols: set[str] | None = None) -> Routed:
+        """Serve ``GROUP BY dims : measures`` (optionally with a
+        ``WHERE`` predicate over view-KEY columns — the one filter
+        class that commutes with the roll-up).
 
-        ``refresh``: ``"stale"`` refreshes a behind view before serving
-        (O(delta)); ``"never"`` refuses stale views (falls back to the
-        base unless ``allow_stale``). ``"always"`` refreshes even when
-        the staleness probe says fresh (paranoid mode for externally
-        mutated logs).
+        ``where`` is a SQL predicate string applied identically on
+        both paths; ``where_cols`` MUST name every column it
+        references (the router verifies coverage against this set —
+        callers that cannot enumerate the columns must not pass a
+        filter). ``refresh``: ``"stale"`` refreshes a behind view
+        before serving (O(delta)); ``"never"`` refuses stale views
+        (falls back to the base unless ``allow_stale``). ``"always"``
+        refreshes even when the staleness probe says fresh (paranoid
+        mode for externally mutated logs).
         """
         if refresh not in ("stale", "never", "always"):
             raise ValueError(f"unknown refresh policy: {refresh!r}")
-        picked = self._pick(dims, measures)
+        if where is not None and not where_cols:
+            raise ValueError("where requires where_cols naming its columns")
+        picked = self._pick(dims, measures, where_cols if where else None)
         if picked is not None:
             name, view = picked
             if refresh == "always":
@@ -206,9 +224,13 @@ class ViewRouter:
                     picked = None
         if picked is None:
             base = self.ds.read(self.base_ref)
+            if where is not None:
+                base = base.filter(F.expr(where))
             grouped = base.groupBy(*dims) if dims else base.groupBy()
             return Routed(grouped.agg(*self._base_aggs(measures)), "base")
         name, view = picked
         frame = view.read()
+        if where is not None:
+            frame = frame.filter(F.expr(where))
         grouped = frame.groupBy(*dims) if dims else frame.groupBy()
         return Routed(grouped.agg(*self._view_aggs(measures)), f"view:{name}")

@@ -58,9 +58,39 @@ _MEASURE = re.compile(
 )
 _AS_TAIL = re.compile(rf"^(.*?)\s+as\s+({_IDENT})$", re.I | re.S)
 _CANON = re.compile(
-    rf"^\s*select\s+(.+?)\s+from\s+({_IDENT})\s+group\s+by\s+(.+?)\s*;?\s*$",
+    rf"^\s*select\s+(.+?)\s+from\s+({_IDENT})"
+    rf"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
+
+# words allowed inside a routable WHERE besides the filtered columns:
+# SQL operators/keywords and literal-ish tokens only — any OTHER
+# identifier (function names, non-key columns) makes the predicate
+# non-canonical and the statement falls back to its ordinary plan
+_WHERE_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "between", "like",
+    "true", "false",
+}
+
+
+def _where_idents(pred: str) -> set[str] | None:
+    """Column identifiers a predicate references, or None when it uses
+    anything beyond plain comparisons (conservative: strip string
+    literals first so their contents can't fake an identifier)."""
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
+    # literal-only IN-lists are fine (the column sits before IN);
+    # any parenthesis left after removing them means functions or
+    # grouping — not the canonical shape
+    stripped = re.sub(r"\bin\s*\(["
+                      r"\s,'0-9.\-]*\)", " in ''", stripped, flags=re.I)
+    if "(" in stripped or ")" in stripped:
+        return None
+    idents = set()
+    for tok in re.findall(r"`[^`]+`|[A-Za-z_]\w*", stripped):
+        tok = _norm(tok)
+        if tok not in _WHERE_KEYWORDS:
+            idents.add(tok)
+    return idents
 
 
 def parse_agg_select(stmt: str):
@@ -70,10 +100,19 @@ def parse_agg_select(stmt: str):
     m = _CANON.match(stmt)
     if m is None:
         return None
-    items_src, base, keys_src = m.group(1), _norm(m.group(2)), m.group(3)
+    items_src, base = m.group(1), _norm(m.group(2))
+    where_src, keys_src = m.group(3), m.group(4)
     if re.search(r"\b(where|having|join|union|limit|order)\b|\(\s*select",
                  items_src + " " + keys_src, re.I):
         return None
+    where_cols = None
+    if where_src is not None:
+        if re.search(r"\b(having|join|union|limit|order)\b|\(\s*select",
+                     where_src, re.I):
+            return None
+        where_cols = _where_idents(where_src)
+        if where_cols is None:
+            return None
     keys = []
     for tok in keys_src.split(","):
         tok = tok.strip()
@@ -103,7 +142,9 @@ def parse_agg_select(stmt: str):
         return None
     if not any(kind != "dim" for kind, *_ in items):
         return None  # no measures: plain DISTINCT, not our shape
-    return {"items": items, "base": base, "keys": keys}
+    return {"items": items, "base": base, "keys": keys,
+            "where": where_src.strip() if where_src else None,
+            "where_cols": sorted(where_cols) if where_cols else []}
 
 
 class MViewStore:
@@ -142,11 +183,13 @@ class MViewStore:
 
         name = _norm(name)
         parsed = parse_agg_select(definition)
-        if parsed is None:
+        if parsed is None or parsed["where"]:
             raise DataSourceException(
                 "materialized view definition must be the canonical "
                 "aggregate shape: SELECT dims + count(*)/sum/avg/min/max "
-                "measures FROM one txlog table GROUP BY dims"
+                "measures FROM one txlog table GROUP BY dims (no WHERE "
+                "— filters belong on the routed query, not the "
+                "maintained state)"
             )
         if parsed["base"] not in self.ds._known_names():
             raise DataSourceException(
@@ -326,9 +369,12 @@ class MViewStore:
             return None  # dims projected away: rolled result ambiguous
         measures = [Measure(kind, col, alias)
                     for kind, col, alias in parsed["items"] if kind != "dim"]
-        if router._pick(parsed["keys"], measures) is None:
+        where = parsed["where"]
+        where_cols = set(parsed["where_cols"]) if where else None
+        if router._pick(parsed["keys"], measures, where_cols) is None:
             return None
-        routed = router.route(parsed["keys"], measures)
+        routed = router.route(parsed["keys"], measures,
+                              where=where, where_cols=where_cols)
         out = []
         for kind, col, alias in parsed["items"]:
             out.append(F.col(col).alias(alias) if kind == "dim"
