@@ -208,3 +208,20 @@ def test_registry_persists_across_sessions(spark, ds, base):
     assert "m4" in ds2.mviews.specs()
     got = {r.grp: r.n for r in ds2.mviews.frame("m4").collect()}
     assert got == {"x": 2, "y": 2}
+
+
+def test_refresh_after_delete_minmax_rescan(spark, ds, base):
+    """DELETE through the SQL surface, then REFRESH: the min/max
+    targeted-rescan path must land the survivors' true extrema in the
+    materialized state."""
+    name, ref = base
+    _sql(ds, f"CREATE MATERIALIZED VIEW m6 AS SELECT part, count(*) AS n,"
+             f" min(v) AS lo, max(v) AS hi FROM {name} GROUP BY part")
+    # delete both extremes of part 'b' (30.0 and 40.5 -> none left
+    # except... pk 3 v=30.0, pk 4 v=40.5; delete pk=4 removes the max)
+    _sql(ds, f"DELETE FROM {name} WHERE pk = 4")
+    _sql(ds, "REFRESH MATERIALIZED VIEW m6")
+    got = {r.part: (r.n, r.lo, r.hi)
+           for r in _sql(ds, "SELECT part, n, lo, hi FROM m6").collect()}
+    assert got["b"] == (1, 30.0, 30.0)
+    assert got["a"] == (2, 10.0, 20.0)

@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     recon.add_argument("--limit", type=int, default=20, help="rows to display")
 
     sql = sub.add_parser(
-        "sql", help="run a multi-statement SQL script (';'-separated)"
+        "sql", help="run a multi-statement SQL script (';'-separated; "
+        "incl. MATERIALIZED VIEW DDL + transparent aggregate routing)"
     )
     sql.add_argument("script", help="path to a .sql file")
     sql.add_argument("--param", action="append", metavar="NAME=VALUE")
