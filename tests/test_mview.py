@@ -225,3 +225,18 @@ def test_refresh_after_delete_minmax_rescan(spark, ds, base):
            for r in _sql(ds, "SELECT part, n, lo, hi FROM m6").collect()}
     assert got["b"] == (1, 30.0, 30.0)
     assert got["a"] == (2, 10.0, 20.0)
+
+
+def test_failed_initial_build_is_retryable(spark, ds, base):
+    """A definition whose materialization fails (sum over a string
+    column) must not leave a half-built aggregate table blocking the
+    corrected retry."""
+    name, ref = base
+    with pytest.raises(Exception):
+        ds.mviews.create("m7", f"SELECT part, sum(grp) AS s FROM {name}"
+                               " GROUP BY part")
+    assert "m7" not in ds.mviews.specs()
+    ds.mviews.create("m7", f"SELECT part, sum(v) AS s FROM {name}"
+                           " GROUP BY part")
+    got = {r.part: float(r.s) for r in ds.mviews.frame("m7").collect()}
+    assert got == {"a": 30.0, "b": 70.5}

@@ -240,7 +240,16 @@ class MViewStore:
             self.drop(name, if_exists=True)
             specs = self.specs()
         view = self._view_of(spec)
-        view.refresh()  # initial materialization (full CDF fold)
+        try:
+            view.refresh()  # initial materialization (full CDF fold)
+        except Exception:
+            # a half-built aggregate table would block the retry (its
+            # CREATE commit already landed) — reap it so a failed
+            # definition can be corrected and re-issued
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            raise
         specs[name] = spec
         self._save(specs)
 
