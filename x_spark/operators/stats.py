@@ -34,6 +34,8 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, functions as F
 
+from x_spark.fanout import fan_out
+
 _DEC = "decimal(30,6)"
 
 
@@ -41,6 +43,13 @@ def _moments(df: DataFrame, pairs: list[tuple[str, str]], group_cols: list[str])
     """One agg computing n/Sx/Sy/Sxx/Syy/Sxy per pair (pairwise
     NULL-complete rows only): per-row double products (one IEEE
     multiply, bit-deterministic) summed exactly in DECIMAL(30,6)."""
+    # the DECIMAL accumulation dominates this operator (module
+    # docstring) and runs in the scan stage — fan a degenerate input
+    # layout out to every core first (exact sums: order-independent)
+    used = list(dict.fromkeys(
+        group_cols + [c for p in pairs for c in p]
+    ))
+    df = fan_out(df.select(*used))
     aggs = []
     for x, y in pairs:
         both = F.col(x).isNotNull() & F.col(y).isNotNull()
@@ -132,7 +141,11 @@ def _corr_matrix_complete(
     for c in columns:
         nn = F.col(c).isNotNull()
         cond = nn if cond is None else (cond & nn)
-    base = df.filter(cond)
+    used = list(dict.fromkeys(group_cols + columns))
+    # the DECIMAL accumulation dominates this operator (module
+    # docstring) and runs in the scan stage — fan a degenerate input
+    # layout out to every core first (exact sums: order-independent)
+    base = fan_out(df.select(*used).filter(cond))
     aggs = [F.count("*").alias("n_all")]
     for c in columns:
         cd = F.col(c).cast("double")
