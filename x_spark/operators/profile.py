@@ -41,6 +41,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
+from x_spark.fanout import fan_out
+
 QUANTILES = (0.25, 0.5, 0.75)
 
 
@@ -76,6 +78,9 @@ def profile_table(
 
     shared: list = []
     labels: list[tuple[str, str]] = []  # (col, metric) per agg position
+    # overrides: (col, metric) -> expr over the wide agg row, for
+    # metrics packed into a shared agg value (array-form percentiles)
+    unpack: dict[tuple[str, str], object] = {}
 
     def add(col: str, metric: str, expr) -> None:
         shared.append(expr.cast("double").alias(f"{col}__{metric}"))
@@ -92,24 +97,53 @@ def profile_table(
         if isinstance(dt, NumericType):
             add(c, "min", F.min(c))
             add(c, "max", F.max(c))
-            for q in QUANTILES:
-                if exact:
-                    # exact continuous-interpolation percentile —
-                    # matches DuckDB quantile_cont (oracle mode), but
-                    # buffers every value per group
-                    expr = F.expr(f"percentile(cast({c} as double), {q})")
-                else:
+            if exact:
+                # exact continuous-interpolation percentile — matches
+                # DuckDB quantile_cont (oracle mode). ONE array-form
+                # accumulator per column: the three quantiles share a
+                # single value buffer + sort instead of buffering the
+                # column three times (identical values — one sorted
+                # buffer interpolated at three points)
+                qlist = ", ".join(str(q) for q in QUANTILES)
+                shared.append(
+                    F.expr(
+                        f"percentile(cast({c} as double), array({qlist}))"
+                    ).alias(f"{c}__pq")
+                )
+                for i, q in enumerate(QUANTILES):
+                    m = f"p{int(q * 100)}"
+                    labels.append((c, m))
+                    unpack[(c, m)] = F.element_at(F.col(f"{c}__pq"), i + 1)
+            else:
+                for q in QUANTILES:
                     # approx mode: bounded-memory quantile sketch (the
                     # plan a 100 TB profile should get by default)
-                    expr = F.expr(
+                    add(c, f"p{int(q * 100)}", F.expr(
                         f"approx_percentile(cast({c} as double), {q}, 10000)"
-                    )
-                add(c, f"p{int(q * 100)}", expr)
+                    ))
         elif isinstance(dt, StringType):
             add(c, "avg_len", F.avg(F.length(c)))
             add(c, "max_len", F.max(F.length(c)))
 
+    src = df
+    if exact:
+        # heavy per-row work (value buffering for exact percentiles)
+        # runs in the stage BEFORE the first exchange — fan a
+        # degenerate input layout out to every core first (guide §2.5;
+        # no-op on healthy multi-split layouts). Exact aggregates are
+        # order-independent, so results are bit-identical. Approx mode
+        # is left untouched: sketch merges are order-sensitive and its
+        # one shared pass is already the documented 100-TB plan.
+        df = fan_out(df.select(*cols))
     wide = df.agg(*shared)
+    if unpack:
+        wide = wide.select(
+            *[
+                (unpack[(c, m)] if (c, m) in unpack
+                 else F.col(f"{c}__{m}")).cast("double").alias(f"{c}__{m}")
+                for c, m in labels
+            ]
+        )
     # unpivot the single wide row: stack(n, 'col', 'metric', value, ...)
     stack_args = ", ".join(
         f"'{c}', '{m}', `{c}__{m}`" for c, m in labels
@@ -122,8 +156,13 @@ def profile_table(
 
     if not exact:
         return long
+    # one plan per exact distinct, NOT folded into the shared agg or a
+    # multi-distinct aggregate (module docstring; the multi-distinct
+    # Expand variant measured 1.7x SLOWER on the profile battery —
+    # duplicated rows outweigh the saved scans on a columnar source,
+    # and each union branch scans only its own column anyway)
     distincts = [
-        df.select(
+        src.select(
             F.lit(c).alias("col_name"),
             F.lit("n_distinct").alias("metric"),
             F.countDistinct(c).cast("double").alias("value"),
