@@ -140,6 +140,8 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    edges_distinct: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     link-graph quality signal corpus curation uses to rank sources
@@ -158,11 +160,19 @@ def pagerank(
     in-degree structure.
 
     Scale shape: per round ONE join (ranks x out-degree-annotated
-    edges, both shuffled on node id — co-partitioned round to round)
-    and ONE aggregation; ``_tracked_ckpt`` cuts lineage each round and
-    frees the superseded round's blocks, so plan depth and storage
-    stay O(1) in ``n_iter``. The only driver values are the node count
-    and loop control — rank data never leaves the cluster.
+    edges) and ONE aggregation; ``_tracked_ckpt`` cuts lineage each
+    round and frees the superseded round's blocks, so plan depth and
+    storage stay O(1) in ``n_iter``. When the measured node count is
+    at most ``broadcast_max_nodes`` the per-round rank and inflow
+    tables are broadcast (a node row is tens of bytes, so the default
+    bounds the relation near 100 MB) — the edge table is then never
+    shuffled inside the loop; above the bound the joins fall back to
+    the co-partitioned shuffle plan. The only driver values are the
+    node count and loop control — rank data never leaves the cluster.
+
+    ``edges_distinct=True`` promises the input is already a distinct
+    edge list and skips the defensive dedup shuffle (mirrors
+    ``connected_components(pairs_distinct=...)``).
 
     Returns (node, rank), rank unrounded double.
     """
@@ -170,7 +180,13 @@ def pagerank(
         raise ValueError("n_iter must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    # pin the edge list once: nodes, out-degrees and the annotated
+    # edge table all derive from it (previously the upstream
+    # join+distinct re-ran for each derivation)
+    e, e_id = _tracked_ckpt(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -180,6 +196,7 @@ def pagerank(
     n_total = nodes.count()
     if n_total == 0:
         _free_ckpt(nodes, nodes_id)
+        _free_ckpt(e, e_id)
         # a freed checkpoint cannot be recomputed — return a fresh
         # empty frame instead of the unpersisted one
         return edges.sparkSession.createDataFrame(
@@ -187,17 +204,24 @@ def pagerank(
         )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     annotated, ann_id = _tracked_ckpt(e.join(outdeg, "src"))
+    # nodes and annotated are pinned (eager checkpoints) — the raw
+    # edge blocks are no longer reachable from the loop
+    _free_ckpt(e, e_id)
+    small = n_total <= broadcast_max_nodes
     teleport = (1.0 - damping) / n_total
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
     prev_id = None
     for _ in range(n_iter):
-        contrib = annotated.join(ranks, annotated["src"] == ranks["node"]).select(
+        r = F.broadcast(ranks) if small else ranks
+        contrib = annotated.join(r, annotated["src"] == r["node"]).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("outdeg")).cast("decimal(30,6)").alias("c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("inflow"))
         ranks, new_id = _tracked_ckpt(
-            nodes.join(inflow, "node", "left").select(
+            nodes.join(
+                F.broadcast(inflow) if small else inflow, "node", "left"
+            ).select(
                 "node",
                 (
                     F.lit(teleport)
