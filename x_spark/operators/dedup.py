@@ -30,6 +30,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from x_spark.fanout import fan_out
 from x_spark.functions.portable import (
     MINHASH_PRIME,
     fingerprint,
@@ -117,8 +118,19 @@ def _sketch_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (measured ~6x recompute without it); repeated calls on the same
     input dedupe via Spark's cache manager (canonicalized-plan key).
     Size: id + ~prefix ints per row, MEMORY_AND_DISK at scale.
+
+    The md5 shingling dominates this operator and runs BEFORE the
+    first exchange, so on a degenerate input layout (one file / one
+    row group) it serializes on one or two cores — ``fan_out`` the
+    projected (id, text) rows first (guide §2.5; no-op on a
+    healthy multi-split table). Per-row hashes are order-independent,
+    so the persisted content is identical.
     """
-    return with_shingle_hashes(df, text_col).select(id_col, "shingle_hashes").persist()
+    return (
+        with_shingle_hashes(fan_out(df.select(id_col, text_col)), text_col)
+        .select(id_col, "shingle_hashes")
+        .persist()
+    )
 
 
 def minhash_band_keys() -> list:
@@ -291,7 +303,10 @@ def simhash_by_id(df: DataFrame, id_col: str = "doc_id",
         f"transform(regexp_extract_all(lower({text_col}), '\\\\S+', 0), "
         f"t -> cast(conv(substr(md5(t),1,{bits // 4}),16,10) as bigint))"
     )
-    toks = df.select(
+    # the md5 token hashing runs before the first exchange: fan a
+    # degenerate scan layout out to every core first (guide §2.5;
+    # no-op on multi-split inputs, sums are order-independent)
+    toks = fan_out(df.select(id_col, text_col)).select(
         id_col, F.explode_outer(F.expr(tok_hashes)).alias("_h")
     )
     aggs = [
@@ -555,6 +570,11 @@ def set_similarity_pairs(
     upper bound at sf0.1; 5-gram elements -> only genuine near-dups).
     """
     num, den = threshold
+    # tokenization (md5 element hashing + explode) runs before the
+    # first exchange — fan a degenerate scan layout out first (guide
+    # §2.5; no-op on multi-split inputs; downstream consumers are
+    # distinct/groupBy/joins, all order-independent)
+    df = fan_out(df.select(id_col, text_col))
     if element == "shingle":
         toks = (
             with_shingle_hashes(df, text_col)

@@ -78,6 +78,7 @@ def connected_components(
     right_col: str = "id_b",
     max_iterations: int = 20,
     pairs_distinct: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = min node id reachable (deterministic labeling).
@@ -88,7 +89,17 @@ def connected_components(
     distinct by construction, e.g. embedding_near_dup_pairs' unique
     home-cell join with zero-norm vectors guarded out) and skips the
     defensive dedup shuffle on the doubled edge list: the reversed
-    union of strictly-ordered distinct pairs cannot collide."""
+    union of strictly-ordered distinct pairs cannot collide.
+
+    When the measured node count is at most ``broadcast_max_nodes``
+    the per-round label table is broadcast (mirrors
+    ``pagerank(broadcast_max_nodes=...)``): the pinned edge list is
+    then never shuffled inside the loop — each round's only exchange
+    is the min-label aggregation. Above the bound the loop keeps the
+    co-partitioned shuffle plan, so the 100-TB shape is unchanged; the
+    gate is a measured size, not a local-mode constant. The initial
+    label table is also pinned once so round 1 does not recompute the
+    node-distinct twice (union side + join side)."""
     spark = pairs.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     # candidate-pair graphs are tiny relative to the corpus; per-round
@@ -102,13 +113,19 @@ def connected_components(
         if not pairs_distinct:
             doubled = doubled.distinct()
         edges, edges_id = _tracked_ckpt(doubled)
-        labels = edges.select(F.col("a").alias("node")).distinct().select(
-            "node", F.col("node").alias("component")
+        labels, labels_id = _tracked_ckpt(
+            edges.select(F.col("a").alias("node")).distinct().select(
+                "node", F.col("node").alias("component")
+            )
         )
-        prev_sum, prev_id = None, None
+        # node count is already materialized by the eager checkpoint;
+        # counting it is metadata-cheap and gates the broadcast plan
+        small = labels.count() <= broadcast_max_nodes
+        prev_sum, prev_id = None, labels_id
         for _ in range(max_iterations):
+            lbl = F.broadcast(labels) if small else labels
             neighbor_labels = edges.join(
-                labels, edges["b"] == labels["node"], "inner"
+                lbl, edges["b"] == lbl["node"], "inner"
             ).select(edges["a"].alias("node"), F.col("component"))
             labels, new_id = _tracked_ckpt(
                 labels.unionByName(neighbor_labels)
