@@ -113,7 +113,14 @@ GROUP BY p.event_id, p.user_id
 # ---------------------------------------------------------------------------
 # A6: CUBE with grouping id (all aggregation lattice cells in one pass).
 def q_quantity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.fanout import fan_out
+
     li = _t(spark, sf_dir, "lineitem")
+    # Expand (x4 lattice cells) + DECIMAL(30,6) accumulation run in the
+    # pre-exchange stage — fan a degenerate one-split layout out first
+    # (guide §2.5; no-op on multi-split tables, exact sums are
+    # order-independent)
+    li = fan_out(li.select("l_returnflag", "l_linestatus", "l_quantity"))
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

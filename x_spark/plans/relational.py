@@ -67,11 +67,21 @@ def davg(col) -> F.Column:
 # A1-A6: aggregation battery (TPC-H Q1 shape: partial agg map-side, one
 # shuffle on the 6-group key; scales linearly with input).
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.fanout import fan_out
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # seven DECIMAL(30,6) accumulators run in the pre-exchange stage —
+    # fan a degenerate one-split layout out after the pushed filter
+    # (guide §2.5/§2.3; exact sums are order-independent)
+    src = fan_out(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax")
+    )
+    return (
+        src
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
