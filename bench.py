@@ -84,7 +84,12 @@ def build_session(cpus: str) -> SparkSession:
         .appName("x_spark-bench")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        # scale-adaptive, not a local[32] constant: track the measured
+        # core count (the driver also benches at lower core counts);
+        # AQE coalescing then right-sizes each exchange from data size
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                               cpus if str(cpus).isdigit() else "32"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # ContextCleaner's periodic GC defaults to 30min — in a

@@ -708,7 +708,8 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
                      merge_schema: bool | None = None,
                      skip_match_checks: bool = False,
                      meta_actions: list[dict] | None = None,
-                     write_schema=None) -> None:
+                     write_schema=None,
+                     src_key_bounds: tuple | None = None) -> None:
     """One merge attempt against the current (or given) snapshot.
 
     ``src_df``/``snap`` short-circuit resolution for API callers that
@@ -716,7 +717,10 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
     drops the multiple-match guard AND the per-target-row residue
     dedup when the caller has already guaranteed unique source keys
     on an equi ON (one less shuffle). ``txn`` stamps the commit for
-    idempotent replay."""
+    idempotent replay. ``src_key_bounds`` is ``(source key column,
+    min, max)`` when the caller already measured the source key range
+    in a fused pass — the candidate pruning then skips its own
+    source-plan job (used only if the extracted equi key matches)."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -792,7 +796,12 @@ def _merge_into_once(ds, ms: MergeInto, table: str,
         # pruning the same way), so it forces the full candidate set
         tcol, scol = key
         keyed = src_df.select(F.col(scol).alias(tcol))
-        candidates = ds._files_overlapping_keys(keyed, snap, tcol)
+        candidates = ds._files_overlapping_keys(
+            keyed, snap, tcol,
+            bounds=(src_key_bounds[1], src_key_bounds[2])
+            if src_key_bounds is not None and src_key_bounds[0] == scol
+            else None,
+        )
     else:
         candidates = sorted(snap.files)
 

@@ -4803,7 +4803,6 @@ class TxLogDataSource(BaseDataSource):
         the whole merge (candidates, join, evolution fold) — the retry
         is serializable because it re-runs as-if after the winning
         commit; a replayed ``txn`` epoch still surfaces immediately."""
-        from x_spark.operators.merge import check_unique_source_keys
         from x_spark.sources.sql_dml import (
             _merge_into_once, merge_spec_into,
         )
@@ -4811,6 +4810,7 @@ class TxLogDataSource(BaseDataSource):
         table = self._table_path(ref)
         last: ConcurrentWriteException | None = None
         missing = None
+        key_bounds = None
         for _ in range(5):
             snap = resolve_snapshot(table)
             if snap is None:
@@ -4836,7 +4836,30 @@ class TxLogDataSource(BaseDataSource):
                         f"merge columns {missing} not present in target"
                     )
                 if spec.validate_unique_source_keys:
-                    check_unique_source_keys(df, spec)
+                    # fused source pass: the uniqueness probe (dup
+                    # keys exist iff rows > distinct key tuples — the
+                    # struct makes NULL key fields compare like the
+                    # groupBy they replace) AND the leading-key range
+                    # the candidate pruning needs, in ONE job instead
+                    # of two source-plan executions (the source does
+                    # not change across version-race retries, so the
+                    # bounds are computed once and reused)
+                    lead = spec.primary_key_columns[0]
+                    srow = df.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.countDistinct(F.struct(
+                            *[F.col(c) for c in spec.primary_key_columns]
+                        )).alias("nd"),
+                        F.min(lead).alias("lo"),
+                        F.max(lead).alias("hi"),
+                    ).first()
+                    if srow["n"] > srow["nd"]:
+                        raise ETLJobException(
+                            "merge source has duplicate rows per "
+                            f"primary key {spec.primary_key_columns}; "
+                            "Delta MERGE would abort"
+                        )
+                    key_bounds = (lead, srow["lo"], srow["hi"])
                     # checked once here — don't re-run per retry or
                     # inside the split-join path
                     import dataclasses as _dc
@@ -4856,7 +4879,8 @@ class TxLogDataSource(BaseDataSource):
             try:
                 if snap.configuration.get(DV_ENABLE_KEY, "").lower() == "true":
                     self._merge_with_dv(table, snap, df, spec, txn,
-                                        write_schema, meta_actions)
+                                        write_schema, meta_actions,
+                                        src_key_bounds=key_bounds)
                 else:
                     # copy-on-write MERGE runs through the shared
                     # single-join engine (sql_dml): one pinned
@@ -4870,6 +4894,7 @@ class TxLogDataSource(BaseDataSource):
                         skip_match_checks=True,
                         meta_actions=meta_actions,
                         write_schema=write_schema,
+                        src_key_bounds=key_bounds,
                     )
                 return
             except TxnAlreadyCommittedException:
@@ -4908,7 +4933,8 @@ class TxLogDataSource(BaseDataSource):
     def _merge_with_dv(self, table: str, snap: Snapshot, src: DataFrame,
                        spec: MergeSpec, txn: tuple[str, int] | None,
                        write_schema: StructType | None = None,
-                       meta_actions: list[dict] | None = None) -> None:
+                       meta_actions: list[dict] | None = None,
+                       src_key_bounds: tuple | None = None) -> None:
         """Merge-on-read MERGE: matched target rows are MASKED (their
         new images plus upsert inserts land in fresh files) and
         untouched rows co-located in candidate files are never
@@ -4925,7 +4951,10 @@ class TxLogDataSource(BaseDataSource):
         meta_actions = meta_actions or []
         base = snap.version
         candidates = self._files_overlapping_keys(
-            src, snap, spec.primary_key_columns[0]
+            src, snap, spec.primary_key_columns[0],
+            bounds=(src_key_bounds[1], src_key_bounds[2])
+            if src_key_bounds is not None
+            and src_key_bounds[0] == spec.primary_key_columns[0] else None,
         )
         if candidates:
             if self._row_tracking_on(snap.configuration):
@@ -6713,11 +6742,17 @@ class TxLogDataSource(BaseDataSource):
         return base_version + 1
 
     def _files_overlapping_keys(self, src: DataFrame, snap: Snapshot,
-                                key: str) -> list[str]:
+                                key: str,
+                                bounds: tuple | None = None) -> list[str]:
         """Files whose footer min/max range on ``key`` (the leading
         merge primary-key column) overlaps the source's key range —
         read-free data skipping; a pruned file provably holds no row a
         source key can match. Missing stats => candidate (safe).
+
+        ``bounds`` is the already-collected (min, max) of the source
+        key when the caller fused that aggregate into another source
+        pass (``merge``'s uniqueness check) — one fewer Spark job;
+        omitted, the range is measured here.
 
         Bounds come from the columnar metadata plane (typed sidecar
         columns when the snapshot is sidecar-backed — no add-action
@@ -6731,8 +6766,11 @@ class TxLogDataSource(BaseDataSource):
 
         import numpy as np  # noqa: PLC0415
 
-        row = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        lo, hi = row["lo"], row["hi"]
+        if bounds is not None:
+            lo, hi = bounds
+        else:
+            row = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+            lo, hi = row["lo"], row["hi"]
         if lo is None:
             return []  # empty source: no file can match
         field = next(
