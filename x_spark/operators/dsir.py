@@ -61,9 +61,16 @@ def ngram_bucket_tf(
     ``unpersist()`` it after your terminal action — otherwise the
     cached blocks live until the session sweeps them (``dsir_select``
     does this cleanup itself)."""
+    from x_spark.fanout import fan_out
+
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
     tok_hashes = f"transform({toks}, t -> {hash32_sql('t')})"
-    toks_df = df.select(
+    # the per-token hashing AND the downstream per-gram polynomial
+    # fold both run at the persisted frame's parallelism, which on a
+    # degenerate one-split layout is a single task — fan the projected
+    # (id, text) rows out first (guide §2.5; no-op on multi-split
+    # tables, per-row hashes are order-independent)
+    toks_df = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias(id_col), F.expr(tok_hashes).alias("_th")
     ).persist()
     if caches is not None:

@@ -57,11 +57,19 @@ def scan_documents(docs: DataFrame, id_col: str = "doc_id",
     """Per-``group_col`` PII audit: documents flagged, matches by type,
     and the residual count after :func:`redact` (must be 0 — the
     redaction-completeness invariant, asserted by the oracle too)."""
+    from x_spark.fanout import fan_out
+
     counts = pii_counts(text_col)
     flagged = sum(
         (c > 0).cast("int") for c in counts.values()
     )
     residual = sum(pii_counts(redact(text_col)).values())
+    # the full regex battery (every pattern twice: raw + redacted
+    # residual) evaluates per row in the pre-exchange partial-agg
+    # stage — on a degenerate one-split layout that is one task; fan
+    # the projected rows out first (guide §2.5; no-op on healthy
+    # layouts, the counts/sums are order-independent)
+    docs = fan_out(docs.select(group_col, text_col))
     return (
         docs.groupBy(F.col(group_col).alias("source"))
         .agg(

@@ -317,9 +317,16 @@ def ngram_hash_table(
     # roll over the 32-bit token hashes — multiplier < 2^20 keeps every
     # product < 2^52 (ANSI-safe, exact in DuckDB bigint math):
     #   g = fold(h_i..h_{i+n-1}: acc -> (acc * 1000003 + h) % P)
+    from x_spark.fanout import fan_out
+
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) > 0)"
     tok_hashes = f"transform({toks}, t -> {hash32_sql('t')})"
-    toks_df = df.select(
+    # per-token hashing and the consumers' per-gram polynomial fold
+    # both run at this persisted frame's parallelism — on a degenerate
+    # one-split layout that is a single task; fan the projected rows
+    # out first (guide §2.5; no-op on healthy layouts, hashes are
+    # order-independent)
+    toks_df = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias(id_col), F.expr(tok_hashes).alias("_cc_th")
     ).persist()
     grams = (
