@@ -134,10 +134,16 @@ def brute_force_topk(
     search, but the memory ceiling is gone. Identical results
     (``tests/test_ivf.py``).
     """
+    from x_spark.fanout import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    # |Q| cosines per corpus row run in the corpus scan stage when the
+    # query side broadcasts — fan a degenerate layout out first (guide
+    # §2.5; no-op on healthy layouts, ranking is deterministic)
+    c = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = q_side.crossJoin(c).select(
         "query_id",
@@ -176,8 +182,14 @@ def hard_negatives(
     """
     if not sim_lo < sim_hi:
         raise ValueError("need sim_lo < sim_hi")
+    from x_spark.fanout import fan_out
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    # |Q| cosines per corpus row run in the corpus scan stage (query
+    # side broadcasts) — fan a degenerate layout out first (guide
+    # §2.5; no-op on healthy layouts, ranking is deterministic)
+    c = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
         q_side.crossJoin(c)
@@ -219,7 +231,12 @@ def bucketed_topk(
             f"0, (acc, x) -> acc + x)"
         )
 
-    c = corpus.select(
+    from x_spark.fanout import fan_out
+
+    # corpus-side bucket assignment + per-candidate cosine run in the
+    # scan stage (probe side broadcasts) — fan a degenerate layout out
+    # first (guide §2.5; no-op on healthy layouts)
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         bucket_expr(vec_col).alias("bucket"),
@@ -314,7 +331,13 @@ def train_codebook(
     (the codebook needs thousands of points per centroid, not the full
     table) and persist the codebook next to the data.
     """
-    unit = corpus.select(
+    from x_spark.fanout import fan_out
+
+    # every k-means iteration's argmax assignment runs at this
+    # persisted frame's parallelism — fan a degenerate layout out
+    # before normalizing (guide §2.5; the md5-ordered init and the
+    # DECIMAL mean sums are both partitioning-independent)
+    unit = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cid"), _unit_expr(vec_col).alias("v")
     ).persist()
     if n_centroids is None:
@@ -468,7 +491,14 @@ def ivf_topk(
     # argmax_j dot(v, c_j) — ||v|| is constant across j. (Normalizing
     # inline would also be re-inlined into every centroid dot by
     # Catalyst's project collapse: measured 16x slowdown.)
-    c = corpus.select(
+    # the per-row centroid argmax AND the per-candidate cosine run in
+    # the corpus scan stage (the query side broadcasts), so a
+    # degenerate one-split layout serializes the whole scoring
+    # pipeline — fan it out first (guide §2.5; no-op on healthy
+    # layouts, top-k is rank-deterministic)
+    from x_spark.fanout import fan_out
+
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         _argmax_centroid(vec_col, codebook).alias("cluster"),
@@ -580,6 +610,8 @@ def embedding_near_dup_pairs(
     any threshold in (0, 1] is supported — looser thresholds trade
     bigger cells (more candidates per cell) for the same full recall.
     """
+    from x_spark.fanout import fan_out
+
     cell = grid_cell_size(threshold)
     # cell_i = floor(round(v_i/||v||, 6) / cell): rounding to 6dp first
     # makes the floor deterministic across engines (same rationale as
@@ -590,6 +622,12 @@ def embedding_near_dup_pairs(
     # duplicate pairs. Guard them out before bucketing; with every cell
     # coordinate non-NULL the output is distinct by construction (one
     # home cell per id_b, 3^d distinct probe cells per id_a).
+    # The per-row norm (d-dim sum of squares), grid-coordinate floors
+    # and the 3^d probe explode all run before the cell-join exchange,
+    # twice (home + probe derivations) — fan a degenerate one-split
+    # layout out first (guide §2.5; no-op on multi-split tables, the
+    # pair set is join-derived and order-independent).
+    df = fan_out(df.select(id_col, vec_col))
     cells = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -650,7 +688,13 @@ def ivf_assign(
     """(id, embedding, cluster) assignment rows against a frozen
     codebook — the ingest-side half of the IVF contract. Centroids are
     unit vectors, so argmax cosine == argmax dot (no per-row
-    normalization; see ivf_topk's project-collapse note)."""
+    normalization; see ivf_topk's project-collapse note).
+
+    Deliberately NOT fanned out (guide §6 file sizing beats §2.5
+    here): the assignment feeds a cluster-PARTITIONED store append, so
+    widening the stage multiplies files-per-cluster-partition per
+    ingest — measured 5x slower on the maintained-store search path
+    (write + every later partition-pruned probe pay the file count)."""
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
