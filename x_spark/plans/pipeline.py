@@ -835,8 +835,15 @@ _BPE_FIXED_MERGES = [
 
 
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x_spark.fanout import fan_out
+
     docs = _docs(spark, sf_dir).withColumn("text", F.coalesce("text", F.lit("")))
-    seg = B.apply_merges_str(docs, _BPE_FIXED_MERGES)
+    # the per-character wrap + 12 chained replaces run per row in the
+    # scan stage — fan a degenerate one-split layout out first (guide
+    # §2.5; per-row encode is deterministic)
+    seg = B.apply_merges_str(
+        fan_out(docs.select("doc_id", "text")), _BPE_FIXED_MERGES
+    )
     return seg.select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
