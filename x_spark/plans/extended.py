@@ -639,10 +639,17 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
+    from x_spark.fanout import fan_out
+
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
     # customer is fact-scaled (150k rows x SF) — no broadcast hint; AQE
     # decides from runtime size. nation/region are fixed 25/5-row dims:
     # always broadcast.
+    # When AQE broadcasts every right side, the whole join + DECIMAL
+    # partial-agg chain runs in lineitem's scan stage — fan a
+    # degenerate one-split layout out first (guide §2.5; exact sums
+    # are order-independent)
+    li = fan_out(li.select("l_orderkey", "l_extendedprice", "l_discount"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust.select("c_custkey", "c_nationkey"),
