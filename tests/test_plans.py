@@ -183,9 +183,15 @@ def test_semantic_diff_plan_is_one_aggregation_no_join(spark, tmp_path):
 
 def test_bpe_token_stats_is_scan_speed(spark, sf_dir):
     """The fixed-merge segmentation is a single projection over the
-    scan — no join, no shuffle except the implicit collect."""
+    scan — no join, no key shuffle. The only Exchange allowed is the
+    layout-adaptive round-robin fan_out that parallelizes the
+    replace-chain when the input plans as fewer tasks than cores
+    (optimization guide §2.5); a hash/range exchange would mean a
+    grouping or join crept in."""
     plan = _plan(QUERIES["bpe_token_stats"](spark, sf_dir))
-    for op in ("Join", "CartesianProduct", "Exchange"):
+    for op in ("Join", "CartesianProduct",
+               "Exchange hashpartitioning", "Exchange rangepartitioning",
+               "Exchange SinglePartition"):
         assert op not in plan, op
 
 
