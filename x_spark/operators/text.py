@@ -299,7 +299,7 @@ CONTAM_NGRAM = 5  # token n-gram width for contamination overlap
 
 def ngram_hash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = CONTAM_NGRAM,
+    n: int = CONTAM_NGRAM, fan: bool = True,
 ) -> DataFrame:
     """(id, gram_hashes) where ``gram_hashes`` holds the distinct
     32-bit hashes of the lowercased token ``n``-grams — the unit of
@@ -325,8 +325,14 @@ def ngram_hash_table(
     # both run at this persisted frame's parallelism — on a degenerate
     # one-split layout that is a single task; fan the projected rows
     # out first (guide §2.5; no-op on healthy layouts, hashes are
-    # order-independent)
-    toks_df = fan_out(df.select(id_col, text_col)).select(
+    # order-independent). ``fan=False`` is for callers hashing a side
+    # that is SMALL BY CONSTRUCTION (a benchmark/eval set): fanning a
+    # few dozen rows to every core costs a shuffle plus wide-stage
+    # scheduling on each downstream pass and parallelizes nothing
+    # (measured: contamination_bloom 1.8 -> 2.8 s with the eval side
+    # fanned).
+    proj = df.select(id_col, text_col)
+    toks_df = (fan_out(proj) if fan else proj).select(
         F.col(id_col).alias(id_col), F.expr(tok_hashes).alias("_cc_th")
     ).persist()
     grams = (
@@ -415,11 +421,17 @@ def contamination_check(
 
     Returns (train_id, eval_id, shared_ngrams) for flagged pairs.
     """
-    c = ngram_hash_table(corpus, id_col, text_col, n).select(
+    # fan=False on BOTH sides: warm 7-rep A/B measured the corpus-side
+    # fan a net LOSS for the contamination queries (med 1.96 -> 2.67 s)
+    # — the gram stage is one cheap pass feeding a hash join, so the
+    # raw-text shuffle + wide-stage scheduling never pays back (the
+    # same tokenize-only lesson as the BM25 rejection); contrast
+    # cross_doc_ngram_spans, whose fan won its interleaved A/B.
+    c = ngram_hash_table(corpus, id_col, text_col, n, fan=False).select(
         F.col(id_col).alias("train_id"),
         F.explode("gram_hashes").alias("gh"),
     )
-    b = ngram_hash_table(benchmark, id_col, text_col, n).select(
+    b = ngram_hash_table(benchmark, id_col, text_col, n, fan=False).select(
         F.col(id_col).alias("eval_id"),
         F.explode("gram_hashes").alias("gh"),
     )
@@ -509,12 +521,13 @@ def contamination_check_bloom(
     # filter build and the join, and the blocks are released by the
     # ContextCleaner when the frame goes out of scope — repeated calls
     # don't accumulate pinned storage the way persist() would
-    b_grams = ngram_hash_table(benchmark, id_col, text_col, n).select(
+    b_grams = ngram_hash_table(benchmark, id_col, text_col, n, fan=False).select(
         F.col(id_col).alias("eval_id"), F.explode("gram_hashes").alias("gh")
     ).localCheckpoint(eager=True)
     words = build_gram_bloom(b_grams, "gh", m_bits)
     c = (
-        ngram_hash_table(corpus, id_col, text_col, n)
+        # fan=False: same measured decision as contamination_check
+        ngram_hash_table(corpus, id_col, text_col, n, fan=False)
         .select(F.col(id_col).alias("train_id"), F.explode("gram_hashes").alias("gh"))
         .filter(bloom_might_contain("gh", words, m_bits))
     )
