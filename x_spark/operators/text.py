@@ -761,6 +761,13 @@ def scrub_cross_doc_spans(
     worder = W.partitionBy(id_col).orderBy("s", "e")
     wprev = worder.rowsBetween(W.unboundedPreceding, -1)
     wrun = worder.rowsBetween(W.unboundedPreceding, 0)
+    # spans_cut rides the island aggregation (count of cut rows per
+    # island, summed per doc == count of cut rows per doc): a separate
+    # cut.groupBy(id) would RE-RUN the gram join + row_number window —
+    # Catalyst does not share the unpersisted `cut` subtree between two
+    # consumers — and then need its own join in the final assembly
+    # (measured: one duplicated window subtree + one shuffle + one join
+    # removed, span_scrub warm med 5.2 -> see OPTIMIZATION_r11.md)
     islands = (
         cut.withColumn("pmax", F.max("e").over(wprev))
         .withColumn(
@@ -770,16 +777,15 @@ def scrub_cross_doc_spans(
         )
         .withColumn("isl", F.sum("new_isl").over(wrun))
         .groupBy(id_col, "isl")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"),
+             F.count("*").alias("n_spans"))
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("s", "e"))).alias("islands"),
             F.sum(F.col("e") - F.col("s")).cast("bigint").alias("chars_removed"),
             F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("n_spans").cast("bigint").alias("spans_cut"),
         )
-    )
-    spans_per_doc = cut.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("spans_cut")
     )
     # O(islands) fold: walk the sorted islands, copying the kept text
     # between them, then the tail after the last island
@@ -793,7 +799,6 @@ def scrub_cross_doc_spans(
     out = (
         df.select(doc, text_col)
         .join(islands, id_col, "left")
-        .join(spans_per_doc, id_col, "left")
         .select(
             doc,
             F.when(F.col("islands").isNull(), F.col(text_col))
