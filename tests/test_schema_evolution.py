@@ -932,23 +932,31 @@ def test_identity_allocation_frees_checkpoint_blocks(spark, ds, tmp_path):
     ZERO new persistent RDDs behind — stale blocks otherwise
     accumulate across a long session and skew block-manager state."""
     ref = _mk_identity(spark, ds, tmp_path)
-    jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+
+    def _persistent_rdd_ids() -> set:
+        # IDs (not count): the ContextCleaner can reap a stale block
+        # from an EARLIER test mid-assertion, so count equality is
+        # flaky in full-suite runs; "no NEW ids" is the leak check we
+        # mean (same fix as test_sessions._persistent_rdd_ids).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {rdd.id() for rdd in jmap.values()}
+
+    before = _persistent_rdd_ids()
     ds.append(spark.createDataFrame([("a",), ("b",)], "s string"), ref)
     ds.merge(spark.createDataFrame([("a",), ("c",)], "s string"), ref,
              MergeSpec(["s"], [], insert_when_not_matched=True))
     ds.overwrite(spark.createDataFrame([("z",)], "s string"), ref)
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids() <= before
     # the DV UPDATE path's pin is freed too (round-7 review #2)
     dref = TableRef(path=str(tmp_path / "dvu"))
     ds.append(spark.createDataFrame([(1, 1)], "pk int, v int")
               .coalesce(1), dref)
     ds.set_properties(dref, {DV_ENABLE_KEY: "true"})
     ds.update(dref, {"v": "v + 1"}, "pk = 1")
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids() <= before
     # and an ABORTED identity write frees its blocks (try/finally):
     # a CHECK constraint violation aborts inside _write_files
     ds.add_constraint(ref, "never", "s <> 'boom'")
     with pytest.raises(Exception, match="never"):
         ds.append(spark.createDataFrame([("boom",)], "s string"), ref)
-    assert jsc.getPersistentRDDs().size() == before
+    assert _persistent_rdd_ids() <= before
