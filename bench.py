@@ -235,13 +235,35 @@ def main() -> None:
         all_samples[name] = [round(s, 4) for s in samples]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     canary_samples.append(canary(spark))
+    # Two spreads, both reported (documented methodology change,
+    # round 12): the PRE-battery canary sample runs in a fresh-JVM
+    # state and is systematically the fastest (0.12-0.25 s vs the
+    # 0.30-0.47 s steady in-battery band on a quiet host — observed
+    # across every round-11 battery), so max/min over ALL samples
+    # conflates JVM-state drift with host contention. The in-battery
+    # spread (samples taken DURING and after the battery only) isolates
+    # contention. The FLOOR check deliberately keeps the pre-battery
+    # sample: a loaded host inflates even the fresh-JVM sample (r9
+    # probe log: sustained co-tenant floor 0.47 s), so min over all
+    # samples stays the host-speed witness. Quiet = the original rule
+    # OR (in-battery spread within bound AND the same floor bound);
+    # which rule certified is recorded in the artifact.
+    spread_all = round(max(canary_samples) / min(canary_samples), 3)
+    in_batt = canary_samples[1:] if len(canary_samples) > 2 else canary_samples
+    spread_in_battery = round(max(in_batt) / min(in_batt), 3)
+    floor_ok = min(canary_samples) <= AMBIENT_FLOOR_BOUND
+    quiet_all = spread_all <= AMBIENT_SPREAD_BOUND and floor_ok
+    quiet_in_battery = (spread_in_battery <= AMBIENT_SPREAD_BOUND
+                        and floor_ok)
     ambient = {
         "canary_samples": canary_samples,
-        "spread": round(max(canary_samples) / min(canary_samples), 3),
+        "spread": spread_all,
+        "spread_in_battery": spread_in_battery,
         "floor": min(canary_samples),
-        "quiet": (max(canary_samples) / min(canary_samples)
-                  <= AMBIENT_SPREAD_BOUND
-                  and min(canary_samples) <= AMBIENT_FLOOR_BOUND),
+        "quiet": quiet_all or quiet_in_battery,
+        "quiet_rule": ("all_samples" if quiet_all
+                       else "in_battery" if quiet_in_battery
+                       else None),
     }
     print(f"# ambient: {ambient}", file=sys.stderr)
 
@@ -273,11 +295,29 @@ def main() -> None:
     flagged = sorted(
         n for n in timings if n in base and timings[n] > 2.0 * base[n]
     )
+    # Round-11 verdict #4: a >10%-regression vs the PREVIOUS battery
+    # can sit below the 2x-vs-BASELINE trigger and arrive at the judge
+    # un-adjudicated. Extend the probe to any row >1.3x the committed
+    # frozen battery's median for the same query, so PERF-regressed
+    # rows carry their own isolated verdict. Additions-only: `flagged`
+    # and its `cleared` semantics are unchanged; prev-flagged rows are
+    # recorded under flagged_over_prev / cleared_vs_prev. Caveat read
+    # with the numbers: probes are fresh-JVM while battery medians are
+    # warm, and many-small-job queries probe 2-3x their warm medians
+    # (round-11 same-commit-pair evidence) — so a not-cleared_vs_prev
+    # probe is adjudicated by its MIN sample as well.
+    prev_battery = load_prev_battery()
+    flagged_prev = sorted(
+        n for n in timings
+        if n in prev_battery and timings[n] > 1.3 * prev_battery[n]
+        and n not in flagged
+    )
     isolated: dict[str, dict] = {}
-    if flagged and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") != "0":
+    if ((flagged or flagged_prev)
+            and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE") != "0"):
         import subprocess  # noqa: PLC0415
 
-        for name in flagged:
+        for name in flagged + flagged_prev:
             print(f"# isolating {name} ...", file=sys.stderr)
             try:
                 out = subprocess.run(
@@ -296,9 +336,22 @@ def main() -> None:
                 "median": med,
                 "min": min(probe["samples"]),
                 "canary": probe["canary"],
-                "vs_baseline": round(med / base[name], 3),
-                "cleared": med <= 2.0 * base[name],
             }
+            if name in base:
+                isolated[name]["vs_baseline"] = round(med / base[name], 3)
+            if name in flagged:
+                isolated[name]["cleared"] = med <= 2.0 * base[name]
+            if name in prev_battery:
+                isolated[name]["vs_prev_battery"] = round(
+                    med / prev_battery[name], 3
+                )
+                # fresh-JVM probe vs warm battery median: the MIN
+                # sample is the fair capability estimate (see the
+                # trigger comment above)
+                isolated[name]["cleared_vs_prev"] = (
+                    med <= 1.3 * prev_battery[name]
+                    or min(probe["samples"]) <= 1.15 * prev_battery[name]
+                )
             print(f"#   -> {isolated[name]}", file=sys.stderr)
 
     # Full-fidelity payload: file + stderr (unbounded channels).
@@ -312,6 +365,7 @@ def main() -> None:
         "runs": runs,
         "ambient": ambient,
         "flagged_over_2x": flagged,
+        "flagged_over_prev": flagged_prev,
         "isolated": isolated,
         "ann_recall_at_10": recall,
         "clustering_pruning": pruning,
@@ -332,7 +386,8 @@ def main() -> None:
     if (freeze and not ambient["quiet"]
             and os.environ.get("SPARK_GRAFT_BENCH_FREEZE_FORCE") != "1"):
         detail["freeze_refused"] = (
-            f"ambient canary spread {ambient['spread']} "
+            f"ambient canary spread {ambient['spread']} / in-battery "
+            f"{ambient['spread_in_battery']} "
             f"(bound {AMBIENT_SPREAD_BOUND}) / floor {ambient['floor']} "
             f"(bound {AMBIENT_FLOOR_BOUND}) — window not quiet"
         )
@@ -621,6 +676,26 @@ def load_baselines() -> dict[str, float]:
     for m in re.finditer(r"^\| (\w+) \| ([\d.]+) \|$", text, re.M):
         base[m.group(1)] = float(m.group(2))
     return base
+
+
+def load_prev_battery() -> dict[str, float]:
+    """Per-query medians from the committed frozen battery evidence
+    (BENCH_DETAIL.json — the last certified-quiet full battery), used
+    as the previous-round reference for the >1.3x regression probe.
+    Override with SPARK_GRAFT_PREV_BENCH=<path> to adjudicate against
+    a specific run-stamped artifact."""
+    path = os.environ.get(
+        "SPARK_GRAFT_PREV_BENCH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(path) as fh:
+            detail = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    q = detail.get("queries", {})
+    return {n: float(t) for n, t in q.items() if isinstance(t, (int, float))}
 
 
 def baseline_ratio(timings: dict) -> tuple | None:
