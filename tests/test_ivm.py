@@ -187,6 +187,89 @@ def test_join_view_tracks_plain_join_through_mutations(spark, tmp_path):
     view.refresh(); check()
 
 
+def test_join_view_fused_refresh_single_commit(spark, tmp_path):
+    """When BOTH sides have pending deltas, refresh() fuses the two
+    increments into ONE view commit (one state rewrite instead of two)
+    carrying BOTH application stamps atomically — and the result is
+    still the exact bag of the direct join. A single-side refresh
+    stays a single-stamp commit."""
+    from x_spark.operators.ivm import JoinView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+
+    ds = init_datasource("txlog", spark)
+    a_ref = TableRef(path=str(tmp_path / "a"))
+    b_ref = TableRef(path=str(tmp_path / "b"))
+    v_ref = TableRef(path=str(tmp_path / "j"))
+    ds.append(spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, av int"), a_ref)
+    ds.append(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k int, bv string"), b_ref)
+    view = JoinView(ds, a_ref, b_ref, v_ref, on=["k"],
+                    a_cols=["av"], b_cols=["bv"])
+
+    # initial build: both sides pending -> exactly one view commit,
+    # both positions stamped in it
+    va, vb = view.refresh()
+    hist = ds.history(v_ref)
+    n0 = len(hist)
+    assert ds.last_txn_version(v_ref, view.app_a) == va
+    assert ds.last_txn_version(v_ref, view.app_b) == vb
+
+    # both sides mutate -> still exactly ONE new view commit
+    ds.append(spark.createDataFrame([(3, 30)], "k int, av int"), a_ref)
+    ds.delete(b_ref, "k = 2")
+    va2, vb2 = view.refresh()
+    assert (va2, vb2) > (va, vb)
+    assert len(ds.history(v_ref)) == n0 + 1
+    assert ds.last_txn_version(v_ref, view.app_a) == va2
+    assert ds.last_txn_version(v_ref, view.app_b) == vb2
+    want = sorted(map(tuple, (
+        ds.read(a_ref).join(ds.read(b_ref), "k")
+        .groupBy("k", "av", "bv").agg(F.count("*").alias("n_rows"))
+    ).collect()))
+    assert sorted(map(tuple, view.read().collect())) == want
+
+    # one side mutates -> single-side path, single-stamp commit, and
+    # the OTHER side's stamp survives the commit untouched
+    ds.append(spark.createDataFrame([(1, "x2")], "k int, bv string"), b_ref)
+    va3, vb3 = view.refresh()
+    assert va3 == va2 and vb3 > vb2
+    assert len(ds.history(v_ref)) == n0 + 2
+    assert ds.last_txn_version(v_ref, view.app_a) == va2
+    assert ds.last_txn_version(v_ref, view.app_b) == vb3
+    # replay: immediate refresh is a no-op on both sides
+    assert view.refresh() == (va3, vb3)
+    assert len(ds.history(v_ref)) == n0 + 2
+
+
+def test_multi_stamp_commit_replay_detection(spark, tmp_path):
+    """A commit carrying a LIST of txn stamps records every position
+    atomically, and the in-commit replay guard rejects the commit if
+    ANY stamp is stale (Delta's SetTransaction conflict semantics per
+    stamp)."""
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import TableRef
+    from x_spark.sources.txlog import TxnAlreadyCommittedException
+
+    ds = init_datasource("txlog", spark)
+    ref = TableRef(path=str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,)], "x int")
+    ds.append(df, ref)
+    ds.overwrite(df, ref, txn=[("appA", 3), ("appB", 7)])
+    assert ds.last_txn_version(ref, "appA") == 3
+    assert ds.last_txn_version(ref, "appB") == 7
+    # one fresh stamp + one stale stamp -> whole commit refused
+    with pytest.raises(TxnAlreadyCommittedException):
+        ds.overwrite(df, ref, txn=[("appA", 4), ("appB", 7)])
+    # neither stamp advanced (the commit never landed)
+    assert ds.last_txn_version(ref, "appA") == 3
+    assert ds.last_txn_version(ref, "appB") == 7
+    ds.overwrite(df, ref, txn=[("appA", 4), ("appB", 8)])
+    assert ds.last_txn_version(ref, "appA") == 4
+    assert ds.last_txn_version(ref, "appB") == 8
+
+
 def test_join_view_rejects_bad_specs(spark, tmp_path):
     from x_spark.operators.ivm import JoinView
     from x_spark.sources import init_datasource

@@ -1,5 +1,6 @@
 """Write ``explain("formatted")`` for named registry queries to
-``plans/r11/<name>_<suffix>.txt`` — the round's plan-evidence files.
+``plans/<round>/<name>_<suffix>.txt`` — the round's plan-evidence
+files (round from $SPARK_GRAFT_ROUND, default r12).
 
 Run: ``python tools/capture_plans.py <suffix> name[,name...]``
 
@@ -23,7 +24,8 @@ def main() -> None:
     names = sys.argv[2].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(cpus)
     from x_spark.plans.registry import QUERIES

@@ -434,17 +434,14 @@ class JoinView:
         )
         return self.ds.read(pinned).select(*cols)
 
-    def _apply_side(self, delta_ref: TableRef, app_id: str,
-                    delta_cols: list[str], pinned_ref: TableRef,
-                    pinned_app: str, pinned_cols: list[str]) -> int:
-        base_table = self.ds._table_path(delta_ref)
-        snap = resolve_snapshot(base_table)
-        if snap is None:
-            raise ValueError(f"base table {base_table!r} does not exist")
-        current = snap.version
-        last = self._pos(app_id)
-        if last >= current:
-            return last
+    def _joined_signed(self, delta_ref: TableRef, last: int, current: int,
+                       delta_cols: list[str], pinned_ref: TableRef,
+                       pinned_version: int,
+                       pinned_cols: list[str]) -> DataFrame:
+        """One side's increment: the side's signed CDF rows over
+        versions (last, current], joined against the other side pinned
+        at ``pinned_version`` — projected to a common column order so
+        the fused path can union both sides' increments."""
         cdf = self.ds.changes(
             delta_ref, from_version=max(last, 0), to_version=current
         )
@@ -453,18 +450,26 @@ class JoinView:
             F.lit(1),
         ).otherwise(F.lit(-1))
         signed = cdf.select(*self.on, *delta_cols, sign.alias("_sign"))
-        pinned = self._read_at(
-            pinned_ref, self._pos(pinned_app), self.on + pinned_cols
-        )
+        pinned = self._read_at(pinned_ref, pinned_version,
+                               self.on + pinned_cols)
         out_cols = self.on + self.a_cols + self.b_cols
-        delta_j = (
-            signed.join(pinned, self.on)
-            .groupBy(*out_cols)
-            .agg(F.sum("_sign").cast("bigint").alias("n_rows"))
+        return signed.join(pinned, self.on).select(*out_cols, "_sign")
+
+    def _apply_delta(self, joined_signed: DataFrame,
+                     txn: tuple[str, int] | list[tuple[str, int]]) -> None:
+        """Fold the (already joined, signed) increment rows into the
+        stored view and land the new state + applied position(s) in
+        ONE atomic stamped commit — ``txn`` is a single stamp for a
+        one-side refresh, or both sides' stamps when the fused path
+        applies both increments with a single rewrite."""
+        out_cols = self.on + self.a_cols + self.b_cols
+        delta_j = joined_signed.groupBy(*out_cols).agg(
+            F.sum("_sign").cast("bigint").alias("n_rows")
         )
         nb = self._effective_buckets()
         if nb is not None:
-            return self._apply_bucketed(delta_j, out_cols, app_id, current, nb)
+            self._apply_bucketed(delta_j, out_cols, txn, nb)
+            return
         exists = self.ds.table_exists(self.view_ref)
         if exists:
             prior = self.ds.read(self.view_ref)
@@ -489,19 +494,37 @@ class JoinView:
                 self._bucket_col(nb).alias(
                     "_bucket", metadata={"ivm_n_buckets": nb}),
             )
-            self.ds.overwrite(result_b, self.view_ref, txn=(app_id, current),
+            self.ds.overwrite(result_b, self.view_ref, txn=txn,
                               overwrite_schema=True, partition_by=["_bucket"])
-            return current
+            return
         if not exists:
             self.ds.create(self.view_ref, result.schema)
-        self.ds.overwrite(result, self.view_ref, txn=(app_id, current))
+        self.ds.overwrite(result, self.view_ref, txn=txn)
+
+    def _apply_side(self, delta_ref: TableRef, app_id: str,
+                    delta_cols: list[str], pinned_ref: TableRef,
+                    pinned_app: str, pinned_cols: list[str]) -> int:
+        base_table = self.ds._table_path(delta_ref)
+        snap = resolve_snapshot(base_table)
+        if snap is None:
+            raise ValueError(f"base table {base_table!r} does not exist")
+        current = snap.version
+        last = self._pos(app_id)
+        if last >= current:
+            return last
+        inc = self._joined_signed(
+            delta_ref, last, current, delta_cols,
+            pinned_ref, self._pos(pinned_app), pinned_cols,
+        )
+        self._apply_delta(inc, txn=(app_id, current))
         return current
 
     def _bucket_col(self, n_buckets: int) -> F.Column:
         return F.pmod(F.hash(*self.on), F.lit(n_buckets)).cast("int")
 
     def _apply_bucketed(self, delta_j: DataFrame, out_cols: list[str],
-                        app_id: str, current: int, n_buckets: int) -> int:
+                        txn: tuple[str, int] | list[tuple[str, int]],
+                        n_buckets: int) -> None:
         """Partition-scoped apply: fold the deltas into ONLY the view
         partitions (join-key hash buckets) they touch, and land the new
         bucket contents + position via one stamped replaceWhere over
@@ -560,29 +583,69 @@ class JoinView:
                 replace_where=(
                     "_bucket IN (" + ", ".join(str(b) for b in touched) + ")"
                 ),
-                txn=(app_id, current),
+                txn=txn,
             )
         else:
             # nothing changed (e.g. rewrite pairs canceled): advance the
             # applied position without touching any partition
-            self.ds.overwrite_dynamic(result, self.view_ref,
-                                      txn=(app_id, current))
-        return current
+            self.ds.overwrite_dynamic(result, self.view_ref, txn=txn)
 
     def refresh(self) -> tuple[int, int]:
         """Apply A's outstanding deltas, then B's; returns the applied
-        (a_version, b_version). Order matters only for the pinning
-        argument above — calling refresh again immediately is a
-        detected no-op on both sides."""
-        va = self._apply_side(
-            self.a_ref, self.app_a, self.a_cols,
-            self.b_ref, self.app_b, self.b_cols,
-        )
-        vb = self._apply_side(
-            self.b_ref, self.app_b, self.b_cols,
-            self.a_ref, self.app_a, self.a_cols,
-        )
-        return va, vb
+        (a_version, b_version). Calling refresh again immediately is a
+        detected no-op on both sides.
+
+        When only one side is pending the staged single-side path
+        runs; when BOTH are pending the two increments are FUSED into
+        one state rewrite (one write job instead of two) committed
+        with both positions stamped atomically. The fused increments
+        use exactly the staged path's pins — ΔA ⋈ B@vb_applied, then
+        ΔB ⋈ A@va_new (va_new includes ΔA) — so every (a, b) pair is
+        still produced exactly once; the fold is one aggregation over
+        the union instead of two sequential ones, and exact bag counts
+        are associative, so the stored bag is identical. Crash safety
+        is unchanged: a crash before the single commit leaves the old
+        state with BOTH old positions."""
+        sa = resolve_snapshot(self.ds._table_path(self.a_ref))
+        sb = resolve_snapshot(self.ds._table_path(self.b_ref))
+        if sa is None:
+            raise ValueError(
+                f"base table {self.ds._table_path(self.a_ref)!r} does not exist"
+            )
+        if sb is None:
+            raise ValueError(
+                f"base table {self.ds._table_path(self.b_ref)!r} does not exist"
+            )
+        va_cur, vb_cur = sa.version, sb.version
+        la, lb = self._pos(self.app_a), self._pos(self.app_b)
+        a_pending, b_pending = la < va_cur, lb < vb_cur
+        if a_pending and b_pending:
+            inc_a = self._joined_signed(
+                self.a_ref, la, va_cur, self.a_cols,
+                self.b_ref, lb, self.b_cols,
+            )
+            inc_b = self._joined_signed(
+                self.b_ref, lb, vb_cur, self.b_cols,
+                self.a_ref, va_cur, self.a_cols,
+            )
+            self._apply_delta(
+                inc_a.unionByName(inc_b),
+                txn=[(self.app_a, va_cur), (self.app_b, vb_cur)],
+            )
+            return va_cur, vb_cur
+        if a_pending:
+            va = self._apply_side(
+                self.a_ref, self.app_a, self.a_cols,
+                self.b_ref, self.app_b, self.b_cols,
+            )
+            return va, lb
+        if b_pending:
+            vb = self._apply_side(
+                self.b_ref, self.app_b, self.b_cols,
+                self.a_ref, self.app_a, self.a_cols,
+            )
+            return la, vb
+        return la, lb
 
     def read(self) -> DataFrame:
         """The maintained bag: joined tuples + n_rows multiplicity

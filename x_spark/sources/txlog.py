@@ -2526,7 +2526,9 @@ class TxLogDataSource(BaseDataSource):
 
     # -- commit machinery ----------------------------------------------
     def _commit(self, table: str, expected_version: int, actions: list[dict],
-                operation: str, txn: tuple[str, int] | None = None) -> int:
+                operation: str,
+                txn: tuple[str, int] | list[tuple[str, int]] | None = None,
+                ) -> int:
         """Write version ``expected_version`` atomically; raises
         ConcurrentWriteException if that version already exists.
 
@@ -2534,6 +2536,11 @@ class TxLogDataSource(BaseDataSource):
         application transaction id (Delta's txnAppId/txnVersion
         idempotent-writes pattern): :meth:`last_txn_version` reads it
         back so a replayed writer can skip work it already committed.
+        A LIST of stamps records several application positions in the
+        same atomic commit (Delta likewise allows multiple
+        SetTransaction actions per commit) — the fused IVM join-view
+        refresh lands both sides' applied positions with one state
+        rewrite through this.
 
         The stamp is also VERIFIED here, inside the commit path
         (Delta's SetTransaction conflict check): if a commit with the
@@ -2548,14 +2555,19 @@ class TxLogDataSource(BaseDataSource):
         """
         d = _log_path(table)
         os.makedirs(d, exist_ok=True)
-        if txn is not None:
+        stamps: list[tuple[str, int]] = (
+            [] if txn is None
+            else [txn] if isinstance(txn, tuple) else list(txn)
+        )
+        if stamps:
             durable = self._txn_stamps(table, upto=expected_version - 1)
-            if durable.get(txn[0], -1) >= int(txn[1]):
-                raise TxnAlreadyCommittedException(
-                    f"txn appId={txn[0]!r} version {txn[1]} already "
-                    f"committed to {table!r} (latest stamp "
-                    f"{durable[txn[0]]}) — replay detected"
-                )
+            for app, ver in stamps:
+                if durable.get(app, -1) >= int(ver):
+                    raise TxnAlreadyCommittedException(
+                        f"txn appId={app!r} version {ver} already "
+                        f"committed to {table!r} (latest stamp "
+                        f"{durable[app]}) — replay detected"
+                    )
         path = os.path.join(d, f"{expected_version:020d}.json")
         info: dict = {"operation": operation}
         # in-commit timestamp (Delta ICT): commit time rides IN the
@@ -2572,8 +2584,13 @@ class TxLogDataSource(BaseDataSource):
             if prev_ts is not None:
                 ts_ms = max(ts_ms, prev_ts + 1)
         info["timestamp"] = ts_ms
-        if txn is not None:
-            info["txn"] = {"appId": txn[0], "version": int(txn[1])}
+        if len(stamps) == 1:
+            info["txn"] = {"appId": stamps[0][0],
+                           "version": int(stamps[0][1])}
+        elif stamps:
+            info["txns"] = [
+                {"appId": app, "version": int(ver)} for app, ver in stamps
+            ]
         actions = self._assign_row_ids(table, expected_version, actions)
         actions, batch_side = self._maybe_batch_adds(
             table, expected_version, actions
@@ -2744,11 +2761,17 @@ class TxLogDataSource(BaseDataSource):
             return {} if v is None else {k: int(x) for k, x in v.items()}
 
         def fold(stamps: dict[str, int], line: str) -> None:
-            if '"txn"' not in line:  # adds never deserialize
+            # adds never deserialize; '"txns"' does NOT contain the
+            # substring '"txn"' (the closing quote differs), so both
+            # keys are checked
+            if '"txn"' not in line and '"txns"' not in line:
                 return
             info = json.loads(line).get("commitInfo")
-            if info and "txn" in info:
-                t = info["txn"]
+            if not info:
+                return
+            multi = ([info["txn"]] if "txn" in info else [])
+            multi += list(info.get("txns", []))
+            for t in multi:
                 stamps[t["appId"]] = max(
                     stamps.get(t["appId"], -1), int(t["version"])
                 )
@@ -4555,7 +4578,7 @@ class TxLogDataSource(BaseDataSource):
 
     def overwrite(self, df: DataFrame, ref: TableRef,
                   replace_where: str | None = None,
-                  txn: tuple[str, int] | None = None,
+                  txn: tuple[str, int] | list[tuple[str, int]] | None = None,
                   overwrite_schema: bool = False,
                   partition_by: list[str] | None = None) -> None:
         """Full overwrite, or Delta replaceWhere: source rows violating
@@ -4720,7 +4743,8 @@ class TxLogDataSource(BaseDataSource):
                      "OVERWRITE_WHERE", txn=txn)
 
     def overwrite_dynamic(self, df: DataFrame, ref: TableRef,
-                          txn: tuple[str, int] | None = None) -> None:
+                          txn: tuple[str, int] | list[tuple[str, int]]
+                          | None = None) -> None:
         """Replace exactly the partitions present in ``df`` (whole table
         when unpartitioned): remove those partitions' files, add the new
         ones, one atomic commit. Untouched partitions' files are never
