@@ -573,6 +573,67 @@ def test_minmax_view_targeted_rescan(spark, tmp_path):
     assert got2 == got1
 
 
+def test_interval_add_only_probe_and_minmax_fast_path(spark, tmp_path):
+    """`interval_is_add_only` classifies commit intervals from
+    metadata alone (appends -> True; delete / merge-rewrite /
+    overwrite in the interval -> False), and an insert-only minmax
+    refresh rides it: no eager-checkpoint job, no rescan-probe job —
+    the refresh submits no more Spark jobs than a plain (no-minmax)
+    view's refresh of the same delta (AQE stage jobs make the absolute
+    count plan-dependent, so the plain path is the yardstick), with
+    the result still matching a full recompute."""
+    from x_spark.operators.ivm import AggregateView
+    from x_spark.sources import init_datasource
+    from x_spark.sources.base import MergeSpec, TableRef
+
+    ds = init_datasource("txlog", spark)
+    base = TableRef(path=str(tmp_path / "b"))
+    ds.append(spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "g string, v int, w int"), base)  # v1
+    ds.append(spark.createDataFrame(
+        [("a", 3, 30)], "g string, v int, w int"), base)                # v2
+    assert ds.interval_is_add_only(base, 0, 2)
+    ds.delete(base, "v = 3")                                            # v3
+    assert ds.interval_is_add_only(base, 0, 2)
+    assert not ds.interval_is_add_only(base, 2, 3)
+    assert not ds.interval_is_add_only(base, 0, 3)
+    assert ds.interval_is_add_only(base, 3, 3)  # empty interval
+    ds.merge(spark.createDataFrame([("a", 1, 99)], "g string, v int, w int"),
+             base, MergeSpec(["g", "v"], ["w"]))                        # v4
+    assert not ds.interval_is_add_only(base, 3, 4)
+
+    # insert-only refresh of a minmax view: no checkpoint/probe jobs —
+    # job count must not exceed the plain path's for the same delta
+    agg = TableRef(path=str(tmp_path / "agg"))
+    plain_agg = TableRef(path=str(tmp_path / "agg_plain"))
+    view = AggregateView(ds, base, agg, keys=["g"], sums=["w"],
+                         minmax=["v"])
+    plain = AggregateView(ds, base, plain_agg, keys=["g"], sums=["w"])
+    view.refresh()  # first build folds the delete-carrying feed
+    plain.refresh()
+    ds.append(spark.createDataFrame(
+        [("a", 0, 5), ("c", 7, 70)], "g string, v int, w int"), base)
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None))
+    plain.refresh()
+    mid = set(st.getJobIdsForGroup(None))
+    n_plain = len(mid - before)
+    view.refresh()
+    n_minmax = len(set(st.getJobIdsForGroup(None)) - mid)
+    assert n_minmax <= n_plain, (
+        f"insert-only minmax refresh ran {n_minmax} jobs vs the plain "
+        f"path's {n_plain} — checkpoint/probe jobs are back"
+    )
+    got = sorted(map(tuple, view.read().select(
+        "g", "n_rows", F.col("sum_w").cast("long"), "min_v", "max_v"
+    ).collect()))
+    want = sorted(map(tuple, ds.read(base).groupBy("g").agg(
+        F.count("*").cast("bigint"), F.sum("w").cast("long"),
+        F.min("v"), F.max("v"),
+    ).collect()))
+    assert got == want, (got, want)
+
+
 def test_bucketed_join_view_empties_bucket_cleanly(spark, tmp_path):
     """Regression (review-confirmed): a refresh that EMPTIES a bucket
     must remove its old files from the live set — a dynamic-partition

@@ -203,6 +203,28 @@ class AggregateView:
         # also makes the first build correct when the initial change
         # feed already contains deletes. NULL-valued deletes never
         # force a rescan (MIN/MAX ignore NULLs).
+        insert_only_out = j.select(
+            *self.keys,
+            n_new.cast("bigint").alias("n_rows"),
+            *[sums_new[c].alias(f"sum_{c}") for c in self.sums],
+            *[
+                e
+                for c in self.minmax
+                for e in (
+                    cand_min[c].alias(f"min_{c}"),
+                    cand_max[c].alias(f"max_{c}"),
+                )
+            ],
+        )
+        if self.ds.interval_is_add_only(self.base_ref, max(last, 0), current):
+            # the interval's commit METADATA proves the feed carries no
+            # deletes (append-only ingest — the common refresh), so no
+            # extremum can weaken: skip the delete/rescan machinery
+            # outright. The downstream overwrite computes this plan
+            # exactly once, replacing the eager-checkpoint job + the
+            # rescan-probe job the data-driven branch below pays —
+            # zero base reads AND two fewer Spark jobs per refresh.
+            return insert_only_out.filter(F.col("n_rows") > 0)
         rescan_cond = None
         for c in self.minmax:
             cond = (
@@ -214,16 +236,19 @@ class AggregateView:
         # materialize the joined aggregate state ONCE (it is
         # aggregate-sized): it feeds the rescan-count probe, the rescan
         # key set, and the output projection — and the probe is what
-        # lets an insert-only refresh skip the base entirely
+        # lets a delete-carrying but extremum-safe refresh still skip
+        # the base
         j = (
             j.withColumn("_rescan", F.coalesce(rescan_cond, F.lit(False)))
             .localCheckpoint(eager=True)
         )
         rescan_keys = j.filter("_rescan").select(*self.keys)
         if rescan_keys.limit(1).count() == 0:
-            # insert-only (or extremum-safe) refresh: ZERO base reads —
-            # the advertised contract; the recompute join would
-            # otherwise wire a full pinned-base scan into the plan
+            # deletes present but none ties-or-beats a candidate
+            # extremum: ZERO base reads — the advertised contract; the
+            # recompute join would otherwise wire a full pinned-base
+            # scan into the plan. (Recompute the projection over the
+            # checkpointed j so the probe's work is reused.)
             out = j.select(
                 *self.keys,
                 n_new.cast("bigint").alias("n_rows"),

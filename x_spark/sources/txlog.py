@@ -6172,6 +6172,37 @@ class TxLogDataSource(BaseDataSource):
             deleted.append(rel)
         return sorted(deleted)
 
+    def interval_is_add_only(self, ref: TableRef, from_version: int,
+                             to_version: int) -> bool:
+        """True when every commit in (``from_version``, ``to_version``]
+        contains ONLY row additions — no data-changing ``remove``
+        action and no ``cdc`` action — so the CDF over that interval
+        provably carries no delete / update_preimage rows. A metadata-
+        only probe (the small commit JSONs, never data files): an
+        incremental consumer that special-cases deletes (e.g. the
+        MIN/MAX view rescan) can skip its delete machinery without
+        scanning the feed. Conservative: any unrecognized shape counts
+        as not-add-only."""
+        table = self._table_path(ref)
+        commits, _ = _list_log(table)
+        for fname in commits:
+            v = _version_of(fname)
+            if v <= from_version or v > to_version:
+                continue
+            with open(os.path.join(_log_path(table), fname)) as fh:
+                for line in fh:
+                    # substring fast-path like _txn_stamps: adds /
+                    # addBatch / commitInfo lines never parse
+                    if '"remove"' not in line and '"cdc"' not in line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        return False
+                    if "remove" in action and action["remove"].get(
+                            "dataChange", True):
+                        return False
+        return True
+
     def changes(self, ref: TableRef, from_version: int,
                 to_version: int | None = None) -> DataFrame:
         """Change data feed: row-level changes between two versions
