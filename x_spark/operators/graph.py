@@ -113,15 +113,29 @@ def connected_components(
         if not pairs_distinct:
             doubled = doubled.distinct()
         edges, edges_id = _tracked_ckpt(doubled)
+        # ROUND 1 computed at init: with the trivial node->node seed,
+        # the first propagation round's output is exactly
+        # min({node} ∪ neighbors) = least(node, min(neighbor)) — one
+        # aggregation over the doubled edge list. Seeding with it
+        # collapses the old init (node-distinct + checkpoint) AND the
+        # first loop round (join + union + min-agg + checkpoint) into
+        # this single checkpointed aggregation; the node set is the
+        # same (every node appears as `a` in the doubled list).
         labels, labels_id = _tracked_ckpt(
-            edges.select(F.col("a").alias("node")).distinct().select(
-                "node", F.col("node").alias("component")
+            edges.groupBy("a").agg(F.min("b").alias("_mb")).select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("_mb")).alias("component"),
             )
         )
-        # node count is already materialized by the eager checkpoint;
-        # counting it is metadata-cheap and gates the broadcast plan
-        small = labels.count() <= broadcast_max_nodes
-        prev_sum, prev_id = None, labels_id
+        # one scalar job over the materialized checkpoint gates the
+        # broadcast plan (node count) AND seeds the convergence sum —
+        # so a graph that is stable after round 1 breaks out of the
+        # loop after a single iteration
+        n_nodes, prev_sum = labels.agg(
+            F.count("*"), F.sum("component")
+        ).first()
+        small = n_nodes <= broadcast_max_nodes
+        prev_id = labels_id
         for _ in range(max_iterations):
             lbl = F.broadcast(labels) if small else labels
             neighbor_labels = edges.join(
