@@ -189,10 +189,14 @@ def test_bpe_token_stats_is_scan_speed(spark, sf_dir):
     (optimization guide §2.5); a hash/range exchange would mean a
     grouping or join crept in."""
     plan = _plan(QUERIES["bpe_token_stats"](spark, sf_dir))
-    for op in ("Join", "CartesianProduct",
-               "Exchange hashpartitioning", "Exchange rangepartitioning",
-               "Exchange SinglePartition"):
+    for op in ("Join", "CartesianProduct"):
         assert op not in plan, op
+    # inverted pin (round-11 advice): enumerate the ALLOWED exchange
+    # kind instead of the known-bad ones, so any future non-round-robin
+    # exchange variant fails loudly rather than passing silently
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_salted_join_matches_plain_join(spark):

@@ -427,6 +427,13 @@ def contamination_check(
     # raw-text shuffle + wide-stage scheduling never pays back (the
     # same tokenize-only lesson as the BM25 rejection); contrast
     # cross_doc_ngram_spans, whose fan won its interleaved A/B.
+    # At-scale tradeoff (cluster users): fan=False also removes the
+    # layout-adaptive repartition, so a degenerate ONE-SPLIT multi-TB
+    # corpus (e.g. a single gzip) would tokenize+hash on one core
+    # before the gram join. On a healthy multi-split table the fan is
+    # a structural no-op either way; if your corpus arrives as few
+    # unsplittable files, repartition it upstream of this call
+    # (guide §2.5 "input skew").
     c = ngram_hash_table(corpus, id_col, text_col, n, fan=False).select(
         F.col(id_col).alias("train_id"),
         F.explode("gram_hashes").alias("gh"),
