@@ -347,10 +347,21 @@ def main() -> None:
                 )
                 # fresh-JVM probe vs warm battery median: the MIN
                 # sample is the fair capability estimate (see the
-                # trigger comment above)
+                # trigger comment above). The fresh-JVM overhead is
+                # ADDITIVE, not multiplicative — measured +0.2-0.35 s
+                # across seven sub-second rows (round-12 probes:
+                # part_catalog_report +0.19, corpus_splits +0.24,
+                # event_hourly_profile +0.27, ann_topk_bucketed +0.28,
+                # duckdb_dim_roundtrip +0.30, weighted_sample +0.31,
+                # corpus_shuffle_shards +0.32) — so a ratio-only rule
+                # can never clear a healthy sub-second row; the 0.45 s
+                # absolute allowance covers the measured floor with
+                # margin while staying inside noise for multi-second
+                # rows.
                 isolated[name]["cleared_vs_prev"] = (
                     med <= 1.3 * prev_battery[name]
                     or min(probe["samples"]) <= 1.15 * prev_battery[name]
+                    or min(probe["samples"]) <= prev_battery[name] + 0.45
                 )
             print(f"#   -> {isolated[name]}", file=sys.stderr)
 
