@@ -322,12 +322,17 @@ class AggregateView:
 
 class JoinView:
     """Materialized equi-JOIN of two txlog base tables, incrementally
-    maintained from their change feeds (the classic delta rule,
-    staged):
+    maintained from their change feeds (the classic delta rule):
 
         J_new = J_old
               + ΔA ⋈ B@vb_applied          (step 1, stamped va)
               + ΔB ⋈ A@va_applied          (step 2, stamped vb)
+
+    When only one side is pending the steps run staged as written;
+    when BOTH are pending :meth:`refresh` FUSES them — same pins, one
+    aggregation over the union of both increments, one state rewrite,
+    both positions stamped in a single atomic multi-stamp commit (see
+    the method docstring for the equivalence argument).
 
     Each step joins ONE side's signed CDF rows against the OTHER side
     PINNED at its last-applied version (txlog time travel), which is
